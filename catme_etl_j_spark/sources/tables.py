@@ -1,0 +1,39 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+Parquet scans are the engine's canonical source: columnar, splittable,
+predicate-pushdown- and column-pruning-friendly. At 100 TB these same
+calls fan out across executors; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; supplier/part/customer grow with SF but
+# stay orders of magnitude under the fact table — still broadcastable at
+# sf<=1; at 100 TB Catalyst/AQE decides from actual stats).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
