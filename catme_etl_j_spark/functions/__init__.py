@@ -1,1 +1,8 @@
-from catme_etl_j_spark.functions.numeric import avg4, dec2, dec4, money2  # noqa: F401
+from catme_etl_j_spark.functions.numeric import (  # noqa: F401
+    avg4,
+    dec2,
+    dec4,
+    money2,
+    rdet,
+    rdet_sql,
+)

@@ -43,6 +43,26 @@ def money2(sum_col: Column) -> Column:
     return F.round(sum_col, 2).cast("double")
 
 
+def rdet(col: Column, n: int) -> Column:
+    """Engine-deterministic rounding of a DOUBLE column.
+
+    ``round(double, n)`` is NOT portable: Spark rounds the shortest
+    decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+    ``std::round(x*10^n)/10^n``, and they disagree whenever the value
+    prints as ``x.xx5``. ``floor(x*10^n + 0.5)/10^n`` is pure IEEE
+    arithmetic — identical bits on every engine. SQL twin:
+    ``floor((x) * 10^n + 0.5) / 10^n``.
+    """
+    k = float(10**n)
+    return F.floor(col * F.lit(k) + F.lit(0.5)) / F.lit(k)
+
+
+def rdet_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`rdet` (splice into oracle SQL)."""
+    k = float(10**n)
+    return f"floor(({expr}) * {k} + 0.5) / {k}"
+
+
 def avg4(sum_col: Column, count_col: Column) -> Column:
     """Deterministic average: double(exact sum) / count, 4 decimals."""
-    return F.round(sum_col.cast("double") / count_col, 4)
+    return rdet(sum_col.cast("double") / count_col, 4)

@@ -1,0 +1,365 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference feeds a downstream ``Deduplicator`` it never implements
+(HighVolumeExcelConverter-Contract-v2.0.1.md:45 names it as the next
+ETL stage); this module supplies that stage Spark-first, at the four
+standard levels used for LLM training corpora:
+
+* exact           — hash-groupBy on the raw text (one shuffle)
+* exact-normalized— same, on case/space/punct-normalized text
+* n-gram Jaccard  — exact word-3-gram set similarity via shingle
+                    explode + equi-join on shingle (the join key makes
+                    this a co-partitioned shuffle join, NOT a cross
+                    join; still the quadratic-prone exact variant —
+                    at 100 TB run minhash_lsh first and use this only
+                    to verify candidates)
+* MinHash + LSH   — 32 portable min-hashes, banded 8x4; candidates are
+                    pairs sharing a band bucket. Linear shuffle cost;
+                    this is the scale path.
+* SimHash         — 32-bit signature; near-dup pairs found by the
+                    4-block pigeonhole trick (hamming<=3 implies two
+                    docs agree on at least one 8-bit block), so the
+                    banded self-join is provably equivalent to the
+                    exact cross-join the oracle runs.
+
+Everything is built-in-function SQL (no Python UDFs). The hash is
+*portable*: h(s) = int(md5(s)[:8], 16), expressible in both Spark
+(``conv(substr(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::BIGINT``), so even the approximate
+signatures are bit-for-bit oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.operators.text import NORM_DUCK, NORM_SPARK
+from catme_etl_j_spark.sources.tables import load_table
+
+# --- portable MinHash constants (shared by Spark exprs and oracle SQL) ---
+NUM_PERM = 32
+BANDS, ROWS_PER_BAND = 8, 4
+MERSENNE_P = 4294967311  # smallest prime > 2^32
+_rng = random.Random(42)
+# a < 2^20 keeps a*h < 2^52 — no int64 overflow in either engine.
+PERM_A = [_rng.randrange(1, 1 << 20) for _ in range(NUM_PERM)]
+PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(NUM_PERM)]
+
+JACCARD_THRESHOLD = 0.7
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole-complete
+
+# Word-3-gram shingling (guards: <3 words -> no shingles; Spark's
+# sequence(1, 0) would yield a DESCENDING [1,0], hence the CASE).
+_SHINGLES_SPARK = """
+CASE WHEN size(w) >= 3
+     THEN array_distinct(transform(sequence(1, size(w) - 2),
+          i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))
+     ELSE array() END
+"""
+_WORDS_SPARK = "split(trim(text), ' +')"
+
+_SHINGLE_CTE_DUCK = """
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+  FROM words),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shingles)
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, s) exploded distinct word-3-gram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", F.expr(_WORDS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+    )
+
+
+def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles with the portable 32-bit hash h."""
+    return _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the min doc_id of each identical-text group."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (case/punct/whitespace-folded)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.expr(NORM_SPARK)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("fp", "doc_id", "n_copies")
+    )
+
+
+_EXACT_NORM_SQL = f"""
+SELECT md5({NORM_DUCK}) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (shuffle join on shingle, not a cross join).
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sx = sizes.alias("x")
+    sy = sizes.alias("y")
+    jac = F.col("i").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (
+        inter.join(sx, F.col("doc_a") == F.col("x.doc_id"))
+        .join(sy, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE_DUCK.replace("hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shingles)", "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)")},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH candidates.
+# ---------------------------------------------------------------------------
+
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hashed(spark, sf_dir)
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % F.lit(MERSENNE_P)).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _band_col(j: int):
+    cols = [F.col(f"m{j * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *cols))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with minhash-estimated similarity.
+
+    One shuffle to build signatures, one to bucket bands, one to join —
+    linear in corpus size; the scale path for 100 TB near-dedup.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mh = _minhash_df(spark, sf_dir).cache()
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_idx"), _band_col(j).alias("bh"))
+                for j in range(BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x, y = mh.alias("x"), mh.alias("y")
+    eq = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    )
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", (eq.cast("double") / NUM_PERM).alias("est_jaccard"))
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}" for i in range(NUM_PERM)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {j} AS band_idx, md5(concat_ws(',', {cols})) AS bh FROM mh".format(
+            j=j,
+            cols=", ".join(f"m{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for j in range(BANDS)
+    )
+    eq = " + ".join(f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))
+    return f"""
+WITH {_SHINGLE_CTE_DUCK},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id),
+bands AS (
+{band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(({eq}) AS DOUBLE) / {NUM_PERM} AS est_jaccard
+FROM pairs JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + pigeonhole-banded near-dup pairs.
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signature."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    h = _hashed(spark, sf_dir)
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_sql_core() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SHINGLE_CTE_DUCK},
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM bits)
+"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_sql_core() + "SELECT doc_id, simhash FROM sig"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: hamming(simhash_a, simhash_b) <= 3.
+
+    Banded self-join on the 4 byte-blocks of the signature — by
+    pigeonhole, any pair within hamming 3 shares at least one intact
+    block, so this equals the exact all-pairs scan (which the oracle
+    runs) while staying linear-ish at scale.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sig = dedup_simhash(spark, sf_dir).cache()
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("block_idx"),
+                    F.expr(f"(shiftright(simhash, {j * 8}) & 255)").alias("bv"),
+                )
+                for j in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+def _simhash_pairs_sql() -> str:
+    return _simhash_sql_core() + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_exact_normalized": _EXACT_NORM_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
+}

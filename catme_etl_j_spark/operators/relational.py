@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from catme_etl_j_spark.functions.numeric import avg4, dec2, dec4, money2
+from catme_etl_j_spark.functions.numeric import avg4, dec2, dec4, money2, rdet
 from catme_etl_j_spark.sources.tables import load_table
 
 
@@ -72,9 +72,9 @@ SELECT l_returnflag, l_linestatus,
   CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
   CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
   CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
-  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  floor(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+  floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+  floor(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -437,7 +437,7 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("bal_rank"),
         F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.round(F.cume_dist().over(wv), 6).alias("bal_cume_dist"),
+        rdet(F.cume_dist().over(wv), 6).alias("bal_cume_dist"),
     )
 
 
@@ -446,7 +446,7 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
        RANK() OVER w AS bal_rank,
        DENSE_RANK() OVER w AS bal_dense_rank,
        NTILE(4) OVER w AS bal_quartile,
-       round(CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC), 6) AS bal_cume_dist
+       floor(CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) * 1000000.0 + 0.5) / 1000000.0 AS bal_cume_dist
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
 """
@@ -517,8 +517,8 @@ def fn_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
         F.ceil("p_retailprice").cast("double").alias("price_ceil"),
         F.floor("p_retailprice").cast("double").alias("price_floor"),
-        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        rdet(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        rdet(F.log("p_retailprice"), 6).alias("price_ln"),
         F.abs(F.col("p_size") - 25).cast("long").alias("size_dist"),
         (F.col("p_partkey") % 7).alias("key_mod7"),
     )
@@ -536,8 +536,8 @@ SELECT p_partkey,
        len(string_split(p_name, ' ')) AS name_words,
        CAST(ceil(p_retailprice) AS DOUBLE) AS price_ceil,
        CAST(floor(p_retailprice) AS DOUBLE) AS price_floor,
-       round(sqrt(p_retailprice), 6) AS price_sqrt,
-       round(ln(p_retailprice), 6) AS price_ln,
+       floor(sqrt(p_retailprice) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
+       floor(ln(p_retailprice) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
        CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
        p_partkey % 7 AS key_mod7
 FROM part
@@ -665,7 +665,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HAVING_SQL = """
 SELECT c_nationkey, COUNT(*) AS n_customers,
-       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_bal
+       floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_bal
 FROM customer
 GROUP BY c_nationkey
 HAVING COUNT(*) >= 5
@@ -690,7 +690,7 @@ SELECT c_custkey, c_nationkey, c_acctbal, nation_avg_bal
 FROM customer
 JOIN (
   SELECT c_nationkey AS nk,
-         round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS nation_avg_bal
+         floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS nation_avg_bal
   FROM customer GROUP BY c_nationkey
 ) a ON c_nationkey = nk
 WHERE c_acctbal > nation_avg_bal

@@ -1,0 +1,212 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Part of the North-Star LLM-pipeline surface (SURVEY.md §7.5): language
+identification, quality scoring, token counting, and document
+fingerprinting — all expressed with built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd; no Python UDFs), so they scale to a
+100 TB corpus as embarrassingly-parallel map work with zero shuffles.
+
+Every query has a DuckDB oracle twin with identical semantics. Double
+rounding uses the engine-deterministic ``rdet`` convention
+(functions/numeric.py) — plain ``round(double, n)`` diverges between
+engines at half-boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
+from catme_etl_j_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the stopword-vote lang-id
+# heuristic. Parity matters more than linguistic accuracy here; ties are
+# broken by the fixed CASE order en > de > fr > es > zh.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "los", "que", "una", "es", "por", "como"),
+    "zh": ("de5", "le5", "shi4", "bu4", "wo3"),
+}
+
+# Normalization pipeline shared by fingerprinting and normalized dedup:
+# lowercase -> strip non [a-z0-9 ] -> collapse runs of spaces -> trim.
+NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), " +")
+
+
+def _stop_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
+    # NB: the lambda must take exactly one positional arg — pyspark
+    # inspects arity, and a second (even defaulted) parameter makes it
+    # receive the element *index* as that argument.
+    def contains(w: Column) -> Column:
+        return w.isin(*stopwords)
+
+    return F.size(F.filter(words, contains)).cast("long")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality metrics + a composite score.
+
+    Mirrors the heuristic quality filters used on web-scale corpora:
+    penalize very short docs, high punctuation density, and
+    stopword-free (likely non-linguistic) text.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words).cast("long")
+    n_chars = F.length("text").cast("long")
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("long")
+    stop_hits = _stop_hits(words, LANG_STOPWORDS["en"])
+    punct_ratio = rdet(punct.cast("double") / n_chars, 4)
+    stop_ratio = rdet(stop_hits.cast("double") / n_words, 4)
+    len_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    score = rdet(0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_obs"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_PUNCT_R = rdet_sql("CAST(punct AS DOUBLE) / n_chars_obs", 4)
+_STOP_R = rdet_sql("CAST(stop_hits AS DOUBLE) / n_words", 4)
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), ' +')) AS n_words,
+         length(text) AS n_chars_obs,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter(regexp_split_to_array(trim(text), ' +'),
+             w -> w IN {LANG_STOPWORDS['en']!r})) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars_obs,
+       {_PUNCT_R} AS punct_ratio,
+       {_STOP_R} AS stopword_ratio,
+       {rdet_sql(f"0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) + 0.3 * ({_STOP_R}) + 0.2 * (1.0 - ({_PUNCT_R}))", 4)} AS quality_score
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a deterministic CASE tie-break."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    hits = {lang: _stop_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()}
+    en, de, fr, es, zh = (hits[x] for x in ("en", "de", "fr", "es", "zh"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en >= zh), "en")
+        .when((de >= fr) & (de >= es) & (de >= zh), "de")
+        .when((fr >= es) & (fr >= zh), "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        en.alias("en_hits"),
+    )
+
+
+def _duck_hits(lang: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), ' +'), "
+        f"w -> w IN {LANG_STOPWORDS[lang]!r}))"
+    )
+
+
+_TEXT_LANG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_duck_hits('en')} AS en, {_duck_hits('de')} AS de,
+         {_duck_hits('fr')} AS fr, {_duck_hits('es')} AS es,
+         {_duck_hits('zh')} AS zh
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+            WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+            WHEN fr >= es AND fr >= zh THEN 'fr'
+            WHEN es >= zh THEN 'es'
+            ELSE 'zh' END AS pred_lang,
+       en AS en_hits
+FROM t
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter runs,
+    digit runs, and single punctuation marks each count as one token)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(bpe_pattern)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(_words())).cast("long").alias("n_unique_words"),
+    )
+
+
+_TEXT_TOKEN_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), ' +')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS n_unique_words
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5 fingerprint of whitespace/case/punct-normalized text.
+
+    The normalized-md5 fingerprint is the standard exact-dedup key for
+    web corpora: cheap, order-stable, and groupable at any scale.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.expr(NORM_SPARK)).alias("fingerprint"),
+        F.length(F.expr(NORM_SPARK)).cast("long").alias("norm_len"),
+    )
+
+
+_TEXT_FP_SQL = f"""
+SELECT doc_id,
+       md5({NORM_DUCK}) AS fingerprint,
+       length({NORM_DUCK}) AS norm_len
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_lang_id": _TEXT_LANG_SQL,
+    "text_token_count": _TEXT_TOKEN_SQL,
+    "text_fingerprint": _TEXT_FP_SQL,
+}
