@@ -1,0 +1,62 @@
+"""As-of join — an operator Spark lacks natively (SURVEY.md §7.4).
+
+Implemented as a composition of built-in DataFrame ops (preference (a)
+from the custom-operator ladder): a window ``last(..., ignorenulls)``
+over the union of both streams, partitioned by key and ordered by
+time. This is the scale-friendly formulation — one shuffle on
+(key, time), no range-explosion, no per-group pandas — and it matches
+DuckDB's native ``ASOF JOIN`` semantics for strictly-increasing
+timestamps (ties broken by event_id; exact-equal cross-stream
+timestamps don't occur in microsecond event data).
+
+Use case here: for every ``purchase`` event, the most recent prior
+``view`` event of the same user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    with_prior = ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return (
+        with_prior.filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_view_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("last_view_ts", _TS_FMT).alias("view_ts"),
+        )
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+QUERIES = {"asof_purchase_view": asof_purchase_view}
+ORACLES = {"asof_purchase_view": _ASOF_SQL}

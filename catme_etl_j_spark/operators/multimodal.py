@@ -1,0 +1,107 @@
+"""Multimodal-column plumbing (SURVEY.md §7.5).
+
+Convention for image/audio/video at 100 TB: an opaque ``binary``
+payload column plus typed metadata columns, stored in parquet,
+processed per-file-parallel. The decode/feature-extract step is a
+Pandas-UDF over ``mapInPandas`` (Arrow batch transfer, never
+row-at-a-time) — the real media libraries are not in this container,
+so the decoder is STUBBED behind ``decode_media`` (deterministic fake;
+raises ``NotImplementedError`` for real codecs), but the Spark-side
+plumbing — schema, batch iteration, partition parallelism — is real
+and tested.
+
+The ``documents.text`` column (UTF-8-encoded to binary) stands in for
+the payload so the queries run on driver testdata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.sources.tables import load_table
+
+FAKE_CODEC = "fake/deterministic"
+
+
+def decode_media(payload: bytes, codec: str = FAKE_CODEC) -> dict:
+    """Stub decoder. Real image/audio decode needs libs absent from this
+    container; the deterministic fake keeps the pipeline testable."""
+    if codec != FAKE_CODEC:
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this "
+            "environment; only the deterministic fake codec is available"
+        )
+    # Deterministic "features": byte length, byte sum, min/max byte.
+    return {
+        "n_bytes": len(payload),
+        "byte_sum": sum(payload),
+        "byte_min": min(payload) if payload else 0,
+        "byte_max": max(payload) if payload else 0,
+    }
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"), F.lit(FAKE_CODEC).alias("codec")
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure JVM built-ins."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 16).alias("head_hex"),
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+    )
+
+
+_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(hex(encode(text)), 1, 16) AS head_hex,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction via mapInPandas.
+
+    No SQL oracle (the decode step is procedural by design) — the
+    driver records a rows-only check; tests/test_multimodal.py verifies
+    values against a pure-Python recomputation.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir)
+
+    schema = "doc_id long, n_bytes long, byte_sum long, byte_min long, byte_max long"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(bytes(b), c) for b, c in zip(pdf["payload"], pdf["codec"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return p.mapInPandas(extract, schema=schema)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_fake_features": multimodal_fake_features,
+}
+
+ORACLES = {
+    "multimodal_meta": _META_SQL,
+    # multimodal_fake_features: intentionally no oracle (procedural
+    # decode path); covered by tests/test_multimodal.py instead.
+}

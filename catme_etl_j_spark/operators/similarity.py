@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+North-Star surface (SURVEY.md §7.5): approximate-nearest-neighbor over
+an embedding column.
+
+* ``ann_topk_bruteforce`` — exact cosine top-k against a query vector:
+  one scan, no shuffle (top-k is per-partition heap + driver merge).
+  The 100 TB baseline: brute force is embarrassingly parallel and is
+  what every candidate set gets re-ranked with.
+* ``ann_topk_ivf`` — IVF-style: ``label`` is used as the coarse
+  cluster id (nprobe=1): partition pruning cuts the scan to one
+  cluster. At scale the cluster id would come from a k-means codebook;
+  the plumbing (filter -> scan subset -> exact re-rank) is identical.
+* ``ann_nn_within_label`` — blocked all-pairs top-1 neighbor: the
+  equi-join on the block key turns a quadratic cross join into
+  per-block work — the same blocking trick the dedup module uses.
+
+Determinism: cosine is computed from EXACT decimal dot products
+(cast each float component via DOUBLE to DECIMAL(18,9); products and
+sums are exact, so both engines get identical numerators/denominators)
+followed by identical IEEE double division/sqrt and ``rdet`` rounding.
+Floating-point summation order — the classic cross-engine hazard —
+never enters the picture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
+from catme_etl_j_spark.sources.tables import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+# Fixed-point convention: scale each float component to an int64 at
+# 1e8 (deterministic floor(x*1e8+0.5), the rdet trick), then dot
+# products are EXACT int64 sums — order-independent, overflow-safe
+# (64 * (4*1e8)^2 < 2^63), and identical on every engine. The 1e8
+# scale cancels out of the cosine ratio. Spark's decimal `aggregate`
+# can't do this: its accumulator type degrades (38,18)+(37,18)->(38,17).
+_FXP = "100000000.0"
+
+
+def _fxp_expr(a: str) -> str:
+    return f"transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) * {_FXP} + 0.5) AS BIGINT))"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Exact fixed-point dot product of two array columns (Spark expr)."""
+    return (
+        f"aggregate(zip_with({_fxp_expr(a)}, {_fxp_expr(b)}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt(CAST({_dot_expr(a, a)} AS DOUBLE))"
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(floor(({a}[i])::DOUBLE * {_FXP} + 0.5) AS BIGINT)"
+        f" * CAST(floor(({b}[i])::DOUBLE * {_FXP} + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _norm_duck(a: str) -> str:
+    return f"sqrt(CAST({_dot_duck(a, a)} AS DOUBLE))"
+
+
+def _query_vec_literal(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Fetch the query vector once (a key lookup, not a data-path
+    collect) and embed it as a double-literal array expression."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "label")
+        .first()
+    )
+    lits = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row["embedding"])
+    return f"array({lits})", row["label"]
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the query vector, excluding itself."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qvec, _ = _query_vec_literal(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    cos = rdet(
+        F.expr(f"CAST({_dot_expr('embedding', qvec)} AS DOUBLE)")
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr(qvec))),
+        6,
+    )
+    return (
+        emb.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_TOPK_CORE = """
+WITH q AS (SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = {qid})
+SELECT vec_id, label, {cos} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> {qid}{extra_where}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def _topk_sql(extra_where: str = "") -> str:
+    cos = rdet_sql(
+        f"CAST({_dot_duck('embedding', 'qe')} AS DOUBLE) / ({_norm_duck('embedding')} * {_norm_duck('qe')})",
+        6,
+    )
+    return _TOPK_CORE.format(qid=QUERY_VEC_ID, cos=cos, extra_where=extra_where, k=TOP_K)
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-k: scan only the query's coarse cluster (label)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qvec, qlabel = _query_vec_literal(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == qlabel)
+    )
+    cos = rdet(
+        F.expr(f"CAST({_dot_expr('embedding', qvec)} AS DOUBLE)")
+        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr(qvec))),
+        6,
+    )
+    return (
+        emb.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 cosine neighbor per vector, blocked by label (cluster)."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nn_id"))
+    cos = rdet(
+        F.expr(f"CAST({_dot_expr('ea', 'eb')} AS DOUBLE)")
+        / (F.expr(_norm_expr("ea")) * F.expr(_norm_expr("eb"))),
+        6,
+    )
+    scored = pairs.select("vec_id", "label", "nn_id", cos.alias("cos_sim"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nn_id", "cos_sim")
+    )
+
+
+def _nn_within_label_sql() -> str:
+    cos = rdet_sql(
+        f"CAST({_dot_duck('a.embedding', 'b.embedding')} AS DOUBLE) / ({_norm_duck('a.embedding')} * {_norm_duck('b.embedding')})",
+        6,
+    )
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id, {cos} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, label, nn_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, label, nn_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_ivf": ann_topk_ivf,
+    "ann_nn_within_label": ann_nn_within_label,
+}
+
+ORACLES = {
+    "ann_topk_bruteforce": _topk_sql(),
+    "ann_topk_ivf": _topk_sql(" AND label = qlabel"),
+    "ann_nn_within_label": _nn_within_label_sql(),
+}
