@@ -1,0 +1,157 @@
+"""Spark DataFrame reader for XLSX (binaryFile + mapInPandas).
+
+SURVEY.md §2.1 chose option (b): ``spark.read.format("binaryFile")``
+fans whole files out to executors; each task streams its file's sheet
+XML with the constant-memory stdlib parser (xlsx.py) and emits Arrow
+batches via ``mapInPandas``. 100 TB posture: one sheet's XML is one
+unsplittable stream (SURVEY.md §7.7.1), so parallelism is per-file —
+a large corpus must be many files, and this reader scales linearly
+with file count while each task stays bounded-memory.
+
+Schema binding (reference semantics, SURVEY.md §2.2 R1/R2/R5):
+* the header row's cell strings become column names;
+* empty header cells fall back to the stringified column index
+  (NdjsonDataWriter.java:135-141);
+* data columns beyond the header get stringified-index names — bound
+  BY COLUMN INDEX, deliberately not the reference's positional-shift
+  lookup (documented divergence, SURVEY.md §7.7.4);
+* duplicate header names get ``_2``/``_3`` suffixes (the reference
+  would emit duplicate JSON keys — divergence, SURVEY.md §7.7.4);
+* rows before ``header_row`` are dropped (R2).
+
+Cell conventions: a cell present-but-blank in the XML -> ``""``;
+a cell absent from the XML -> null (so NDJSON output can omit it,
+matching the EasyExcel path, while CSV pads it).
+
+Row order: ``_row_idx`` (0-based sheet row) + ``_file`` are carried so
+ordered single-file sinks can restore sheet order (SURVEY.md §1.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from catme_etl_j_spark.converter.errors import ConversionError
+from catme_etl_j_spark.converter.xlsx import (
+    DEFAULT_MAX_ENTRY_SIZE,
+    DEFAULT_MIN_INFLATE_RATIO,
+    XlsxWorkbook,
+)
+
+_BATCH_ROWS = 50_000  # rows per emitted Arrow batch; bounds task memory
+
+
+def _dedupe(names: list[str]) -> list[str]:
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}_{seen[n]}")
+        else:
+            seen[n] = 1
+            out.append(n)
+    return out
+
+
+def infer_columns(
+    content: bytes | str,
+    *,
+    sheet_name: str | None,
+    sheet_index: int | None,
+    header_row: int,
+    min_inflate_ratio: float,
+    max_entry_size: int,
+) -> list[str]:
+    """Scan one workbook for the header row and the sheet's max width;
+    returns final column names. Constant memory (single streaming pass)."""
+    with XlsxWorkbook(
+        content, min_inflate_ratio=min_inflate_ratio, max_entry_size=max_entry_size
+    ) as wb:
+        header: dict[int, str] = {}
+        max_col = -1
+        for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+            if row_idx == header_row:
+                header = cells
+            if row_idx >= header_row and cells:
+                max_col = max(max_col, max(cells))
+    if max_col < 0:
+        raise ConversionError("sheet has no rows at or after the header row")
+    names = []
+    for i in range(max_col + 1):
+        h = header.get(i, "")
+        names.append(h if h != "" else str(i))
+    return _dedupe(names)
+
+
+def read_xlsx(
+    spark: SparkSession,
+    path: str,
+    *,
+    sheet_name: str | None = None,
+    sheet_index: int | None = None,
+    header_row: int = 0,
+    continue_on_error: bool = False,
+    min_inflate_ratio: float = DEFAULT_MIN_INFLATE_RATIO,
+    max_entry_size: int = DEFAULT_MAX_ENTRY_SIZE,
+) -> DataFrame:
+    """Read one sheet of each xlsx under ``path`` into a DataFrame.
+
+    All data columns are StringType (the reference's strings-only type
+    system, SURVEY.md §1.2 — type coercion is downstream's job). Multi-
+    file reads assume a uniform header; column layout is inferred from
+    the lexicographically first file.
+    """
+    binary = spark.read.format("binaryFile").load(path)
+    first = binary.select("path", "content").orderBy("path").limit(1).collect()
+    if not first:
+        raise ConversionError(f"no files matched {path!r}")
+    columns = infer_columns(
+        bytes(first[0]["content"]),
+        sheet_name=sheet_name,
+        sheet_index=sheet_index,
+        header_row=header_row,
+        min_inflate_ratio=min_inflate_ratio,
+        max_entry_size=max_entry_size,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("_file", T.StringType(), False),
+            T.StructField("_row_idx", T.LongType(), False),
+        ]
+        + [T.StructField(c, T.StringType(), True) for c in columns]
+    )
+    n_cols = len(columns)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                wb = XlsxWorkbook(
+                    bytes(content),
+                    min_inflate_ratio=min_inflate_ratio,
+                    max_entry_size=max_entry_size,
+                )
+                buf: list[tuple] = []
+                try:
+                    for row_idx, cells in wb.iter_rows(
+                        sheet_name, sheet_index, continue_on_error=continue_on_error
+                    ):
+                        if row_idx <= header_row:
+                            continue
+                        vals = tuple(cells.get(i) for i in range(n_cols))
+                        buf.append((fpath, row_idx) + vals)
+                        if len(buf) >= _BATCH_ROWS:
+                            yield pd.DataFrame(buf, columns=schema.fieldNames())
+                            buf = []
+                finally:
+                    wb.close()
+                if buf:
+                    yield pd.DataFrame(buf, columns=schema.fieldNames())
+
+    return binary.select("path", "content").mapInPandas(parse, schema=schema)

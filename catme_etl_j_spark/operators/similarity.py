@@ -15,12 +15,13 @@ an embedding column.
   equi-join on the block key turns a quadratic cross join into
   per-block work — the same blocking trick the dedup module uses.
 
-Determinism: cosine is computed from EXACT decimal dot products
-(cast each float component via DOUBLE to DECIMAL(18,9); products and
-sums are exact, so both engines get identical numerators/denominators)
-followed by identical IEEE double division/sqrt and ``rdet`` rounding.
-Floating-point summation order — the classic cross-engine hazard —
-never enters the picture.
+Determinism: cosine is computed from EXACT fixed-point (int64 at 1e8)
+dot products — products and sums are exact integers, so both engines
+get identical numerators/denominators — followed by identical IEEE
+double division/sqrt and ``rdet`` rounding. Floating-point summation
+order — the classic cross-engine hazard — never enters the picture.
+Vectors are pre-scaled and norms precomputed once per vector, so the
+pairwise stages do exactly one 64-element dot product per pair.
 """
 
 from __future__ import annotations
@@ -71,27 +72,62 @@ def _norm_duck(a: str) -> str:
     return f"sqrt(CAST({_dot_duck(a, a)} AS DOUBLE))"
 
 
-def _query_vec_literal(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+def _fxp_py(v: float) -> int:
+    """Python twin of the fixed-point scaling — identical IEEE ops
+    (x*1e8 + 0.5 then floor), so driver-side constants match engine-side."""
+    import math
+
+    return math.floor(float(v) * 1e8 + 0.5)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> tuple[str, float, int]:
     """Fetch the query vector once (a key lookup, not a data-path
-    collect) and embed it as a double-literal array expression."""
+    collect); return (bigint-literal fxp array expr, norm, label)."""
+    import math
+
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding", "label")
         .first()
     )
-    lits = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in row["embedding"])
-    return f"array({lits})", row["label"]
+    fx = [_fxp_py(v) for v in row["embedding"]]
+    norm = math.sqrt(float(sum(x * x for x in fx)))  # exact int sum -> same sqrt
+    lits = ", ".join(f"CAST({x} AS BIGINT)" for x in fx)
+    return f"array({lits})", norm, row["label"]
+
+
+def _prescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the fxp int64 array and norm computed ONCE per
+    vector (the pairwise stages below reuse them — at 500k vectors this
+    is the difference between O(pairs*dim) and O(pairs*dim*3))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_fxp_expr("embedding")).alias("fx"),
+    ).withColumn("norm", F.expr(_norm_fx("fx")))
+
+
+def _dot_fx(a: str, b: str) -> str:
+    """Dot product of two already-scaled int64 arrays (exact)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_fx(a: str) -> str:
+    return f"sqrt(CAST({_dot_fx(a, a)} AS DOUBLE))"
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the query vector, excluding itself."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    qvec, _ = _query_vec_literal(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
     cos = rdet(
-        F.expr(f"CAST({_dot_expr('embedding', qvec)} AS DOUBLE)")
-        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr(qvec))),
+        F.expr(f"CAST({_dot_fx('fx', qfx)} AS DOUBLE)") / (F.col("norm") * F.lit(qnorm)),
         6,
     )
     return (
@@ -122,13 +158,12 @@ def _topk_sql(extra_where: str = "") -> str:
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style top-k: scan only the query's coarse cluster (label)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    qvec, qlabel = _query_vec_literal(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    qfx, qnorm, qlabel = _query_vec(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(
         (F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == qlabel)
     )
     cos = rdet(
-        F.expr(f"CAST({_dot_expr('embedding', qvec)} AS DOUBLE)")
-        / (F.expr(_norm_expr("embedding")) * F.expr(_norm_expr(qvec))),
+        F.expr(f"CAST({_dot_fx('fx', qfx)} AS DOUBLE)") / (F.col("norm") * F.lit(qnorm)),
         6,
     )
     return (
@@ -143,21 +178,22 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _prescaled(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("label"),
-        F.col("embedding").alias("ea"),
+        F.col("fx").alias("fa"),
+        F.col("norm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("nn_id"),
         F.col("label").alias("label"),
-        F.col("embedding").alias("eb"),
+        F.col("fx").alias("fb"),
+        F.col("norm").alias("nb"),
     )
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nn_id"))
     cos = rdet(
-        F.expr(f"CAST({_dot_expr('ea', 'eb')} AS DOUBLE)")
-        / (F.expr(_norm_expr("ea")) * F.expr(_norm_expr("eb"))),
+        F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")),
         6,
     )
     scored = pairs.select("vec_id", "label", "nn_id", cos.alias("cos_sim"))

@@ -1,0 +1,157 @@
+"""End-to-end converter tests over FIXTURES.md group A schemas."""
+
+import json
+
+import pytest
+
+from catme_etl_j_spark.converter import ConversionError, convert, read_xlsx
+from xlsx_fixture import write_xlsx
+
+
+@pytest.fixture(scope="module")
+def catalog_xlsx(tmp_path_factory):
+    # A1-style happy-path table with a sparse row (A2) mixed in.
+    d = tmp_path_factory.mktemp("cat")
+    rows = [["sku", "name", "price", "qty"]]
+    for i in range(60):
+        rows.append([f"SKU{i:03d}", f"Item {i} ä", round(0.5 + i, 2), i])
+    rows[10] = [None, "only-name", None, None]
+    return write_xlsx(str(d / "catalog.xlsx"), {"Catalog": rows})
+
+
+def test_read_xlsx_schema_and_order(spark, catalog_xlsx):
+    df = read_xlsx(spark, catalog_xlsx)
+    assert df.columns == ["_file", "_row_idx", "sku", "name", "price", "qty"]
+    assert [f.dataType.simpleString() for f in df.schema.fields[2:]] == ["string"] * 4
+    rows = df.orderBy("_row_idx").collect()
+    assert len(rows) == 60
+    assert rows[0]["sku"] == "SKU000" and rows[0]["_row_idx"] == 1
+    assert rows[-1]["sku"] == "SKU059"
+    sparse = rows[9]
+    assert sparse["sku"] is None and sparse["name"] == "only-name"
+
+
+def test_ndjson_order_and_sparse_keys(spark, catalog_xlsx, tmp_path):
+    out = str(tmp_path / "out.ndjson")
+    res = convert(catalog_xlsx, "NDJSON", out, overwrite=True, spark=spark)
+    assert res.rows_written == 60
+    lines = [json.loads(line) for line in open(out)]
+    assert lines[0]["sku"] == "SKU000"
+    assert lines[9] == {"name": "only-name"}  # absent cells omitted (EasyExcel parity)
+    assert [ln["sku"] for ln in lines if "sku" in ln] == [f"SKU{i:03d}" for i in range(60) if i != 9]
+
+
+def test_csv_chunks_rotation_and_padding(spark, catalog_xlsx, tmp_path):
+    res = convert(
+        catalog_xlsx, "CSV", batch_size=25, temp_dir=str(tmp_path), overwrite=True, spark=spark
+    )
+    names = [p.split("/")[-1] for p in res.outputs]
+    assert names == ["catalog-chunk-1.csv", "catalog-chunk-2.csv", "catalog-chunk-3.csv"]
+    c1, c2, c3 = (open(p).read().splitlines() for p in res.outputs)
+    # header per chunk; 25+25+10 data rows
+    assert c1[0] == c2[0] == c3[0] == "sku,name,price,qty"
+    assert (len(c1), len(c2), len(c3)) == (26, 26, 11)
+    # sparse row PADDED to full width (divergence from reference misalignment)
+    assert c1[10 + 1 - 1] == ",only-name,,"
+
+
+def test_json_array_framing(spark, catalog_xlsx, tmp_path):
+    out = str(tmp_path / "out.json")
+    res = convert(catalog_xlsx, "JSON", out, overwrite=True, spark=spark)
+    arr = json.load(open(out))
+    assert res.rows_written == len(arr) == 60
+    assert arr[9] == {"name": "only-name"}
+    pretty = str(tmp_path / "pretty.json")
+    convert(catalog_xlsx, "JSON", pretty, overwrite=True, pretty_print=True, spark=spark)
+    assert json.load(open(pretty)) == arr
+    assert open(pretty).read().startswith("[\n")
+
+
+def test_header_row_offset(spark, tmp_path):
+    # A3: junk rows before the header are dropped (R2).
+    p = write_xlsx(
+        str(tmp_path / "off.xlsx"),
+        {"S": [["junk"], ["title", "noise"], [], ["id", "val"], ["1", "a"], ["2", "b"]]},
+    )
+    df = read_xlsx(spark, p, header_row=3)
+    rows = df.orderBy("_row_idx").collect()
+    assert df.columns[2:] == ["id", "val"]
+    assert [(r["id"], r["val"]) for r in rows] == [("1", "a"), ("2", "b")]
+
+
+def test_ragged_rows_index_keys(spark, tmp_path):
+    # A4: surplus data columns get stringified-index names.
+    p = write_xlsx(
+        str(tmp_path / "rag.xlsx"),
+        {"S": [["a", "b", "c", "d"], ["1", "2", "3", "4", "5", "6"], ["x", "y"]]},
+    )
+    df = read_xlsx(spark, p)
+    assert df.columns[2:] == ["a", "b", "c", "d", "4", "5"]
+    r = df.orderBy("_row_idx").collect()
+    assert (r[0]["4"], r[0]["5"]) == ("5", "6")
+    assert r[1]["4"] is None
+
+
+def test_bad_headers_dedupe_and_fallback(spark, tmp_path):
+    # A5: empty header -> index key; duplicate names -> suffixed.
+    p = write_xlsx(
+        str(tmp_path / "bad.xlsx"),
+        {"S": [["id", "", "name", "name", "value"], ["1", "2", "3", "4", "5"]]},
+    )
+    df = read_xlsx(spark, p)
+    assert df.columns[2:] == ["id", "1", "name", "name_2", "value"]
+
+
+def test_multi_sheet_selection(spark, tmp_path):
+    # A6: by name, by index, default-first.
+    p = write_xlsx(
+        str(tmp_path / "ms.xlsx"),
+        {
+            "Data2024": [["y"], ["2024"]],
+            "Data2025": [["y"], ["2025"], ["2025b"]],
+            "Ignore": [["z"]],
+        },
+    )
+    assert read_xlsx(spark, p, sheet_name="Data2025").count() == 2
+    assert read_xlsx(spark, p, sheet_index=0).count() == 1
+    assert read_xlsx(spark, p).count() == 1
+    with pytest.raises(Exception, match="available sheets"):
+        read_xlsx(spark, p, sheet_name="Nope")
+
+
+def test_malformed_input_fails_fast(spark, tmp_path):
+    bad = tmp_path / "bad.xlsx"
+    bad.write_bytes(b"garbage" * 100)
+    with pytest.raises(ConversionError):
+        read_xlsx(spark, str(bad))
+
+
+def test_validation_rules(spark, catalog_xlsx, tmp_path):
+    with pytest.raises(ConversionError, match="batch_size"):
+        convert(catalog_xlsx, "CSV", batch_size=0, spark=spark)
+    with pytest.raises(ConversionError, match="output is required"):
+        convert(catalog_xlsx, "NDJSON", None, spark=spark)
+    with pytest.raises(ConversionError, match="format"):
+        convert(catalog_xlsx, "XML", "x", spark=spark)
+    with pytest.raises(ConversionError, match="header_row"):
+        convert(catalog_xlsx, "NDJSON", "x", header_row=-1, spark=spark)
+
+
+def test_overwrite_gate(spark, catalog_xlsx, tmp_path):
+    out = str(tmp_path / "o.ndjson")
+    convert(catalog_xlsx, "NDJSON", out, spark=spark)
+    with pytest.raises(ConversionError, match="overwrite"):
+        convert(catalog_xlsx, "NDJSON", out, spark=spark)
+    convert(catalog_xlsx, "NDJSON", out, overwrite=True, spark=spark)  # ok
+
+
+def test_multi_file_read(spark, tmp_path):
+    # 100 TB posture: parallelism across files — glob read unions them.
+    for i in range(3):
+        write_xlsx(
+            str(tmp_path / f"f{i}.xlsx"), {"S": [["k", "v"], [f"k{i}", str(i)]]}
+        )
+    df = read_xlsx(spark, str(tmp_path / "*.xlsx"))
+    rows = df.orderBy("_file", "_row_idx").collect()
+    assert [r["k"] for r in rows] == ["k0", "k1", "k2"]
+    assert len({r["_file"] for r in rows}) == 3

@@ -1,0 +1,64 @@
+"""Operator correctness spot-checks against the DuckDB oracle.
+
+The exhaustive sweep is tools/selfcheck.py (and the driver's t2 gate);
+here a representative query per module keeps `pytest -x -q` fast while
+still exercising the full compare (columns, rowcount, values).
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from catme_etl_j_spark.sources.tables import TABLES
+
+SPOT = [
+    "q01_pricing_summary",
+    "q05_local_supplier",
+    "window_topk_per_group",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "events_sessionize",
+    "asof_purchase_view",
+    "multimodal_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    rel = oracle_con.sql(entry_mod.oracle_sql()[name])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = rel.fetchall()
+    assert len(srows) == len(orows)
+    assert _norm(scols, srows) == _norm(ocols, orows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sum_qty" in df.columns
+
+
+def test_every_query_has_callable_and_alias_contract():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert len(qs) >= 40
+    for name in os_:
+        assert name in qs, f"oracle {name} has no query"
