@@ -1,0 +1,106 @@
+"""Structured Streaming slice over the events table (SURVEY.md §7.6).
+
+The reference is single-pass batch with no streaming analog
+(SURVEY.md §2.4); this module is the North-Star extension. Each
+builder takes a *streaming* DataFrame (``spark.readStream``) and
+returns the transformed streaming frame, so the same logic serves
+any source (files here; Kafka in production) and any sink via
+``writeStream`` / ``foreachBatch``.
+
+Batch twins of these queries live in operators/events.py and are
+DuckDB-oracle checked; the streaming tests (tests/test_streaming.py)
+drive these through the memory sink with ``processAllAvailable`` and
+assert against the batch results — semantics parity is the test.
+
+Scale notes: watermarks bound state (late data beyond 10 min is
+dropped); ``dropDuplicatesWithinWatermark`` keeps the dedup state
+window-bounded; aggregations run as incremental stateful operators
+sharded by group key across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WATERMARK = "10 minutes"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based streaming source over events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Hourly tumbling counts/sums per event type, late data bounded by
+    the watermark (append-mode emits a window once it's closed)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (the streaming twin of the batch
+    lag+cumsum sessionization in operators/events.py)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful exact-once dedup by event_id, state bounded by the
+    watermark window."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming frame to completion into an in-memory table;
+    returns the StreamingQuery (stopped). Test/smoke harness."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,70 @@
+"""Scale-posture assertions on physical plans (not just results).
+
+Each assertion encodes a 100 TB requirement: filter/column pushdown
+into the parquet scan, broadcast joins for constant-size dims, window
+exchange reuse, and whole-stage codegen on hot paths.
+"""
+
+from catme_etl_j_spark.operators import relational
+from catme_etl_j_spark.plans.explain import formatted_plan
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    plan = formatted_plan(relational.q06_revenue_delta(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # shipdate range + discount + quantity must reach the reader
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q06_column_pruning(spark, sf_dir):
+    plan = formatted_plan(relational.q06_revenue_delta(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read from an 11-column table
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_returnflag"):
+        assert col not in read_schema
+
+
+def test_q05_broadcasts_dims(spark, sf_dir):
+    plan = formatted_plan(relational.q05_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q01_whole_stage_codegen_and_partial_agg(spark, sf_dir):
+    df = relational.q01_pricing_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # codegen-mode explain lists the generated subtrees
+    assert "WholeStageCodegen" in formatted_plan(df, mode="codegen")
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    semi = formatted_plan(relational.join_semi_open_orders(spark, sf_dir))
+    anti = formatted_plan(relational.join_anti_no_orders(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_is_limit_pushdown_not_full_sort(spark, sf_dir):
+    plan = formatted_plan(relational.topk_global(spark, sf_dir))
+    # TakeOrderedAndProject = per-partition top-k + merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = formatted_plan(relational.window_running_total(spark, sf_dir))
+    # one hash-partition exchange on o_custkey feeds the window sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_scalar_subquery_broadcast(spark, sf_dir):
+    plan = formatted_plan(relational.scalar_subquery_above_avg(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

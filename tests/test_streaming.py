@@ -1,0 +1,117 @@
+"""Structured Streaming slice: memory-sink runs asserted against the
+batch twins (semantic parity is the correctness definition here).
+
+Technique: the stream dir carries an extra "flush" event 1 day past the
+real data, so the watermark advances past every real window/session and
+append mode emits them all — then exact equality with the batch
+operators is assertable (flush rows filtered out).
+"""
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.streaming.events import (
+    dedup_stream,
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+FLUSH_USER = -1
+
+
+@pytest.fixture(scope="module")
+def stream_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "batch0.parquet")
+    max_ns = pq.read_table(f"{sf_dir}/events.parquet").column("ts").cast(pa.int64())
+    flush_ts = max(max_ns.to_pylist()) + 86_400 * 10**9
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**9], pa.int64()),
+                "ts": pa.array([flush_ts], pa.int64()),
+                "user_id": pa.array([FLUSH_USER], pa.int64()),
+                "event_type": pa.array(["flush"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        d / "zz_flush.parquet",
+    )
+    return str(d)
+
+
+def test_tumbling_counts_match_batch_exactly(spark, sf_dir, stream_dir):
+    stream = tumbling_counts(read_event_stream(spark, stream_dir, max_files_per_trigger=4))
+    run_to_memory(stream, "tumbling_out")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        if r["event_type"] != "flush"
+    }
+    from catme_etl_j_spark.operators.events import events_tumbling_window
+
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k][0] == n, k
+
+
+def test_sliding_counts_total(spark, stream_dir, sf_dir):
+    run_to_memory(
+        sliding_counts(read_event_stream(spark, stream_dir, max_files_per_trigger=4)),
+        "sliding_out",
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    max_real = ev.agg(F.max("ts")).collect()[0][0]
+    total = (
+        spark.sql("SELECT sum(n) AS t FROM sliding_out WHERE window_start <= ?", args=[max_real])
+        .collect()[0]["t"]
+    )
+    assert total == 2 * n_events  # every event lands in exactly 2 sliding windows
+
+
+def test_session_windows_match_batch(spark, stream_dir, sf_dir):
+    run_to_memory(
+        session_windows(read_event_stream(spark, stream_dir, max_files_per_trigger=4)),
+        "session_out",
+    )
+    sess = spark.sql(f"SELECT * FROM session_out WHERE user_id != {FLUSH_USER}")
+    from catme_etl_j_spark.operators.events import events_sessionize
+
+    batch = events_sessionize(spark, sf_dir)
+    got = {r["user_id"]: r["c"] for r in
+           sess.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    want = {r["user_id"]: r["c"] for r in
+            batch.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    assert got == want
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == \
+        batch.agg(F.sum("n_events")).collect()[0][0]
+
+
+def test_dedup_stream(spark, sf_dir, tmp_path):
+    # Duplicate the file -> every event_id appears twice in the stream.
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", dup_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", dup_dir / "b.parquet")
+    run_to_memory(dedup_stream(read_event_stream(spark, str(dup_dir))), "dedup_out")
+    out = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out"
+    ).collect()[0]
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out["n"] == out["d"] == n_src  # exactly one row per event_id
