@@ -1,0 +1,386 @@
+"""Relational operator surface, wave 2 (SURVEY.md §7.4).
+
+More TPC-H-shaped workloads plus operator classes wave 1 didn't cover:
+conditional-semi-join EXISTS (Q4), window-over-aggregate ratio (Q8),
+conditional-aggregate ratio (Q14), having + join-back (Q18), scalar
+subquery + anti join (Q22), cross join, ordered string aggregation,
+exact-sum variance/stddev, manual median, and array functions.
+
+Same determinism conventions as wave 1 (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import avg4, dec2, dec4, money2, rdet, rdet_sql
+from catme_etl_j_spark.sources.tables import load_table
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+# ---------------------------------------------------------------------------
+# Q4-style: EXISTS with a cross-table predicate (conditional semi join).
+# ---------------------------------------------------------------------------
+
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 30)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: revenue share per supplier nation and year (window over agg).
+# ---------------------------------------------------------------------------
+
+def q08_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"), F.col("n_name"))
+        .agg(money2(F.sum(F.expr(_REV))).alias("revenue"))
+    )
+    w = W.partitionBy("order_year")
+    return rev.select(
+        "order_year",
+        "n_name",
+        "revenue",
+        rdet(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+_Q08_SQL = f"""
+WITH rev AS (
+  SELECT year(o_orderdate) AS order_year, n_name,
+         CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT order_year, n_name, revenue,
+       {rdet_sql("revenue / SUM(revenue) OVER (PARTITION BY order_year)", 6)} AS share
+FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: conditional-aggregate ratio (promo revenue share by month).
+# ---------------------------------------------------------------------------
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    rev = F.expr(_REV)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+    total = F.sum(rev)
+    return (
+        j.groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(promo.alias("promo_dec"), total.alias("total_dec"))
+        .select(
+            "ship_month",
+            rdet(F.lit(100.0) * F.col("promo_dec").cast("double") / F.col("total_dec").cast("double"), 4).alias(
+                "promo_ratio"
+            ),
+            money2(F.col("total_dec")).alias("total_revenue"),
+        )
+    )
+
+
+_Q14_SQL = f"""
+WITH m AS (
+  SELECT month(l_shipdate) AS ship_month,
+         SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_dec,
+         SUM({_REV}) AS total_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT ship_month,
+       {rdet_sql("100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)", 4)} AS promo_ratio,
+       CAST(round(total_dec, 2) AS DOUBLE) AS total_revenue
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: HAVING on a grouped fact, joined back to dims, top-k.
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money2(F.sum(dec2("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 150)
+SELECT c_custkey, c_name, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: scalar subquery threshold + anti join.
+# ---------------------------------------------------------------------------
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.agg(
+        avg4(F.sum(dec2("c_acctbal")), F.count("*")).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        rich.join(pending, rich.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer c
+WHERE c_acctbal > (
+  SELECT floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+  FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross join (small dims only — documented as a scale hazard otherwise).
+# ---------------------------------------------------------------------------
+
+def cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+_CROSS_SQL = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.count("*").alias("n"),
+    )
+
+
+_STRING_CONCAT_SQL = """
+SELECT s_nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       COUNT(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-sum statistics (variance/stddev without engine-specific
+# accumulation: derived from exact decimal sums, identical everywhere).
+# ---------------------------------------------------------------------------
+
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    sums = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("c_acctbal")).alias("s_dec"),
+        F.sum(dec2("c_acctbal") * dec2("c_acctbal")).alias("sq_dec"),
+    )
+    s_d = F.col("s_dec").cast("double")
+    sq_d = F.col("sq_dec").cast("double")
+    n = F.col("n")
+    var = (sq_d - s_d * (s_d / n)) / (n - 1)
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        rdet(s_d / n, 4).alias("mean_bal"),
+        rdet(var, 4).alias("var_bal"),
+        rdet(F.sqrt(var), 4).alias("std_bal"),
+    )
+
+
+_STATS_SQL = f"""
+WITH s AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sq_d
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, n,
+       {rdet_sql("s_d / n", 4)} AS mean_bal,
+       {rdet_sql("(sq_d - s_d * (s_d / n)) / (n - 1)", 4)} AS var_bal,
+       {rdet_sql("sqrt((sq_d - s_d * (s_d / n)) / (n - 1))", 4)} AS std_bal
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Manual exact median (identical window algebra on both engines).
+# ---------------------------------------------------------------------------
+
+def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderpriority")).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == (F.col("cnt") + 1) / 2)
+        | (F.col("rn") == F.col("cnt") / 2 + 1)
+        | (F.col("rn") == F.col("cnt") / 2)
+    ).filter(
+        ((F.col("cnt") % 2 == 1) & (F.col("rn") == (F.col("cnt") + 1) / 2))
+        | ((F.col("cnt") % 2 == 0) & F.col("rn").isin(F.col("cnt") / 2, F.col("cnt") / 2 + 1))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        rdet(F.sum(dec2("o_totalprice")).cast("double") / F.count("*"), 4).alias("median_price")
+    )
+
+
+_MEDIAN_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders),
+mid AS (
+  SELECT * FROM ranked
+  WHERE (cnt % 2 = 1 AND rn = (cnt + 1) // 2)
+     OR (cnt % 2 = 0 AND (rn = cnt // 2 OR rn = cnt // 2 + 1)))
+SELECT o_orderpriority,
+       {rdet_sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS median_price
+FROM mid GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array functions over documents.
+# ---------------------------------------------------------------------------
+
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), " +")
+    return docs.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.array_position(words, "data").cast("long").alias("data_pos"),
+    )
+
+
+_ARRAY_SQL = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents)
+SELECT doc_id,
+       w[1] AS first_word,
+       w[-1] AS last_word,
+       array_to_string(w[1:3], ' ') AS first3,
+       list_contains(w, 'spark') AS has_spark,
+       len(list_distinct(w)) AS n_distinct_words,
+       CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS data_pos
+FROM t
+"""
+
+
+QUERIES = {
+    "q04_priority_exists": q04_priority_exists,
+    "q08_nation_share": q08_nation_share,
+    "q14_promo_ratio": q14_promo_ratio,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "cross_join_matrix": cross_join_matrix,
+    "agg_string_concat": agg_string_concat,
+    "agg_stats_exact": agg_stats_exact,
+    "agg_median_manual": agg_median_manual,
+    "fn_array_ops": fn_array_ops,
+}
+
+ORACLES = {
+    "q04_priority_exists": _Q04_SQL,
+    "q08_nation_share": _Q08_SQL,
+    "q14_promo_ratio": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q22_idle_rich_customers": _Q22_SQL,
+    "cross_join_matrix": _CROSS_SQL,
+    "agg_string_concat": _STRING_CONCAT_SQL,
+    "agg_stats_exact": _STATS_SQL,
+    "agg_median_manual": _MEDIAN_SQL,
+    "fn_array_ops": _ARRAY_SQL,
+}
