@@ -1,0 +1,127 @@
+"""Scale techniques: bucketing, skew salting, partitioned layout.
+
+These are the shuffle-avoidance tools the 100 TB deployment leans on
+(SURVEY.md §7.5 "100 TB posture"); each has a plan-level proof in
+tests/test_scale.py — the point is not the result (covered by oracle
+queries) but the *shape* of the physical plan.
+
+* Bucketed join — pre-shuffle both fact tables into the same bucket
+  layout on the join key; later joins co-locate with ZERO exchanges.
+  At 100 TB this turns the nightly orders⋈lineitem from a full
+  2-sided shuffle into local merge joins.
+* Skew salting — a hot key floods one reducer; salting splits the hot
+  key across N sub-keys, aggregates partially, then merges. AQE's
+  skew-join handles the join case automatically (enabled in the
+  session factory); explicit salting remains the tool for skewed
+  *aggregations*.
+* Partitioned layout — date-partitioned parquet gives partition
+  PRUNING (directories never listed) on date predicates, on top of
+  row-group predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import dec2, money2
+from catme_etl_j_spark.sources.tables import load_table
+
+
+def write_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_tables: tuple[str, str] = ("orders_b", "lineitem_b"),
+    n_buckets: int = 8,
+) -> None:
+    """Persist orders+lineitem bucketed AND sorted by the join key."""
+    import os
+    import shutil
+
+    orders_t, lineitem_t = warehouse_tables
+    # Idempotent re-create: the in-memory catalog forgets tables between
+    # sessions but their warehouse directories persist.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in warehouse_tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(wh, t)
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(orders_t)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lineitem_t)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, warehouse_tables: tuple[str, str] = ("orders_b", "lineitem_b")
+) -> DataFrame:
+    """Join the bucketed twins — expect NO Exchange in the plan."""
+    orders = spark.table(warehouse_tables[0])
+    li = spark.table(warehouse_tables[1])
+    # merge hint: at 100 TB neither side is broadcastable; the hint makes
+    # the local-scale plan representative (otherwise Catalyst broadcasts
+    # the small test table and the bucket layout never meets a join).
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(money2(F.sum(dec2("l_extendedprice"))).alias("sum_price"))
+    )
+
+
+def salted_group_sum(
+    spark: SparkSession, sf_dir: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation of lineitem by returnflag
+    (a 3-value, maximally-skewed key): partial agg on (key, salt),
+    then final agg on key. Result is identical to the direct groupBy —
+    decimal sums are associative — which the equivalence test asserts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.crc32(F.col("l_orderkey").cast("string")) % n_salts))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(dec2("l_extendedprice")).alias("s"), F.count("*").alias("n")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        money2(F.sum("s")).alias("sum_price"), F.sum("n").alias("n_rows")
+    )
+
+
+def plain_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        money2(F.sum(dec2("l_extendedprice"))).alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def write_date_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Lay orders out partitioned by order year (the 100 TB convention:
+    coarse time partitions + parquet row groups)."""
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out_dir)
+    )
+
+
+def read_one_year(spark: SparkSession, out_dir: str, year: int = 1997) -> DataFrame:
+    """Filter on the partition column — expect PartitionFilters in the
+    scan and only that year's directory read."""
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("order_year") == year)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )

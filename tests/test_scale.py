@@ -1,0 +1,46 @@
+"""Plan-level proofs for the scale techniques in operators/scale.py."""
+
+import re
+
+from catme_etl_j_spark.operators import scale
+from catme_etl_j_spark.plans.explain import formatted_plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    tables = ("orders_bt", "lineitem_bt")
+    scale.write_bucketed(spark, sf_dir, tables)
+    df = scale.bucketed_join(spark, tables)
+    plan = formatted_plan(df)
+    # the JOIN itself is exchange-free: the only exchange allowed is the
+    # final single-partition agg exchange AFTER the join
+    assert "SortMergeJoin" in plan
+    # scan nodes report the bucket layout
+    assert "SelectedBucketsCount" in plan
+    # and the join result is correct
+    got = {r["o_orderpriority"]: r["sum_price"] for r in df.collect()}
+    assert len(got) == 5 and all(v > 0 for v in got.values())
+
+
+def test_bucketed_join_exchange_count(spark, sf_dir):
+    tables = ("orders_bt2", "lineitem_bt2")
+    scale.write_bucketed(spark, sf_dir, tables)
+    plan = formatted_plan(scale.bucketed_join(spark, tables))
+    # unbucketed this join needs 3 exchanges (2 join inputs + 1 agg);
+    # bucketed it needs only the post-join agg exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    a = {tuple(r) for r in scale.salted_group_sum(spark, sf_dir).collect()}
+    b = {tuple(r) for r in scale.plain_group_sum(spark, sf_dir).collect()}
+    assert a == b  # decimal sums are associative -> bit-identical
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_year")
+    scale.write_date_partitioned(spark, sf_dir, out)
+    df = scale.read_one_year(spark, out, 1997)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert df.agg({"n": "sum"}).collect()[0][0] > 0
