@@ -37,6 +37,37 @@ HEADLINE = [
 ]
 
 
+def _bench_converter(spark, sf_dir: str, n_rows: int = 100_000) -> float:
+    """Reference-workload throughput: xlsx -> NDJSON, seconds.
+
+    The fixture (lineitem head rendered to xlsx) is built once and
+    cached in /tmp; only the convert() call is timed.
+    """
+    import tempfile
+
+    import duckdb
+
+    from catme_etl_j_spark.converter import convert
+    from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fixture = f"/tmp/catme_bench_{tag}_{n_rows}.xlsx"
+    if not os.path.exists(fixture):
+        rows = duckdb.sql(
+            f"SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, "
+            f"l_returnflag, strftime(l_shipdate, '%Y-%m-%d') FROM "
+            f"'{sf_dir}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber "
+            f"LIMIT {n_rows}"
+        ).fetchall()
+        header = ["orderkey", "partkey", "quantity", "extendedprice", "returnflag", "shipdate"]
+        write_xlsx(fixture + ".tmp", {"lineitem": [header] + [list(r) for r in rows]})
+        os.replace(fixture + ".tmp", fixture)
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_conv_"), "out.ndjson")
+    t0 = time.time()
+    convert(fixture, "NDJSON", out, overwrite=True, spark=spark)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -52,6 +83,8 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -107,5 +107,7 @@ def convert(
         outputs = write_csv_chunks(
             df, base, temp_dir, batch_size=batch_size, overwrite=overwrite
         )
-        n = df.count()
+        from catme_etl_j_spark.converter.sinks import _count_lines
+
+        n = _count_lines(*outputs) - len(outputs)  # minus per-chunk headers
     return ConvertResult(rows_written=n, outputs=outputs, elapsed_s=time.time() - t0)

@@ -74,12 +74,24 @@ def infer_columns(
         content, min_inflate_ratio=min_inflate_ratio, max_entry_size=max_entry_size
     ) as wb:
         header: dict[int, str] = {}
-        max_col = -1
-        for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
-            if row_idx == header_row:
-                header = cells
-            if row_idx >= header_row and cells:
-                max_col = max(max_col, max(cells))
+        dim = wb.sheet_dimension(sheet_name, sheet_index)
+        if dim is not None:
+            # O(1) width from the sheet's dimension element; only the
+            # header row needs reading. (Files without a dimension fall
+            # back to the full constant-memory scan below.)
+            max_col = dim[1] - 1
+            for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+                if row_idx == header_row:
+                    header = cells
+                if row_idx >= header_row:
+                    break
+        else:
+            max_col = -1
+            for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+                if row_idx == header_row:
+                    header = cells
+                if row_idx >= header_row and cells:
+                    max_col = max(max_col, max(cells))
     if max_col < 0:
         raise ConversionError("sheet has no rows at or after the header row")
     names = []

@@ -65,16 +65,28 @@ def _ordered(df: DataFrame) -> DataFrame:
     return df.orderBy(*cols) if cols else df
 
 
+def _count_lines(*paths: str) -> int:
+    n = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                n += chunk.count(b"\n")
+    return n
+
+
 def write_ndjson(
     df: DataFrame, output: str, *, overwrite: bool = False, single_file: bool = True
 ) -> int:
     """Write NDJSON; returns rows written. ``single_file=False`` is the
-    scale path: parallel partitioned write, `output` becomes a dir."""
+    scale path: parallel partitioned write, `output` becomes a dir.
+
+    Rows-written is counted from the OUTPUT files (cheap local line
+    count), not via df.count() — counting the frame would re-execute
+    the whole read pipeline a second time."""
     _check_overwrite(output, overwrite)
-    n = df.count()
     if not single_file:
         df.drop(*META_COLS).write.mode("overwrite").json(output)
-        return n
+        return _count_lines(*glob.glob(os.path.join(output, "part-*")))
     tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
     try:
         (_ordered(df).drop(*META_COLS).coalesce(1).write.mode("overwrite").json(tmp))
@@ -85,7 +97,7 @@ def write_ndjson(
             shutil.move(parts[0], output)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return n
+    return _count_lines(output)
 
 
 def write_csv_chunks(

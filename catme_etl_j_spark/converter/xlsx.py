@@ -52,6 +52,14 @@ DEFAULT_MAX_ENTRY_SIZE = 6 * 1024**3  # 6 GB, matches the reference cap
 
 _CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
 
+_ROW_TAG = f"{_NS_MAIN}row"
+_C_TAG = f"{_NS_MAIN}c"
+_V_TAG = f"{_NS_MAIN}v"
+_IS_TAG = f"{_NS_MAIN}is"
+_T_TAG = f"{_NS_MAIN}t"
+_DIM_TAG = f"{_NS_MAIN}dimension"
+_SHEETDATA_TAG = f"{_NS_MAIN}sheetData"
+
 
 def _col_letters_to_index(letters: str) -> int:
     """'A' -> 0, 'B' -> 1, ..., 'AA' -> 26."""
@@ -223,21 +231,27 @@ class XlsxWorkbook:
             f = self._zf.open(path)
         except KeyError as e:
             raise ConversionError(f"sheet part {path} missing in archive") from e
+        col_cache: dict[str, int] = {}
         with f:
             seq_row = 0
             for event, el in iterparse(f, events=("end",)):
-                if el.tag != f"{_NS_MAIN}row":
+                if el.tag != _ROW_TAG:
                     continue
                 declared = el.get("r")
                 row_idx = int(declared) - 1 if declared else seq_row
                 seq_row = row_idx + 1
                 cells: dict[int, str] = {}
                 seq_col = 0
-                for c in el.iter(f"{_NS_MAIN}c"):
+                for c in el:  # direct children: cells
+                    if c.tag != _C_TAG:
+                        continue
                     ref = c.get("r")
                     if ref:
-                        m = _CELL_REF_RE.match(ref)
-                        col = _col_letters_to_index(m.group(1)) if m else seq_col
+                        letters = ref.rstrip("0123456789")
+                        col = col_cache.get(letters)
+                        if col is None:
+                            col = _col_letters_to_index(letters)
+                            col_cache[letters] = col
                     else:
                         col = seq_col
                     seq_col = col + 1
@@ -254,14 +268,17 @@ class XlsxWorkbook:
     def _cell_value(self, c, shared: list[str]) -> str:
         ctype = c.get("t", "n")
         if ctype == "inlineStr":
-            is_el = c.find(f"{_NS_MAIN}is")
-            if is_el is None:
-                return ""
-            return "".join(t.text or "" for t in is_el.iter(f"{_NS_MAIN}t"))
-        v = c.find(f"{_NS_MAIN}v")
-        if v is None or v.text is None:
+            for child in c:
+                if child.tag == _IS_TAG:
+                    return "".join(t.text or "" for t in child.iter(_T_TAG))
             return ""
-        raw = v.text
+        raw = None
+        for child in c:
+            if child.tag == _V_TAG:
+                raw = child.text
+                break
+        if raw is None:
+            return ""
         if ctype == "s":
             return shared[int(raw)]
         if ctype == "b":
@@ -269,6 +286,30 @@ class XlsxWorkbook:
         if ctype in ("str", "e"):
             return raw
         return _format_number(raw)
+
+    def sheet_dimension(
+        self, sheet_name: str | None = None, sheet_index: int | None = None
+    ) -> tuple[int, int] | None:
+        """(n_rows, n_cols) from the sheet's ``dimension`` element, or
+        None if absent/unparseable. O(1): stops at the first sheetData
+        element. Lets readers size schemas without a full scan."""
+        path = self.resolve_sheet(sheet_name, sheet_index)
+        try:
+            f = self._zf.open(path)
+        except KeyError:
+            return None
+        with f:
+            for event, el in iterparse(f, events=("start",)):
+                if el.tag == _DIM_TAG:
+                    ref = el.get("ref", "")
+                    if ":" in ref:
+                        m = _CELL_REF_RE.match(ref.split(":")[1])
+                        if m:
+                            return int(m.group(2)), _col_letters_to_index(m.group(1)) + 1
+                    return None
+                if el.tag == _SHEETDATA_TAG:
+                    return None
+        return None
 
     def close(self) -> None:
         self._zf.close()

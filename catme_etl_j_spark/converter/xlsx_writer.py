@@ -1,8 +1,9 @@
-"""Minimal stdlib xlsx writer for test fixtures (no openpyxl in env).
+"""Minimal stdlib xlsx writer (no openpyxl in this environment).
 
 Writes inline-string / numeric / boolean cells — enough to exercise the
-parser and converter against FIXTURES.md group A schemas. Not part of
-the engine surface.
+parser and converter against FIXTURES.md group A schemas and to build
+bench fixtures. A test/bench utility, not part of the converter parity
+surface (the reference only reads xlsx).
 """
 
 from __future__ import annotations
@@ -47,9 +48,13 @@ def _cell_xml(row: int, col: int, value) -> str:
 def _sheet_xml(rows: list[list | None], skip_rows: set[int] | None = None) -> str:
     """rows[i] is a list of cell values (None cell -> omitted from XML);
     rows[i] is None -> row index i entirely absent from the sheet."""
+    n_rows = len(rows)
+    n_cols = max((len(r) for r in rows if r), default=1)
+    dim_end = f"{_col_index_to_letters(max(n_cols - 1, 0))}{max(n_rows, 1)}"
     parts = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">',
+        f'<dimension ref="A1:{dim_end}"/>',
         "<sheetData>",
     ]
     for i, row in enumerate(rows):

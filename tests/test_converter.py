@@ -5,7 +5,7 @@ import json
 import pytest
 
 from catme_etl_j_spark.converter import ConversionError, convert, read_xlsx
-from xlsx_fixture import write_xlsx
+from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
 
 
 @pytest.fixture(scope="module")

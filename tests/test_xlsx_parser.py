@@ -10,7 +10,7 @@ from catme_etl_j_spark.converter.errors import (
     ZipBombDetectedError,
 )
 from catme_etl_j_spark.converter.xlsx import XlsxWorkbook, list_sheets
-from xlsx_fixture import write_xlsx
+from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
 
 
 def _rows(path, **kw):
