@@ -23,7 +23,16 @@ def _modules():
     from catme_etl_j_spark.operators import relational
 
     mods = [relational]
-    for name in ("relational2", "text", "dedup", "similarity", "events", "asof", "multimodal"):
+    for name in (
+        "relational2",
+        "text",
+        "corpus",
+        "dedup",
+        "similarity",
+        "events",
+        "asof",
+        "multimodal",
+    ):
         try:
             mod = __import__(f"catme_etl_j_spark.operators.{name}", fromlist=[name])
             mods.append(mod)

@@ -91,6 +91,36 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count / value sum, carried across micro-batches in
+    explicit GroupState (the ladder's rung (b) — used when built-in
+    streaming aggs can't express the state machine; here the state is
+    simple so the test can verify against the batch groupBy).
+
+    State is sharded by user_id across executors; each micro-batch
+    updates only the touched keys and emits their new totals.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into an in-memory table;
     returns the StreamingQuery (stopped). Test/smoke harness."""

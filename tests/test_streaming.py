@@ -103,6 +103,41 @@ def test_session_windows_match_batch(spark, stream_dir, sf_dir):
         batch.agg(F.sum("n_events")).collect()[0][0]
 
 
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    # Split events into 2 files -> 2 micro-batches; state must carry over.
+    from catme_etl_j_spark.streaming.events import stateful_user_totals
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    d = tmp_path / "halves"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    stream = stateful_user_totals(read_event_stream(spark, str(d), max_files_per_trigger=1))
+    run_to_memory(stream, "stateful_out", output_mode="update")
+    # update-mode memory sink appends one row per (batch, key); the row
+    # with the max n_events per user is the final state
+    final = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM stateful_out) WHERE rn = 1"""
+        ).collect()
+    }
+    from catme_etl_j_spark.sources.tables import load_table
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == want
+
+
 def test_dedup_stream(spark, sf_dir, tmp_path):
     # Duplicate the file -> every event_id appears twice in the stream.
     dup_dir = tmp_path / "dup"
