@@ -359,7 +359,39 @@ FROM t
 """
 
 
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (keeps duplicate multiplicity)."""
+    _prep(spark)
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+_INTERSECT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference."""
+    _prep(spark)
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+_EXCEPT_ALL_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
 QUERIES = {
+    "setop_intersect_all": setop_intersect_all,
+    "setop_except_all": setop_except_all,
     "q04_priority_exists": q04_priority_exists,
     "q08_nation_share": q08_nation_share,
     "q14_promo_ratio": q14_promo_ratio,
@@ -373,6 +405,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "setop_intersect_all": _INTERSECT_ALL_SQL,
+    "setop_except_all": _EXCEPT_ALL_SQL,
     "q04_priority_exists": _Q04_SQL,
     "q08_nation_share": _Q08_SQL,
     "q14_promo_ratio": _Q14_SQL,

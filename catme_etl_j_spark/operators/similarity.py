@@ -223,14 +223,134 @@ SELECT vec_id, label, nn_id, cos_sim FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup pairs (the scale path when no cluster
+# id exists). 16 fixed hyperplanes, banded 4x4: a pair is a candidate if
+# it matches all 4 sign bits of ANY band; candidates are then exactly
+# re-ranked. Like all LSH this trades recall for linearity — the oracle
+# runs the SAME planes/bands, so the output is still deterministic and
+# hash-checkable. (The recall-complete blocked variant is
+# ann_nn_within_label; the exact baseline is ann_topk_bruteforce.)
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+N_PLANES = 16
+LSH_BANDS, LSH_ROWS = 4, 4
+COS_THRESHOLD = 0.4
+_prng = _random.Random(7)
+# integer plane components: exact int64 dot products, no float ambiguity
+PLANES = [[_prng.randrange(-1000, 1001) for _ in range(64)] for _ in range(N_PLANES)]
+
+
+def _plane_dot_spark(j: int) -> str:
+    lits = ", ".join(str(v) for v in PLANES[j])
+    return (
+        f"aggregate(zip_with(fx, array({lits}), (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _band_expr_spark(b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot_spark(b * LSH_ROWS + r)} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(LSH_ROWS)
+    )
+    return bits
+
+
+def ann_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = _prescaled(spark, sf_dir).cache()
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(_band_expr_spark(b)).cast("long").alias("bucket"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("fx").alias("fa"), F.col("norm").alias("na"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("fx").alias("fb"), F.col("norm").alias("nb"))
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+    )
+
+
+def _lsh_sql() -> str:
+    def plane_dot(j: int) -> str:
+        lits = ", ".join(str(v) for v in PLANES[j])
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65), "
+            f"i -> fx[i] * ([{lits}])[i])) AS BIGINT)"
+        )
+
+    def band(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {plane_dot(b * LSH_ROWS + r)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(LSH_ROWS)
+        )
+
+    bands_sql = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, {band(b)} AS bucket FROM fxe" for b in range(LSH_BANDS)
+    )
+    cos = rdet_sql(
+        "CAST(list_sum(list_transform(range(1, 65), i -> x.fx[i] * y.fx[i])) AS BIGINT)"
+        " / (x.norm * y.norm)",
+        6,
+    )
+    return f"""
+WITH fxe AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings),
+fxn AS (
+  SELECT vec_id, fx,
+         sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> fx[i] * fx[i])) AS BIGINT) AS DOUBLE)) AS norm
+  FROM fxe),
+bands AS (
+{bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, {cos} AS cos_sim
+FROM cand JOIN fxn x ON vec_a = x.vec_id JOIN fxn y ON vec_b = y.vec_id
+WHERE {cos} >= {COS_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_nn_within_label": ann_nn_within_label,
+    "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": _topk_sql(),
     "ann_topk_ivf": _topk_sql(" AND label = qlabel"),
     "ann_nn_within_label": _nn_within_label_sql(),
+    "ann_lsh_hyperplane_pairs": _lsh_sql(),
 }
