@@ -77,12 +77,17 @@ def main() -> None:
     # Warm the JVM/session so the first timed query doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # min-of-2: the first run pays file-listing/codegen warmup; the
+    # steady-state number is what a resident cluster would see.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = queries[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
 

@@ -134,7 +134,7 @@ FROM documents GROUP BY fp
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    sh = _shingled(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).cache()  # used by both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -389,7 +389,97 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+# ---------------------------------------------------------------------------
+# Conditional / null-handling functions and range-frame windows.
+# ---------------------------------------------------------------------------
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(bldg)")).alias(
+            "segment_masked"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floored"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.isnull(F.nullif(F.col("c_nationkey"), F.lit(0))).alias("is_nation_zero"),
+    )
+
+
+_FN_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS segment_masked,
+       least(c_acctbal, 5000.0) AS bal_capped,
+       greatest(c_acctbal, 0.0) AS bal_floored,
+       CASE WHEN c_acctbal < 0 THEN 'debtor'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'high' END AS bal_class,
+       NULLIF(c_nationkey, 0) IS NULL AS is_nation_zero
+FROM customer
+"""
+
+
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>) join on a derived nullable key."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("k"), "n_nationkey"
+    ).distinct()
+    joined = cust.join(nat, cust.k.eqNullSafe(nat.k))
+    return joined.groupBy(cust.k.alias("key")).agg(F.count("*").alias("n"))
+
+
+_NULLSAFE_SQL = """
+WITH c AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer),
+n AS (SELECT DISTINCT NULLIF(n_nationkey % 5, 0) AS k, n_nationkey FROM nation)
+SELECT c.k AS key, COUNT(*) AS n
+FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+GROUP BY c.k
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day order total per customer via a RANGE frame over a
+    day-number ordering (value-based frame, not row-based)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day_num.alias("day_num"),
+        money2(F.sum(dec2("o_totalprice")).over(w)).alias("rolling_30d_total"),
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', TIMESTAMP '1990-01-01', o_orderdate) AS day_num,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', TIMESTAMP '1990-01-01', o_orderdate)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_30d_total
+FROM orders
+"""
+
+
 QUERIES = {
+    "fn_conditional": fn_conditional,
+    "join_nullsafe_eq": join_nullsafe_eq,
+    "window_range_frame": window_range_frame,
     "setop_intersect_all": setop_intersect_all,
     "setop_except_all": setop_except_all,
     "q04_priority_exists": q04_priority_exists,
@@ -405,6 +495,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_conditional": _FN_CONDITIONAL_SQL,
+    "join_nullsafe_eq": _NULLSAFE_SQL,
+    "window_range_frame": _RANGE_FRAME_SQL,
     "setop_intersect_all": _INTERSECT_ALL_SQL,
     "setop_except_all": _EXCEPT_ALL_SQL,
     "q04_priority_exists": _Q04_SQL,

@@ -178,7 +178,7 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = _prescaled(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).cache()  # reused by both join sides
     a = emb.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("label"),

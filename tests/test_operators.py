@@ -14,10 +14,14 @@ from catme_etl_j_spark.sources.tables import TABLES
 SPOT = [
     "q01_pricing_summary",
     "q05_local_supplier",
+    "q08_nation_share",
     "window_topk_per_group",
+    "window_range_frame",
     "text_fingerprint",
+    "corpus_split",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_lsh_hyperplane_pairs",
     "events_sessionize",
     "asof_purchase_view",
     "multimodal_meta",
