@@ -1,14 +1,15 @@
-"""Pure-stdlib streaming XLSX parser (zipfile + xml.etree.iterparse).
+"""Pure-stdlib streaming XLSX parser (zipfile + SAX).
 
 This is the Spark-side rebuild of the reference's SAX ingest (SURVEY.md
 §2.1 S1/S2): the reference streams one sheet's XML through POI/EasyExcel
 SAX handlers with bounded memory
 (src/.../strategy/UserModeEventConversionStrategy.java:282-299,
 src/.../strategy/StreamingConversionStrategy.java:77-95). Here the same
-single-pass, constant-memory discipline is implemented with
-``xml.etree.ElementTree.iterparse`` (elements cleared as consumed);
-the two reference strategies collapse into one implementation since
-iterparse is already constant-memory (SURVEY.md §2.1 S3 disposition).
+single-pass, constant-memory discipline is implemented with expat SAX
+callbacks for sheet data (chunk-fed, push->pull generator) and
+``iterparse`` for the small metadata parts; the two reference
+strategies collapse into one implementation since both are already
+constant-memory (SURVEY.md §2.1 S3 disposition).
 
 Row model matches the reference: ``dict[int, str]`` — 0-based column
 index -> formatted cell string (src/.../core/ExcelRowListener.java:30).
@@ -36,6 +37,7 @@ import re
 import zipfile
 from collections.abc import Iterator
 from xml.etree.ElementTree import iterparse
+from xml.parsers import expat as _expat
 
 from catme_etl_j_spark.converter.errors import (
     ConversionError,
@@ -78,6 +80,105 @@ def _format_number(raw: str) -> str:
     if f == int(f) and abs(f) < 1e16:
         return str(int(f))
     return repr(f)
+
+
+class _SheetHandler:
+    """expat callbacks assembling (row_idx, {col: value}) tuples.
+
+    Matches element local names (namespace-agnostic: standard files use
+    the spreadsheetml default namespace, but bare names also occur).
+    Semantics mirror the reference's SheetContentsHandler: declared row/
+    cell refs win over sequential position; blank-but-present cells
+    become ``""``; per-cell errors honor continue_on_error.
+    """
+
+    __slots__ = (
+        "shared", "continue_on_error", "out", "row_idx", "cells", "seq_col",
+        "col", "ctype", "capture", "buf", "saw_value", "in_is", "col_cache",
+    )
+
+    def __init__(self, shared: list[str], continue_on_error: bool) -> None:
+        self.shared = shared
+        self.continue_on_error = continue_on_error
+        self.out: list[tuple[int, dict[int, str]]] = []
+        self.row_idx = -1
+        self.cells: dict[int, str] = {}
+        self.seq_col = 0
+        self.col = 0
+        self.ctype = "n"
+        self.capture = False
+        self.buf: list[str] = []
+        self.saw_value = False
+        self.in_is = False
+        self.col_cache: dict[str, int] = {}
+
+    def start(self, name: str, attrs: dict[str, str]) -> None:
+        local = name.rpartition(":")[2] if ":" in name else name
+        if local == "c":
+            ref = attrs.get("r")
+            if ref:
+                letters = ref.rstrip("0123456789")
+                col = self.col_cache.get(letters)
+                if col is None:
+                    col = _col_letters_to_index(letters)
+                    self.col_cache[letters] = col
+                self.col = col
+            else:
+                self.col = self.seq_col
+            self.seq_col = self.col + 1
+            self.ctype = attrs.get("t", "n")
+            self.buf = []
+            self.saw_value = False
+        elif local == "v":
+            self.capture = True
+            self.saw_value = True
+        elif local == "is":
+            self.in_is = True
+        elif local == "t":
+            if self.in_is:
+                self.capture = True
+                self.saw_value = True
+        elif local == "row":
+            declared = attrs.get("r")
+            self.row_idx = int(declared) - 1 if declared else self.row_idx + 1
+            self.cells = {}
+            self.seq_col = 0
+
+    def end(self, name: str) -> None:
+        local = name.rpartition(":")[2] if ":" in name else name
+        if local in ("v", "t"):
+            self.capture = False
+        elif local == "is":
+            self.in_is = False
+        elif local == "c":
+            try:
+                self.cells[self.col] = self._value()
+            except Exception as e:
+                if not self.continue_on_error:
+                    raise ConversionError(
+                        f"row {self.row_idx} col {self.col}: bad cell: {e}"
+                    ) from e
+        elif local == "row":
+            self.out.append((self.row_idx, self.cells))
+
+    def chars(self, data: str) -> None:
+        if self.capture:
+            self.buf.append(data)
+
+    def _value(self) -> str:
+        if not self.saw_value:
+            return ""
+        raw = "".join(self.buf)
+        ctype = self.ctype
+        if ctype == "inlineStr":
+            return raw
+        if ctype == "s":
+            return self.shared[int(raw)]
+        if ctype == "b":
+            return "TRUE" if raw.strip() == "1" else "FALSE"
+        if ctype in ("str", "e"):
+            return raw
+        return _format_number(raw)
 
 
 class XlsxWorkbook:
@@ -231,61 +332,34 @@ class XlsxWorkbook:
             f = self._zf.open(path)
         except KeyError as e:
             raise ConversionError(f"sheet part {path} missing in archive") from e
-        col_cache: dict[str, int] = {}
+        # expat SAX (~2x faster than iterparse on wide sheets); push
+        # events accumulate into `out`, drained after each 64 KiB chunk,
+        # so this stays a constant-memory generator.
+        handler = _SheetHandler(shared, continue_on_error)
+        # No expat namespace processing (it costs ~40%); sheet elements
+        # are matched by prefix-agnostic local name instead.
+        parser = _expat.ParserCreate()
+        parser.buffer_text = True
+        parser.StartElementHandler = handler.start
+        parser.EndElementHandler = handler.end
+        parser.CharacterDataHandler = handler.chars
         with f:
-            seq_row = 0
-            for event, el in iterparse(f, events=("end",)):
-                if el.tag != _ROW_TAG:
-                    continue
-                declared = el.get("r")
-                row_idx = int(declared) - 1 if declared else seq_row
-                seq_row = row_idx + 1
-                cells: dict[int, str] = {}
-                seq_col = 0
-                for c in el:  # direct children: cells
-                    if c.tag != _C_TAG:
-                        continue
-                    ref = c.get("r")
-                    if ref:
-                        letters = ref.rstrip("0123456789")
-                        col = col_cache.get(letters)
-                        if col is None:
-                            col = _col_letters_to_index(letters)
-                            col_cache[letters] = col
-                    else:
-                        col = seq_col
-                    seq_col = col + 1
-                    try:
-                        cells[col] = self._cell_value(c, shared)
-                    except Exception as e:
-                        if not continue_on_error:
-                            raise ConversionError(
-                                f"row {row_idx} col {col}: bad cell: {e}"
-                            ) from e
-                yield row_idx, cells
-                el.clear()
-
-    def _cell_value(self, c, shared: list[str]) -> str:
-        ctype = c.get("t", "n")
-        if ctype == "inlineStr":
-            for child in c:
-                if child.tag == _IS_TAG:
-                    return "".join(t.text or "" for t in child.iter(_T_TAG))
-            return ""
-        raw = None
-        for child in c:
-            if child.tag == _V_TAG:
-                raw = child.text
-                break
-        if raw is None:
-            return ""
-        if ctype == "s":
-            return shared[int(raw)]
-        if ctype == "b":
-            return "TRUE" if raw.strip() == "1" else "FALSE"
-        if ctype in ("str", "e"):
-            return raw
-        return _format_number(raw)
+            while True:
+                chunk = f.read(1 << 16)
+                if not chunk:
+                    break
+                try:
+                    parser.Parse(chunk, False)
+                except _expat.ExpatError as e:
+                    raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
+                if handler.out:
+                    yield from handler.out
+                    handler.out.clear()
+            try:
+                parser.Parse(b"", True)
+            except _expat.ExpatError as e:
+                raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
+            yield from handler.out
 
     def sheet_dimension(
         self, sheet_name: str | None = None, sheet_index: int | None = None
