@@ -143,7 +143,70 @@ FROM tagged GROUP BY split
 """
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in one plan:
+    PII scrub -> quality filter -> normalized dedup -> train/eval split.
+
+    This is the composition the engine exists for; Catalyst collapses
+    the whole chain into scan -> project/filter -> one aggregate
+    (dedup) -> project, so it costs ONE shuffle regardless of how many
+    "stages" the pipeline has conceptually.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    n_words = F.size(F.split(F.trim(F.col("scrubbed")), " +")).cast("long")
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(scrubbed), '[^a-z0-9 ]', ''), ' +', ' '))"
+    )
+    staged = (
+        docs.select("doc_id", scrubbed.alias("scrubbed"))
+        .withColumn("n_words", n_words)
+        .filter(F.col("n_words") >= 20)
+        .select("doc_id", "n_words", F.md5(F.expr(norm)).alias("fp"))
+    )
+    deduped = staged.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_words").alias("n_words"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return deduped.select(
+        "doc_id",
+        "fp",
+        "n_copies",
+        "n_words",
+        F.when(bucket < EVAL_PCT, "eval").otherwise("train").alias("split"),
+    )
+
+
+_CLEAN_PIPELINE_SQL = f"""
+WITH scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g') AS scrubbed
+  FROM documents),
+staged AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(scrubbed), ' +')) AS n_words,
+         md5(trim(regexp_replace(regexp_replace(lower(scrubbed), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM scrub
+  WHERE len(regexp_split_to_array(trim(scrubbed), ' +')) >= 20),
+deduped AS (
+  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies, min(n_words) AS n_words
+  FROM staged GROUP BY fp)
+SELECT doc_id, fp, n_copies, n_words,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {EVAL_PCT}
+            THEN 'eval' ELSE 'train' END AS split
+FROM deduped
+"""
+
+
 QUERIES = {
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
     "corpus_doc_frequency": corpus_doc_frequency,
     "corpus_scrub_pii": corpus_scrub_pii,
@@ -151,6 +214,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,
     "corpus_word_counts": _WORD_COUNTS_SQL,
     "corpus_doc_frequency": _DOC_FREQ_SQL,
     "corpus_scrub_pii": _SCRUB_SQL,
