@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_nn_within_label",
+    "corpus_clean_pipeline",
 ]
 
 

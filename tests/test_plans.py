@@ -68,3 +68,14 @@ def test_window_single_shuffle(spark, sf_dir):
 def test_scalar_subquery_broadcast(spark, sf_dir):
     plan = formatted_plan(relational.scalar_subquery_above_avg(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_pipeline_single_shuffle(spark, sf_dir):
+    import re
+
+    from catme_etl_j_spark.operators.corpus import corpus_clean_pipeline
+
+    plan = formatted_plan(corpus_clean_pipeline(spark, sf_dir))
+    # scrub+filter+fingerprint fuse into the scan stage; dedup's
+    # groupBy(fp) is the only exchange in the whole pipeline
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
