@@ -38,6 +38,12 @@ class ConvertResult:
     outputs: list[str] = field(default_factory=list)
     elapsed_s: float = 0.0
 
+    @property
+    def rows_per_s(self) -> float:
+        """Throughput — the reference's headline runtime metric
+        (rows/sec rate logs, ExcelRowListener.java:155-163)."""
+        return round(self.rows_written / self.elapsed_s, 1) if self.elapsed_s else 0.0
+
 
 def convert(
     input: str,

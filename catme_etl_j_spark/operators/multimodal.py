@@ -95,6 +95,77 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(extract, schema=schema)
 
 
+def resize_image(payload: bytes, width: int, height: int, codec: str = FAKE_CODEC) -> bytes:
+    """Stub resize. Real codecs need media libs absent here; the fake
+    'image' is its payload bytes tiled/truncated to width*height —
+    deterministic, shape-correct, and enough to test the plumbing."""
+    if codec != FAKE_CODEC:
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this environment"
+        )
+    n = width * height
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def sample_frames(payload: bytes, n_frames: int, codec: str = FAKE_CODEC) -> list[bytes]:
+    """Stub video frame sampling: split the payload into n_frames evenly
+    spaced slices (stand-ins for decoded frames)."""
+    if codec != FAKE_CODEC:
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this environment"
+        )
+    if not payload or n_frames <= 0:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(min(n_frames, len(payload)))]
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str, width: int = 8, height: int = 8) -> DataFrame:
+    """Batch resize over mapInPandas: binary in -> fixed-size binary out.
+
+    The schema/batching pattern for any per-item media transform:
+    payload column + params -> transformed payload + metadata, Arrow
+    both ways, no driver involvement.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir)
+    schema = "doc_id long, thumb binary, thumb_bytes long"
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [resize_image(bytes(b), width, height) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    return p.mapInPandas(do_resize, schema=schema)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Frame sampling with explode: one row per sampled frame — the
+    layout a frame-level feature extractor downstream would consume."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir)
+    schema = "doc_id long, frame_idx long, frame_bytes long"
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames(bytes(b), n_frames)):
+                    rows.append((int(doc_id), i, len(fr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return p.mapInPandas(do_sample, schema=schema)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_fake_features": multimodal_fake_features,

@@ -476,7 +476,91 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2-style: argmin per group (cheapest supplier per part via window).
+# ---------------------------------------------------------------------------
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    offered = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.asc("min_price"), F.asc("l_suppkey"))
+    return (
+        offered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "s_name", "min_price")
+    )
+
+
+_Q02_SQL = """
+WITH offered AS (
+  SELECT l_partkey, l_suppkey, s_name, min(l_extendedprice) AS min_price
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+            ORDER BY min_price ASC, l_suppkey ASC) AS rn
+  FROM offered)
+SELECT l_partkey, l_suppkey, s_name, min_price FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: trade volume between nation pairs by year.
+# ---------------------------------------------------------------------------
+
+def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation")).alias("n2")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(n2, supp.s_nationkey == F.col("n2.n_nationkey"))
+        .filter(cust.c_nationkey != supp.s_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n1.n_name").alias("cust_nation"),
+            F.col("n2.n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("trade_year"),
+        )
+        .agg(money2(F.sum(F.expr(_REV))).alias("volume"), F.count("*").alias("n_items"))
+        .filter(F.col("n_items") >= 3)
+    )
+
+
+_Q07_SQL = f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(o_orderdate) AS trade_year,
+       CAST(round(SUM({_REV}), 2) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 3
+"""
+
+
 QUERIES = {
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q07_nation_trade": q07_nation_trade,
     "fn_conditional": fn_conditional,
     "join_nullsafe_eq": join_nullsafe_eq,
     "window_range_frame": window_range_frame,
@@ -495,6 +579,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q02_min_cost_supplier": _Q02_SQL,
+    "q07_nation_trade": _Q07_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
     "join_nullsafe_eq": _NULLSAFE_SQL,
     "window_range_frame": _RANGE_FRAME_SQL,

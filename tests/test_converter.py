@@ -145,6 +145,20 @@ def test_overwrite_gate(spark, catalog_xlsx, tmp_path):
     convert(catalog_xlsx, "NDJSON", out, overwrite=True, spark=spark)  # ok
 
 
+def test_ndjson_partitioned_scale_mode(spark, catalog_xlsx, tmp_path):
+    # single_file=False: parallel partitioned write (the 100 TB path)
+    from catme_etl_j_spark.converter.sinks import write_ndjson
+    from catme_etl_j_spark.converter.reader import read_xlsx
+
+    out = str(tmp_path / "nd_dir")
+    df = read_xlsx(spark, catalog_xlsx)
+    n = write_ndjson(df, out, overwrite=True, single_file=False)
+    assert n == 60
+    back = spark.read.json(out)
+    assert back.count() == 60
+    assert "sku" in back.columns and "_row_idx" not in back.columns
+
+
 def test_multi_file_read(spark, tmp_path):
     # 100 TB posture: parallelism across files — glob read unions them.
     for i in range(3):

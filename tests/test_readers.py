@@ -1,0 +1,37 @@
+"""Round-trip: converter outputs -> sources.readers -> same data."""
+
+from catme_etl_j_spark.converter import convert
+from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+from catme_etl_j_spark.sources.readers import read_csv_chunks, read_json_array, read_ndjson
+
+
+def _fixture(tmp_path):
+    rows = [["sku", "qty"]] + [[f"S{i}", str(i)] for i in range(40)]
+    return write_xlsx(str(tmp_path / "t.xlsx"), {"S": rows})
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    p = _fixture(tmp_path)
+    out = str(tmp_path / "o.ndjson")
+    convert(p, "NDJSON", out, spark=spark)
+    back = read_ndjson(spark, out)
+    assert sorted(back.columns) == ["qty", "sku"]
+    assert back.count() == 40
+    assert {r["sku"] for r in back.collect()} == {f"S{i}" for i in range(40)}
+
+
+def test_csv_chunks_roundtrip(spark, tmp_path):
+    p = _fixture(tmp_path)
+    convert(p, "CSV", batch_size=15, temp_dir=str(tmp_path), spark=spark)
+    back = read_csv_chunks(spark, str(tmp_path), "t")
+    assert back.count() == 40  # headers of all 3 chunks stripped
+    assert sorted(back.columns) == ["qty", "sku"]
+
+
+def test_json_array_roundtrip(spark, tmp_path):
+    p = _fixture(tmp_path)
+    out = str(tmp_path / "o.json")
+    convert(p, "JSON", out, spark=spark)
+    back = read_json_array(spark, out)
+    assert back.count() == 40
+    assert {r["qty"] for r in back.collect()} == {str(i) for i in range(40)}
