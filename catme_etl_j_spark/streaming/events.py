@@ -121,6 +121,24 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_exactly_once(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Exactly-once file sink via foreachBatch: each micro-batch writes
+    to an epoch-named subdirectory, so replays after failure overwrite
+    instead of duplicating (idempotent per epoch), and the checkpoint
+    guarantees each epoch is committed once.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into an in-memory table;
     returns the StreamingQuery (stopped). Test/smoke harness."""

@@ -138,6 +138,26 @@ def test_stateful_user_totals(spark, sf_dir, tmp_path):
     assert final == want
 
 
+def test_exactly_once_foreachbatch_sink(spark, sf_dir, tmp_path):
+    from catme_etl_j_spark.streaming.events import write_stream_exactly_once
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, str(src))
+    q = write_stream_exactly_once(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(out).count() == n_src
+    # restart with NO new data: checkpoint prevents re-processing
+    q2 = write_stream_exactly_once(read_event_stream(spark, str(src)), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_dedup_stream(spark, sf_dir, tmp_path):
     # Duplicate the file -> every event_id appears twice in the stream.
     dup_dir = tmp_path / "dup"

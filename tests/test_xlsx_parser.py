@@ -103,6 +103,21 @@ def test_zip_bomb_entry_size_cap(tmp_path):
         XlsxWorkbook(p, max_entry_size=1000)
 
 
+def test_malformed_sheet_xml(tmp_path):
+    # A8: structurally broken sheet member -> typed ConversionError.
+    p = str(tmp_path / "a.xlsx")
+    write_xlsx(p, {"S": [["h"], ["x"]]})
+    p2 = str(tmp_path / "trunc.xlsx")
+    with zipfile.ZipFile(p) as src, zipfile.ZipFile(p2, "w") as dst:
+        for item in src.namelist():
+            data = src.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                data = data[: len(data) // 2]  # truncated XML
+            dst.writestr(item, data)
+    with pytest.raises(ConversionError, match="malformed sheet XML"):
+        _rows(p2)
+
+
 def test_continue_on_error_skips_bad_cell(tmp_path):
     # Shared-string index out of range is a per-cell structural error.
     p = str(tmp_path / "a.xlsx")
