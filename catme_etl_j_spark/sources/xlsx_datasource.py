@@ -1,0 +1,131 @@
+"""Spark 4 Python Data Source for XLSX: ``spark.read.format("xlsx")``.
+
+SURVEY.md §2.1 option (a): the same stdlib streaming parser
+(converter/xlsx.py), surfaced through the DataSource V2 Python API so
+xlsx behaves like any first-class format — planned partitions (one per
+file; a sheet's XML is unsplittable, SURVEY.md §7.7.1), driver-side
+schema inference, Arrow-batch row production.
+
+    from catme_etl_j_spark.sources.xlsx_datasource import register
+    register(spark)
+    df = (spark.read.format("xlsx")
+          .option("sheet_name", "Data2024")  # or sheet_index / header_row
+          .load("/data/*.xlsx"))
+
+The ``converter.reader.read_xlsx`` (binaryFile + mapInPandas) path
+remains for engines without the Python DataSource API; both share the
+parser and produce identical frames (tests/test_xlsx_datasource.py).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from catme_etl_j_spark.converter.errors import ConversionError
+from catme_etl_j_spark.converter.reader import infer_columns
+from catme_etl_j_spark.converter.xlsx import (
+    DEFAULT_MAX_ENTRY_SIZE,
+    DEFAULT_MIN_INFLATE_RATIO,
+    XlsxWorkbook,
+)
+
+
+def _expand(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+    return sorted(_glob.glob(path))
+
+
+class XlsxDataSource(DataSource):
+    """format("xlsx") — options: sheet_name, sheet_index, header_row,
+    continue_on_error, min_inflate_ratio, max_entry_size."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def _opts(self):
+        o = self.options
+        return dict(
+            sheet_name=o.get("sheet_name"),
+            sheet_index=int(o["sheet_index"]) if o.get("sheet_index") is not None else None,
+            header_row=int(o.get("header_row", 0)),
+            continue_on_error=str(o.get("continue_on_error", "false")).lower() == "true",
+            min_inflate_ratio=float(o.get("min_inflate_ratio", DEFAULT_MIN_INFLATE_RATIO)),
+            max_entry_size=int(o.get("max_entry_size", DEFAULT_MAX_ENTRY_SIZE)),
+        )
+
+    def _paths(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ConversionError("xlsx source requires a path: .load('/data/*.xlsx')")
+        paths = _expand(path)
+        if not paths:
+            raise ConversionError(f"no files matched {path!r}")
+        return paths
+
+    def schema(self):
+        opts = self._opts()
+        first = self._paths()[0]
+        columns = infer_columns(
+            first,
+            sheet_name=opts["sheet_name"],
+            sheet_index=opts["sheet_index"],
+            header_row=opts["header_row"],
+            min_inflate_ratio=opts["min_inflate_ratio"],
+            max_entry_size=opts["max_entry_size"],
+        )
+        return T.StructType(
+            [
+                T.StructField("_file", T.StringType(), False),
+                T.StructField("_row_idx", T.LongType(), False),
+            ]
+            + [T.StructField(c, T.StringType(), True) for c in columns]
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _XlsxReader(self._paths(), schema, self._opts())
+
+
+class _XlsxPartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class _XlsxReader(DataSourceReader):
+    def __init__(self, paths: list[str], schema, opts: dict) -> None:
+        self._paths = paths
+        self._n_cols = len(schema.fieldNames()) - 2
+        self._opts = opts
+
+    def partitions(self):
+        # one task per file: a sheet's XML stream is unsplittable, but a
+        # many-file corpus fans out across the cluster
+        return [_XlsxPartition(p) for p in self._paths]
+
+    def read(self, partition: _XlsxPartition):
+        o = self._opts
+        wb = XlsxWorkbook(
+            partition.path,
+            min_inflate_ratio=o["min_inflate_ratio"],
+            max_entry_size=o["max_entry_size"],
+        )
+        try:
+            for row_idx, cells in wb.iter_rows(
+                o["sheet_name"], o["sheet_index"], continue_on_error=o["continue_on_error"]
+            ):
+                if row_idx <= o["header_row"]:
+                    continue
+                yield (partition.path, row_idx) + tuple(
+                    cells.get(i) for i in range(self._n_cols)
+                )
+        finally:
+            wb.close()
+
+
+def register(spark) -> None:
+    spark.dataSource.register(XlsxDataSource)
