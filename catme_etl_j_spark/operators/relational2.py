@@ -558,8 +558,51 @@ HAVING COUNT(*) >= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9-style: profit by nation and year (synthetic 60%-of-retail cost).
+# ---------------------------------------------------------------------------
+
+def q09_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star schema lacks partsupp; supply cost is modeled as 60% of
+    p_retailprice (deterministic decimal arithmetic both sides)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cost = dec2("p_retailprice") * F.lit(0.6).cast("decimal(18,4)")
+    profit = dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - dec4("l_discount")
+    ) - cost * dec2("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(money2(F.sum(profit)).alias("profit"))
+    )
+
+
+_Q09_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,2))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q09_nation_profit": q09_nation_profit,
     "q07_nation_trade": q07_nation_trade,
     "fn_conditional": fn_conditional,
     "join_nullsafe_eq": join_nullsafe_eq,
@@ -580,6 +623,7 @@ QUERIES = {
 
 ORACLES = {
     "q02_min_cost_supplier": _Q02_SQL,
+    "q09_nation_profit": _Q09_SQL,
     "q07_nation_trade": _Q07_SQL,
     "fn_conditional": _FN_CONDITIONAL_SQL,
     "join_nullsafe_eq": _NULLSAFE_SQL,
