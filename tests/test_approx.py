@@ -1,0 +1,45 @@
+"""Approximate aggregates (sketches) — error-bounded against exact.
+
+No DuckDB oracle here by design: HLL/quantile sketch internals differ
+between engines, so the correctness statement is an error bound, not
+equality.
+"""
+
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.sources.tables import load_table
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3x rsd
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_med"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("approx_p90"),
+    ).collect()[0]
+    assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.02
+    assert abs(row["approx_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.02
+
+
+def test_approx_grouped(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey").alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.15
