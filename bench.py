@@ -69,6 +69,52 @@ def _bench_converter(spark, sf_dir: str, n_rows: int = 100_000) -> float:
     return round(time.time() - t0, 3)
 
 
+def _bench_converter_parallel(
+    spark, sf_dir: str, n_files: int = 8, rows_per_file: int = 12_500
+) -> float:
+    """Scale-path throughput: the same 100k rows split across 8 files,
+    converted via glob read + partitioned NDJSON write. Parallelism is
+    per-file (one unsplittable sheet stream each) — this is the number
+    that scales with the cluster, vs the serial single-file case above.
+    """
+    import tempfile
+
+    import duckdb
+
+    from catme_etl_j_spark.converter import convert
+    from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fdir = f"/tmp/catme_bench_{tag}_{n_files}x{rows_per_file}"
+    if not os.path.isdir(fdir):
+        os.makedirs(fdir + ".tmp", exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, "
+            f"l_returnflag, strftime(l_shipdate, '%Y-%m-%d') FROM "
+            f"'{sf_dir}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber "
+            f"LIMIT {n_files * rows_per_file}"
+        ).fetchall()
+        header = ["orderkey", "partkey", "quantity", "extendedprice", "returnflag", "shipdate"]
+        for i in range(n_files):
+            chunk = rows[i * rows_per_file : (i + 1) * rows_per_file]
+            write_xlsx(
+                os.path.join(fdir + ".tmp", f"part{i}.xlsx"),
+                {"lineitem": [header] + [list(r) for r in chunk]},
+            )
+        os.replace(fdir + ".tmp", fdir)
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_conv_par_"), "out")
+    t0 = time.time()
+    convert(
+        os.path.join(fdir, "*.xlsx"),
+        "NDJSON",
+        out,
+        overwrite=True,
+        single_file=False,
+        spark=spark,
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -91,6 +137,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
+    timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
