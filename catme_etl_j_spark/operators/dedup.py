@@ -346,10 +346,63 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+MAX_SHINGLE_DF = 100  # document-frequency cap for the scale-safe variant
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe exact Jaccard: shingles occurring in more than
+    MAX_SHINGLE_DF documents are dropped BEFORE the self-join.
+
+    Ultra-common shingles are the skew bomb in shingle joins (a shingle
+    in k docs contributes k^2 candidate pairs); df-capping bounds the
+    per-key fan-out, at the cost of missing pairs whose only overlap is
+    stop-phrase boilerplate — exactly the pairs near-dedup doesn't want
+    anyway. Deterministic: the oracle applies the same cap, and the
+    Jaccard denominators still use the UNCAPPED shingle sets.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sh = _shingled(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF),
+        "s",
+    ).select("doc_id", "s")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sx, sy = sizes.alias("x"), sizes.alias("y")
+    jac = F.col("i").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (
+        inter.join(sx, F.col("doc_a") == F.col("x.doc_id"))
+        .join(sy, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard_lb"))
+        .filter(F.col("jaccard_lb") >= JACCARD_THRESHOLD)
+    )
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH {_SHINGLE_CTE_DUCK.replace("hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shingles)", "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)")},
+rare AS (
+  SELECT doc_id, s FROM shingles
+  WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF})),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard_lb
+FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -359,6 +412,7 @@ ORACLES = {
     "dedup_exact": _EXACT_SQL,
     "dedup_exact_normalized": _EXACT_NORM_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

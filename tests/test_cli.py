@@ -1,0 +1,55 @@
+"""CLI surface (in-process; the session is shared via getOrCreate)."""
+
+from catme_etl_j_spark.converter.cli import build_parser, main
+from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+
+
+def test_cli_ndjson(spark, tmp_path, capsys):
+    p = write_xlsx(str(tmp_path / "c.xlsx"), {"S": [["k", "v"], ["a", "1"], ["b", "2"]]})
+    out = str(tmp_path / "o.ndjson")
+    rc = main(["--input", p, "--format", "NDJSON", "--output", out, "--overwrite"])
+    assert rc == 0
+    assert "rows=2" in capsys.readouterr().out
+    assert len(open(out).readlines()) == 2
+
+
+def test_cli_error_paths(spark, tmp_path, capsys):
+    p = write_xlsx(str(tmp_path / "c.xlsx"), {"S": [["k"], ["a"]]})
+    # missing output for NDJSON -> exit 2 with message
+    rc = main(["--input", p, "--format", "NDJSON"])
+    assert rc == 2
+    assert "output is required" in capsys.readouterr().err
+    # bad sheet -> exit 2 listing sheets
+    rc = main(
+        ["--input", p, "--format", "NDJSON", "--output", str(tmp_path / "x"), "--sheetName", "Nope"]
+    )
+    assert rc == 2
+    assert "available sheets" in capsys.readouterr().err
+
+
+def test_cli_accepts_ignored_reference_flags(spark, tmp_path):
+    p = write_xlsx(str(tmp_path / "c.xlsx"), {"S": [["k"], ["a"]]})
+    rc = main(
+        [
+            "--input", p, "--format", "NDJSON",
+            "--output", str(tmp_path / "o2.ndjson"),
+            "--strategy-hint", "USER_MODEL_EVENT",
+            "--mem-threshold", "100",
+            "--date-format", "yyyy-mm-dd",
+            "--verbose",
+        ]
+    )
+    assert rc == 0
+
+
+def test_parser_flag_surface_matches_reference():
+    # SURVEY.md §2.5 option inventory
+    opts = {a.option_strings[0] for a in build_parser()._actions if a.option_strings}
+    for flag in (
+        "--input", "--output", "--format", "--sheetName", "--batchSize",
+        "--continueOnError", "--temp-dir", "--mem-threshold",
+        "--min-inflate-ratio", "--sheet-index", "--header-row",
+        "--date-format", "--verbose", "--overwrite", "--strategy-hint",
+        "--pretty-print",
+    ):
+        assert flag in opts, flag
