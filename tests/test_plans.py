@@ -70,6 +70,17 @@ def test_scalar_subquery_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_lsh_shuffle_budget(spark, sf_dir):
+    import re
+
+    from catme_etl_j_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = formatted_plan(dedup_minhash_lsh(spark, sf_dir))
+    # signature aggregation + band self-join: the linear-cost LSH shape.
+    # A regression to >3 exchanges means someone broke signature reuse.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
 def test_corpus_pipeline_single_shuffle(spark, sf_dir):
     import re
 
