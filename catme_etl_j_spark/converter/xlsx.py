@@ -23,11 +23,14 @@ max-entry-size cap (reference 6 GB,
 UserModeEventConversionStrategy.java:78).
 
 Value formatting: the reference delegates number/date rendering to
-POI's DataFormatter (UserModeEventConversionStrategy.java:269-274).
-Full Excel format-code support is deliberately out of scope; numbers
-render as Excel "General" (integral -> no decimal point), booleans as
-TRUE/FALSE. Documented divergence: date-formatted serials render as
-their raw serial number.
+POI's DataFormatter (UserModeEventConversionStrategy.java:269-274);
+here each numeric cell is rendered through its style's number format
+code via formats.py (styles.xml cellXfs -> numFmtId -> compiled
+renderer, builtin ids + custom numFmts, 1900 leap-year quirk).
+Unstyled numbers render as Excel "General" (integral -> no decimal
+point), booleans as TRUE/FALSE. Phonetic ``<rPh>`` ruby-text runs are
+skipped in shared and inline strings, matching POI's
+ReadOnlySharedStringsTable output.
 """
 
 from __future__ import annotations
@@ -44,6 +47,22 @@ from catme_etl_j_spark.converter.errors import (
     SheetNotFoundError,
     ZipBombDetectedError,
 )
+from catme_etl_j_spark.converter.formats import compile_format, format_general, parse_styles
+
+# Compiled format renderers are pure functions of the code string;
+# cache them process-wide so repeated workbooks (one per task) share.
+_RENDERER_CACHE: dict[str, object] = {}
+
+
+def _renderer_for(code: str):
+    """code -> render callable, or None for the General fast path."""
+    if code in ("General", "", "@"):
+        return None
+    fn = _RENDERER_CACHE.get(code)
+    if fn is None:
+        fn = compile_format(code)
+        _RENDERER_CACHE[code] = fn
+    return None if fn is format_general else fn
 
 _NS_MAIN = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _NS_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -71,15 +90,7 @@ def _col_letters_to_index(letters: str) -> int:
     return idx - 1
 
 
-def _format_number(raw: str) -> str:
-    """Excel 'General'-style rendering of a numeric cell value."""
-    try:
-        f = float(raw)
-    except ValueError:
-        return raw
-    if f == int(f) and abs(f) < 1e16:
-        return str(int(f))
-    return repr(f)
+_format_number = format_general  # Excel 'General' rendering (formats.py)
 
 
 class _SheetHandler:
@@ -95,21 +106,30 @@ class _SheetHandler:
     __slots__ = (
         "shared", "continue_on_error", "out", "row_idx", "cells", "seq_col",
         "col", "ctype", "capture", "buf", "saw_value", "in_is", "col_cache",
+        "renderers", "style", "in_rph",
     )
 
-    def __init__(self, shared: list[str], continue_on_error: bool) -> None:
+    def __init__(
+        self,
+        shared: list[str],
+        continue_on_error: bool,
+        renderers: list | None = None,
+    ) -> None:
         self.shared = shared
         self.continue_on_error = continue_on_error
+        self.renderers = renderers or []
         self.out: list[tuple[int, dict[int, str]]] = []
         self.row_idx = -1
         self.cells: dict[int, str] = {}
         self.seq_col = 0
         self.col = 0
         self.ctype = "n"
+        self.style = None
         self.capture = False
         self.buf: list[str] = []
         self.saw_value = False
         self.in_is = False
+        self.in_rph = False
         self.col_cache: dict[str, int] = {}
 
     def start(self, name: str, attrs: dict[str, str]) -> None:
@@ -127,6 +147,7 @@ class _SheetHandler:
                 self.col = self.seq_col
             self.seq_col = self.col + 1
             self.ctype = attrs.get("t", "n")
+            self.style = attrs.get("s")
             self.buf = []
             self.saw_value = False
         elif local == "v":
@@ -134,8 +155,10 @@ class _SheetHandler:
             self.saw_value = True
         elif local == "is":
             self.in_is = True
+        elif local == "rPh":
+            self.in_rph = True
         elif local == "t":
-            if self.in_is:
+            if self.in_is and not self.in_rph:
                 self.capture = True
                 self.saw_value = True
         elif local == "row":
@@ -150,6 +173,8 @@ class _SheetHandler:
             self.capture = False
         elif local == "is":
             self.in_is = False
+        elif local == "rPh":
+            self.in_rph = False
         elif local == "c":
             try:
                 self.cells[self.col] = self._value()
@@ -178,6 +203,15 @@ class _SheetHandler:
             return "TRUE" if raw.strip() == "1" else "FALSE"
         if ctype in ("str", "e"):
             return raw
+        style = self.style
+        if style is not None:
+            renderers = self.renderers
+            try:
+                fn = renderers[int(style)]
+            except (ValueError, IndexError):
+                fn = None
+            if fn is not None:
+                return fn(raw)
         return _format_number(raw)
 
 
@@ -204,6 +238,7 @@ class XlsxWorkbook:
             raise ConversionError(f"not a valid xlsx (zip) file: {self._name}: {e}") from e
         self._check_zip_bomb(min_inflate_ratio, max_entry_size)
         self._sheets = self._read_sheet_map()
+        self._renderers: list | None = None  # lazy, cached per workbook
 
     def _check_zip_bomb(self, min_ratio: float, max_entry: int) -> None:
         for info in self._zf.infolist():
@@ -271,14 +306,38 @@ class XlsxWorkbook:
         strings: list[str] = []
         with f:
             parts: list[str] = []
-            for event, el in iterparse(f, events=("end",)):
-                if el.tag == f"{_NS_MAIN}t":
-                    parts.append(el.text or "")
+            in_rph = 0
+            for event, el in iterparse(f, events=("start", "end")):
+                if event == "start":
+                    if el.tag == f"{_NS_MAIN}rPh":
+                        in_rph += 1
+                    continue
+                if el.tag == f"{_NS_MAIN}rPh":
+                    in_rph -= 1
+                elif el.tag == f"{_NS_MAIN}t":
+                    # skip phonetic ruby runs: POI's shared-strings table
+                    # concatenates only the visible <t> text
+                    if not in_rph:
+                        parts.append(el.text or "")
                 elif el.tag == f"{_NS_MAIN}si":
                     strings.append("".join(parts))
                     parts = []
                     el.clear()
         return strings
+
+    def _style_renderers(self) -> list:
+        """Per-cellXfs-index render callables (None = General fast path),
+        compiled once per workbook from ``xl/styles.xml``."""
+        if self._renderers is None:
+            try:
+                f = self._zf.open("xl/styles.xml")
+            except KeyError:
+                self._renderers = []
+            else:
+                with f:
+                    codes = parse_styles(f)
+                self._renderers = [_renderer_for(c) for c in codes]
+        return self._renderers
 
     def resolve_sheet(
         self, sheet_name: str | None = None, sheet_index: int | None = None
@@ -335,7 +394,7 @@ class XlsxWorkbook:
         # expat SAX (~2x faster than iterparse on wide sheets); push
         # events accumulate into `out`, drained after each 64 KiB chunk,
         # so this stays a constant-memory generator.
-        handler = _SheetHandler(shared, continue_on_error)
+        handler = _SheetHandler(shared, continue_on_error, self._style_renderers())
         # No expat namespace processing (it costs ~40%); sheet elements
         # are matched by prefix-agnostic local name instead.
         parser = _expat.ParserCreate()
