@@ -1,9 +1,10 @@
-"""Spark DataFrame reader for XLSX (binaryFile + mapInPandas).
+"""Spark DataFrame reader for XLSX (binaryFile + mapInArrow).
 
 SURVEY.md §2.1 chose option (b): ``spark.read.format("binaryFile")``
 fans whole files out to executors; each task streams its file's sheet
 XML with the constant-memory stdlib parser (xlsx.py) and emits Arrow
-batches via ``mapInPandas``. 100 TB posture: one sheet's XML is one
+record batches via ``mapInArrow`` (columnar build, no pandas
+round-trip). 100 TB posture: one sheet's XML is one
 unsplittable stream (SURVEY.md §7.7.1), so parallelism is per-file —
 a large corpus must be many files, and this reader scales linearly
 with file count while each task stays bounded-memory.
@@ -30,10 +31,12 @@ ordered single-file sinks can restore sheet order (SURVEY.md §1.5).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from catme_etl_j_spark.converter.errors import ConversionError
@@ -44,6 +47,14 @@ from catme_etl_j_spark.converter.xlsx import (
 )
 
 _BATCH_ROWS = 50_000  # rows per emitted Arrow batch; bounds task memory
+
+
+def _as_local_path(uri: str) -> str | None:
+    """``file:``-scheme URI -> filesystem path, else None."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path or uri)
+    return None
 
 
 def _dedupe(names: list[str]) -> list[str]:
@@ -119,18 +130,58 @@ def read_xlsx(
     file reads assume a uniform header; column layout is inferred from
     the lexicographically first file.
     """
-    binary = spark.read.format("binaryFile").load(path)
-    first = binary.select("path", "content").orderBy("path").limit(1).collect()
+    # A glob basename goes through pathGlobFilter on the parent dir:
+    # same file set, but avoids FileStreamSink's metadata-dir probe on
+    # the raw glob, which logs a spurious WARN + FileNotFoundException
+    # stack trace on every load.
+    base, name = (path.rsplit("/", 1) + [""])[:2] if "/" in path else ("", path)
+    reader = spark.read.format("binaryFile")
+    if name and any(ch in name for ch in "*?[") and base and not any(
+        ch in base for ch in "*?["
+    ):
+        binary = reader.option("pathGlobFilter", name).load(base)
+    else:
+        binary = reader.load(path)
+    # Header inference must NEVER materialize file content on the driver
+    # (the reference's design point is multi-GB files): collect paths
+    # only, then either open the first file straight from the local
+    # filesystem (zipfile reads just the central directory + the header
+    # row's bytes) or, for remote filesystems, run the inference in a
+    # one-file executor task and ship back only the column names.
+    first = binary.select("path").orderBy("path").limit(1).collect()
     if not first:
         raise ConversionError(f"no files matched {path!r}")
-    columns = infer_columns(
-        bytes(first[0]["content"]),
+    first_path = first[0]["path"]
+    infer_kw = dict(
         sheet_name=sheet_name,
         sheet_index=sheet_index,
         header_row=header_row,
         min_inflate_ratio=min_inflate_ratio,
         max_entry_size=max_entry_size,
     )
+    local = _as_local_path(first_path)
+    if local is not None:
+        columns = infer_columns(local, **infer_kw)
+    else:
+        name_schema = T.StructType([T.StructField("name", T.StringType(), False)])
+
+        def _infer(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                for content in batch.column(0):
+                    names = infer_columns(content.as_py(), **infer_kw)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(names, pa.string())], ["name"]
+                    )
+
+        columns = [
+            r["name"]
+            for r in binary.filter(F.col("path") == first_path)
+            .select("content")
+            .mapInArrow(_infer, name_schema)
+            .collect()
+        ]
+        if not columns:
+            raise ConversionError(f"could not infer columns from {first_path!r}")
 
     schema = T.StructType(
         [
@@ -140,30 +191,47 @@ def read_xlsx(
         + [T.StructField(c, T.StringType(), True) for c in columns]
     )
     n_cols = len(columns)
+    pa_schema = pa.schema(
+        [pa.field("_file", pa.string(), False), pa.field("_row_idx", pa.int64(), False)]
+        + [pa.field(c, pa.string()) for c in columns]
+    )
+    col_range = tuple(range(n_cols))
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
+    def _flush(fpath: str, idxs: list[int], rows: list[dict]) -> pa.RecordBatch:
+        # Columnar batch building: one C-speed list comprehension per
+        # column instead of a Python tuple per row (~2x on wide scans).
+        arrays = [
+            pa.array([fpath] * len(idxs), pa.string()),
+            pa.array(idxs, pa.int64()),
+        ]
+        arrays.extend(pa.array([r.get(i) for r in rows], pa.string()) for i in col_range)
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for fpath_sc, content_sc in zip(batch.column(0), batch.column(1)):
+                fpath = fpath_sc.as_py()
                 wb = XlsxWorkbook(
-                    bytes(content),
+                    content_sc.as_py(),
                     min_inflate_ratio=min_inflate_ratio,
                     max_entry_size=max_entry_size,
                 )
-                buf: list[tuple] = []
+                idxs: list[int] = []
+                rows: list[dict] = []
                 try:
                     for row_idx, cells in wb.iter_rows(
                         sheet_name, sheet_index, continue_on_error=continue_on_error
                     ):
                         if row_idx <= header_row:
                             continue
-                        vals = tuple(cells.get(i) for i in range(n_cols))
-                        buf.append((fpath, row_idx) + vals)
-                        if len(buf) >= _BATCH_ROWS:
-                            yield pd.DataFrame(buf, columns=schema.fieldNames())
-                            buf = []
+                        idxs.append(row_idx)
+                        rows.append(cells)
+                        if len(idxs) >= _BATCH_ROWS:
+                            yield _flush(fpath, idxs, rows)
+                            idxs, rows = [], []
                 finally:
                     wb.close()
-                if buf:
-                    yield pd.DataFrame(buf, columns=schema.fieldNames())
+                if idxs:
+                    yield _flush(fpath, idxs, rows)
 
-    return binary.select("path", "content").mapInPandas(parse, schema=schema)
+    return binary.select("path", "content").mapInArrow(parse, schema=schema)

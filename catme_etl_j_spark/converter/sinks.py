@@ -60,9 +60,16 @@ def _data_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in META_COLS]
 
 
-def _ordered(df: DataFrame) -> DataFrame:
+def _ordered_single(df: DataFrame) -> DataFrame:
+    """One partition in sheet order, WITHOUT ``orderBy``: a global sort
+    range-samples its input, which re-executes the whole upstream parse
+    a second time. ``repartition(1)`` keeps the parse parallel and
+    single-pass; ``sortWithinPartitions`` then gives total order on the
+    lone partition."""
     cols = [c for c in META_COLS if c in df.columns]
-    return df.orderBy(*cols) if cols else df
+    if not cols:
+        return df.coalesce(1)
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def _count_lines(*paths: str) -> int:
@@ -89,7 +96,7 @@ def write_ndjson(
         return _count_lines(*glob.glob(os.path.join(output, "part-*")))
     tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
     try:
-        (_ordered(df).drop(*META_COLS).coalesce(1).write.mode("overwrite").json(tmp))
+        (_ordered_single(df).drop(*META_COLS).write.mode("overwrite").json(tmp))
         parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
         if not parts:  # zero-row frame: Spark may emit no part file
             open(output, "w").close()
@@ -124,9 +131,8 @@ def write_csv_chunks(
     tmp = tempfile.mkdtemp(prefix="csv_", dir=temp_dir)
     try:
         (
-            _ordered(df)
+            _ordered_single(df)
             .drop(*META_COLS)
-            .coalesce(1)
             .write.mode("overwrite")
             .option("header", True)
             .option("maxRecordsPerFile", batch_size)
@@ -154,7 +160,7 @@ def write_json_array(
     with open(output, "w", encoding="utf-8") as f:
         f.write("[")
         first = True
-        for row in _ordered(df).toLocalIterator():
+        for row in _ordered_single(df).toLocalIterator():
             obj = {c: row[c] for c in cols if row[c] is not None}
             text = json.dumps(obj, ensure_ascii=False, indent=2 if pretty_print else None)
             if pretty_print:

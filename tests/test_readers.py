@@ -35,3 +35,30 @@ def test_json_array_roundtrip(spark, tmp_path):
     back = read_json_array(spark, out)
     assert back.count() == 40
     assert {r["qty"] for r in back.collect()} == {str(i) for i in range(40)}
+
+
+def test_schema_inference_never_collects_content(spark, tmp_path, monkeypatch):
+    """Header inference must not materialize file bytes on the driver
+    (the reference targets multi-GB xlsx): every driver-side collect in
+    the read path may carry paths/names only, never a content column."""
+    try:  # Spark 4: the concrete class overrides collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    from catme_etl_j_spark.converter.reader import read_xlsx
+
+    p = _fixture(tmp_path)
+    collected: list[list[str]] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collected.append(self.columns)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    df = read_xlsx(spark, p)
+    assert df.count() == 40
+    assert collected, "inference should collect paths"
+    for cols in collected:
+        assert "content" not in cols, f"driver collected file content: {cols}"
