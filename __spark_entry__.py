@@ -32,6 +32,7 @@ def _modules():
         "events",
         "asof",
         "multimodal",
+        "convertq",
     ):
         try:
             mod = __import__(f"catme_etl_j_spark.operators.{name}", fromlist=[name])

@@ -1,0 +1,141 @@
+"""Oracle-checked queries for the converter path (SURVEY.md §2 S/R/W).
+
+Each query drives the convert pipeline end-to-end — deterministic
+styled xlsx fixture (built from ``lineitem.parquet``) -> ``convert()``
+-> sink file(s) -> read back as an all-string DataFrame — and has a
+DuckDB oracle twin that derives the same strings straight from the
+parquet. Together they put every §2 operator family on the driver's
+CORRECTNESS gate:
+
+* S1/S2 streaming scan + S4 sheet resolution (the fixture is parsed by
+  the expat reader), including styles.xml format rendering (dates as
+  ``yyyy-mm-dd`` serials, money as ``0.00`` — the POI DataFormatter
+  behavior, UserModeEventConversionStrategy.java:269-274);
+* R1 header extraction, R4 column order, R6 row counting;
+* W2 NDJSON (ordered single-file), W1 chunked CSV (rotation at
+  ``batch_size``, header per chunk), W3 JSON array (driver-streamed).
+
+Determinism: fixture rows are the first 2000 lineitems by the unique
+(l_orderkey, l_linenumber) key; all rendered strings go through
+exact decimal paths on both engines (DECIMAL(15,2) cast <-> the
+format-code renderer's shortest-repr half-up rounding).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+N_ROWS = 2000
+
+_COLS = ["orderkey", "linenumber", "partkey", "quantity", "extendedprice", "returnflag", "shipdate"]
+
+_SCHEMA = T.StructType([T.StructField(c, T.StringType(), True) for c in _COLS])
+
+_EPOCH = date(1899, 12, 30)  # 1900-system epoch for post-Feb-1900 serials
+
+
+def _fixture(sf_dir: str) -> str:
+    """Build (once, atomically) the styled xlsx fixture for ``sf_dir``."""
+    import duckdb
+
+    from catme_etl_j_spark.converter.xlsx_writer import Styled, write_xlsx
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/catme_convq_{tag}_{N_ROWS}.xlsx"
+    if os.path.exists(path):
+        return path
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, "
+        f"l_extendedprice, l_returnflag, CAST(l_shipdate AS DATE) FROM "
+        f"'{sf_dir}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber "
+        f"LIMIT {N_ROWS}"
+    ).fetchall()
+    data: list[list] = [list(_COLS)]
+    for ok, ln, pk, qty, price, flag, ship in rows:
+        serial = (ship - _EPOCH).days
+        data.append(
+            [
+                int(ok),
+                int(ln),
+                int(pk),
+                int(qty),
+                Styled(float(price), "0.00"),
+                flag,
+                Styled(serial, "yyyy-mm-dd"),
+            ]
+        )
+    tmp = path + ".tmp"
+    write_xlsx(tmp, {"lineitem": data})
+    os.replace(tmp, path)
+    return path
+
+
+_ORACLE_BASE = f"""
+SELECT CAST(l_orderkey AS VARCHAR) AS orderkey,
+       CAST(l_linenumber AS VARCHAR) AS linenumber,
+       CAST(l_partkey AS VARCHAR) AS partkey,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR) AS extendedprice,
+       l_returnflag AS returnflag,
+       strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT {N_ROWS})
+"""
+
+
+def convert_roundtrip_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx -> ordered single-file NDJSON -> read back (W2 + R1-R6)."""
+    from catme_etl_j_spark.converter import convert
+
+    out = os.path.join(tempfile.mkdtemp(prefix="convq_ndjson_"), "out.ndjson")
+    convert(_fixture(sf_dir), "NDJSON", out, overwrite=True, spark=spark)
+    return spark.read.schema(_SCHEMA).json(out)
+
+
+def convert_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx -> chunked CSV (rotation at 800 rows -> 3 chunks, header per
+    chunk, chunk index from 1) -> read back (W1 + R8 batch flush)."""
+    from catme_etl_j_spark.converter import convert
+
+    temp_dir = tempfile.mkdtemp(prefix="convq_csv_")
+    result = convert(
+        _fixture(sf_dir),
+        "CSV",
+        batch_size=800,
+        temp_dir=temp_dir,
+        overwrite=True,
+        spark=spark,
+    )
+    assert len(result.outputs) == 3, f"expected 3 chunks, got {result.outputs}"
+    return (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .csv([p for p in result.outputs])
+    )
+
+
+def convert_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx -> JSON array (driver-streamed toLocalIterator) -> read back
+    via Spark's multiLine JSON source (W3)."""
+    from catme_etl_j_spark.converter import convert
+
+    out = os.path.join(tempfile.mkdtemp(prefix="convq_json_"), "out.json")
+    convert(_fixture(sf_dir), "JSON", out, overwrite=True, spark=spark)
+    return spark.read.schema(_SCHEMA).option("multiLine", True).json(out)
+
+
+QUERIES = {
+    "convert_roundtrip_ndjson": convert_roundtrip_ndjson,
+    "convert_roundtrip_csv": convert_roundtrip_csv,
+    "convert_roundtrip_json": convert_roundtrip_json,
+}
+
+ORACLES = {
+    "convert_roundtrip_ndjson": _ORACLE_BASE,
+    "convert_roundtrip_csv": _ORACLE_BASE,
+    "convert_roundtrip_json": _ORACLE_BASE,
+}
