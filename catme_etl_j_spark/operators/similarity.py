@@ -173,8 +173,25 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Salt factor for the within-label all-pairs join: the left side gets a
+# deterministic salt, the right side is replicated to every salt value,
+# so one hot label spreads over NN_SALT reducers instead of flooding
+# one. Semantics are EXACTLY the unsalted join (each (a,b) pair matches
+# exactly once); only the shuffle-key cardinality changes.
+NN_SALT = 8
+
+
 def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1 cosine neighbor per vector, blocked by label (cluster)."""
+    """Top-1 cosine neighbor per vector, blocked by label (cluster).
+
+    Recall-complete but O(block^2): the exact variant of the LSH pair
+    path. Skew posture at 100 TB: the join key is (label, salt) — a
+    label holding p% of the corpus produces NN_SALT reducer tasks of
+    p%/NN_SALT each rather than one p%-sized straggler; raise NN_SALT
+    with cluster size. (Pair count is unchanged — that cost is inherent
+    to exact per-label NN; cap the block or switch to
+    ann_lsh_hyperplane_pairs when blocks outgrow a task.)
+    """
     from pyspark.sql import Window as W
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -184,14 +201,15 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("label"),
         F.col("fx").alias("fa"),
         F.col("norm").alias("na"),
+        (F.col("vec_id") % NN_SALT).cast("int").alias("salt"),
     )
     b = emb.select(
         F.col("vec_id").alias("nn_id"),
         F.col("label").alias("label"),
         F.col("fx").alias("fb"),
         F.col("norm").alias("nb"),
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nn_id"))
+    ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(NN_SALT)])))
+    pairs = a.join(b, ["label", "salt"]).filter(F.col("vec_id") != F.col("nn_id"))
     cos = rdet(
         F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")),
         6,
@@ -341,9 +359,185 @@ WHERE {cos} >= {COS_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a REAL codebook: deterministic Lloyd's k-means (seeds =
+# vec_id < K, fixed iteration count), assignment by exact fixed-point
+# L2 (1e4 scale — |x| < 1 so 64 * (2e4)^2 ≈ 2.6e10 is exact in int64
+# AND in double, no overflow on either engine), then nprobe=2 cluster
+# scan + exact 1e8-precision cosine re-rank. The whole pipeline —
+# codebook included — is expressed in-plan on BOTH engines, so the
+# oracle reproduces the identical centroids with no literal passing.
+# 100 TB posture: each k-means pass is a broadcast (K rows) join —
+# linear scans, no wide shuffle; the probe is a semi-join on cluster id.
+# ---------------------------------------------------------------------------
+
+K_IVF = 8
+IVF_ITERS = 2
+NPROBE = 2
+_FXP4 = "10000.0"
+_DIM = 64
+
+
+def _fx4_expr(a: str) -> str:
+    return f"transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) * {_FXP4} + 0.5) AS BIGINT))"
+
+
+def _l2_fx(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two scaled arrays (Spark expr)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _assign(fx4: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) codebook, exact
+    integer distances, ties to the lowest cid."""
+    from pyspark.sql import Window as W
+
+    pairs = fx4.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", F.expr(_l2_fx("fx4", "cfx"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "fx4", "cid")
+    )
+
+
+def _update(asg: DataFrame) -> DataFrame:
+    """New centroids: per-dimension floor(sum/count) — exact int sums,
+    one IEEE division, identical on both engines."""
+    means = [
+        F.expr(
+            f"CAST(floor(CAST(sum(element_at(fx4, {i + 1})) AS DOUBLE) / count(1)) AS BIGINT)"
+        ).alias(f"c{i}")
+        for i in range(_DIM)
+    ]
+    return (
+        asg.groupBy("cid")
+        .agg(*means)
+        .select("cid", F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("cfx"))
+    )
+
+
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means codebook and nprobe=2.
+
+    Pipeline: seed centroids (vec_id < K) -> IVF_ITERS Lloyd rounds
+    (broadcast assign + tiny mean agg) -> final assignment -> probe the
+    query's NPROBE nearest centroids -> exact cosine re-rank of just
+    those clusters' vectors.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fx4 = emb.select(
+        "vec_id", "label", F.expr(_fx4_expr("embedding")).alias("fx4")
+    ).cache()
+    cent = fx4.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
+    )
+    for _ in range(IVF_ITERS):
+        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent))
+    final_asg = _assign(fx4.select("vec_id", "fx4"), cent).select("vec_id", "cid")
+
+    # query's NPROBE nearest centroids (tiny: K rows through a window)
+    qv = fx4.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("fx4").alias("qfx4")
+    )
+    wq = W.orderBy("qdist", "cid")
+    probed = (
+        cent.crossJoin(F.broadcast(qv))
+        .withColumn("qdist", F.expr(_l2_fx("cfx", "qfx4")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("cid")
+    )
+    cand = (
+        final_asg.join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    scored = _prescaled(spark, sf_dir).join(cand, "vec_id")
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fx', qfx)} AS DOUBLE)") / (F.col("norm") * F.lit(qnorm)),
+        6,
+    )
+    return (
+        scored.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    l2 = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    means = ", ".join(
+        f"CAST(floor(CAST(SUM(fx4[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for i in range(_DIM)
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        dist = l2.format(a="a.fx4", b="c.cfx")
+        return (
+            f"{name} AS (\n"
+            f"  SELECT vec_id, fx4, cid FROM (\n"
+            f"    SELECT a.vec_id, a.fx4, c.cid,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {dist}, c.cid) AS rn\n"
+            f"    FROM fx4t a CROSS JOIN {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"""fx4t AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP4} + 0.5) AS BIGINT)) AS fx4
+  FROM embeddings)""",
+        f"cent0 AS (SELECT vec_id AS cid, fx4 AS cfx FROM fx4t WHERE vec_id < {K_IVF})",
+    ]
+    for it in range(IVF_ITERS):
+        ctes.append(assign_cte(f"asg{it}", f"cent{it}"))
+        ctes.append(f"cent{it + 1} AS (SELECT cid, [{means}] AS cfx FROM asg{it} GROUP BY cid)")
+    final_cent = f"cent{IVF_ITERS}"
+    qdist = l2.format(a="c.cfx", b="q.fx4")
+    cos = rdet_sql(
+        f"CAST({_dot_duck('e.embedding', 'q.qe')} AS DOUBLE)"
+        f" / ({_norm_duck('e.embedding')} * {_norm_duck('q.qe')})",
+        6,
+    )
+    ctes.append(assign_cte("finalasg", final_cent))
+    ctes.append(
+        f"""probed AS (
+  SELECT cid FROM (
+    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {qdist}, c.cid) AS rn
+    FROM {final_cent} c CROSS JOIN (SELECT fx4 FROM fx4t WHERE vec_id = {QUERY_VEC_ID}) q)
+  WHERE rn <= {NPROBE})"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT e.vec_id, e.label, {cos} AS cos_sim
+FROM embeddings e
+JOIN finalasg f ON e.vec_id = f.vec_id
+JOIN probed p ON f.cid = p.cid
+CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "ann_nn_within_label": ann_nn_within_label,
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
 }
@@ -351,6 +545,7 @@ QUERIES = {
 ORACLES = {
     "ann_topk_bruteforce": _topk_sql(),
     "ann_topk_ivf": _topk_sql(" AND label = qlabel"),
+    "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
     "ann_nn_within_label": _nn_within_label_sql(),
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
 }

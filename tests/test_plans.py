@@ -90,3 +90,30 @@ def test_corpus_pipeline_single_shuffle(spark, sf_dir):
     # scrub+filter+fingerprint fuse into the scan stage; dedup's
     # groupBy(fp) is the only exchange in the whole pipeline
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_nn_within_label_salted_join_key(spark, sf_dir):
+    """Skew guard: the within-label all-pairs join must shuffle on
+    (label, salt), not label alone — a hot label then spreads over
+    NN_SALT reducers instead of flooding one."""
+    from catme_etl_j_spark.operators import similarity
+
+    plan = formatted_plan(similarity.ann_nn_within_label(spark, sf_dir))
+    # join key lists must carry the salt column alongside label (at test
+    # scale the join is broadcast; at cluster scale the same keys become
+    # the shuffle partitioning)
+    key_lines = [ln for ln in plan.splitlines() if "keys [" in ln]
+    assert key_lines, plan
+    assert any("salt" in ln and "label" in ln for ln in key_lines), key_lines
+
+
+def test_ivf_kmeans_broadcasts_codebook(spark, sf_dir):
+    """Every k-means pass must broadcast the K-row codebook — the
+    assignment over the full corpus stays a linear scan, never a wide
+    shuffle against the centroid side."""
+    from catme_etl_j_spark.operators import similarity
+
+    plan = formatted_plan(similarity.ann_topk_ivf_kmeans(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no cartesian product without a broadcast anywhere in the pipeline
+    assert "CartesianProduct" not in plan
