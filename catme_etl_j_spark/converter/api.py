@@ -113,7 +113,8 @@ def convert(
         outputs = write_csv_chunks(
             df, base, temp_dir, batch_size=batch_size, overwrite=overwrite
         )
-        from catme_etl_j_spark.converter.sinks import _count_lines
+        from catme_etl_j_spark.converter.sinks import _count_csv_records
 
-        n = _count_lines(*outputs) - len(outputs)  # minus per-chunk headers
+        # CSV-aware count (quoted cells may span lines), minus headers
+        n = _count_csv_records(*outputs) - len(outputs)
     return ConvertResult(rows_written=n, outputs=outputs, elapsed_s=time.time() - t0)

@@ -81,6 +81,24 @@ def _count_lines(*paths: str) -> int:
     return n
 
 
+def _count_csv_records(*paths: str) -> int:
+    """Newlines OUTSIDE quoted fields — cell values containing embedded
+    newlines are quoted multi-line by Spark's CSV writer, so a raw line
+    count would over-report rows. Quote state toggles on every '\"'
+    (escaped quotes are doubled, so the two toggles cancel)."""
+    n = 0
+    for p in paths:
+        in_quote = False
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                for part in chunk.split(b'"'):
+                    if not in_quote:
+                        n += part.count(b"\n")
+                    in_quote = not in_quote
+                in_quote = not in_quote  # last split part has no quote after it
+    return n
+
+
 def write_ndjson(
     df: DataFrame, output: str, *, overwrite: bool = False, single_file: bool = True
 ) -> int:

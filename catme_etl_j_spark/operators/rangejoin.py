@@ -34,7 +34,16 @@ def range_join(
 
     Columns of both inputs are preserved (names must not collide apart
     from the join helpers). Intervals with hi < lo match nothing.
+
+    Only ``how='inner'`` is supported: the exact BETWEEN predicate is
+    applied as a post-filter, which would silently drop the null-padded
+    rows of any outer variant and degenerate it to inner results.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only: the exact-predicate "
+            f"post-filter would drop outer null rows (got {how!r})"
+        )
     lb = F.floor(F.col(left_val) / bucket_width).cast("long")
     l_b = left.withColumn("_bucket", lb)
 

@@ -488,7 +488,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s.distinct()).distinct()
+    # subtract == EXCEPT DISTINCT — structurally the oracle's EXCEPT
+    # (exceptAll(distinct()).distinct() would keep one copy of a left
+    # dup that also appears right, if the left ever had duplicates)
+    return n.subtract(s)
 
 
 _EXCEPT_SQL = """

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from catme_etl_j_spark.functions.numeric import dec2, money2
+
 WATERMARK = "10 minutes"
 
 EVENTS_SCHEMA = T.StructType(
@@ -55,7 +57,9 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # decimal-sum convention (functions/numeric.py): float sums are
+        # partition-order dependent and can flip a half-boundary
+        .agg(F.count("*").alias("n"), money2(F.sum(dec2("value"))).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 

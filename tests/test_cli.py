@@ -53,3 +53,14 @@ def test_parser_flag_surface_matches_reference():
         "--pretty-print",
     ):
         assert flag in opts, flag
+
+
+def test_csv_rows_written_with_embedded_newlines(spark, tmp_path):
+    """Quoted multi-line cells must not inflate rows_written."""
+    from catme_etl_j_spark.converter import convert
+    from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+
+    rows = [["id", "note"]] + [[str(i), f"line1\nline2 {i}"] for i in range(10)]
+    p = write_xlsx(str(tmp_path / "nl.xlsx"), {"S": rows})
+    result = convert(p, "CSV", temp_dir=str(tmp_path / "out"), spark=spark)
+    assert result.rows_written == 10

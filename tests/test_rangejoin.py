@@ -67,3 +67,15 @@ def test_empty_and_inverted_intervals(spark, sf_dir):
         left, right, left_val="value", right_lo="lo", right_hi="hi", bucket_width=5.0
     )
     assert df.count() == 0
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    from catme_etl_j_spark.operators.rangejoin import range_join
+
+    left = spark.range(3).withColumnRenamed("id", "v")
+    right = spark.range(2).selectExpr("id as lo", "id + 1 as hi")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(left, right, left_val="v", right_lo="lo", right_hi="hi",
+                   bucket_width=1.0, how="left")
