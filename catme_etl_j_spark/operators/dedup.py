@@ -178,9 +178,56 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy("doc_id").agg(*aggs)
 
 
-def _band_col(j: int):
-    cols = [F.col(f"m{j * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+def _band_col(j: int, rows_per_band: int = ROWS_PER_BAND):
+    cols = [F.col(f"m{j * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
     return F.md5(F.concat_ws(",", *cols))
+
+
+def minhash_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    mh: DataFrame | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(doc_a < doc_b)``.
+
+    ``bands``/``rows_per_band`` are the corpus-scale tuning knob: the
+    match-probability S-curve is 1-(1-j^rows)^bands, so more rows per
+    band = stricter (fewer, higher-jaccard candidates), more bands =
+    higher recall. ``bands * rows_per_band`` must fit in the NUM_PERM
+    signature.
+    """
+    if bands * rows_per_band > NUM_PERM:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds NUM_PERM={NUM_PERM}"
+        )
+    if mh is None:
+        mh = _minhash_df(spark, sf_dir)
+    bands_df = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    _band_col(j, rows_per_band).alias("bh"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bh")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,26 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     mh = _minhash_df(spark, sf_dir).cache()
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("band_idx"), _band_col(j).alias("bh"))
-                for j in range(BANDS)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.bh")
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = minhash_lsh_candidates(spark, sf_dir, mh=mh)
     x, y = mh.alias("x"), mh.alias("y")
     eq = sum(
         F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0) for i in range(NUM_PERM)
@@ -398,12 +426,96 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# The actual Deduplicator stage: LSH pairs -> near-dup clusters
+# (connected components) -> keep the min doc_id per cluster.
+# ---------------------------------------------------------------------------
+
+def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint: (nid) x (src, dst) -> (nid, rep)
+    where rep = min doc_id in the node's component.
+
+    Each round is one equi-join + one agg (both co-partitioned on the
+    node id); rounds needed = component diameter — near-dup clusters
+    are shallow, so this converges in a handful of rounds even at
+    corpus scale. ``localCheckpoint`` truncates the growing lineage;
+    on a cluster use a checkpoint dir for fault tolerance instead.
+    Convergence test is the sum of labels: propagation only ever
+    lowers a label, so an unchanged sum means a fixpoint.
+    """
+    labels = nodes.select(F.col("nid"), F.col("nid").alias("rep")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    while True:
+        neigh = (
+            edges.join(labels, edges["src"] == labels["nid"])
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.min("rep").alias("nrep"))
+        )
+        labels = (
+            labels.join(neigh, labels["nid"] == neigh["n2"], "left")
+            .select(
+                "nid",
+                F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("rep")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+
+
+def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus membership: every document with its near-dup
+    cluster representative (min doc_id over the LSH-pair component) and
+    a kept flag — the downstream ``Deduplicator`` stage the reference's
+    contract names but never implements
+    (HighVolumeExcelConverter-Contract-v2.0.1.md:45).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("nid"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = _connected_components(docs, edges)
+    return labels.select(
+        F.col("nid").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        (F.col("nid") == F.col("rep")).cast("int").alias("kept"),
+    )
+
+
+def _minhash_keep_sql() -> str:
+    """Oracle: same LSH pairs, closure via a recursive CTE (min reachable
+    doc_id == the propagation fixpoint)."""
+    base = _minhash_sql()
+    # reuse the candidate-pair CTE chain from the minhash oracle
+    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
+    cte_part = cte_part[len("WITH"):].strip()  # strip leading WITH
+    return f"""
+WITH RECURSIVE {cte_part},
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, bi.b FROM reach r JOIN bi ON bi.a = r.m)
+SELECT node AS doc_id, MIN(m) AS rep_id,
+       CAST(CASE WHEN node = MIN(m) THEN 1 ELSE 0 END AS INT) AS kept
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
 }
@@ -414,6 +526,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_minhash_keep": _minhash_keep_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
 }

@@ -66,3 +66,16 @@ def test_every_query_has_callable_and_alias_contract():
     assert len(qs) >= 40
     for name in os_:
         assert name in qs, f"oracle {name} has no query"
+
+
+def test_minhash_band_knob_validated(spark, sf_dir):
+    import pytest
+
+    from catme_etl_j_spark.operators.dedup import minhash_lsh_candidates
+
+    with pytest.raises(ValueError, match="NUM_PERM"):
+        minhash_lsh_candidates(spark, sf_dir, bands=16, rows_per_band=4)
+    # stricter banding (8 rows/band) must not produce MORE candidates
+    loose = minhash_lsh_candidates(spark, sf_dir, bands=8, rows_per_band=4).count()
+    strict = minhash_lsh_candidates(spark, sf_dir, bands=4, rows_per_band=8).count()
+    assert strict <= loose
