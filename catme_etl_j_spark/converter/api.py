@@ -50,7 +50,7 @@ def convert(
     format: str,
     output: str | None = None,
     *,
-    sheet_name: str | None = None,
+    sheet_name: str | list[str] | None = None,
     sheet_index: int | None = None,
     header_row: int = 0,
     batch_size: int = 50_000,

@@ -116,20 +116,33 @@ def read_xlsx(
     spark: SparkSession,
     path: str,
     *,
-    sheet_name: str | None = None,
+    sheet_name: str | list[str] | None = None,
     sheet_index: int | None = None,
     header_row: int = 0,
     continue_on_error: bool = False,
     min_inflate_ratio: float = DEFAULT_MIN_INFLATE_RATIO,
     max_entry_size: int = DEFAULT_MAX_ENTRY_SIZE,
 ) -> DataFrame:
-    """Read one sheet of each xlsx under ``path`` into a DataFrame.
+    """Read xlsx files under ``path`` into a DataFrame.
+
+    ``sheet_name`` may be a single name, ``"*"`` (union-read every
+    sheet of every workbook, in workbook order), or a list of names
+    (union-read those, in the given order). Multi-sheet frames carry
+    ``_sheet_idx``/``_sheet`` meta columns so ordered sinks restore
+    (file, sheet, row) order; all sheets must share the header layout.
 
     All data columns are StringType (the reference's strings-only type
     system, SURVEY.md §1.2 — type coercion is downstream's job). Multi-
     file reads assume a uniform header; column layout is inferred from
     the lexicographically first file.
     """
+    multi = sheet_name == "*" or isinstance(sheet_name, (list, tuple))
+    if multi and sheet_index is not None:
+        raise ConversionError("sheet_index cannot be combined with multi-sheet sheet_name")
+    sheet_list = list(sheet_name) if isinstance(sheet_name, (list, tuple)) else None
+    infer_sheet = (
+        None if sheet_name == "*" else (sheet_list[0] if sheet_list else sheet_name)
+    )
     # A glob basename goes through pathGlobFilter on the parent dir:
     # same file set, but avoids FileStreamSink's metadata-dir probe on
     # the raw glob, which logs a spurious WARN + FileNotFoundException
@@ -153,7 +166,7 @@ def read_xlsx(
         raise ConversionError(f"no files matched {path!r}")
     first_path = first[0]["path"]
     infer_kw = dict(
-        sheet_name=sheet_name,
+        sheet_name=infer_sheet,
         sheet_index=sheet_index,
         header_row=header_row,
         min_inflate_ratio=min_inflate_ratio,
@@ -183,27 +196,38 @@ def read_xlsx(
         if not columns:
             raise ConversionError(f"could not infer columns from {first_path!r}")
 
-    schema = T.StructType(
-        [
-            T.StructField("_file", T.StringType(), False),
-            T.StructField("_row_idx", T.LongType(), False),
+    meta_fields = [
+        T.StructField("_file", T.StringType(), False),
+    ]
+    pa_meta = [pa.field("_file", pa.string(), False)]
+    if multi:
+        meta_fields += [
+            T.StructField("_sheet_idx", T.LongType(), False),
+            T.StructField("_sheet", T.StringType(), False),
         ]
-        + [T.StructField(c, T.StringType(), True) for c in columns]
-    )
+        pa_meta += [
+            pa.field("_sheet_idx", pa.int64(), False),
+            pa.field("_sheet", pa.string(), False),
+        ]
+    meta_fields.append(T.StructField("_row_idx", T.LongType(), False))
+    pa_meta.append(pa.field("_row_idx", pa.int64(), False))
+
+    schema = T.StructType(meta_fields + [T.StructField(c, T.StringType(), True) for c in columns])
     n_cols = len(columns)
-    pa_schema = pa.schema(
-        [pa.field("_file", pa.string(), False), pa.field("_row_idx", pa.int64(), False)]
-        + [pa.field(c, pa.string()) for c in columns]
-    )
+    pa_schema = pa.schema(pa_meta + [pa.field(c, pa.string()) for c in columns])
     col_range = tuple(range(n_cols))
 
-    def _flush(fpath: str, idxs: list[int], rows: list[dict]) -> pa.RecordBatch:
+    def _flush(
+        fpath: str, sheet: tuple[int, str] | None, idxs: list[int], rows: list[dict]
+    ) -> pa.RecordBatch:
         # Columnar batch building: one C-speed list comprehension per
         # column instead of a Python tuple per row (~2x on wide scans).
-        arrays = [
-            pa.array([fpath] * len(idxs), pa.string()),
-            pa.array(idxs, pa.int64()),
-        ]
+        n = len(idxs)
+        arrays = [pa.array([fpath] * n, pa.string())]
+        if sheet is not None:
+            arrays.append(pa.array([sheet[0]] * n, pa.int64()))
+            arrays.append(pa.array([sheet[1]] * n, pa.string()))
+        arrays.append(pa.array(idxs, pa.int64()))
         arrays.extend(pa.array([r.get(i) for r in rows], pa.string()) for i in col_range)
         return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
@@ -216,22 +240,30 @@ def read_xlsx(
                     min_inflate_ratio=min_inflate_ratio,
                     max_entry_size=max_entry_size,
                 )
-                idxs: list[int] = []
-                rows: list[dict] = []
                 try:
-                    for row_idx, cells in wb.iter_rows(
-                        sheet_name, sheet_index, continue_on_error=continue_on_error
-                    ):
-                        if row_idx <= header_row:
-                            continue
-                        idxs.append(row_idx)
-                        rows.append(cells)
-                        if len(idxs) >= _BATCH_ROWS:
-                            yield _flush(fpath, idxs, rows)
-                            idxs, rows = [], []
+                    if multi:
+                        names = wb.sheet_names if sheet_name == "*" else sheet_list
+                        targets = [
+                            ((s_idx, s_nm), s_nm) for s_idx, s_nm in enumerate(names)
+                        ]
+                    else:
+                        targets = [(None, sheet_name)]
+                    for sheet_meta, s_nm in targets:
+                        idxs: list[int] = []
+                        rows: list[dict] = []
+                        for row_idx, cells in wb.iter_rows(
+                            s_nm, sheet_index, continue_on_error=continue_on_error
+                        ):
+                            if row_idx <= header_row:
+                                continue
+                            idxs.append(row_idx)
+                            rows.append(cells)
+                            if len(idxs) >= _BATCH_ROWS:
+                                yield _flush(fpath, sheet_meta, idxs, rows)
+                                idxs, rows = [], []
+                        if idxs:
+                            yield _flush(fpath, sheet_meta, idxs, rows)
                 finally:
                     wb.close()
-                if idxs:
-                    yield _flush(fpath, idxs, rows)
 
     return binary.select("path", "content").mapInArrow(parse, schema=schema)

@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 
 from catme_etl_j_spark.converter.errors import ConversionError
 
-META_COLS = ("_file", "_row_idx")
+# Meta columns carried by the reader for ordering/provenance; listed in
+# sort order. _sheet_idx/_sheet appear only on multi-sheet reads
+# (drop/order handle their absence).
+META_COLS = ("_file", "_sheet_idx", "_sheet", "_row_idx")
 
 
 def _check_overwrite(path: str, overwrite: bool) -> None:
