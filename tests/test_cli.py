@@ -64,3 +64,50 @@ def test_csv_rows_written_with_embedded_newlines(spark, tmp_path):
     p = write_xlsx(str(tmp_path / "nl.xlsx"), {"S": rows})
     result = convert(p, "CSV", temp_dir=str(tmp_path / "out"), spark=spark)
     assert result.rows_written == 10
+
+
+def test_config_file_service_mode(spark, tmp_path, monkeypatch):
+    """The contract's converter.yml service mode: config supplies the
+    run, CLI flags override, unknown keys fail loudly."""
+    import json as _json
+
+    from catme_etl_j_spark.converter.cli import main
+    from catme_etl_j_spark.converter.config import load_config
+    from catme_etl_j_spark.converter.errors import ConversionError
+    from catme_etl_j_spark.converter.xlsx_writer import write_xlsx
+
+    xlsx = write_xlsx(str(tmp_path / "c.xlsx"), {"S": [["a"], ["x"], ["y"]]})
+    out = str(tmp_path / "out.ndjson")
+    cfg = tmp_path / "converter.yml"
+    cfg.write_text(
+        f"input: {xlsx}\noutput: {out}\nformat: ndjson\nbatchSize: 10000\n"
+    )
+    assert main(["--config", str(cfg)]) == 0
+    lines = [_json.loads(ln) for ln in open(out).read().splitlines() if ln]
+    assert [r["a"] for r in lines] == ["x", "y"]
+
+    # CLI flag overrides the file's output
+    out2 = str(tmp_path / "out2.ndjson")
+    assert main(["--config", str(cfg), "--output", out2, "--overwrite"]) == 0
+    assert [_json.loads(ln)["a"] for ln in open(out2).read().splitlines() if ln] == ["x", "y"]
+
+    # env-var analog of -Dconfig.path
+    out3 = str(tmp_path / "out3.ndjson")
+    cfg3 = tmp_path / "c3.yml"
+    cfg3.write_text(f"input: {xlsx}\noutput: {out3}\nformat: ndjson\n")
+    monkeypatch.setenv("CATME_CONVERTER_CONFIG", str(cfg3))
+    assert main([]) == 0
+
+    # unknown keys are an error
+    bad = tmp_path / "bad.yml"
+    bad.write_text("inptu: typo.xlsx\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ConversionError, match="unknown config key"):
+        load_config(str(bad))
+
+
+def test_cli_requires_input_and_format(tmp_path):
+    from catme_etl_j_spark.converter.cli import main
+
+    assert main([]) == 2
