@@ -71,6 +71,7 @@ FIRST_CUSTOM_FMT_ID = 164
 _NS_MAIN = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 _EPOCH_1900 = date(1900, 1, 1)
+_EPOCH_1904 = date(1904, 1, 1)
 
 
 def parse_styles(xml_stream) -> list[str]:
@@ -121,14 +122,18 @@ def format_general(raw: str) -> str:
 
 # ---------------------------------------------------------------- dates
 
-def serial_to_date(whole_days: int) -> date:
-    """1900-system serial day -> calendar date, with the leap-year bug.
+def serial_to_date(whole_days: int, date1904: bool = False) -> date:
+    """Serial day -> calendar date.
 
-    Matches POI DateUtil.getJavaDate: below serial 61 Excel believes
-    1900-02-29 exists, so no adjustment; from 61 on, one day is
-    subtracted. The phantom serial 60 itself rolls forward to Mar 1
-    (lenient-calendar behavior), so 60 and 61 both print 1900-03-01.
+    1900 system: matches POI DateUtil.getJavaDate — below serial 61
+    Excel believes 1900-02-29 exists, so no adjustment; from 61 on, one
+    day is subtracted. The phantom serial 60 itself rolls forward to
+    Mar 1 (lenient-calendar behavior), so 60 and 61 both print
+    1900-03-01. 1904 system (Mac-origin workbooks,
+    ``workbookPr date1904="1"``): day 0 is 1904-01-01, no leap quirk.
     """
+    if date1904:
+        return _EPOCH_1904 + timedelta(days=whole_days)
     adjust = 0 if whole_days < 61 else -1
     return _EPOCH_1900 + timedelta(days=whole_days + adjust - 1)
 
@@ -253,9 +258,9 @@ def _resolve_months(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
-def _render_date(serial: float, toks: list[tuple[str, str]]) -> str:
+def _render_date(serial: float, toks: list[tuple[str, str]], date1904: bool = False) -> str:
     whole, ms = _split_serial(serial)
-    d = serial_to_date(whole) if whole > 0 else None
+    d = serial_to_date(whole, date1904) if (whole > 0 or date1904) else None
     sec_of_day, milli = divmod(ms, 1000)
     hour24, rem = divmod(sec_of_day, 3600)
     minute, second = divmod(rem, 60)
@@ -535,10 +540,11 @@ def _render_number(value: float, sec: _NumberSection, *, force_sign: bool) -> st
 
 # ------------------------------------------------------------- compiler
 
-def compile_format(code: str):
+def compile_format(code: str, *, date1904: bool = False):
     """Format code -> ``render(raw_numeric_str) -> str``. Returns
     ``format_general`` for General/text-only codes so callers can keep
-    the fast path. Compiled renderers are pure and cacheable per-code.
+    the fast path. Compiled renderers are pure and cacheable per
+    (code, date-system).
     """
     if code in ("General", "@", ""):
         return format_general
@@ -552,7 +558,7 @@ def compile_format(code: str):
                 return raw
             if serial < 0:
                 return format_general(raw)  # Excel shows #### ; degrade
-            return _render_date(serial, toks)
+            return _render_date(serial, toks, date1904)
 
         return render_date
 

@@ -49,19 +49,20 @@ from catme_etl_j_spark.converter.errors import (
 )
 from catme_etl_j_spark.converter.formats import compile_format, format_general, parse_styles
 
-# Compiled format renderers are pure functions of the code string;
+# Compiled format renderers are pure functions of (code, date-system);
 # cache them process-wide so repeated workbooks (one per task) share.
-_RENDERER_CACHE: dict[str, object] = {}
+_RENDERER_CACHE: dict[tuple[str, bool], object] = {}
 
 
-def _renderer_for(code: str):
+def _renderer_for(code: str, date1904: bool = False):
     """code -> render callable, or None for the General fast path."""
     if code in ("General", "", "@"):
         return None
-    fn = _RENDERER_CACHE.get(code)
+    key = (code, date1904)
+    fn = _RENDERER_CACHE.get(key)
     if fn is None:
-        fn = compile_format(code)
-        _RENDERER_CACHE[code] = fn
+        fn = compile_format(code, date1904=date1904)
+        _RENDERER_CACHE[key] = fn
     return None if fn is format_general else fn
 
 _NS_MAIN = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -274,6 +275,7 @@ class XlsxWorkbook:
         except KeyError as e:
             raise ConversionError(f"missing workbook relationships: {self._name}") from e
         sheets: list[tuple[str, str]] = []
+        self._date1904 = False
         try:
             with self._zf.open("xl/workbook.xml") as f:
                 for _, el in iterparse(f, events=("end",)):
@@ -282,6 +284,9 @@ class XlsxWorkbook:
                         name = el.get("name", "")
                         if rid in rels:
                             sheets.append((name, rels[rid]))
+                    elif el.tag == f"{_NS_MAIN}workbookPr":
+                        # Mac-origin 1904 date system (POI honors this)
+                        self._date1904 = el.get("date1904", "0").lower() in ("1", "true")
                     el.clear()
         except KeyError as e:
             raise ConversionError(f"missing workbook.xml: {self._name}") from e
@@ -336,7 +341,7 @@ class XlsxWorkbook:
             else:
                 with f:
                     codes = parse_styles(f)
-                self._renderers = [_renderer_for(c) for c in codes]
+                self._renderers = [_renderer_for(c, self._date1904) for c in codes]
         return self._renderers
 
     def resolve_sheet(

@@ -129,11 +129,14 @@ def _sheet_xml(
     return "".join(parts)
 
 
-def write_xlsx(path: str, sheets: dict[str, list[list | None]]) -> str:
+def write_xlsx(
+    path: str, sheets: dict[str, list[list | None]], *, date1904: bool = False
+) -> str:
     """Write {sheet_name: rows} to an xlsx file. Returns the path.
 
     Cell values wrapped in ``Styled(value, code)`` get a number-format
-    style; a ``styles.xml`` part is emitted when any are present."""
+    style; a ``styles.xml`` part is emitted when any are present.
+    ``date1904=True`` marks the workbook as 1904-date-system."""
     sheet_names = list(sheets)
     codes = _collect_codes(sheets)
     styles_xml, xf_of_code = _styles_xml(codes) if codes else ("", {})
@@ -151,11 +154,12 @@ def write_xlsx(path: str, sheets: dict[str, list[list | None]]) -> str:
         f"<sheet name={quoteattr(name)} sheetId=\"{i + 1}\" r:id=\"rId{i + 1}\"/>"
         for i, name in enumerate(sheet_names)
     )
+    wb_pr = '<workbookPr date1904="1"/>' if date1904 else ""
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f"<sheets>{wb_sheets}</sheets></workbook>"
+        f"{wb_pr}<sheets>{wb_sheets}</sheets></workbook>"
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

@@ -199,3 +199,24 @@ def test_phonetic_rph_runs_skipped(tmp_path):
     with XlsxWorkbook(patched) as wb:
         rows = dict(wb.iter_rows())
     assert rows[0] == {0: "東京", 1: "a"}
+
+
+def test_1904_date_system(tmp_path):
+    """Mac-origin workbooks (workbookPr date1904) shift the epoch to
+    1904-01-01 and have no leap-year quirk."""
+    assert serial_to_date(0, True) == date(1904, 1, 1)
+    assert serial_to_date(366, True) == date(1905, 1, 1)  # 1904 IS a leap year
+    # same serial renders 4 years + 1 day apart across the two systems
+    assert compile_format("yyyy-mm-dd")("44927") == "2023-01-01"
+    assert compile_format("yyyy-mm-dd", date1904=True)("44927") == "2027-01-02"
+
+    p = str(tmp_path / "mac.xlsx")
+    write_xlsx(
+        p,
+        {"s": [["d"], [Styled(0, "yyyy-mm-dd")], [Styled(366, "m/d/yy")]]},
+        date1904=True,
+    )
+    with XlsxWorkbook(p) as wb:
+        rows = dict(wb.iter_rows())
+    assert rows[1] == {0: "1904-01-01"}
+    assert rows[2] == {0: "1/1/05"}
