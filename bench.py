@@ -33,7 +33,9 @@ HEADLINE = [
     "text_quality",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_keep",
     "ann_nn_within_label",
+    "ann_topk_ivf_kmeans",
     "corpus_clean_pipeline",
 ]
 
@@ -134,12 +136,19 @@ def main() -> None:
 
     # min-of-2: the first run pays file-listing/codegen warmup; the
     # steady-state number is what a resident cluster would see.
+    # Queries that materialize eagerly during construction (iterative
+    # connected components) must be timed end-to-end; lazy queries time
+    # execution only (construction is driver-side plan analysis, which a
+    # resident service pays once).
+    eager = {"dedup_minhash_keep"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
-            df = queries[name](spark, sf_dir)
             t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            if name not in eager:
+                t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)

@@ -106,7 +106,7 @@ class _SheetHandler:
 
     __slots__ = (
         "shared", "continue_on_error", "out", "row_idx", "cells", "seq_col",
-        "col", "ctype", "capture", "buf", "saw_value", "in_is", "col_cache",
+        "col", "ctype", "capture", "text", "saw_value", "in_is", "col_cache",
         "renderers", "style", "in_rph",
     )
 
@@ -127,15 +127,23 @@ class _SheetHandler:
         self.ctype = "n"
         self.style = None
         self.capture = False
-        self.buf: list[str] = []
+        self.text: str | None = None
         self.saw_value = False
         self.in_is = False
         self.in_rph = False
         self.col_cache: dict[str, int] = {}
 
+    # branch order in start/end follows element frequency: v/c dominate
+    # (one each per cell), then row, then the rare is/t/rPh inline-string
+    # elements. buffer_text=True means chars() usually fires once per
+    # cell, so the text accumulator is a plain slot, not a list.
+
     def start(self, name: str, attrs: dict[str, str]) -> None:
         local = name.rpartition(":")[2] if ":" in name else name
-        if local == "c":
+        if local == "v":
+            self.capture = True
+            self.saw_value = True
+        elif local == "c":
             ref = attrs.get("r")
             if ref:
                 letters = ref.rstrip("0123456789")
@@ -149,11 +157,13 @@ class _SheetHandler:
             self.seq_col = self.col + 1
             self.ctype = attrs.get("t", "n")
             self.style = attrs.get("s")
-            self.buf = []
+            self.text = None
             self.saw_value = False
-        elif local == "v":
-            self.capture = True
-            self.saw_value = True
+        elif local == "row":
+            declared = attrs.get("r")
+            self.row_idx = int(declared) - 1 if declared else self.row_idx + 1
+            self.cells = {}
+            self.seq_col = 0
         elif local == "is":
             self.in_is = True
         elif local == "rPh":
@@ -162,20 +172,11 @@ class _SheetHandler:
             if self.in_is and not self.in_rph:
                 self.capture = True
                 self.saw_value = True
-        elif local == "row":
-            declared = attrs.get("r")
-            self.row_idx = int(declared) - 1 if declared else self.row_idx + 1
-            self.cells = {}
-            self.seq_col = 0
 
     def end(self, name: str) -> None:
         local = name.rpartition(":")[2] if ":" in name else name
-        if local in ("v", "t"):
+        if local == "v" or local == "t":
             self.capture = False
-        elif local == "is":
-            self.in_is = False
-        elif local == "rPh":
-            self.in_rph = False
         elif local == "c":
             try:
                 self.cells[self.col] = self._value()
@@ -186,16 +187,31 @@ class _SheetHandler:
                     ) from e
         elif local == "row":
             self.out.append((self.row_idx, self.cells))
+        elif local == "is":
+            self.in_is = False
+        elif local == "rPh":
+            self.in_rph = False
 
     def chars(self, data: str) -> None:
         if self.capture:
-            self.buf.append(data)
+            t = self.text
+            self.text = data if t is None else t + data
 
     def _value(self) -> str:
         if not self.saw_value:
             return ""
-        raw = "".join(self.buf)
+        raw = self.text or ""
         ctype = self.ctype
+        if ctype == "n":
+            style = self.style
+            if style is not None:
+                try:
+                    fn = self.renderers[int(style)]
+                except (ValueError, IndexError):
+                    fn = None
+                if fn is not None:
+                    return fn(raw)
+            return _format_number(raw)
         if ctype == "inlineStr":
             return raw
         if ctype == "s":
@@ -204,15 +220,6 @@ class _SheetHandler:
             return "TRUE" if raw.strip() == "1" else "FALSE"
         if ctype in ("str", "e"):
             return raw
-        style = self.style
-        if style is not None:
-            renderers = self.renderers
-            try:
-                fn = renderers[int(style)]
-            except (ValueError, IndexError):
-                fn = None
-            if fn is not None:
-                return fn(raw)
         return _format_number(raw)
 
 
