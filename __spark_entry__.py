@@ -33,6 +33,7 @@ def _modules():
         "asof",
         "multimodal",
         "convertq",
+        "streamq",
     ):
         try:
             mod = __import__(f"catme_etl_j_spark.operators.{name}", fromlist=[name])

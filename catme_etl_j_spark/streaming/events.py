@@ -40,14 +40,23 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-based streaming source over events parquet files."""
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-based streaming source over events parquet files.
+
+    ``path`` must be a directory (streaming-source requirement); pass
+    ``glob`` to restrict to matching files within it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
