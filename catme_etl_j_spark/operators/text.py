@@ -197,11 +197,134 @@ FROM documents
 """
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus filter rules (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean word length, alphabetic-word ratio, and
+    bullet-line ratio, plus the combined pass flag.
+
+    All ratios are exact-int / exact-int double divisions, so the
+    threshold comparisons are bit-identical across engines; the rounded
+    columns are display-only.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(trim(text), ' +')"
+    n_words = F.expr(f"size({w})").cast("long")
+    word_chars = F.expr(f"aggregate(transform({w}, x -> length(x)), 0L, (a, x) -> a + x)")
+    mean_wl = word_chars.cast("double") / n_words.cast("double")
+    alpha = F.expr(f"size(filter({w}, x -> x rlike '[A-Za-z]'))").cast("long")
+    alpha_ratio = alpha.cast("double") / n_words.cast("double")
+    lines = "split(text, '\\n')"
+    n_lines = F.expr(f"size({lines})").cast("long")
+    bullets = F.expr(f"size(filter({lines}, l -> trim(l) rlike '^[-*\\u2022]'))").cast("long")
+    bullet_ratio = bullets.cast("double") / n_lines.cast("double")
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (alpha_ratio >= 0.8)
+        & (bullet_ratio <= 0.9)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        rdet(mean_wl, 4).alias("mean_word_len"),
+        rdet(alpha_ratio, 4).alias("alpha_word_ratio"),
+        rdet(bullet_ratio, 4).alias("bullet_line_ratio"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), ' +') AS w,
+         regexp_split_to_array(text, '\n') AS ln
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+         CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(ln) AS bullet_ratio
+  FROM t)
+SELECT doc_id,
+       n_words,
+       {rdet_sql('mean_wl', 4)} AS mean_word_len,
+       {rdet_sql('alpha_ratio', 4)} AS alpha_word_ratio,
+       {rdet_sql('bullet_ratio', 4)} AS bullet_line_ratio,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                  AND alpha_ratio >= 0.8 AND bullet_ratio <= 0.9
+                 THEN 1 ELSE 0 END AS INT) AS gopher_pass
+FROM m
+"""
+
+
+# Winnowing (Schleimer et al., SIGMOD 2003): character-k-gram rolling
+# fingerprints, min per sliding window — the classic local document
+# fingerprint for near-copy detection. k-gram hash uses the portable
+# md5-prefix convention so both engines agree bit-for-bit.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint summary per normalized document: number of
+    distinct selected fingerprints and their exact int64 checksum."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    norm = NORM_SPARK
+    hashes = (
+        f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 0)), "
+        f"i -> CAST(conv(substr(md5(substring({norm}, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+    )
+    mins = (
+        f"CASE WHEN size({hashes}) >= {w} THEN "
+        f"transform(sequence(1, size({hashes}) - {w - 1}), "
+        f"j -> array_min(slice({hashes}, j, {w}))) "
+        f"ELSE array() END"
+    )
+    fps = f"array_distinct({mins})"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({fps})").cast("long").alias("n_fp"),
+        F.expr(f"aggregate({fps}, 0L, (a, x) -> a + x)").alias("fp_checksum"),
+    )
+
+
+def _winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id, {NORM_DUCK} AS nt FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(nt) - {k - 1}, 0) + 1),
+            i -> ('0x' || substr(md5(substr(nt, i, {k})), 1, 8))::BIGINT) AS hs
+  FROM t),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_distinct(list_transform(range(1, len(hs) - {w - 1} + 1),
+                   j -> list_min(hs[j:j + {w - 1}])))
+              ELSE [] END AS fps
+  FROM h)
+SELECT doc_id,
+       len(fps) AS n_fp,
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+FROM m
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_gopher_quality": text_gopher_quality,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
 }
 
 ORACLES = {
@@ -209,4 +332,6 @@ ORACLES = {
     "text_lang_id": _TEXT_LANG_SQL,
     "text_token_count": _TEXT_TOKEN_SQL,
     "text_fingerprint": _TEXT_FP_SQL,
+    "text_gopher_quality": _GOPHER_SQL,
+    "text_winnow_fingerprint": _winnow_sql(),
 }
