@@ -31,7 +31,9 @@ HEADLINE = [
     "window_running_total",
     "events_sessionize",
     "text_quality",
-    "dedup_ngram_jaccard",
+    # NB: the scale-SAFE capped variant, not the uncapped exact join —
+    # dedup_ngram_jaccard is oracle-twin-only (O(df^2) per hot shingle)
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_minhash_keep",
     "ann_nn_within_label",
@@ -134,8 +136,9 @@ def main() -> None:
     # Warm the JVM/session so the first timed query doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # min-of-2: the first run pays file-listing/codegen warmup; the
-    # steady-state number is what a resident cluster would see.
+    # 1 untimed warm-up (pays file-listing/codegen/Python-worker spawn)
+    # + median-of-3 timed runs: stable to ~±0.02s run-over-run, so real
+    # regressions are distinguishable from session jitter.
     # Queries that materialize eagerly during construction (iterative
     # connected components) must be timed end-to-end; lazy queries time
     # execution only (construction is driver-side plan analysis, which a
@@ -143,15 +146,16 @@ def main() -> None:
     eager = {"dedup_minhash_keep"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for i in range(4):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             if name not in eager:
                 t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            if i > 0:  # run 0 is warm-up
+                samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
     timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)

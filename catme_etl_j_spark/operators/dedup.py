@@ -133,6 +133,25 @@ FROM documents GROUP BY fp
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED exact word-3-gram Jaccard pairs — oracle-twin / verify
+    path ONLY. A shingle appearing in k documents emits k^2 candidate
+    pairs in the self-join, so a hot stop-phrase makes this quadratic at
+    corpus scale. For production near-dedup run
+    :func:`dedup_minhash_lsh` (linear LSH candidates) and verify with
+    :func:`dedup_ngram_jaccard_capped` (df-capped fan-out). This
+    function warns loudly so the unbounded variant is never picked by
+    accident; semantics are unchanged (the DuckDB oracle twin is the
+    same uncapped join).
+    """
+    import warnings
+
+    warnings.warn(
+        "dedup_ngram_jaccard is the UNCAPPED exact shingle self-join "
+        "(O(df^2) per hot shingle) — use dedup_ngram_jaccard_capped or "
+        "dedup_minhash_lsh at scale",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sh = _shingled(spark, sf_dir).cache()  # used by both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -208,15 +208,21 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
-    w = "split(trim(text), ' +')"
-    n_words = F.expr(f"size({w})").cast("long")
-    word_chars = F.expr(f"aggregate(transform({w}, x -> length(x)), 0L, (a, x) -> a + x)")
+    # Materialize the split arrays ONCE per row. String-inlining the
+    # split(...) into every consumer re-evaluates the regexp split per
+    # use (4x here); Catalyst's CollapseProject keeps a multiply-
+    # referenced non-cheap alias as its own Project, so the staged
+    # column is evaluated exactly once.
+    staged = docs.withColumn("w", F.expr("split(trim(text), ' +')")).withColumn(
+        "ln", F.expr("split(text, '\\n')")
+    )
+    n_words = F.expr("size(w)").cast("long")
+    word_chars = F.expr("aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)")
     mean_wl = word_chars.cast("double") / n_words.cast("double")
-    alpha = F.expr(f"size(filter({w}, x -> x rlike '[A-Za-z]'))").cast("long")
+    alpha = F.expr("size(filter(w, x -> x rlike '[A-Za-z]'))").cast("long")
     alpha_ratio = alpha.cast("double") / n_words.cast("double")
-    lines = "split(text, '\\n')"
-    n_lines = F.expr(f"size({lines})").cast("long")
-    bullets = F.expr(f"size(filter({lines}, l -> trim(l) rlike '^[-*\\u2022]'))").cast("long")
+    n_lines = F.expr("size(ln)").cast("long")
+    bullets = F.expr("size(filter(ln, l -> trim(l) rlike '^[-*\\u2022]'))").cast("long")
     bullet_ratio = bullets.cast("double") / n_lines.cast("double")
     gopher_pass = (
         (n_words >= 50)
@@ -226,7 +232,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_ratio >= 0.8)
         & (bullet_ratio <= 0.9)
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_words.alias("n_words"),
         rdet(mean_wl, 4).alias("mean_word_len"),
@@ -270,28 +276,47 @@ WINNOW_K = 5
 WINNOW_W = 4
 
 
+def winnow_fps(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """``docs(doc_id, text, ...)`` -> staged winnowing columns, ending in
+    ``fps: array<bigint>`` (the distinct selected fingerprints).
+
+    Each intermediate array is MATERIALIZED as its own column — ``nt``
+    (normalized text) -> ``hashes`` (k-gram rolling hashes) -> ``fps``
+    (per-window minima, distinct) — so every stage is evaluated exactly
+    once per row: O(L) md5 calls + O(L*w) array_min work. The previous
+    string-inlined composition re-evaluated the full regexp chain per
+    character position and the whole hash array per window position
+    (O(L^3) interpreted eval — unfinishable even at sf0.001; see
+    VERDICT r2 "What's wrong #2"). Catalyst's CollapseProject keeps a
+    multiply-referenced non-cheap alias in its own Project, so the
+    staging survives optimization (asserted in tests/test_plans.py).
+    """
+    hashes = (
+        f"transform(sequence(1, greatest(length(nt) - {k - 1}, 0)), "
+        f"i -> CAST(conv(substr(md5(substring(nt, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+    )
+    fps = (
+        f"CASE WHEN size(hashes) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(hashes) - {w - 1}), "
+        f"j -> array_min(slice(hashes, j, {w})))) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.withColumn("nt", F.expr(NORM_SPARK))
+        .withColumn("hashes", F.expr(hashes))
+        .withColumn("fps", F.expr(fps))
+    )
+
+
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprint summary per normalized document: number of
     distinct selected fingerprints and their exact int64 checksum."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    norm = NORM_SPARK
-    hashes = (
-        f"transform(sequence(1, greatest(length({norm}) - {k - 1}, 0)), "
-        f"i -> CAST(conv(substr(md5(substring({norm}, i, {k})), 1, 8), 16, 10) AS BIGINT))"
-    )
-    mins = (
-        f"CASE WHEN size({hashes}) >= {w} THEN "
-        f"transform(sequence(1, size({hashes}) - {w - 1}), "
-        f"j -> array_min(slice({hashes}, j, {w}))) "
-        f"ELSE array() END"
-    )
-    fps = f"array_distinct({mins})"
-    return docs.select(
+    return winnow_fps(docs).select(
         "doc_id",
-        F.expr(f"size({fps})").cast("long").alias("n_fp"),
-        F.expr(f"aggregate({fps}, 0L, (a, x) -> a + x)").alias("fp_checksum"),
+        F.expr("size(fps)").cast("long").alias("n_fp"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_checksum"),
     )
 
 

@@ -18,6 +18,8 @@ SPOT = [
     "window_topk_per_group",
     "window_range_frame",
     "text_fingerprint",
+    "text_gopher_quality",
+    "text_winnow_fingerprint",
     "corpus_split",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",

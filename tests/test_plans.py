@@ -117,3 +117,29 @@ def test_ivf_kmeans_broadcasts_codebook(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # no cartesian product without a broadcast anywhere in the pipeline
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_staging_survives_optimizer(spark, sf_dir):
+    """The r2 scale-killer regression guard: winnowing must evaluate the
+    regexp-normalization chain ONCE per row, not once per character
+    position. If CollapseProject ever re-inlines the staged `nt`/
+    `hashes` columns, regexp_replace reappears more than twice (the two
+    calls in the single NORM chain) in the optimized plan."""
+    from catme_etl_j_spark.operators import text
+
+    df = text.text_winnow_fingerprint(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") <= 2, plan
+    # and the hash transform must appear once, not per window position
+    assert plan.count("md5") == 1, plan
+
+
+def test_gopher_splits_staged_once(spark, sf_dir):
+    """Same inlining-hygiene guard for the gopher filter: each split
+    array is computed once per row (2 split calls total: words + lines),
+    not re-inlined into each of its ~4 consumers."""
+    from catme_etl_j_spark.operators import text
+
+    df = text.text_gopher_quality(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 2, plan

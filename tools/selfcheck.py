@@ -10,10 +10,26 @@ types), and order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
+import signal
 import sys
 import time
 
 import duckdb
+
+# Per-query wall-clock budget. A pathological query must FAIL loudly,
+# not wedge the whole sweep (r2 post-mortem: one unvetted O(L^3) query
+# produced an empty gate artifact for all 78). SIGALRM interrupts the
+# blocking py4j collect() call on the driver thread.
+QUERY_TIMEOUT_S = int(os.environ.get("SELFCHECK_TIMEOUT_S", "180"))
+
+
+class QueryTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise QueryTimeout(f"exceeded {QUERY_TIMEOUT_S}s budget")
 
 sys.path.insert(0, "/root/repo")
 
@@ -54,14 +70,22 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(QUERY_TIMEOUT_S)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+        except QueryTimeout as e:
+            print(f"FAIL {name}: TIMEOUT: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            signal.alarm(0)
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only) — {len(srows)} rows "
                   f"[{time.time()-t0:.1f}s]")
