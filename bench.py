@@ -34,6 +34,7 @@ HEADLINE = [
     # NB: the scale-SAFE capped variant, not the uncapped exact join —
     # dedup_ngram_jaccard is oracle-twin-only (O(df^2) per hot shingle)
     "dedup_ngram_jaccard_capped",
+    "dedup_winnow_pairs",
     "dedup_minhash_lsh",
     "dedup_minhash_keep",
     "ann_nn_within_label",

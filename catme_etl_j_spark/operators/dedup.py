@@ -446,6 +446,90 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# Winnowing-based near-dup candidates (the classic MOSS use): documents
+# sharing selected k-gram fingerprints are candidate near-copies.
+# ---------------------------------------------------------------------------
+
+MAX_WINNOW_DF = 100  # fingerprint document-frequency cap (skew guard)
+WINNOW_SIM_THRESHOLD = 0.5
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via winnowed fingerprints (Schleimer et al.,
+    SIGMOD 2003 §4 — the MOSS candidate join), Spark-first:
+
+    explode each document's selected fingerprints (text.winnow_fps, a
+    linear per-row computation) -> df-cap fingerprints appearing in more
+    than MAX_WINNOW_DF docs (a fingerprint in k docs contributes k^2
+    join pairs; the cap bounds per-key fan-out exactly like
+    MAX_SHINGLE_DF in the capped shingle join) -> equi-join on the
+    fingerprint (co-partitioned shuffle join, never all-pairs) -> count
+    shared fingerprints and keep pairs whose fingerprint-set Jaccard
+    clears WINNOW_SIM_THRESHOLD. Denominators use the UNCAPPED
+    fingerprint sets, so the cap can only drop pairs, never inflate
+    similarity.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.operators.text import winnow_fps
+
+    docs = load_table(spark, sf_dir, "documents")
+    # explode_OUTER deliberately: inner explode triggers Catalyst's
+    # InferFiltersFromGenerate, whose synthesized size(fps)>0 filter is
+    # then predicate-pushed BELOW the staged winnow Projects with the
+    # whole fps expression inlined — re-evaluating the normalization
+    # chain per array element (the same O(L^2)+ blowup the staging
+    # exists to prevent). The outer variant skips that rule, and the
+    # null-filter on the generator OUTPUT attribute cannot be pushed
+    # through the Generate (guarded in tests/test_plans.py).
+    fp = (
+        winnow_fps(docs)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .cache()
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = fp.join(
+        fp.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_WINNOW_DF),
+        "fp",
+    ).select("doc_id", "fp")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sx, sy = sizes.alias("x"), sizes.alias("y")
+    sim = F.col("i").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (
+        inter.join(sx, F.col("doc_a") == F.col("x.doc_id"))
+        .join(sy, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", F.col("i").alias("shared_fp"), sim.alias("winnow_sim"))
+        .filter(F.col("winnow_sim") >= WINNOW_SIM_THRESHOLD)
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    from catme_etl_j_spark.operators.text import winnow_cte_duck
+
+    return f"""
+WITH {winnow_cte_duck()},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {MAX_WINNOW_DF})),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, i AS shared_fp,
+       CAST(i AS DOUBLE) / (x.n + y.n - i) AS winnow_sim
+FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {WINNOW_SIM_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # The actual Deduplicator stage: LSH pairs -> near-dup clusters
 # (connected components) -> keep the min doc_id per cluster.
 # ---------------------------------------------------------------------------
@@ -533,6 +617,7 @@ QUERIES = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_simhash": dedup_simhash,
@@ -544,6 +629,7 @@ ORACLES = {
     "dedup_exact_normalized": _EXACT_NORM_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
+    "dedup_winnow_pairs": _winnow_pairs_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_minhash_keep": _minhash_keep_sql(),
     "dedup_simhash": _simhash_sql(),

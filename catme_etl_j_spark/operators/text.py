@@ -320,10 +320,11 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_sql() -> str:
-    k, w = WINNOW_K, WINNOW_W
-    return f"""
-WITH t AS (SELECT doc_id, {NORM_DUCK} AS nt FROM documents),
+def winnow_cte_duck(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB CTE chain ``t -> h -> m`` ending in ``m(doc_id, fps)`` —
+    the oracle twin of :func:`winnow_fps`, shared with the dedup
+    module's winnow-pairs oracle."""
+    return f"""t AS (SELECT doc_id, {NORM_DUCK} AS nt FROM documents),
 h AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(nt) - {k - 1}, 0) + 1),
@@ -335,7 +336,12 @@ m AS (
               THEN list_distinct(list_transform(range(1, len(hs) - {w - 1} + 1),
                    j -> list_min(hs[j:j + {w - 1}])))
               ELSE [] END AS fps
-  FROM h)
+  FROM h)"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+WITH {winnow_cte_duck()}
 SELECT doc_id,
        len(fps) AS n_fp,
        CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum

@@ -143,3 +143,18 @@ def test_gopher_splits_staged_once(spark, sf_dir):
     df = text.text_gopher_quality(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") <= 2, plan
+
+
+def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap: no Filter
+    node in the optimized plan may contain the inlined winnow pipeline
+    (regexp/md5) — that shape re-evaluates the normalization chain per
+    array element (see dedup_winnow_pairs docstring)."""
+    from catme_etl_j_spark.operators import dedup
+
+    df = dedup.dedup_winnow_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert "regexp_replace" not in line, line
+            assert "md5" not in line, line
