@@ -87,6 +87,83 @@ FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT {N_ROWS})
 """
 
 
+def _fixture_multisheet(sf_dir: str) -> str:
+    """Two-sheet fixture in the 1904 date system with a CUSTOM numFmt
+    (``0.000`` — not a builtin id, lands in styles.xml numFmts from
+    164): the same first-2000 lineitems as :func:`_fixture`, split
+    1000/1000 across sheets ``part1``/``part2``. Exercises the S4
+    multi-sheet union (`sheet_name="*"`), workbookPr date1904 serial
+    handling, and custom-format rendering on the oracle gate in one
+    query (previously pytest-only)."""
+    import duckdb
+
+    from catme_etl_j_spark.converter.xlsx_writer import Styled, write_xlsx
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/catme_convq_ms_{tag}_{N_ROWS}.xlsx"
+    if os.path.exists(path):
+        return path
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, "
+        f"l_extendedprice, l_returnflag, CAST(l_shipdate AS DATE) FROM "
+        f"'{sf_dir}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber "
+        f"LIMIT {N_ROWS}"
+    ).fetchall()
+    epoch_1904 = date(1904, 1, 1)
+    data: list[list] = []
+    for ok, ln, pk, qty, price, flag, ship in rows:
+        data.append(
+            [
+                int(ok),
+                int(ln),
+                int(pk),
+                Styled(int(qty), "0.000"),
+                Styled(float(price), "0.00"),
+                flag,
+                Styled((ship - epoch_1904).days, "yyyy-mm-dd"),
+            ]
+        )
+    half = N_ROWS // 2
+    sheets = {
+        "part1": [list(_COLS)] + data[:half],
+        "part2": [list(_COLS)] + data[half:],
+    }
+    tmp = path + ".tmp"
+    write_xlsx(tmp, sheets, date1904=True)
+    os.replace(tmp, path)
+    return path
+
+
+_ORACLE_MULTISHEET = f"""
+SELECT CAST(l_orderkey AS VARCHAR) AS orderkey,
+       CAST(l_linenumber AS VARCHAR) AS linenumber,
+       CAST(l_partkey AS VARCHAR) AS partkey,
+       CAST(CAST(l_quantity AS DECIMAL(15,3)) AS VARCHAR) AS quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR) AS extendedprice,
+       l_returnflag AS returnflag,
+       strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT {N_ROWS})
+"""
+
+
+def convert_roundtrip_multisheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sheet 1904-system xlsx with a custom numFmt -> NDJSON via
+    ``sheet_name="*"`` -> read back (S4 multi-sheet union + 1904 serials
+    + custom format codes, all against the parquet-derived oracle)."""
+    from catme_etl_j_spark.converter import convert
+
+    out = os.path.join(tempfile.mkdtemp(prefix="convq_ms_"), "out.ndjson")
+    convert(
+        _fixture_multisheet(sf_dir),
+        "NDJSON",
+        out,
+        sheet_name="*",
+        overwrite=True,
+        spark=spark,
+    )
+    return spark.read.schema(_SCHEMA).json(out)
+
+
 def convert_roundtrip_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xlsx -> ordered single-file NDJSON -> read back (W2 + R1-R6)."""
     from catme_etl_j_spark.converter import convert
@@ -132,9 +209,11 @@ QUERIES = {
     "convert_roundtrip_ndjson": convert_roundtrip_ndjson,
     "convert_roundtrip_csv": convert_roundtrip_csv,
     "convert_roundtrip_json": convert_roundtrip_json,
+    "convert_roundtrip_multisheet": convert_roundtrip_multisheet,
 }
 
 ORACLES = {
+    "convert_roundtrip_multisheet": _ORACLE_MULTISHEET,
     "convert_roundtrip_ndjson": _ORACLE_BASE,
     "convert_roundtrip_csv": _ORACLE_BASE,
     "convert_roundtrip_json": _ORACLE_BASE,
