@@ -12,9 +12,13 @@ schema inference, Arrow-batch row production.
           .option("sheet_name", "Data2024")  # or sheet_index / header_row
           .load("/data/*.xlsx"))
 
-The ``converter.reader.read_xlsx`` (binaryFile + mapInPandas) path
-remains for engines without the Python DataSource API; both share the
-parser and produce identical frames (tests/test_xlsx_datasource.py).
+The ``converter.reader.read_xlsx`` (binaryFile + mapInArrow) path is
+the PRIMARY reader — ``convert()`` uses it, and measured head-to-head
+at 8 files x 12.5k rows (local[32], median of 3 after warm-up) it is
+~15% faster (0.83s vs 0.97s) because the DataSource API adds one extra
+Arrow serialization hop through the Python worker. This DataSource is
+kept as the ergonomic `spark.read.format("xlsx")` surface; both share
+the parser and produce identical frames (tests/test_xlsx_datasource.py).
 """
 
 from __future__ import annotations
