@@ -534,12 +534,63 @@ LIMIT {TOP_K}
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup keep-one — the embedding-space twin of
+    dedup_minhash_keep: hyperplane-LSH candidate pairs at
+    ``cos_sim >= COS_THRESHOLD`` -> min-label-propagation connected
+    components -> keep the min vec_id per near-dup cluster.
+
+    100 TB posture: candidates come from the banded LSH join (linear,
+    never all-pairs); the component closure is per-round co-partitioned
+    join + agg (see dedup._connected_components). This is how you dedup
+    a corpus by semantic similarity rather than surface text.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.operators.dedup import _connected_components
+
+    pairs = ann_lsh_hyperplane_pairs(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("nid"))
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).union(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    labels = _connected_components(nodes, edges)
+    return labels.select(
+        F.col("nid").alias("vec_id"),
+        F.col("rep").alias("rep_id"),
+        (F.col("nid") == F.col("rep")).cast("int").alias("kept"),
+    )
+
+
+def _emb_keep_sql() -> str:
+    """Oracle: same LSH pairs wrapped as a CTE, closure via a recursive
+    CTE (min reachable vec_id == the propagation fixpoint)."""
+    base = _lsh_sql()
+    head, tail = base.split("SELECT vec_a, vec_b,", 1)
+    cte = head.strip()[len("WITH"):].strip()
+    return f"""
+WITH RECURSIVE {cte},
+pairs AS (SELECT vec_a, vec_b,{tail}),
+bi AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+reach(node, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.node, bi.b FROM reach r JOIN bi ON bi.a = r.m)
+SELECT node AS vec_id, MIN(m) AS rep_id,
+       CAST(CASE WHEN node = MIN(m) THEN 1 ELSE 0 END AS INT) AS kept
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "ann_nn_within_label": ann_nn_within_label,
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -548,4 +599,5 @@ ORACLES = {
     "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
     "ann_nn_within_label": _nn_within_label_sql(),
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
+    "dedup_embedding_cosine": _emb_keep_sql(),
 }

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from catme_etl_j_spark.functions.numeric import dec2, money2
-from catme_etl_j_spark.operators.events import _TS_FMT, _TUMBLING_SQL
+from catme_etl_j_spark.operators.events import _SLIDING_SQL, _TS_FMT, _TUMBLING_SQL
 
 _seq = itertools.count()
 
@@ -56,6 +56,109 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"stream_tumbling_window": stream_tumbling_window}
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min windows sliding every 15 min, computed by the streaming
+    engine (complete mode, availableNow) — same oracle as the batch
+    twin events_sliding_window."""
+    from catme_etl_j_spark.streaming.events import read_event_stream
 
-ORACLES = {"stream_tumbling_window": _TUMBLING_SQL}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w")).agg(
+        F.count("*").alias("n"), money2(F.sum(dec2("value"))).alias("sum_value")
+    )
+    name = f"streamq_sliding_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", _TS_FMT).alias("window_start"), "n", "sum_value"
+    )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user, computed by the
+    streaming engine in complete mode. Spark's session window spans
+    [first_ts, last_ts + gap), so ``session_end`` is recovered as
+    ``w.end - gap`` — after which the result must equal the batch
+    lag+cumsum sessionization (events_sessionize semantics), making
+    this a cross-paradigm AND cross-engine check in one row.
+
+    Boundary note: an inter-event gap of EXACTLY 30 min would merge in
+    the batch twin (``> gap`` starts a session) and split in the
+    streaming one (half-open window) — with nanosecond event times an
+    exact 1800.000000000s delta does not occur in the data.
+    """
+    from catme_etl_j_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        money2(F.sum(dec2("value"))).alias("sum_value"),
+    )
+    name = f"streamq_session_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT).alias("session_start"),
+        F.date_format(
+            F.col("w.end") - F.expr("INTERVAL 30 MINUTES"), _TS_FMT
+        ).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# The batch sessionize CTE minus the session_id projection (streaming
+# session windows have no running id; identity is (user, start)).
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_start,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window": stream_tumbling_window,
+    "stream_sliding_window": stream_sliding_window,
+    "stream_session_window": stream_session_window,
+}
+
+ORACLES = {
+    "stream_tumbling_window": _TUMBLING_SQL,
+    "stream_sliding_window": _SLIDING_SQL,
+    "stream_session_window": _STREAM_SESSION_SQL,
+}

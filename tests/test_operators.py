@@ -27,7 +27,27 @@ SPOT = [
     "events_sessionize",
     "asof_purchase_view",
     "multimodal_meta",
+    "stream_sliding_window",
+    "stream_session_window",
 ]
+
+
+def test_dedup_embedding_cosine_invariants(spark, sf_dir):
+    """Keep-one over cosine-LSH components: every vector appears once,
+    reps are component minima (rep_id <= vec_id), and kept marks
+    exactly the representatives."""
+    from catme_etl_j_spark.operators.similarity import dedup_embedding_cosine
+    from catme_etl_j_spark.sources.tables import load_table
+
+    out = dedup_embedding_cosine(spark, sf_dir)
+    rows = out.collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec
+    assert all(r["rep_id"] <= r["vec_id"] for r in rows)
+    assert all((r["kept"] == 1) == (r["rep_id"] == r["vec_id"]) for r in rows)
+    reps = {r["rep_id"] for r in rows}
+    kept = {r["vec_id"] for r in rows if r["kept"] == 1}
+    assert reps == kept
 
 
 @pytest.fixture(scope="module")
