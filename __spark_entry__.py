@@ -31,6 +31,7 @@ def _modules():
         "similarity",
         "events",
         "asof",
+        "rangejoin",
         "multimodal",
         "convertq",
         "streamq",

@@ -63,3 +63,56 @@ def range_join(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
     )
     return joined.drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gate query: the bucketized range join driven end-to-end.
+# ---------------------------------------------------------------------------
+
+_BAND_W = 25_000.0
+_N_BANDS = 24  # overlapping [i*25k, i*25k + 49999.99] covers o_totalprice
+
+
+def range_join_price_bands(spark, sf_dir: str) -> DataFrame:
+    """Orders joined into OVERLAPPING price bands ([i*25k, i*25k+50k),
+    step 25k — most orders land in two bands) via the bucketized
+    :func:`range_join`, then aggregated per band. Overlap makes each
+    right interval explode into multiple buckets, exercising the
+    multi-bucket path; the DuckDB oracle runs the plain BETWEEN join.
+    """
+    from catme_etl_j_spark.functions.numeric import dec2, money2
+    from catme_etl_j_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    bands = spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_W).alias("lo"),
+        (F.col("id") * _BAND_W + 49_999.99).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(
+        orders,
+        bands,
+        left_val="o_totalprice",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=_BAND_W,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"),
+        money2(F.sum(dec2("o_totalprice"))).alias("sum_price"),
+    )
+
+
+_RANGE_BANDS_SQL = f"""
+WITH bands AS (
+  SELECT i AS band_id, i * {_BAND_W} AS lo, i * {_BAND_W} + 49999.99 AS hi
+  FROM range(0, {_N_BANDS}) t(i))
+SELECT band_id, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band_id
+"""
+
+QUERIES = {"range_join_price_bands": range_join_price_bands}
+ORACLES = {"range_join_price_bands": _RANGE_BANDS_SQL}

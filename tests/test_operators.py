@@ -26,6 +26,7 @@ SPOT = [
     "ann_lsh_hyperplane_pairs",
     "events_sessionize",
     "asof_purchase_view",
+    "range_join_price_bands",
     "multimodal_meta",
     "stream_sliding_window",
     "stream_session_window",
