@@ -33,8 +33,12 @@ from fractions import Fraction
 from xml.etree.ElementTree import iterparse
 
 # POI BuiltinFormats: the ids every xlsx can reference without declaring
-# them in styles.xml. Ids 23-36 and 41-44 are locale-reserved; files
-# using them carry explicit numFmts, so they fall back to General here.
+# them in styles.xml. Ids 23-36 are locale-reserved; files using them
+# carry explicit numFmts, so they fall back to General here. Ids 41-44
+# (the accounting formats) ARE defined by POI's BuiltinFormats table
+# (reference behavior: UserModeEventConversionStrategy.java formats via
+# POI DataFormatter), so they render through the same engine as any
+# explicitly-declared numFmt with the identical code string.
 BUILTIN_FORMATS: dict[int, str] = {
     0: "General",
     1: "0",
@@ -59,6 +63,10 @@ BUILTIN_FORMATS: dict[int, str] = {
     38: "#,##0 ;[Red](#,##0)",
     39: "#,##0.00;(#,##0.00)",
     40: "#,##0.00;[Red](#,##0.00)",
+    41: '_(* #,##0_);_(* \\(#,##0\\);_(* "-"_);_(@_)',
+    42: '_("$"* #,##0_);_("$"* \\(#,##0\\);_("$"* "-"_);_(@_)',
+    43: '_(* #,##0.00_);_(* \\(#,##0.00\\);_(* "-"??_);_(@_)',
+    44: '_("$"* #,##0.00_);_("$"* \\(#,##0.00\\);_("$"* "-"??_);_(@_)',
     45: "mm:ss",
     46: "[h]:mm:ss",
     47: "mm:ss.0",

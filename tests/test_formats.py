@@ -220,3 +220,17 @@ def test_1904_date_system(tmp_path):
         rows = dict(wb.iter_rows())
     assert rows[1] == {0: "1904-01-01"}
     assert rows[2] == {0: "1/1/05"}
+
+
+def test_accounting_builtin_ids_41_44():
+    """Ids 41-44 are in POI's BuiltinFormats table (accounting formats)
+    and must not fall back to General: skip-width underscores render as
+    spaces, negatives in parens, zero as the dash section."""
+    from catme_etl_j_spark.converter.formats import BUILTIN_FORMATS, compile_format
+
+    r44 = compile_format(BUILTIN_FORMATS[44])
+    assert r44("1234.567") == " $1,234.57 "
+    assert r44("-1234.567") == " $(1,234.57)"
+    r41 = compile_format(BUILTIN_FORMATS[41])
+    assert r41("1234.567") == " 1,235 "
+    assert r41("-1234.567") == " (1,235)"
