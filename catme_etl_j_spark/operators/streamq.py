@@ -151,13 +151,87 @@ GROUP BY user_id, session_id
 """
 
 
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the gate: per-user running totals via
+    ``applyInPandasWithState`` (explicit GroupState carried across
+    micro-batches — the custom-operator ladder's rung for state machines
+    built-in aggs can't express). With availableNow over the finite
+    input, every user's FINAL emission equals the batch groupBy, so the
+    DuckDB twin is plain SQL.
+
+    Determinism: state accumulates EXACT integer cents
+    (``floor(v*100 + 0.5)`` per element — the rdet convention; all
+    event values are positive so this equals DECIMAL(18,2) rounding),
+    making the sum independent of arrival order; the only float op is
+    one final cents/100 division, identical IEEE on both engines.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catme_etl_j_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, sum_value double",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"streamq_stateful_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # One emission per user per touched micro-batch; the final state has
+    # the max running n_events (monotone), so max(struct) picks it even
+    # if the source ever splits into multiple batches.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select("user_id", F.col("m.n_events").alias("n_events"), F.col("m.sum_value").alias("sum_value"))
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
+    "stream_stateful_totals": stream_stateful_totals,
 }
 
 ORACLES = {
+    "stream_stateful_totals": _STATEFUL_SQL,
     "stream_tumbling_window": _TUMBLING_SQL,
     "stream_sliding_window": _SLIDING_SQL,
     "stream_session_window": _STREAM_SESSION_SQL,
