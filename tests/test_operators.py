@@ -20,6 +20,7 @@ SPOT = [
     "text_fingerprint",
     "text_gopher_quality",
     "text_winnow_fingerprint",
+    "text_repetition",
     "corpus_split",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",

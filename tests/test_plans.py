@@ -145,6 +145,20 @@ def test_gopher_splits_staged_once(spark, sf_dir):
     assert plan.count("split(") <= 2, plan
 
 
+def test_repetition_split_not_inlined_into_filters(spark, sf_dir):
+    """text_repetition stages `w` once per branch (base/bigram/trigram =
+    3 subplans max) and the explode_outer must keep the split out of any
+    pushed Filter (the InferFiltersFromGenerate trap)."""
+    from catme_etl_j_spark.operators import text
+
+    df = text.text_repetition(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 3, plan
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert "split(" not in line, line
+
+
 def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
     """Regression guard for the InferFiltersFromGenerate trap: no Filter
     node in the optimized plan may contain the inlined winnow pipeline
