@@ -205,12 +205,134 @@ FROM deduped
 """
 
 
+CHUNK_TOKENS = 32  # tokens per training chunk
+SEQ_LEN = 128  # tokens per packed training sequence
+PACK_BUCKET = 64  # doc_ids per prefix-sum bucket (see pack docstring)
+
+
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document's token stream into fixed-size training
+    chunks (CHUNK_TOKENS whitespace tokens, last chunk ragged).
+
+    One row per (doc, chunk) with the chunk's md5 — the shape a
+    tokenize-and-shard stage hands to a trainer. Pure per-row map +
+    generate: zero shuffles, embarrassingly parallel at any scale.
+    ``posexplode_outer`` keeps InferFiltersFromGenerate from re-inlining
+    the staged chunk transform into a pushed filter (plan-guarded).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.expr("split(trim(text), ' +')").alias("w"))
+    chunks = (
+        f"transform(sequence(0, CAST(ceil(size(w) / {CHUNK_TOKENS}.0) AS INT) - 1), "
+        f"c -> array_join(slice(w, c * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' '))"
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.expr("size(w)").cast("long").alias("n_w"),
+        F.posexplode_outer(F.expr(chunks)).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk").isNotNull())
+    n_tokens = F.least(
+        F.lit(CHUNK_TOKENS).cast("long"),
+        F.col("n_w") - F.col("chunk_idx") * CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        n_tokens.alias("n_tokens"),
+        F.length("chunk").cast("long").alias("chunk_chars"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+c AS (
+  SELECT doc_id, len(w) AS n_w,
+         unnest(list_transform(range(0, CAST(ceil(len(w) / {CHUNK_TOKENS}.0) AS INT)),
+                c -> struct_pack(idx := c,
+                                 chunk := array_to_string(w[c * {CHUNK_TOKENS} + 1 : c * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')))) AS u
+  FROM s)
+SELECT doc_id,
+       CAST(u.idx AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, n_w - u.idx * {CHUNK_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(length(u.chunk) AS BIGINT) AS chunk_chars,
+       md5(u.chunk) AS chunk_md5
+FROM c
+"""
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing (GPT-style): lay the corpus
+    token stream end-to-end in doc_id order and cut every SEQ_LEN
+    tokens; each document is attributed to the sequence where it starts.
+
+    The global prefix sum is computed scalably: per-doc token counts
+    roll up into PACK_BUCKET-sized doc_id buckets, the tiny bucket-total
+    table (corpus_size / PACK_BUCKET rows) gets a cumulative offset via
+    a single-partition window — acceptable because it is ~PACK_BUCKET
+    times smaller than the corpus and can be re-bucketed hierarchically
+    if ever needed — and the per-doc cumsum window is PARTITIONED BY
+    bucket, so no full-corpus single-partition window ever runs. The
+    result is identical to DuckDB's straight global cumsum.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), ' +'))").cast("long").alias("n_tok"),
+        F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket"),
+    )
+    bucket_tot = toks.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_d = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        toks.join(F.broadcast(offsets), "bucket")
+        .withColumn("start", F.col("boff") + F.coalesce(F.sum("n_tok").over(w_d), F.lit(0)))
+        .withColumn("seq_id", F.expr(f"CAST(start DIV {SEQ_LEN} AS BIGINT)"))
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS n_tok
+  FROM documents),
+placed AS (
+  SELECT doc_id, n_tok,
+         coalesce(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks)
+SELECT CAST(start // {SEQ_LEN} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
     "corpus_doc_frequency": corpus_doc_frequency,
     "corpus_scrub_pii": corpus_scrub_pii,
     "corpus_split": corpus_split,
+    "corpus_chunk": corpus_chunk,
+    "corpus_pack_sequences": corpus_pack_sequences,
 }
 
 ORACLES = {
@@ -219,4 +341,6 @@ ORACLES = {
     "corpus_doc_frequency": _DOC_FREQ_SQL,
     "corpus_scrub_pii": _SCRUB_SQL,
     "corpus_split": _SPLIT_SQL,
+    "corpus_chunk": _CHUNK_SQL,
+    "corpus_pack_sequences": _PACK_SQL,
 }

@@ -22,6 +22,8 @@ SPOT = [
     "text_winnow_fingerprint",
     "text_repetition",
     "corpus_split",
+    "corpus_chunk",
+    "corpus_pack_sequences",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "ann_lsh_hyperplane_pairs",

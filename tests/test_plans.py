@@ -159,6 +159,36 @@ def test_repetition_split_not_inlined_into_filters(spark, sf_dir):
             assert "split(" not in line, line
 
 
+def test_pack_sequences_window_is_bucket_partitioned(spark, sf_dir):
+    """The corpus-wide cumsum must never run as a full-corpus
+    single-partition window: the per-doc window is partitioned by the
+    prefix-sum bucket, and only the tiny bucket-totals rollup (corpus /
+    PACK_BUCKET rows) uses an unpartitioned window."""
+    from catme_etl_j_spark.operators import corpus
+
+    df = corpus.corpus_pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [l for l in plan.splitlines() if "Window" in l and "windowspec" in l.lower()]
+    # exactly one window over per-doc rows, keyed on bucket
+    per_doc = [l for l in windows if "n_tok" in l]
+    assert per_doc and all("bucket" in l for l in per_doc), plan
+
+
+def test_corpus_chunk_no_shuffle(spark, sf_dir):
+    """Chunking is per-row map + generate — any Exchange in the plan
+    means an accidental shuffle crept into the hot path. The staged
+    split must also stay out of pushed filters (generate trap)."""
+    from catme_etl_j_spark.operators import corpus
+
+    df = corpus.corpus_chunk(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert "split(" not in line, line
+
+
 def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
     """Regression guard for the InferFiltersFromGenerate trap: no Filter
     node in the optimized plan may contain the inlined winnow pipeline
