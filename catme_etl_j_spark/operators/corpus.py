@@ -205,6 +205,68 @@ FROM deduped
 """
 
 
+# Per-language sampling rates (percent) for the stratified sampler —
+# the up/down-weighting step of corpus mixing (e.g. cap English, keep
+# all of a low-resource language).
+STRATA_RATES = {"en": 10, "de": 25, "fr": 25, "es": 25, "zh": 50}
+STRATA_DEFAULT = 5
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling by language.
+
+    Each doc is kept iff its portable md5 bucket (of doc_id) falls below
+    its language's rate — a pure function of (doc_id, lang), so the
+    sample is reproducible across engines, runs, cluster sizes, and
+    partitionings (rand(seed) sampling is none of those). Reports per-
+    language totals, sampled counts, and an exact doc_id checksum of the
+    kept set. One groupBy(lang) shuffle over pre-aggregated map-side
+    partials; rates ride along as a CASE expression, no join.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    rate = F.lit(STRATA_DEFAULT)
+    for lang, pct in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    tagged = docs.select(
+        "lang", "doc_id", rate.alias("rate"), (bucket < rate).alias("keep")
+    )
+    return tagged.groupBy("lang").agg(
+        F.max("rate").cast("long").alias("rate_pct"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sampled_id_sum"),
+    )
+
+
+def _strata_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE {STRATA_DEFAULT} END"
+
+
+_SAMPLE_SQL = f"""
+WITH tagged AS (
+  SELECT lang, doc_id, {_strata_case()} AS rate,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < {_strata_case()}) AS keep
+  FROM documents)
+SELECT lang,
+       CAST(max(rate) AS BIGINT) AS rate_pct,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+FROM tagged
+GROUP BY lang
+"""
+
+
 CHUNK_TOKENS = 32  # tokens per training chunk
 SEQ_LEN = 128  # tokens per packed training sequence
 PACK_BUCKET = 64  # doc_ids per prefix-sum bucket (see pack docstring)
@@ -333,6 +395,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "corpus_chunk": corpus_chunk,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_sample_stratified": corpus_sample_stratified,
 }
 
 ORACLES = {
@@ -343,4 +406,5 @@ ORACLES = {
     "corpus_split": _SPLIT_SQL,
     "corpus_chunk": _CHUNK_SQL,
     "corpus_pack_sequences": _PACK_SQL,
+    "corpus_sample_stratified": _SAMPLE_SQL,
 }

@@ -24,6 +24,7 @@ SPOT = [
     "corpus_split",
     "corpus_chunk",
     "corpus_pack_sequences",
+    "corpus_sample_stratified",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "ann_lsh_hyperplane_pairs",
