@@ -25,6 +25,7 @@ def _modules():
     mods = [relational]
     for name in (
         "relational2",
+        "relational3",
         "text",
         "corpus",
         "dedup",

@@ -1,0 +1,309 @@
+"""Relational operator surface, wave 3 (SURVEY.md §7.4).
+
+Closes the remaining TPC-H-shaped gaps in the query inventory: Q12
+(join + conditional two-way counts), Q13 (outer-join distribution),
+Q15 (aggregate CTE + global-max selection), Q17 (per-key avg threshold
+join-back), Q19 (disjunctive multi-band join predicates), Q21
+(semi + anti self-joins on a keyed fact).
+
+The reference (waldfalke/catme-etl-j) has no relational operators
+(SURVEY.md §2.4); this layer is the engine's own DataFrame surface.
+The testdata schema is narrower than real TPC-H (no l_shipmode /
+l_commitdate / l_receiptdate / p_container / o_comment), so each
+query keeps the original's *operator shape* with predicates re-cut to
+the available columns; the docstrings note the substitution.
+
+Same determinism conventions as waves 1-2 (functions/numeric.py).
+
+Scale notes (100 TB posture):
+* q12/q19: single fact-dim equi-join, map-side conditional partials —
+  one shuffle each; the q19 OR-bands are a post-join filter on a
+  broadcast-able dim.
+* q13: two shuffles by construction (per-customer count, then
+  distribution) — the second input is |customers| rows, tiny.
+* q15: the revenue CTE shuffles once on l_suppkey; the global max is
+  a 1-row broadcast, not a sort.
+* q17: per-part avg is computed once via groupBy and joined back
+  (exactly Spark's decorrelation of the original subquery), part
+  filter broadcast.
+* q21: semi+anti joins share the l_orderkey shuffle key, so AQE can
+  reuse the exchange; per-order fan-out is bounded by lines-per-order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import dec2, money2, rdet, rdet_sql
+from catme_etl_j_spark.sources.tables import load_table
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: join + two conditional counts per group. The original
+# classifies late receipts by ship mode; with no shipmode/receiptdate
+# here, "late" = shipped >60 days after order date, grouped by
+# l_linestatus, split urgent vs non-urgent priority.
+# ---------------------------------------------------------------------------
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: outer-join count distribution. The original excludes
+# orders by comment pattern; with no o_comment, exclude '5-LOW'
+# priority instead. Customers with zero qualifying orders must appear
+# in the c_count=0 bucket — that's the LEFT OUTER's job.
+# ---------------------------------------------------------------------------
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: aggregate CTE + select-the-max. Revenue per supplier over
+# one quarter; return the supplier(s) achieving the maximum.
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(money2(F.sum(F.expr(_REV))).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(round(SUM({_REV}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: per-key average threshold, joined back (Spark's own
+# decorrelation of the original correlated subquery). Brand#3 stands
+# in for the original's brand+container filter. The per-part average
+# uses the exact decimal sum / count so the 0.2x threshold is
+# bit-identical across engines (see functions/numeric.py).
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = j.groupBy(F.col("p_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(dec2("l_quantity")).cast("double") / F.count("*")
+        ).alias("avg_qty")
+    )
+    small = j.join(
+        F.broadcast(avg_q), j.l_partkey == avg_q.ap_partkey
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        rdet(F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
+            "avg_yearly"
+        )
+    )
+
+
+_Q17_SQL = f"""
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+avg_q AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM j GROUP BY l_partkey)
+SELECT {rdet_sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0", 2)} AS avg_yearly
+FROM j JOIN avg_q ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive multi-band predicates over a part-lineitem
+# join (the classic "OR of AND-bands" plan). Bands re-cut to p_brand /
+# p_size / l_quantity (no container or shipmode columns here).
+# ---------------------------------------------------------------------------
+
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(band1 | band2 | band3).agg(
+        money2(F.sum(F.expr(_REV))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(round(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: semi + anti self-joins. "Waiting supplier" = in a
+# finished ('F') order, this supplier's line was returned ('R' stands
+# in for the original's receipt>commit lateness), at least one other
+# supplier contributed a line (EXISTS), and no other supplier's line
+# was returned (NOT EXISTS). Count per supplier, top 20.
+# ---------------------------------------------------------------------------
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    base = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waited = base.join(
+        other,
+        (base.l_orderkey == other.o2_orderkey) & (base.l_suppkey != other.o2_suppkey),
+        "left_semi",
+    ).join(
+        other_r,
+        (base.l_orderkey == other_r.o3_orderkey)
+        & (base.l_suppkey != other_r.o3_suppkey),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "q12_late_lines": q12_late_lines,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_banded_revenue": q19_banded_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
+}
+
+ORACLES = {
+    "q12_late_lines": _Q12_SQL,
+    "q13_order_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q19_banded_revenue": _Q19_SQL,
+    "q21_waiting_supplier": _Q21_SQL,
+}

@@ -17,6 +17,8 @@ SPOT = [
     "q08_nation_share",
     "window_topk_per_group",
     "window_range_frame",
+    "q13_order_distribution",
+    "q21_waiting_supplier",
     "text_fingerprint",
     "text_gopher_quality",
     "text_winnow_fingerprint",
