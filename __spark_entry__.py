@@ -26,6 +26,7 @@ def _modules():
     for name in (
         "relational2",
         "relational3",
+        "sketch",
         "text",
         "corpus",
         "dedup",

@@ -31,6 +31,39 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     assert abs(row["approx_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.02
 
 
+def test_portable_hll_error_bound_and_branch(spark, sf_dir):
+    """The portable HLL (operators/sketch.py) must land within the
+    theoretical rsd for m=4096 (1.04/sqrt(4096) ~ 1.6%; allow 3x) and,
+    at sf0.001, take the linear-counting branch (empty buckets)."""
+    from catme_etl_j_spark.operators.sketch import sketch_hll_distinct
+
+    row = sketch_hll_distinct(spark, sf_dir).collect()[0]
+    assert row["n_exact"] > 0
+    assert abs(row["hll_estimate"] - row["n_exact"]) / row["n_exact"] < 0.05
+    assert 0 < row["n_buckets_used"] <= 4096
+
+
+def test_portable_hll_rho_case_spark_side(spark):
+    """rho CASE: leading-zero-bits + 1 over the 48-bit word, string-computed.
+    Spot-check boundary words against the arithmetic definition."""
+    from catme_etl_j_spark.operators.sketch import _rho_case
+
+    rows = spark.sql(
+        "SELECT z, " + _rho_case("z") + " AS rho FROM VALUES "
+        "('800000000000'), ('400000000000'), ('100000000000'), "
+        "('0fffffffffff'), ('000000000001'), ('000000000000') AS t(z)"
+    ).collect()
+    got = {r["z"]: r["rho"] for r in rows}
+    assert got == {
+        "800000000000": 1,
+        "400000000000": 2,
+        "100000000000": 4,
+        "0fffffffffff": 5,
+        "000000000001": 48,
+        "000000000000": 49,
+    }
+
+
 def test_approx_grouped(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     rows = (
