@@ -172,10 +172,217 @@ FROM exact, est
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# with a fixed d x w counter grid. Like the HLL above, the build is a
+# groupBy over at most d*w keys, so every map task combines to <= d*w
+# rows no matter how many words stream through it — the exact word
+# count, by contrast, shuffles every distinct word. CMS never
+# underestimates (estimate >= true count), which the pytest asserts.
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def _cms_bucket(i: str, word: str, dialect: str = "spark") -> str:
+    """Portable row-i bucket of a word: md5-prefix of ``i:word`` mod w."""
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat({i}, ':', {word})), 1, 8), 16, 10)"
+            f" AS BIGINT) % {CMS_W}"
+        )
+    return f"('0x' || substr(md5(concat({i}, ':', {word})), 1, 8))::BIGINT % {CMS_W}"
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split(F.trim("text"), " +")).alias("word")
+    ).filter("word <> ''")
+
+
+def sketch_countmin_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the 20 most frequent words, against the
+    exact counts (verification column — at scale only the sketch side
+    would run; the exact path here doubles as the accuracy audit).
+
+    Plan shape: the sketch build explodes each word into d=4 (row,
+    bucket) cells and groupBy's the 4096-key grid (map-side combine);
+    the top-20 probe re-derives each word's 4 cells and joins the
+    (tiny, broadcast) grid, taking min over rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    words = _words(spark, sf_dir)
+    cells = words.select(
+        "word", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("i")
+    ).select("word", "i", F.expr(_cms_bucket("i", "word")).alias("bucket"))
+    grid = cells.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(20)
+    )
+    probe = top.select(
+        "word", "exact_cnt", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("i")
+    ).select(
+        "word", "exact_cnt", "i", F.expr(_cms_bucket("i", "word")).alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(grid), ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "word",
+        "exact_cnt",
+        "cms_estimate",
+        F.expr("cms_estimate - exact_cnt").alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("word"))
+
+
+_CMS_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+  FROM documents),
+w AS (SELECT word FROM words WHERE word <> ''),
+cells AS (
+  SELECT word, i, {_cms_bucket("i", "word", dialect="duck")} AS bucket
+  FROM w, (SELECT unnest(range(0, {CMS_D})) AS i) r),
+grid AS (
+  SELECT i, bucket, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY i, bucket),
+top AS (
+  SELECT word, COUNT(*)::BIGINT AS exact_cnt FROM w GROUP BY word
+  ORDER BY exact_cnt DESC, word ASC LIMIT 20),
+probe AS (
+  SELECT word, exact_cnt, i, {_cms_bucket("i", "word", dialect="duck")} AS bucket
+  FROM top, (SELECT unnest(range(0, {CMS_D})) AS i) r),
+est AS (
+  SELECT p.word, p.exact_cnt, MIN(g.cnt) AS cms_estimate
+  FROM probe p JOIN grid g ON p.i = g.i AND p.bucket = g.bucket
+  GROUP BY p.word, p.exact_cnt)
+SELECT word, exact_cnt, cms_estimate, cms_estimate - exact_cnt AS overcount
+FROM est ORDER BY exact_cnt DESC, word ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the classic 100 TB runtime-filter pattern.
+# A filtered dimension (rich customers) is summarized into an 8192-bit
+# Bloom filter; the fact side (orders) tests membership with FOUR
+# successive broadcast hash joins on bit positions — zero shuffles of
+# the fact table, no explode fan-out (bit positions are distinct), and
+# only rows that pass the filter would continue into the real join.
+# Bloom guarantees no false negatives (pytest asserts); the query
+# reports the false-positive rate the 2.5%-of-m sizing buys.
+
+BLOOM_K = 4  # hash functions
+BLOOM_M = 8192  # bits
+
+
+def _bloom_pos(j: str, key: str, dialect: str = "spark") -> str:
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat({j}, ':', {key})), 1, 8), 16, 10)"
+            f" AS BIGINT) % {BLOOM_M}"
+        )
+    return f"('0x' || substr(md5(concat({j}, ':', {key})), 1, 8))::BIGINT % {BLOOM_M}"
+
+
+def sketch_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row audit of Bloom-pruning orders against customers with
+    ``c_acctbal > 5000``: probe rows, exact semi-join matches, rows
+    passing the Bloom filter, false positives, and the FP rate among
+    true non-members (percent, 2 decimals)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.filter("c_acctbal > 5000").select("c_custkey").distinct()
+    bits = (
+        dim.select(
+            F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"), "c_custkey"
+        )
+        .select(F.expr(_bloom_pos("j", "c_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = orders.select("o_orderkey", "o_custkey")
+    for j in range(BLOOM_K):
+        bj = bits.select(F.col("pos").alias(f"p{j}"), F.lit(1).alias(f"hit{j}"))
+        probe = probe.withColumn(
+            f"p{j}", F.expr(_bloom_pos(str(j), "o_custkey"))
+        ).join(F.broadcast(bj), f"p{j}", "left")
+    passed = F.expr(" AND ".join(f"hit{j} IS NOT NULL" for j in range(BLOOM_K)))
+    member = probe.join(
+        F.broadcast(dim.withColumn("is_member", F.lit(1))),
+        probe.o_custkey == F.col("c_custkey"),
+        "left",
+    )
+    return member.agg(
+        F.count("*").alias("n_probe_rows"),
+        F.sum(F.when(F.col("is_member").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_match"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(passed & F.col("is_member").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).select(
+        "n_probe_rows",
+        "n_exact_match",
+        "n_bloom_pass",
+        "n_false_pos",
+        F.expr(
+            "CAST(floor(CAST(n_false_pos AS DOUBLE)"
+            " / CAST(greatest(n_probe_rows - n_exact_match, 1L) AS DOUBLE)"
+            " * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+        ).alias("fp_rate_pct"),
+    )
+
+
+_BLOOM_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000),
+bits AS (
+  SELECT DISTINCT {_bloom_pos("j", "c_custkey", dialect="duck")} AS pos
+  FROM dim, (SELECT unnest(range(0, {BLOOM_K})) AS j) r),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         {_bloom_pos("0", "o_custkey", dialect="duck")} AS p0,
+         {_bloom_pos("1", "o_custkey", dialect="duck")} AS p1,
+         {_bloom_pos("2", "o_custkey", dialect="duck")} AS p2,
+         {_bloom_pos("3", "o_custkey", dialect="duck")} AS p3
+  FROM orders),
+tested AS (
+  SELECT p.o_custkey,
+         (b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+          AND b2.pos IS NOT NULL AND b3.pos IS NOT NULL) AS bloom_pass,
+         (d.c_custkey IS NOT NULL) AS is_member
+  FROM probe p
+  LEFT JOIN bits b0 ON p.p0 = b0.pos
+  LEFT JOIN bits b1 ON p.p1 = b1.pos
+  LEFT JOIN bits b2 ON p.p2 = b2.pos
+  LEFT JOIN bits b3 ON p.p3 = b3.pos
+  LEFT JOIN dim d ON p.o_custkey = d.c_custkey)
+SELECT COUNT(*)::BIGINT AS n_probe_rows,
+       SUM(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_exact_match,
+       SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+       SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
+         AS n_false_pos,
+       CAST(floor(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(greatest(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 1) AS DOUBLE)
+             * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS fp_rate_pct
+FROM tested
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_countmin_topwords": sketch_countmin_topwords,
+    "sketch_bloom_join_prune": sketch_bloom_join_prune,
 }
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_countmin_topwords": _CMS_SQL,
+    "sketch_bloom_join_prune": _BLOOM_SQL,
 }

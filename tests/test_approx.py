@@ -64,6 +64,39 @@ def test_portable_hll_rho_case_spark_side(spark):
     }
 
 
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS guarantee: estimate >= exact, always (collisions only add)."""
+    from catme_etl_j_spark.operators.sketch import sketch_countmin_topwords
+
+    rows = sketch_countmin_topwords(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_cnt"]
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every true member passes the filter, so
+    n_bloom_pass >= n_exact_match and false positives account for the
+    whole difference."""
+    from catme_etl_j_spark.operators.sketch import sketch_bloom_join_prune
+
+    row = sketch_bloom_join_prune(spark, sf_dir).collect()[0]
+    assert row["n_bloom_pass"] >= row["n_exact_match"]
+    assert row["n_bloom_pass"] - row["n_exact_match"] == row["n_false_pos"]
+    assert row["n_probe_rows"] > 0
+
+
+def test_bloom_probe_plan_no_probe_shuffle(spark, sf_dir):
+    """The fact side must reach the final aggregate through broadcast
+    joins only — no Exchange between the orders scan and the agg."""
+    from catme_etl_j_spark.operators.sketch import sketch_bloom_join_prune
+
+    plan = sketch_bloom_join_prune(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_approx_grouped(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     rows = (
