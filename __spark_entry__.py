@@ -27,6 +27,7 @@ def _modules():
         "relational2",
         "relational3",
         "sketch",
+        "ranking",
         "text",
         "corpus",
         "dedup",

@@ -1,0 +1,47 @@
+"""TF-IDF / BM25 ranking invariants (oracle equality is covered by
+selfcheck; these assert the semantic guarantees)."""
+
+from catme_etl_j_spark.operators.ranking import (
+    BM25_TOP,
+    TFIDF_TOP_PER_DOC,
+    rank_bm25_search,
+    rank_tfidf_topterms,
+)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    rows = rank_tfidf_topterms(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r["rn"] <= TFIDF_TOP_PER_DOC
+        assert r["tf"] >= 1 and r["df"] >= 1
+        assert r["tfidf"] > 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rn"])
+        scores = [r["tfidf"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_descending_and_positive(spark, sf_dir):
+    rows = rank_bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rewards_matching_terms(spark, sf_dir):
+    """Every returned doc must actually contain a query term."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.ranking import BM25_QUERY_TERMS
+    from catme_etl_j_spark.sources.tables import load_table
+
+    top = rank_bm25_search(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = top.join(docs, "doc_id").select("doc_id", "text").collect()
+    assert len(joined) == top.count()
+    for r in joined:
+        words = set(r["text"].split())
+        assert words & set(BM25_QUERY_TERMS)
