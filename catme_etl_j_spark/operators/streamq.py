@@ -223,14 +223,96 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join on the gate: each purchase joined to the
+    same user's clicks in the preceding 30 minutes, both sides REAL
+    streaming sources with watermarks (the state-cleanup contract a
+    production deployment needs — without the time-range condition the
+    join state would grow unboundedly at 100 TB/day).
+
+    Inner stream-stream matches emit as both sides arrive, so with
+    availableNow draining the finite input the joined set equals the
+    batch join and the DuckDB twin is plain SQL. The snapshot is then
+    aggregated per purchase (n preceding clicks, last click time) —
+    that final rollup runs in batch on the sink table, keeping the
+    streaming part exactly the join under test.
+    """
+    from catme_etl_j_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clicks = (
+        read_event_stream(spark, sf_dir, glob="events.parquet")
+        .filter("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir, glob="events.parquet")
+        .filter("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND click_ts <= ts"
+            " AND click_ts >= ts - INTERVAL 30 MINUTES"
+        ),
+    )
+    name = f"streamq_ssjoin_{next(_seq)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.count("*").alias("n_clicks_30m"),
+            F.max("click_ts").alias("last_click"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            "n_clicks_30m",
+            F.date_format("last_click", _TS_FMT).alias("last_click_ts"),
+        )
+    )
+
+
+_SSJOIN_SQL = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       COUNT(*) AS n_clicks_30m,
+       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM events p
+JOIN events c
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_stateful_totals": stream_stateful_totals,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
+    "stream_stream_join": _SSJOIN_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,
     "stream_tumbling_window": _TUMBLING_SQL,
     "stream_sliding_window": _SLIDING_SQL,

@@ -170,3 +170,14 @@ def test_dedup_stream(spark, sf_dir, tmp_path):
     ).collect()[0]
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out["n"] == out["d"] == n_src  # exactly one row per event_id
+
+
+def test_stream_stream_join_semantics(spark, sf_dir):
+    """Every joined row: >=1 click, click within (purchase-30m, purchase]."""
+    from catme_etl_j_spark.operators.streamq import stream_stream_join
+
+    rows = stream_stream_join(spark, sf_dir).collect()
+    assert rows  # the data has at least one purchase preceded by a click
+    for r in rows:
+        assert r["n_clicks_30m"] >= 1
+        assert r["last_click_ts"] <= r["purchase_ts"]
