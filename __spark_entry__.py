@@ -28,6 +28,7 @@ def _modules():
         "relational3",
         "sketch",
         "ranking",
+        "etl",
         "text",
         "corpus",
         "dedup",

@@ -1,0 +1,195 @@
+"""Warehouse-ETL maintenance operators: SCD type-2 interval building
+and MERGE-style upsert, expressed as pure DataFrame plans (no Delta /
+table format required — the output IS the merged dataset, ready for a
+partitioned overwrite).
+
+The reference (waldfalke/catme-etl-j) is an ingest converter with no
+table-maintenance surface (SURVEY.md §2.4); these are the operations
+a pipeline built on this engine needs the day its dimensions start
+changing.
+
+100 TB posture:
+* SCD2 is two window passes over the SAME (key, time) sort — one
+  Exchange + one Sort, reused by lag/sum/lead (plan-asserted in
+  tests/test_etl.py).
+* MERGE is a single full-outer shuffle join of base vs updates on the
+  key (the minimum possible — every MERGE implementation shuffles or
+  co-partitions on the merge key), with the change-set built from a
+  broadcast-size aggregate. At scale both sides would be bucketed on
+  the key, making the join exchange-free (see operators/scale.py).
+
+Determinism: monetary arithmetic stays in DECIMAL(18,2) end to end;
+dates render as strings; every window orders with a unique tie-break
+(o_orderdate, o_orderkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import dec2, money2
+from catme_etl_j_spark.sources.tables import load_table
+
+_D_FMT = "yyyy-MM-dd"
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """Collapse each customer's order-priority history into SCD2
+    validity intervals: consecutive orders with the same priority form
+    one segment; ``valid_from`` = first order date of the segment,
+    ``valid_to`` = start of the next segment (NULL while current)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = marked.withColumn(
+        "seg",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = seg.groupBy("o_custkey", "seg").agg(
+        F.min("o_orderpriority").alias("priority"),  # constant within segment
+        F.min("o_orderdate").alias("vf"),
+        F.count("*").alias("n_orders"),
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("seg")
+    return spans.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("seg").cast("long").alias("version"),
+        "priority",
+        F.date_format("vf", _D_FMT).alias("valid_from"),
+        F.date_format(F.lead("vf").over(ws), _D_FMT).alias("valid_to"),
+        F.lead("vf").over(ws).isNull().cast("int").alias("is_current"),
+        "n_orders",
+    )
+
+
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of customer order priority (see
+    :func:`scd2_intervals`)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return scd2_intervals(load_table(spark, sf_dir, "orders"))
+
+
+_SCD2_SQL = """
+WITH marked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                   OR LAG(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS seg
+  FROM marked),
+spans AS (
+  SELECT o_custkey, seg,
+         MIN(o_orderpriority) AS priority,  -- constant within segment
+         MIN(o_orderdate) AS vf,
+         COUNT(*) AS n_orders
+  FROM seg GROUP BY o_custkey, seg)
+SELECT o_custkey AS custkey,
+       CAST(seg AS BIGINT) AS version,
+       priority,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(LEAD(vf) OVER (PARTITION BY o_custkey ORDER BY seg),
+                '%Y-%m-%d') AS valid_to,
+       CAST(CASE WHEN LEAD(vf) OVER (PARTITION BY o_custkey ORDER BY seg)
+                      IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_orders
+FROM spans
+"""
+
+
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING change-set, without a table format:
+    the change-set updates each ordering customer's balance by their
+    order total and inserts a synthetic new customer row for the top-5
+    spenders (key offset +1000000). Output is the merged table with the
+    applied operation tagged per row (update / insert / keep).
+
+    Equivalent SQL: ``MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT
+    MATCHED THEN INSERT``, expressed as one full-outer join on the key.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice")).alias("total")
+    )
+    top5 = totals.orderBy(F.desc("total"), F.asc("o_custkey")).limit(5)
+    updates = totals.select(
+        F.col("o_custkey").alias("k"),
+        F.col("total").alias("delta"),
+        F.lit(None).cast("string").alias("new_name"),
+    )
+    inserts = top5.select(
+        (F.col("o_custkey") + 1000000).alias("k"),
+        F.col("total").alias("delta"),
+        F.concat(F.lit("NEW-"), F.col("o_custkey")).alias("new_name"),
+    )
+    src = updates.unionByName(inserts)
+    base = customer.select("c_custkey", "c_name", dec2("c_acctbal").alias("bal"))
+    merged = base.join(src, base.c_custkey == src.k, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "k").cast("long").alias("custkey"),
+        F.coalesce("c_name", "new_name").alias("name"),
+        money2(
+            F.coalesce("bal", F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce("delta", F.lit(0).cast("decimal(18,2)"))
+        ).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("delta").isNotNull(), "update")
+        .otherwise("keep")
+        .alias("op"),
+    )
+
+
+_MERGE_SQL = """
+WITH totals AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY o_custkey),
+top5 AS (
+  SELECT o_custkey, total FROM totals
+  ORDER BY total DESC, o_custkey ASC LIMIT 5),
+src AS (
+  SELECT o_custkey AS k, total AS delta, NULL AS new_name FROM totals
+  UNION ALL
+  SELECT o_custkey + 1000000 AS k, total AS delta,
+         'NEW-' || o_custkey AS new_name
+  FROM top5)
+SELECT CAST(COALESCE(c.c_custkey, s.k) AS BIGINT) AS custkey,
+       COALESCE(c.c_name, s.new_name) AS name,
+       CAST(round(COALESCE(CAST(c.c_acctbal AS DECIMAL(18,2)), 0)
+                  + COALESCE(s.delta, 0), 2) AS DOUBLE) AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN s.delta IS NOT NULL THEN 'update'
+            ELSE 'keep' END AS op
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+"""
+
+
+QUERIES = {
+    "etl_scd2_intervals": etl_scd2_intervals,
+    "etl_merge_upsert": etl_merge_upsert,
+}
+
+ORACLES = {
+    "etl_scd2_intervals": _SCD2_SQL,
+    "etl_merge_upsert": _MERGE_SQL,
+}

@@ -1,0 +1,52 @@
+"""SCD2 / MERGE operator invariants and plan shapes (value equality vs
+DuckDB is covered by selfcheck)."""
+
+from collections import defaultdict
+
+from catme_etl_j_spark.operators.etl import etl_merge_upsert, etl_scd2_intervals
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scd2_intervals_contiguous(spark, sf_dir):
+    rows = etl_scd2_intervals(spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["custkey"]].append(r)
+    for segs in by_key.values():
+        segs.sort(key=lambda r: r["version"])
+        assert [s["version"] for s in segs] == list(range(1, len(segs) + 1))
+        # exactly one current row, and it is the last segment
+        assert [s["is_current"] for s in segs] == [0] * (len(segs) - 1) + [1]
+        for prev, nxt in zip(segs, segs[1:]):
+            # intervals chain: valid_to of one segment = valid_from of next
+            assert prev["valid_to"] == nxt["valid_from"]
+            # segments exist because the priority CHANGED
+            assert prev["priority"] != nxt["priority"]
+        assert segs[-1]["valid_to"] is None
+
+
+def test_scd2_single_sort_pass(spark, sf_dir):
+    """lag + running-sum + segment agg must reuse ONE (key, time) sort:
+    no more than 2 exchanges (the window partition + the segment agg)."""
+    plan = _plan(etl_scd2_intervals(spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+
+
+def test_merge_upsert_ops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = etl_merge_upsert(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    ops = defaultdict(int)
+    for r in rows:
+        ops[r["op"]] += 1
+    assert ops["insert"] == 5
+    assert ops["update"] + ops["keep"] == n_cust
+    assert len(rows) == n_cust + 5
+    inserted = [r for r in rows if r["op"] == "insert"]
+    assert all(r["custkey"] > 1000000 and r["name"].startswith("NEW-") for r in inserted)
