@@ -29,6 +29,7 @@ def _modules():
         "sketch",
         "ranking",
         "etl",
+        "embed",
         "text",
         "corpus",
         "dedup",

@@ -1,0 +1,125 @@
+"""Embedding-column transforms for a training-data pipeline: int8
+quantization (the standard 4x storage/bandwidth compression before
+ANN indexing or shipping vectors to trainers).
+
+The reference (waldfalke/catme-etl-j) has no vector surface
+(SURVEY.md §2.4); this extends the engine's own embedding family
+(operators/similarity.py holds the search side).
+
+100 TB posture: the per-dimension min/max statistics come from a
+posexplode + groupBy over at most n_dims keys (map-side combines to
+64 rows per task), collapse to ONE broadcast row of two arrays, and
+the quantization itself is a per-row array transform — the big side
+is never shuffled. That is the same shape a production pipeline
+uses: tiny stats pass, then a map-only rewrite.
+
+Determinism: quantization arithmetic is plain IEEE +,-,*,/ with
+floor(x + 0.5) rounding — bit-identical across engines (see
+functions/numeric.py); per-element absolute reconstruction errors are
+fixed-pointed to int64 at 1e8 BEFORE summation so the aggregate is
+order-independent (the similarity module's cosine convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.sources.tables import load_table
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max int8 quantization of the embeddings table.
+
+    q_i = clamp(floor((x_i - mn_i) / (mx_i - mn_i) * 255 + 0.5) - 128,
+    -128, 127); constant dimensions (mx == mn) quantize to 0. Output
+    per vector: dimension count, sum of codes, position-weighted code
+    checksum, and the summed absolute reconstruction error (int64 at
+    1e8).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    srow = stats.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").alias(
+            "mns"
+        ),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").alias(
+            "mxs"
+        ),
+    )
+    staged = emb.crossJoin(F.broadcast(srow)).withColumn(
+        "q",
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1), i -> "
+            "CASE WHEN mxs[i] > mns[i] THEN "
+            "greatest(-128L, least(127L, "
+            "CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])"
+            " / (mxs[i] - mns[i]) * 255.0 + 0.5) AS BIGINT) - 128)) "
+            "ELSE 0L END)"
+        ),
+    )
+    return staged.select(
+        "vec_id",
+        F.expr("size(embedding)").cast("long").alias("n_dims"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr(
+            "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> x * i),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("q_posdot"),
+        F.expr(
+            "aggregate(transform(sequence(0, size(embedding) - 1), i -> "
+            "CAST(floor(abs(CASE WHEN mxs[i] > mns[i] THEN "
+            "mns[i] + (CAST(q[i] AS DOUBLE) + 128.0) / 255.0 * (mxs[i] - mns[i]) "
+            "ELSE mns[i] END - CAST(embedding[i] AS DOUBLE)) * 100000000.0 + 0.5)"
+            " AS BIGINT)), 0L, (a, x) -> a + x)"
+        ).alias("abs_err_e8"),
+    )
+
+
+_QUANT_SQL = """
+WITH dims AS (
+  SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+  WHERE i <= len(embedding)),
+stats AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i),
+srow AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+staged AS (
+  SELECT vec_id, embedding, mns, mxs,
+         list_transform(range(1, len(embedding) + 1), i ->
+           CASE WHEN mxs[i] > mns[i] THEN
+             greatest(-128::BIGINT, least(127::BIGINT,
+               CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                 / (mxs[i] - mns[i]) * 255.0 + 0.5) AS BIGINT) - 128))
+           ELSE 0::BIGINT END) AS q
+  FROM embeddings, srow)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * i))
+            AS BIGINT) AS q_posdot,
+       CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         CAST(floor(abs(CASE WHEN mxs[i] > mns[i] THEN
+           mns[i] + (CAST(q[i] AS DOUBLE) + 128.0) / 255.0 * (mxs[i] - mns[i])
+         ELSE mns[i] END - CAST(embedding[i] AS DOUBLE)) * 100000000.0 + 0.5)
+           AS BIGINT))) AS BIGINT) AS abs_err_e8
+FROM staged
+"""
+
+
+QUERIES = {
+    "embed_quantize_int8": embed_quantize_int8,
+}
+
+ORACLES = {
+    "embed_quantize_int8": _QUANT_SQL,
+}

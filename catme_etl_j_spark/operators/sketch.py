@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from catme_etl_j_spark.functions.numeric import rdet_sql
 from catme_etl_j_spark.sources.tables import load_table
 
 HLL_P = 12  # bucket bits
@@ -375,14 +376,143 @@ FROM tested
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantiles: the fixed-size-state alternative to a
+# global sort. The histogram build groupBy's <= 2048 bin keys (map-side
+# combine, like the CMS/HLL above); the quantile then reads the
+# cumulative bin counts. The exact twin (row_number over a global sort)
+# runs alongside as the accuracy audit — at 100 TB only the histogram
+# side would run, the exact path being precisely the full-sort this
+# sketch exists to avoid. Estimate = upper edge of the covering bin,
+# so est >= exact always (pytest asserts).
+
+HIST_BINS = 2048
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of orders.o_totalprice from a 2048-bin equi-width
+    histogram, audited against the exact type-1 quantile (value at row
+    ceil(q*N) of the (value, key)-sorted data)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mm = orders.agg(
+        F.min(F.col("o_totalprice").cast("double")).alias("mn"),
+        F.max(F.col("o_totalprice").cast("double")).alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = orders.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)"
+            f" / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}L)"
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = spark.sql(
+        "SELECT explode(array(%s)) AS q"
+        % ", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QS)
+    )
+    est = (
+        qs.crossJoin(F.broadcast(mm))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.expr("CAST(ceil(q * n) AS BIGINT)"),
+        )
+        .groupBy("q", "mn", "mx", "n")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "q",
+            "n",
+            F.expr(f"mn + (qbin + 1) * (mx - mn) / {HIST_BINS}.0").alias(
+                "hist_est"
+            ),
+        )
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    exact = (
+        qs.crossJoin(F.broadcast(mm))
+        .join(ranked, F.col("rn") == F.expr("CAST(ceil(q * n) AS BIGINT)"))
+        .select("q", F.col("v").alias("exact_val"))
+    )
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "n",
+            "exact_val",
+            rdet(F.col("hist_est"), 2).alias("hist_est"),
+            rdet(
+                (F.col("hist_est") - F.col("exact_val"))
+                / F.col("exact_val")
+                * 100.0,
+                3,
+            ).alias("err_pct"),
+        )
+        .orderBy("q")
+    )
+
+
+_HIST_SQL = f"""
+WITH mm AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+         max(CAST(o_totalprice AS DOUBLE)) AS mx,
+         COUNT(*) AS n
+  FROM orders),
+binned AS (
+  SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)
+           / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}) AS bin
+  FROM orders, mm),
+hist AS (SELECT bin, COUNT(*)::BIGINT AS cnt FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in HIST_QS)}]) AS q),
+est AS (
+  SELECT q, n, mn + (MIN(bin) + 1) * (mx - mn) / {HIST_BINS}.0 AS hist_est
+  FROM qs, mm, cum
+  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  GROUP BY q, n, mn, mx),
+ranked AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders),
+exact AS (
+  SELECT q, v AS exact_val
+  FROM qs, mm, ranked
+  WHERE rn = CAST(ceil(q * n) AS BIGINT))
+SELECT e.q, e.n, x.exact_val,
+       {rdet_sql("e.hist_est", 2)} AS hist_est,
+       {rdet_sql("(e.hist_est - x.exact_val) / x.exact_val * 100.0", 3)} AS err_pct
+FROM est e JOIN exact x ON e.q = x.q
+ORDER BY e.q
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_countmin_topwords": sketch_countmin_topwords,
     "sketch_bloom_join_prune": sketch_bloom_join_prune,
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
 }
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_countmin_topwords": _CMS_SQL,
     "sketch_bloom_join_prune": _BLOOM_SQL,
+    "sketch_histogram_quantiles": _HIST_SQL,
 }

@@ -109,3 +109,45 @@ def test_approx_grouped(spark, sf_dir):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.15
+
+
+def test_histogram_quantile_upper_edge(spark, sf_dir):
+    """Estimate = upper edge of covering bin, so est >= exact; and the
+    bin width bounds the error."""
+    from catme_etl_j_spark.operators.sketch import (
+        HIST_BINS,
+        sketch_histogram_quantiles,
+    )
+
+    rows = sketch_histogram_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["hist_est"] >= r["exact_val"]
+        assert r["err_pct"] >= 0
+    # err bounded by ~1 bin of the full range over the smallest exact
+    assert all(r["err_pct"] < 100.0 / HIST_BINS * 50 for r in rows)
+
+
+def test_embed_quantize_reconstruction_bound(spark, sf_dir):
+    """Every vector's mean reconstruction error is below one quantization
+    step of the widest dimension."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.embed import embed_quantize_int8
+    from catme_etl_j_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    widest = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg((F.max("x") - F.min("x")).cast("double").alias("rng"))
+        .agg(F.max("rng").alias("w"))
+        .collect()[0]["w"]
+    )
+    step = widest / 255.0
+    rows = embed_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dims"] == 64
+        mean_err = r["abs_err_e8"] / 1e8 / r["n_dims"]
+        assert mean_err <= step  # quantization error < 1 step on average
