@@ -30,6 +30,7 @@ def _modules():
         "ranking",
         "etl",
         "embed",
+        "graph",
         "text",
         "corpus",
         "dedup",

@@ -1,0 +1,149 @@
+"""Iterative graph analytics: PageRank over the nation trade graph.
+
+Complements the connected-components keep-one in operators/dedup.py as
+the second iterative-algorithm surface: a fixed number of power-method
+rounds, each round one equi-join (ranks onto edge sources) + one
+aggregate (contributions by destination) — the standard Pregel shape
+expressed as plain DataFrame ops.
+
+Graph: nodes = nations, edge (c_nation -> s_nation) weighted by the
+number of lineitems a customer of the source nation bought from a
+supplier of the destination nation. 25 nodes regardless of SF, so the
+per-round join is broadcast-size; at 100 TB only the one-time edge
+extraction (a fact-table join) is heavy, and it map-side combines to
+<= 625 edge keys.
+
+Determinism (the interesting part — PageRank sums floats in arbitrary
+order on most engines): ranks are exact int64 fixed-point at 1e9.
+Each edge contribution is ``(r_u * w_uv) DIV outw_u`` (integer floor
+division), the damping update is ``base + (85 * sum) DIV 100`` — all
+integer arithmetic, so aggregation order cannot change a single bit
+and the DuckDB oracle (same 10 rounds unrolled as CTEs) hash-matches.
+r_u <= 1e9 and w <= outw keep every product under 2^63.
+
+Reference (waldfalke/catme-etl-j) has no graph surface (SURVEY.md
+§2.4); public algorithm: Page et al. 1999, d = 0.85.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.sources.tables import load_table
+
+PR_SCALE = 1_000_000_000  # int64 fixed-point
+PR_ITERS = 10
+# damping d = 0.85 as the integer pair (85, 100)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): customer-nation -> supplier-nation lineitem counts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 power-method rounds of damped PageRank on the nation trade
+    graph; returns every nation's final fixed-point rank (int64 at 1e9)
+    with its double rendering, ordered by rank."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = _trade_edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(outw, "src").select("src", "dst", "w", "outw").cache()
+    n_nodes = nation.count()  # 25; scalar literal like the kmeans seed
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    r0 = PR_SCALE // n_nodes
+
+    ranks = nation.select(
+        F.col("n_nationkey").alias("node"), F.lit(r0).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("(r * w) DIV outw").alias("t"))
+            .groupBy("dst")
+            .agg(F.sum("t").alias("s"))
+        )
+        ranks = (
+            nation.join(contrib, nation.n_nationkey == contrib.dst, "left")
+            .select(
+                F.col("n_nationkey").alias("node"),
+                F.expr(f"{base}L + (85 * coalesce(s, 0L)) DIV 100").alias("r"),
+            )
+        )
+    return (
+        nation.join(ranks, nation.n_nationkey == ranks.node)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("r").alias("rank_e9"),
+            F.expr(f"CAST(r AS DOUBLE) / {float(PR_SCALE)}").alias("rank"),
+        )
+        .orderBy(F.desc("rank_e9"), F.asc("n_nationkey"))
+    )
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin: the same 10 integer rounds unrolled as CTEs."""
+    base_cte = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey),
+ew AS (
+  SELECT e.src, e.dst, e.w, t.outw
+  FROM edges e JOIN (SELECT src, SUM(w) AS outw FROM edges GROUP BY src) t
+    ON e.src = t.src),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM nation),
+r0 AS (
+  SELECT n_nationkey AS node, ({scale}::BIGINT // nn.n) AS r
+  FROM nation, nn)"""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""
+r{k} AS (
+  SELECT nation.n_nationkey AS node,
+         (15::BIGINT * {PR_SCALE} // (100 * nn.n))
+           + (85 * COALESCE(c.s, 0)) // 100 AS r
+  FROM nation CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM((p.r * e.w) // e.outw) AS s
+             FROM ew e JOIN r{k - 1} p ON e.src = p.node
+             GROUP BY e.dst) c ON c.dst = nation.n_nationkey)"""
+        )
+    return (
+        base_cte.format(scale=PR_SCALE)
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT n.n_nationkey, n.n_name,
+       p.r AS rank_e9,
+       CAST(p.r AS DOUBLE) / {float(PR_SCALE)} AS rank
+FROM nation n JOIN r{PR_ITERS} p ON n.n_nationkey = p.node
+ORDER BY rank_e9 DESC, n.n_nationkey ASC"""
+    )
+
+
+QUERIES = {
+    "graph_pagerank_nations": graph_pagerank_nations,
+}
+
+ORACLES = {
+    "graph_pagerank_nations": _pagerank_sql(),
+}
