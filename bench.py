@@ -40,6 +40,12 @@ HEADLINE = [
     "ann_nn_within_label",
     "ann_topk_ivf_kmeans",
     "corpus_clean_pipeline",
+    # round-3 additions: fixed-state sketches, retrieval scoring,
+    # warehouse maintenance, vector compression
+    "sketch_hll_distinct",
+    "rank_bm25_search",
+    "etl_scd2_intervals",
+    "embed_quantize_int8",
 ]
 
 
