@@ -177,7 +177,149 @@ GROUP BY event_type
 """
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed signup, then a
+    click strictly after it, then a purchase strictly after that.
+
+    Greedy earliest-first matching (take the MIN qualifying timestamp
+    at each step) is optimal for subsequence existence and fully
+    deterministic on microsecond timestamps. Each stage is one filtered
+    aggregate joined on user_id — a co-partitioned chain at scale, no
+    self-join of the full event stream. Output: one row per step with
+    users reached and percent of step-1 users (2 decimals, exact-int
+    division).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = None
+    for i, s in enumerate((s1, s2, s3)):
+        c = s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(FUNNEL_STEPS[i]).alias("event_type"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.filter("step = 1").select(F.col("n_users").alias("n1"))
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.expr(
+            "CAST(floor(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+        ).alias("conv_pct"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+counts AS (
+  SELECT CAST(1 AS INT) AS step, 'signup' AS event_type, COUNT(*)::BIGINT AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS INT), 'click', COUNT(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INT), 'purchase', COUNT(*)::BIGINT FROM s3),
+first AS (SELECT n_users AS n1 FROM counts WHERE step = 1)
+SELECT step, event_type, n_users,
+       CAST(floor(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE)
+            * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS conv_pct
+FROM counts, first
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event (weeks counted from the global earliest event — a pure
+    function of the data, no calendar/locale dependence), with one row
+    per (cohort_week, week_offset) counting distinct users active that
+    week. Retention percent is against the cohort's own size.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    t0 = ev.agg(F.min(F.col("ts").cast("double")).alias("e0"))
+    wk = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "user_id",
+            F.expr("CAST(floor((CAST(ts AS DOUBLE) - e0) / 604800.0) AS BIGINT)").alias(
+                "week"
+            ),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    active = (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", F.expr("week - cohort_week").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr(
+            "CAST(floor(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)"
+            " * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+        ).alias("retention_pct"),
+    )
+
+
+_RETENTION_SQL = """
+WITH t0 AS (SELECT MIN(epoch(ts)) AS e0 FROM events),
+wk AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((epoch(ts) - t0.e0) / 604800.0) AS BIGINT) AS week
+  FROM events, t0),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+sizes AS (SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+          FROM cohort GROUP BY cohort_week),
+active AS (
+  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         COUNT(*)::BIGINT AS n_active
+  FROM wk w JOIN cohort c ON w.user_id = c.user_id
+  GROUP BY c.cohort_week, w.week - c.cohort_week)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+       CAST(floor(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+            * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS retention_pct
+FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""
+
+
 QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
     "events_dedup_earliest": events_dedup_earliest,
@@ -186,6 +328,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": _FUNNEL_SQL,
+    "events_retention": _RETENTION_SQL,
     "events_tumbling_window": _TUMBLING_SQL,
     "events_sliding_window": _SLIDING_SQL,
     "events_dedup_earliest": _DEDUP_EARLIEST_SQL,

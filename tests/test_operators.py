@@ -108,3 +108,29 @@ def test_minhash_band_knob_validated(spark, sf_dir):
     loose = minhash_lsh_candidates(spark, sf_dir, bands=8, rows_per_band=4).count()
     strict = minhash_lsh_candidates(spark, sf_dir, bands=4, rows_per_band=8).count()
     assert strict <= loose
+
+
+def test_funnel_monotone(spark, sf_dir):
+    """Funnel counts must be non-increasing with depth; conversion of
+    step 1 is exactly 100%."""
+    from catme_etl_j_spark.operators.events import events_funnel
+
+    rows = sorted(events_funnel(spark, sf_dir).collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["conv_pct"] == 100.0
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
+
+
+def test_retention_offsets(spark, sf_dir):
+    """Offset 0 is full retention by construction; later offsets never
+    exceed the cohort size."""
+    from catme_etl_j_spark.operators.events import events_retention
+
+    rows = events_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention_pct"] == 100.0
