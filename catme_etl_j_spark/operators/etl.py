@@ -184,12 +184,86 @@ FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
 """
 
 
+INCR_CUTOFF = "1996-01-01"
+
+
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a per-(priority, year) order
+    aggregate is computed over the 'already materialized' history
+    (orderdate < 1996-01-01) and then MERGED with the partial aggregate
+    of the new delta (orderdate >= cutoff) — counts add, DECIMAL sums
+    add, mins/maxes combine — without rescanning history rows one by
+    one. The output must equal (and the oracle twin IS) the aggregate
+    over the full table: the algebraic proof that the incremental path
+    is safe to deploy.
+
+    100 TB posture: this is THE pattern for daily refresh — the history
+    side is the stored view (tiny, one row per group), only the delta
+    is scanned; the merge is a full-outer join on the group key.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("o_totalprice")).alias("s"),
+            F.min(dec2("o_totalprice")).alias("mn"),
+            F.max(dec2("o_totalprice")).alias("mx"),
+        )
+    hist = partial(orders.filter(F.col("o_orderdate") < INCR_CUTOFF))
+    delta = partial(orders.filter(F.col("o_orderdate") >= INCR_CUTOFF))
+    h = hist.select(
+        F.col("o_orderpriority").alias("hp"), F.col("yr").alias("hy"),
+        F.col("n").alias("hn"), F.col("s").alias("hs"),
+        F.col("mn").alias("hmn"), F.col("mx").alias("hmx"),
+    )
+    merged = h.join(
+        delta,
+        (F.col("hp") == F.col("o_orderpriority")) & (F.col("hy") == F.col("yr")),
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        F.coalesce("o_orderpriority", "hp").alias("o_orderpriority"),
+        F.coalesce("yr", "hy").alias("yr"),
+        (F.coalesce("hn", F.lit(0)) + F.coalesce("n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        money2(F.coalesce("hs", zero) + F.coalesce("s", zero)).alias("sum_price"),
+        F.least(
+            F.coalesce("hmn", F.col("mn")), F.coalesce("mn", F.col("hmn"))
+        ).cast("double").alias("min_price"),
+        F.greatest(
+            F.coalesce("hmx", F.col("mx")), F.coalesce("mx", F.col("hmx"))
+        ).cast("double").alias("max_price"),
+    )
+
+
+# The oracle is the FULL recompute — equality proves the merge algebra.
+_INCR_SQL = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_price,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority, year(o_orderdate)
+"""
+
+
 QUERIES = {
     "etl_scd2_intervals": etl_scd2_intervals,
     "etl_merge_upsert": etl_merge_upsert,
+    "etl_incremental_agg": etl_incremental_agg,
 }
 
 ORACLES = {
     "etl_scd2_intervals": _SCD2_SQL,
     "etl_merge_upsert": _MERGE_SQL,
+    "etl_incremental_agg": _INCR_SQL,
 }

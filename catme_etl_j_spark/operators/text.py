@@ -518,7 +518,57 @@ FROM j
 """
 
 
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity metrics used in corpus quality
+    scoring: token count, type (distinct-token) count, type-token
+    ratio, and hapax ratio (share of types occurring exactly once).
+
+    All counts are exact integers from ONE staged token array; ratios
+    are single IEEE divisions rounded with rdet — deterministic across
+    engines. Linear per row, zero shuffles.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("w", F.expr("split(trim(text), ' +')"))
+    n_tok = F.expr("size(w)").cast("long")
+    n_typ = F.expr("size(array_distinct(w))").cast("long")
+    # hapax count: types whose frequency in w is exactly 1
+    hapax = F.expr(
+        "size(filter(array_distinct(w),"
+        " t -> size(filter(w, x -> x = t)) = 1))"
+    ).cast("long")
+    return staged.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        hapax.alias("n_hapax"),
+        rdet(n_typ.cast("double") / n_tok.cast("double"), 4).alias("ttr"),
+        rdet(hapax.cast("double") / n_typ.cast("double"), 4).alias("hapax_ratio"),
+    )
+
+
+_LEXDIV_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_types,
+         len(list_filter(list_distinct(w),
+             t -> len(list_filter(w, x -> x = t)) = 1)) AS n_hapax
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       {rdet_sql('CAST(n_types AS DOUBLE) / n_tokens', 4)} AS ttr,
+       {rdet_sql('CAST(n_hapax AS DOUBLE) / n_types', 4)} AS hapax_ratio
+FROM m
+"""
+
+
 QUERIES = {
+    "text_lexical_diversity": text_lexical_diversity,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
@@ -529,6 +579,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lexical_diversity": _LEXDIV_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_lang_id": _TEXT_LANG_SQL,
     "text_token_count": _TEXT_TOKEN_SQL,

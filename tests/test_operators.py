@@ -21,6 +21,8 @@ SPOT = [
     "q21_waiting_supplier",
     "text_fingerprint",
     "text_gopher_quality",
+    "text_lexical_diversity",
+    "etl_incremental_agg",
     "text_winnow_fingerprint",
     "text_repetition",
     "corpus_split",
@@ -108,6 +110,28 @@ def test_minhash_band_knob_validated(spark, sf_dir):
     loose = minhash_lsh_candidates(spark, sf_dir, bands=8, rows_per_band=4).count()
     strict = minhash_lsh_candidates(spark, sf_dir, bands=4, rows_per_band=8).count()
     assert strict <= loose
+
+
+def test_incremental_agg_totals(spark, sf_dir):
+    """The history+delta merge must account for every order exactly once."""
+    from catme_etl_j_spark.operators.etl import etl_incremental_agg
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = etl_incremental_agg(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert all(r["min_price"] <= r["max_price"] for r in rows)
+
+
+def test_lexical_diversity_invariants(spark, sf_dir):
+    from catme_etl_j_spark.operators.text import text_lexical_diversity
+
+    rows = text_lexical_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0 < r["ttr"] <= 1.0
+        assert 0 <= r["hapax_ratio"] <= 1.0
 
 
 def test_funnel_monotone(spark, sf_dir):
