@@ -50,8 +50,13 @@ PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(NUM_PERM)]
 
 JACCARD_THRESHOLD = 0.7
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_BITS = 32
+# 64-bit signature carried as two 32-bit halves (hi/lo): a single
+# BIGINT would need 1<<63, which overflows signed int64 in BOTH
+# engines; two halves keep every value in [0, 2^32) and the hamming
+# distance is just the sum of the halves' bit_counts.
+SIMHASH_BITS = 64
 SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole-complete
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 16 -> 65,536 buckets/block
 
 # Word-3-gram shingling (guards: <3 words -> no shingles; Spark's
 # sequence(1, 0) would yield a DESCENDING [1,0], hence the CASE).
@@ -303,69 +308,118 @@ FROM pairs JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id
 # ---------------------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash signature."""
+    """Per-document 64-bit SimHash signature as two 32-bit halves.
+
+    Bits 0-31 (``simhash_lo``) come from the portable 32-bit shingle
+    hash md5[1:8]; bits 32-63 (``simhash_hi``) from the independent
+    md5[9:16] half — together the md5-derived 64 portable bits. Both
+    halves stay in [0, 2^32), so no signed-overflow hazard in either
+    engine (1<<63 would not fit a BIGINT).
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    h = _hashed(spark, sf_dir)
+    h = _hashed2(spark, sf_dir)
+    half = SIMHASH_BITS // 2
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
+            F.when(F.expr(f"(shiftright({src}, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{name}{i}")
+        for src, name in (("h1", "lo"), ("h2", "hi"))
+        for i in range(half)
     ]
     per_doc = h.groupBy("doc_id").agg(*bit_sums)
-    sig = sum(
-        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(SIMHASH_BITS)
+
+    def _half(name: str):
+        return sum(
+            F.when(
+                F.col(f"s{name}{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(half)
+        )
+
+    return per_doc.select(
+        "doc_id", _half("hi").alias("simhash_hi"), _half("lo").alias("simhash_lo")
     )
-    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def _hashed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles with BOTH portable 32-bit hash halves (md5[1:8], md5[9:16])."""
+    return _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+    )
+
+
+_SHINGLE2_CTE_DUCK = """
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+  FROM words),
+hashed AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+           FROM shingles)
+"""
 
 
 def _simhash_sql_core() -> str:
+    half = SIMHASH_BITS // 2
     sums = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
-        for i in range(SIMHASH_BITS)
+        f"sum(CASE WHEN ({src} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{name}{i}"
+        for src, name in (("h1", "lo"), ("h2", "hi"))
+        for i in range(half)
     )
-    sig = " + ".join(
-        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
-        for i in range(SIMHASH_BITS)
-    )
+
+    def _half(name: str) -> str:
+        return " + ".join(
+            f"CASE WHEN s{name}{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+            for i in range(half)
+        )
+
     return f"""
-WITH {_SHINGLE_CTE_DUCK},
+WITH {_SHINGLE2_CTE_DUCK},
 bits AS (
   SELECT doc_id,
          {sums}
   FROM hashed GROUP BY doc_id),
-sig AS (SELECT doc_id, {sig} AS simhash FROM bits)
+sig AS (SELECT doc_id, {_half("hi")} AS simhash_hi, {_half("lo")} AS simhash_lo FROM bits)
 """
 
 
 def _simhash_sql() -> str:
-    return _simhash_sql_core() + "SELECT doc_id, simhash FROM sig"
+    return _simhash_sql_core() + "SELECT doc_id, simhash_hi, simhash_lo FROM sig"
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: hamming(simhash_a, simhash_b) <= 3.
+    """Near-dup pairs: hamming(simhash_a, simhash_b) <= 3 over the
+    64-bit signature.
 
-    Banded self-join on the 4 byte-blocks of the signature — by
+    Banded self-join on the 4 16-bit blocks of the signature — by
     pigeonhole, any pair within hamming 3 shares at least one intact
-    block, so this equals the exact all-pairs scan (which the oracle
-    runs) while staying linear-ish at scale.
+    block. 65,536 buckets per block (vs 256 with the old 8-bit blocks
+    on a 32-bit signature) keeps per-bucket occupancy — and hence the
+    self-join fan-out — ~256x lower at corpus scale, while equaling the
+    exact all-pairs scan (which the oracle runs).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sig = dedup_simhash(spark, sf_dir).cache()
+    # blocks 0,1 from the lo half; 2,3 from the hi half (16 bits each)
+    block_exprs = [
+        F.expr(f"(shiftright(simhash_lo, {j * 16}) & 65535)") for j in range(2)
+    ] + [F.expr(f"(shiftright(simhash_hi, {j * 16}) & 65535)") for j in range(2)]
     blocks = sig.select(
         "doc_id",
-        "simhash",
+        "simhash_hi",
+        "simhash_lo",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(j).alias("block_idx"),
-                    F.expr(f"(shiftright(simhash, {j * 8}) & 255)").alias("bv"),
-                )
-                for j in range(SIMHASH_BLOCKS)
+                F.struct(F.lit(j).alias("block_idx"), e.alias("bv"))
+                for j, e in enumerate(block_exprs)
             ])
         ).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_idx", "blk.bv")
+    ).select("doc_id", "simhash_hi", "simhash_lo", "blk.block_idx", "blk.bv")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -377,7 +431,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+            F.expr(
+                "bit_count(a.simhash_hi ^ b.simhash_hi)"
+                " + bit_count(a.simhash_lo ^ b.simhash_lo)"
+            ).cast("long").alias("hamming"),
         )
         .distinct()
     )
@@ -385,11 +442,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_sql() -> str:
+    ham = (
+        "bit_count(xor(a.simhash_hi, b.simhash_hi))"
+        " + bit_count(xor(a.simhash_lo, b.simhash_lo))"
+    )
     return _simhash_sql_core() + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST({ham} AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+WHERE {ham} <= {SIMHASH_MAX_HAMMING}
 """
 
 

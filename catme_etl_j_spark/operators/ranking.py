@@ -4,8 +4,12 @@ TF-IDF and BM25 are the standard lexical relevance scores a training-
 data pipeline uses for corpus curation (query-based filtering, topical
 sampling, boilerplate down-weighting). Both are pure DataFrame
 aggregation pipelines: tokenize -> per-(doc, term) counts -> corpus
-statistics -> score, with every join on the small statistics side
-broadcast.
+statistics -> score. Joins whose build side is genuinely bounded
+(per-TERM stats, the 1-row N / avgdl aggregates) are broadcast; the
+per-DOCUMENT length table is NOT — it grows with the corpus, so it
+joins as a plain shuffle join co-partitioned with the per-(doc, term)
+stream on doc_id (both sides already hash on it; the exchange is
+reused).
 
 Cross-engine determinism: IEEE +,*,/ are bit-identical across engines;
 ``ln`` may differ in the last ulp, so ranks are taken over the
@@ -47,7 +51,9 @@ def rank_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # one scalar action; reused as a literal
+    # 1-row corpus size as a broadcast aggregate — no driver-side
+    # .count() action; the scalar folds into the one plan.
+    ndf = docs.agg(F.count("*").alias("n_docs"))
     pairs = (
         docs.select(
             "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
@@ -57,15 +63,19 @@ def rank_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfs = pairs.groupBy("term").agg(F.count("*").alias("df"))
-    scored = pairs.join(F.broadcast(dfs), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.expr(
-            f"CAST(floor(tf * (ln(({n_docs} + 1.0) / (df + 1.0)) + 1.0)"
-            " * 10000.0 + 0.5) AS BIGINT)"
-        ).alias("score_fp"),
+    scored = (
+        pairs.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(
+                "CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
+                " * 10000.0 + 0.5) AS BIGINT)"
+            ).alias("score_fp"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_fp"), F.asc("term")
@@ -118,10 +128,16 @@ def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df + 0.5)); dl/avgdl is exact rational arithmetic. The exploded
     term stream is filtered to the query terms BEFORE the tf aggregate,
     so at scale the heavy stream prunes to 3 terms' worth of rows.
+
+    Join strategy at 100 TB: ``qdf`` (<= |query| rows), ``avgdl`` and
+    the corpus count (1 row each) broadcast; ``dl`` is one row per
+    DOCUMENT — it grows with the corpus and must NOT be broadcast, so
+    it joins as a plain shuffle join on doc_id, co-partitioned with
+    the qtf side (both hash on doc_id; AQE reuses the exchange).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    ndf = docs.agg(F.count("*").alias("n_docs"))
     q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
@@ -138,12 +154,13 @@ def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
     parts = (
         qtf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl, "doc_id")  # per-doc side: plain shuffle join, never broadcast
         .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(ndf))
         .select(
             "doc_id",
             F.expr(
-                f"ln(1.0 + ({n_docs} - df + 0.5) / (df + 0.5))"
+                f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
                 f" * (tf * ({BM25_K1} + 1.0))"
                 f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
             ).alias("part"),

@@ -38,15 +38,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as int64 and integer-divide to micros
-    (`div`, not `/` — float division loses precision above 2^53).
-    DuckDB does the same ns->us floor truncation, so parity holds."""
+    """Normalize events.ts to TimestampType regardless of how the driver
+    generated the parquet. Two encodings have been observed across
+    rounds: TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    read nanos as int64, integer-divide to micros; `div`, not `/`,
+    because float division loses precision above 2^53) and plain
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ —
+    cast to TimestampType; identity on the stored micros because every
+    events query sets the session zone to UTC before loading). DuckDB
+    applies the same ns->us floor truncation, so parity holds."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import functions as F
+    return _normalize_ts(df)
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # legacy nanos-as-long
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

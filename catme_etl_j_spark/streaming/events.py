@@ -22,23 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from catme_etl_j_spark.functions.numeric import dec2, money2
 
 WATERMARK = "10 minutes"
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_event_stream(
     spark: SparkSession,
@@ -49,15 +36,28 @@ def read_event_stream(
     """File-based streaming source over events parquet files.
 
     ``path`` must be a directory (streaming-source requirement); pass
-    ``glob`` to restrict to matching files within it."""
+    ``glob`` to restrict to matching files within it.
+
+    Streaming sources require an explicit schema, but the driver has
+    shipped events.parquet with two different physical ts encodings
+    across rounds (TIMESTAMP(NANOS) → long, TIMESTAMP(MICROS) → ntz),
+    so the schema is inferred from a one-file batch read of the same
+    path (footer-only, no data scan) and ts is normalized to
+    TimestampType exactly as the batch loader does (tables._normalize_ts).
+    """
+    from catme_etl_j_spark.sources.tables import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    batch = spark.read
+    if glob:
+        batch = batch.option("pathGlobFilter", glob)
+    schema = batch.parquet(path).schema
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(reader.parquet(path))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

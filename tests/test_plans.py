@@ -189,6 +189,51 @@ def test_corpus_chunk_no_shuffle(spark, sf_dir):
             assert "split(" not in line, line
 
 
+def test_bm25_per_doc_join_not_broadcast(spark, sf_dir):
+    """Scale guard (VERDICT r3 "what's wrong #1"): the per-DOCUMENT
+    lengths table `dl` grows with the corpus and must NOT carry a
+    broadcast hint — with auto-broadcast disabled, the only
+    BroadcastExchanges left are the three hinted bounded sides (qdf:
+    <=|query| rows; avgdl and n_docs: 1 row each), and the dl join
+    runs as a shuffle join."""
+    from catme_etl_j_spark.operators import ranking
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(ranking.rank_bm25_search(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    # formatted mode lists each node twice (tree + detail); count the
+    # numbered detail entries only
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 3, plan
+    # the doc_id join against dl must be a shuffle join, not broadcast
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_lexdiv_hapax_is_aggregate_not_array_scan(spark, sf_dir):
+    """Per-row-quadratic guard (VERDICT r3 "what's wrong #2"): the hapax
+    count must be the explode -> count -> re-agg shape, never the nested
+    in-array filter(array_distinct(w), t -> ... filter(w, ...)) which is
+    O(len^2) per document. No lambda filter over the token array may
+    survive in the optimized plan, and the aggregate chain (per-token
+    counts, then per-doc rollup) must be present."""
+    from catme_etl_j_spark.operators import text
+
+    df = text.text_lexical_diversity(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_distinct" not in plan, plan
+    assert "lambdafunction" not in plan, plan
+    phys = formatted_plan(df)
+    assert phys.count("HashAggregate") >= 4, phys  # partial+final x2 levels
+    # the explode must keep the split out of pushed filters (generate trap)
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert "split(" not in line, line
+
+
 def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
     """Regression guard for the InferFiltersFromGenerate trap: no Filter
     node in the optimized plan may contain the inlined winnow pipeline

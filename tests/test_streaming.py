@@ -31,13 +31,22 @@ FLUSH_USER = -1
 def stream_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
     shutil.copy(f"{sf_dir}/events.parquet", d / "batch0.parquet")
-    max_ns = pq.read_table(f"{sf_dir}/events.parquet").column("ts").cast(pa.int64())
-    flush_ts = max(max_ns.to_pylist()) + 86_400 * 10**9
+    # The flush row must carry the SAME physical ts type as the source
+    # file (the driver has shipped both int64-nanos and timestamp[us]
+    # across rounds; a schema mismatch breaks the file stream source).
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = src.schema.field("ts").type
+    per_day = (
+        86_400 * 10**9
+        if pa.types.is_integer(ts_type)
+        else 86_400 * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    )
+    flush_ts = max(src.column("ts").cast(pa.int64()).to_pylist()) + per_day
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([10**9], pa.int64()),
-                "ts": pa.array([flush_ts], pa.int64()),
+                "ts": pa.array([flush_ts], pa.int64()).cast(ts_type),
                 "user_id": pa.array([FLUSH_USER], pa.int64()),
                 "event_type": pa.array(["flush"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
