@@ -46,6 +46,11 @@ HEADLINE = [
     "rank_bm25_search",
     "etl_scd2_intervals",
     "embed_quantize_int8",
+    # round-4 additions: the three iterative/explode-heavy shapes that
+    # were previously untimed (VERDICT r3 next-round #6)
+    "graph_pagerank_nations",
+    "text_repetition",
+    "events_funnel",
 ]
 
 
@@ -144,8 +149,10 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # 1 untimed warm-up (pays file-listing/codegen/Python-worker spawn)
-    # + median-of-3 timed runs: stable to ~±0.02s run-over-run, so real
-    # regressions are distinguishable from session jitter.
+    # + median-of-3 timed runs; sub-second queries get 2 extra timed
+    # runs (median-of-5) because their run-over-run jitter (~±0.06s
+    # observed r02->r03 on unchanged q01/q05) is a large RELATIVE error
+    # only below ~1s. Target stability: unchanged queries move <=0.03s.
     # Queries that materialize eagerly during construction (iterative
     # connected components) must be timed end-to-end; lazy queries time
     # execution only (construction is driver-side plan analysis, which a
@@ -153,16 +160,24 @@ def main() -> None:
     eager = {"dedup_minhash_keep"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        samples = []
-        for i in range(4):
+        samples: list[float] = []
+
+        def run_once(timed: bool) -> None:
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             if name not in eager:
                 t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            if i > 0:  # run 0 is warm-up
+            if timed:
                 samples.append(time.time() - t0)
-        timings[name] = round(sorted(samples)[1], 3)
+
+        run_once(False)  # warm-up
+        for _ in range(3):
+            run_once(True)
+        if sorted(samples)[1] < 1.0:
+            for _ in range(2):
+                run_once(True)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
     timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)

@@ -627,8 +627,15 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     Convergence test is the sum of labels: propagation only ever
     lowers a label, so an unchanged sum means a fixpoint.
     """
+    # Materialize the edge set ONCE before iterating: without this,
+    # every round's join re-executes the edges' full upstream pipeline
+    # (for LSH edges: shingle -> minhash -> band self-join), multiplying
+    # the most expensive stage by rounds-to-fixpoint. This was the
+    # round-3 dedup_minhash_keep bench regression (2.18s -> 2.61s).
+    edges = edges.localCheckpoint()
     labels = nodes.select(F.col("nid"), F.col("nid").alias("rep")).localCheckpoint()
     prev_sum = labels.agg(F.sum("rep")).first()[0]
+    rounds = 0
     while True:
         neigh = (
             edges.join(labels, edges["src"] == labels["nid"])
@@ -643,10 +650,17 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("rep")).first()[0]
         if cur_sum == prev_sum:
+            _CC_LAST_ROUNDS[0] = rounds
             return labels
         prev_sum = cur_sum
+
+
+# rounds-to-fixpoint of the most recent _connected_components call
+# (instrumentation for bench/regression triage; not part of any result)
+_CC_LAST_ROUNDS = [0]
 
 
 def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:

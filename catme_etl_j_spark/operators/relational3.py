@@ -1,10 +1,14 @@
 """Relational operator surface, wave 3 (SURVEY.md §7.4).
 
-Closes the remaining TPC-H-shaped gaps in the query inventory: Q12
-(join + conditional two-way counts), Q13 (outer-join distribution),
-Q15 (aggregate CTE + global-max selection), Q17 (per-key avg threshold
-join-back), Q19 (disjunctive multi-band join predicates), Q21
-(semi + anti self-joins on a keyed fact).
+Closes the remaining TPC-H-shaped gaps in the query inventory: Q11
+(HAVING sum > fraction-of-global scalar subquery), Q12 (join +
+conditional two-way counts), Q13 (outer-join distribution), Q15
+(aggregate CTE + global-max selection), Q16 (distinct-count per
+attribute group with NOT-IN exclusion), Q17 (per-key avg threshold
+join-back), Q19 (disjunctive multi-band join predicates), Q20
+(correlated-aggregate-gated semi-join chain), Q21 (semi + anti
+self-joins on a keyed fact) — with these, all 22 TPC-H operator
+shapes have an oracle-checked twin.
 
 The reference (waldfalke/catme-etl-j) has no relational operators
 (SURVEY.md §2.4); this layer is the engine's own DataFrame surface.
@@ -28,6 +32,15 @@ Scale notes (100 TB posture):
   filter broadcast.
 * q21: semi+anti joins share the l_orderkey shuffle key, so AQE can
   reuse the exchange; per-order fan-out is bounded by lines-per-order.
+* q11: one fact shuffle on l_partkey; the global total is a 1-row
+  broadcast and the threshold compare is exact decimal (no float
+  boundary).
+* q16: supplier exclusion is a broadcast anti-join BEFORE the part
+  join, so excluded rows never shuffle; distinct-count shuffles once
+  on the group key.
+* q20: per-(supp, part) aggregate shuffles once; the per-part rollup
+  reuses the same key prefix, and the correlated threshold is the
+  q17-style decorrelated join-back with exact decimal/int arithmetic.
 """
 
 from __future__ import annotations
@@ -290,7 +303,154 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11-style: group -> HAVING sum > fraction-of-global-sum (the scalar-
+# subquery-over-an-aggregate archetype). No partsupp table here, so
+# "stock value" is re-cut to lineitem revenue supplied by the low-half
+# nations' suppliers, per part; keep parts contributing more than
+# 1/10000 of that total. The threshold compare is EXACT decimal
+# arithmetic on both engines (value * 10000 > total), so no float
+# boundary can flip a row.
+# ---------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 12)
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_REV)).alias("value_dec"))
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.expr("value_dec * 10000 > total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            money2(F.col("value_dec")).alias("value"),
+        )
+    )
+
+
+_Q11_SQL = f"""
+WITH vals AS (
+  SELECT l_partkey, SUM({_REV}) AS value_dec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 12
+  GROUP BY l_partkey),
+total AS (SELECT SUM(value_dec) AS total_dec FROM vals)
+SELECT l_partkey AS p_partkey,
+       CAST(round(value_dec, 2) AS DOUBLE) AS value
+FROM vals, total
+WHERE value_dec * 10000 > total_dec
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: count DISTINCT suppliers per part attribute group, with a
+# NOT-IN supplier exclusion (anti-join). No partsupp/s_comment here:
+# supplier-part relationships come from lineitem, and the exclusion
+# subset is suppliers with s_acctbal < 2500 (stand-in for the
+# original's complaints pattern). Part filter keeps the original's
+# brand-exclusion + size-IN-list shape.
+# ---------------------------------------------------------------------------
+
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2500
+    ).select("s_suppkey")
+    kept = li.join(
+        F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: nested semi-join chain gated by a correlated aggregate
+# threshold. No partsupp availqty here: a supplier qualifies for a part
+# if its 1997 shipped quantity of that 'widget' part exceeds half the
+# part's average per-supplier shipped quantity. The threshold compare
+# is exact (2 * qty * n_suppliers > part_total, all decimal/int), and
+# the supplier list is the final left-semi join — the original's
+# EXISTS-chain shape with Spark's decorrelation applied.
+# ---------------------------------------------------------------------------
+
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
+    )
+    per_part = sp.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("qty_dec").alias("part_total"),
+        F.count("*").alias("n_supp"),
+    )
+    qual = sp.join(
+        per_part, sp.l_partkey == per_part.pp_partkey
+    ).filter(F.expr("2 * qty_dec * n_supp > part_total"))
+    return (
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_SQL = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey),
+per_part AS (
+  SELECT l_partkey AS pp_partkey, SUM(qty_dec) AS part_total, COUNT(*) AS n_supp
+  FROM sp GROUP BY l_partkey),
+qual AS (
+  SELECT DISTINCT l_suppkey
+  FROM sp JOIN per_part ON l_partkey = pp_partkey
+  WHERE 2 * qty_dec * n_supp > part_total)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
+
+
 QUERIES = {
+    "q11_important_stock": q11_important_stock,
+    "q16_parts_supplier_count": q16_parts_supplier_count,
+    "q20_promotable_suppliers": q20_promotable_suppliers,
     "q12_late_lines": q12_late_lines,
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
@@ -300,6 +460,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q11_important_stock": _Q11_SQL,
+    "q16_parts_supplier_count": _Q16_SQL,
+    "q20_promotable_suppliers": _Q20_SQL,
     "q12_late_lines": _Q12_SQL,
     "q13_order_distribution": _Q13_SQL,
     "q15_top_supplier": _Q15_SQL,

@@ -9,6 +9,7 @@ types), and order-insensitive values. Usage:
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import signal
@@ -116,6 +117,26 @@ def main() -> int:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    # One machine-readable summary line + an append-only local record,
+    # so a truncated/empty driver gate artifact is immediately
+    # diagnosable against the full local sweep (VERDICT r3 #7). Only
+    # full sweeps are recorded — subset runs would pollute the history.
+    summary = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf_dir": sf_dir,
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "n_queries": len(queries),
+        "subset": sorted(only) if only else None,
+    }
+    print("SELFCHECK_SUMMARY " + json.dumps(summary))
+    if not only:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "PROGRESS.jsonl"), "a") as f:
+                f.write(json.dumps(summary) + "\n")
+        except OSError:
+            pass
     return 1 if n_fail else 0
 
 
