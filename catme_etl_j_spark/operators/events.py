@@ -317,8 +317,131 @@ FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (src, dst) event-type pair, the transition
+    count and probability P(dst | src).
+
+    One window pass (lead over the per-user time order, deterministic
+    (ts, event_id) tie-break) + one count aggregate. The per-src
+    totals table is bounded by the number of event TYPES (tiny at any
+    corpus size), so the probability join broadcasts. Probability is a
+    single exact-int division rounded with rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("dst_type", F.lead("event_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+        .select(F.col("event_type").alias("src_type"), "dst_type")
+    )
+    counts = pairs.groupBy("src_type", "dst_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src_type").agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        rdet(F.col("n").cast("double") / F.col("total").cast("double"), 4).alias("p"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events),
+counts AS (
+  SELECT src_type, dst_type, COUNT(*) AS n
+  FROM pairs WHERE dst_type IS NOT NULL
+  GROUP BY src_type, dst_type),
+totals AS (SELECT src_type, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY src_type)
+SELECT c.src_type, c.dst_type, c.n,
+       floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS p
+FROM counts c JOIN totals t ON c.src_type = t.src_type
+"""
+
+
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + gap-fill per user: one row per (user, day) over
+    the user's own [first, last] activity span, with that day's event
+    count and the last observed ``value`` carried forward (LOCF) across
+    gap days — the standard time-series regularization step before
+    feature windows.
+
+    Scale shape: per-(user, day) aggregate (map-side combines), a
+    per-user sequence() generate for the day grid (fan-out bounded by
+    each user's own span, not the global calendar), and ONE window pass
+    for the carry-forward — all keyed on user_id, no self-joins. Days
+    are exact integer epoch-day indexes; the LOCF value picks the
+    day's last event by the deterministic (ts, event_id) order.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    # exact integer day index: floor(epoch_seconds / 86400)
+    day = F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    w_last = W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    per_day = (
+        ev.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("day_last"),
+        )
+    )
+    grid = (
+        per_day.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    joined = grid.join(per_day, ["user_id", "day"], "left")
+    w_locf = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        rdet(F.last("day_last", ignorenulls=True).over(w_locf), 2).alias("locf_value"),
+    )
+
+
+_RESAMPLE_SQL = """
+WITH pd AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN value END) AS day_last
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+  GROUP BY 1, 2),
+grid AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM pd GROUP BY user_id) s)
+SELECT g.user_id, g.day,
+       CAST(COALESCE(pd.n_events, 0) AS BIGINT) AS n_events,
+       floor(last_value(pd.day_last IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0
+         AS locf_value
+FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_transition_matrix": events_transition_matrix,
+    "events_resample_locf": events_resample_locf,
     "events_retention": events_retention,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
@@ -329,6 +452,8 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_transition_matrix": _TRANSITION_SQL,
+    "events_resample_locf": _RESAMPLE_SQL,
     "events_retention": _RETENTION_SQL,
     "events_tumbling_window": _TUMBLING_SQL,
     "events_sliding_window": _SLIDING_SQL,

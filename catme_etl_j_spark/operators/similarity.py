@@ -406,19 +406,19 @@ def _assign(fx4: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _update(asg: DataFrame) -> DataFrame:
+def _update(asg: DataFrame, dim: int = _DIM) -> DataFrame:
     """New centroids: per-dimension floor(sum/count) — exact int sums,
     one IEEE division, identical on both engines."""
     means = [
         F.expr(
             f"CAST(floor(CAST(sum(element_at(fx4, {i + 1})) AS DOUBLE) / count(1)) AS BIGINT)"
         ).alias(f"c{i}")
-        for i in range(_DIM)
+        for i in range(dim)
     ]
     return (
         asg.groupBy("cid")
         .agg(*means)
-        .select("cid", F.array(*[F.col(f"c{i}") for i in range(_DIM)]).alias("cfx"))
+        .select("cid", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cfx"))
     )
 
 
@@ -534,6 +534,141 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# the FAISS-standard memory/compute scale path for billion-vector ANN:
+# split the 64-dim vector into PQ_M=4 16-dim subspaces, k-means each
+# subspace to PQ_K=16 centroids (same deterministic Lloyd's as IVF),
+# store each vector as 4 one-byte codes, and answer queries by summing
+# 4 precomputed query-to-centroid distances per candidate (a 64-entry
+# broadcast LUT — no per-pair dot product at all).
+# Distances are EXACT int64 end to end (fixed-point 1e4 per component),
+# so the result — including every k-means round — is bit-identical in
+# DuckDB with no literal passing.
+# 100 TB posture: codebook training is PQ_M independent broadcast-
+# assign/tiny-agg loops; encoding is a map-only pass; the query scan is
+# linear with 4 broadcast hash joins against 16-row LUTs and a global
+# top-k (TakeOrderedAndProject) — nothing shuffles the big side.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUBDIM = _DIM // PQ_M  # 16
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbors of the query vector by PQ/ADC
+    approximate squared-L2 (exact int64 arithmetic; ascending distance,
+    vec_id tie-break)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "vec_id", "label", F.expr(_fx4_expr("embedding")).alias("fv")
+    ).cache()
+    qrow = fx.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("fv").alias("qfv")
+    )
+    codes = fx.select("vec_id", "label")
+    adist = None
+    for m in range(PQ_M):
+        sl = f"slice({{c}}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        sub = fx.select("vec_id", F.expr(sl.format(c="fv")).alias("fx4"))
+        cent = sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
+        )
+        for _ in range(PQ_ITERS):
+            cent = _update(_assign(sub, cent), PQ_SUBDIM)
+        code_m = _assign(sub, cent).select(
+            "vec_id", F.col("cid").alias(f"code{m}")
+        )
+        codes = codes.join(code_m, "vec_id")
+        lut_m = (
+            cent.crossJoin(F.broadcast(qrow))
+            .select(
+                F.col("cid").alias(f"lcid{m}"),
+                F.expr(
+                    _l2_fx("cfx", sl.format(c="qfv"))
+                ).alias(f"qd{m}"),
+            )
+        )
+        codes = codes.join(
+            F.broadcast(lut_m), F.col(f"code{m}") == F.col(f"lcid{m}")
+        )
+        term = F.col(f"qd{m}")
+        adist = term if adist is None else adist + term
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _pq_sql() -> str:
+    sub_l2 = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> ({{a}}[i] - {{b}}[i]) * ({{a}}[i] - {{b}}[i]))) AS BIGINT)"
+    ).format(d=PQ_SUBDIM)
+    means = ", ".join(
+        f"CAST(floor(CAST(SUM(fx4[{i + 1}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        for i in range(PQ_SUBDIM)
+    )
+
+    def assign_cte(name: str, sub: str, cent: str) -> str:
+        dist = sub_l2.format(a="a.fx4", b="c.cfx")
+        return (
+            f"{name} AS (\n"
+            f"  SELECT vec_id, fx4, cid FROM (\n"
+            f"    SELECT a.vec_id, a.fx4, c.cid,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {dist}, c.cid) AS rn\n"
+            f"    FROM {sub} a CROSS JOIN {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"""fxt AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP4} + 0.5) AS BIGINT)) AS fv
+  FROM embeddings)"""
+    ]
+    code_joins = []
+    lut_joins = []
+    dist_terms = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        ctes.append(
+            f"sub{m} AS (SELECT vec_id, fv[{lo}:{hi}] AS fx4 FROM fxt)"
+        )
+        ctes.append(
+            f"c{m}_0 AS (SELECT vec_id AS cid, fx4 AS cfx FROM sub{m} WHERE vec_id < {PQ_K})"
+        )
+        for it in range(PQ_ITERS):
+            ctes.append(assign_cte(f"a{m}_{it}", f"sub{m}", f"c{m}_{it}"))
+            ctes.append(
+                f"c{m}_{it + 1} AS (SELECT cid, [{means}] AS cfx FROM a{m}_{it} GROUP BY cid)"
+            )
+        ctes.append(assign_cte(f"code{m}", f"sub{m}", f"c{m}_{PQ_ITERS}"))
+        qd = sub_l2.format(a="c.cfx", b=f"q.fv[{lo}:{hi}]")
+        ctes.append(
+            f"lut{m} AS (SELECT c.cid, {qd} AS qd FROM c{m}_{PQ_ITERS} c "
+            f"CROSS JOIN (SELECT fv FROM fxt WHERE vec_id = {QUERY_VEC_ID}) q)"
+        )
+        code_joins.append(f"JOIN code{m} k{m} ON e.vec_id = k{m}.vec_id")
+        lut_joins.append(f"JOIN lut{m} l{m} ON k{m}.cid = l{m}.cid")
+        dist_terms.append(f"l{m}.qd")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT e.vec_id, e.label, CAST({" + ".join(dist_terms)} AS BIGINT) AS adist
+FROM fxt e
+{" ".join(code_joins)}
+{" ".join(lut_joins)}
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY adist ASC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup keep-one — the embedding-space twin of
     dedup_minhash_keep: hyperplane-LSH candidate pairs at
@@ -588,6 +723,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
+    "ann_pq_topk": ann_pq_topk,
     "ann_nn_within_label": ann_nn_within_label,
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -597,6 +733,7 @@ ORACLES = {
     "ann_topk_bruteforce": _topk_sql(),
     "ann_topk_ivf": _topk_sql(" AND label = qlabel"),
     "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
+    "ann_pq_topk": _pq_sql(),
     "ann_nn_within_label": _nn_within_label_sql(),
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
     "dedup_embedding_cosine": _emb_keep_sql(),

@@ -587,8 +587,97 @@ FROM base b JOIN typ USING (doc_id)
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram language-model quality score: each
+    document's average add-one-smoothed bigram log-probability
+    ``mean(ln((c12 + 1) / (c1 + V)))`` — the classic cheap LM filter a
+    training pipeline runs before an expensive model-based one
+    (boilerplate and gibberish score low, fluent text high).
+
+    Scale shape: per-(doc, bigram) counts shuffle once on the gram key;
+    corpus bigram totals (c12) re-aggregate the SAME keyed stream
+    (exchange reuse), context counts (c1) roll c12 up by first word,
+    and V is a 1-row broadcast. ln runs once per DISTINCT bigram type
+    (not per occurrence), fixed-pointed at 1e6 (functions/numeric.py
+    ln-on-the-gate precedent); per-doc sums are exact ints.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.expr("split(trim(text), ' +')").alias("w"))
+    db = (
+        staged.select("doc_id", F.explode_outer(F.expr(_ngram_expr(2))).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("k"))
+    )
+    c12 = (
+        db.groupBy("gram")
+        .agg(F.sum("k").alias("c12"))
+        .withColumn("w1", F.expr("element_at(split(gram, ' '), 1)"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        staged.select(F.explode_outer("w").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    stats = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.expr(
+                "CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("lp_fp"),
+        )
+    )
+    scored = (
+        db.join(stats, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("lp_fp")).alias("sum_fp"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        rdet(
+            F.col("sum_fp").cast("double") / F.col("n_bigrams") / F.lit(1000000.0), 4
+        ).alias("avg_logprob"),
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+db AS (
+  SELECT doc_id, gram, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest({_duck_ngrams(2)}) AS gram FROM s) t
+  GROUP BY doc_id, gram),
+c12 AS (
+  SELECT gram, CAST(SUM(k) AS BIGINT) AS c12,
+         split_part(gram, ' ', 1) AS w1
+  FROM db GROUP BY gram),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM s) u),
+stats AS (
+  SELECT gram,
+         CAST(floor(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+  FROM c12 JOIN c1 USING (w1), vocab)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       {rdet_sql("CAST(SUM(k * lp_fp) AS DOUBLE) / CAST(SUM(k) AS BIGINT) / CAST(1000000.0 AS DOUBLE)", 4)} AS avg_logprob
+FROM db JOIN stats USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_lexical_diversity": text_lexical_diversity,
+    "text_bigram_lm_score": text_bigram_lm_score,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
@@ -600,6 +689,7 @@ QUERIES = {
 
 ORACLES = {
     "text_lexical_diversity": _LEXDIV_SQL,
+    "text_bigram_lm_score": _BIGRAM_LM_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_lang_id": _TEXT_LANG_SQL,
     "text_token_count": _TEXT_TOKEN_SQL,

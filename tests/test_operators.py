@@ -158,3 +158,67 @@ def test_retention_offsets(spark, sf_dir):
         if r["week_offset"] == 0:
             assert r["n_active"] == r["cohort_size"]
             assert r["retention_pct"] == 100.0
+
+
+def test_pq_topk_matches_adc_ordering(spark, sf_dir):
+    """PQ/ADC invariants: exactly TOP_K rows, non-negative exact-int
+    distances, ascending with vec_id tie-break, query excluded."""
+    from catme_etl_j_spark.operators.similarity import TOP_K, QUERY_VEC_ID, ann_pq_topk
+
+    rows = ann_pq_topk(spark, sf_dir).collect()
+    assert len(rows) == TOP_K
+    assert all(r["adist"] >= 0 for r in rows)
+    assert all(r["vec_id"] != QUERY_VEC_ID for r in rows)
+    keys = [(r["adist"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_transition_matrix_probabilities(spark, sf_dir):
+    """Per-src probabilities sum to ~1 (rdet rounding only) and every
+    transition count is positive."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.events import events_transition_matrix
+
+    rows = events_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_src = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0
+        assert 0 < r["p"] <= 1.0
+        by_src[r["src_type"]] += r["p"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 0.01, (src, total)
+
+
+def test_resample_locf_grid_complete(spark, sf_dir):
+    """Every user's day grid is contiguous, gap days carry the last
+    value forward, and per-day counts add back to the event total."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.events import events_resample_locf
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_resample_locf(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    days = defaultdict(list)
+    for r in rows:
+        days[r["user_id"]].append(r["day"])
+        assert r["locf_value"] is not None  # LOCF never leaves a hole
+    for u, ds in days.items():
+        ds.sort()
+        assert ds == list(range(ds[0], ds[-1] + 1)), u
+
+
+def test_bigram_lm_scores_negative(spark, sf_dir):
+    """Smoothed log-probs are strictly negative; bigram counts match
+    the document's token count - 1 for multi-word docs."""
+    from catme_etl_j_spark.operators.text import text_bigram_lm_score, text_token_count
+
+    lm = {r["doc_id"]: r for r in text_bigram_lm_score(spark, sf_dir).collect()}
+    assert lm
+    toks = {r["doc_id"]: r["n_ws_tokens"] for r in text_token_count(spark, sf_dir).collect()}
+    for doc_id, r in lm.items():
+        assert r["avg_logprob"] < 0
+        assert r["n_bigrams"] == toks[doc_id] - 1
