@@ -267,6 +267,98 @@ GROUP BY lang
 """
 
 
+TEMP_SCALE = 1_000_000  # fixed-point for sqrt(n) weights
+
+
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (T=0.5, i.e. sqrt
+    weighting — the standard multilingual-LM trick that up-weights rare
+    languages): per-language budgets ``target = budget * sqrt(n_l) /
+    sum(sqrt(n_l))`` over a half-corpus budget, then a deterministic
+    per-language take of the target count ordered by the portable md5
+    hash (reproducible across engines, runs, and partitionings —
+    rand(seed) sampling is none of those). Output is the per-language
+    summary with an exact doc_id checksum of the kept set.
+
+    Determinism: sqrt is exact IEEE and immediately fixed-pointed at
+    1e6; budgets are pure int64 arithmetic (``budget * s DIV total``;
+    exact while budget * s < 2^63 — switch the weight scale down at
+    trillion-doc corpora). Per-language take uses row_number over
+    (hash, doc_id) — fully ordered, no ties.
+
+    Scale shape: language stats are a tiny broadcast; the take is ONE
+    window pass partitioned by lang (skew bounded by the largest
+    language — salt the window's sort if one language dominates).
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            f"CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {TEMP_SCALE}.0 + 0.5) AS BIGINT)"
+        ).alias("s"),
+    )
+    tot = weights.agg(F.sum("s").alias("tot_s"), F.sum("n_docs").alias("tot_n"))
+    targets = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.least(
+                F.expr("((tot_n DIV 2) * s) DIV tot_s"), F.col("n_docs")
+            ).alias("target_n"),
+        )
+    )
+    h = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = docs.withColumn("h", h).withColumn("rn", F.row_number().over(w))
+    kept = ranked.join(F.broadcast(targets), "lang").filter(
+        F.col("rn") <= F.col("target_n")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max("target_n").cast("long").alias("target_n"),
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sampled_id_sum"),
+    )
+
+
+_TEMP_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+weights AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {TEMP_SCALE}.0 + 0.5) AS BIGINT) AS s
+  FROM counts),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS tot_s, CAST(SUM(n_docs) AS BIGINT) AS tot_n
+        FROM weights),
+targets AS (
+  SELECT lang, n_docs,
+         least(((tot_n // 2) * s) // tot_s, n_docs) AS target_n
+  FROM weights, tot),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    d.doc_id) AS rn
+  FROM documents d),
+kept AS (
+  SELECT r.lang, r.doc_id, t.n_docs, t.target_n
+  FROM ranked r JOIN targets t ON r.lang = t.lang
+  WHERE r.rn <= t.target_n)
+SELECT lang,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(target_n) AS BIGINT) AS target_n,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum
+FROM kept
+GROUP BY lang
+"""
+
+
 CHUNK_TOKENS = 32  # tokens per training chunk
 SEQ_LEN = 128  # tokens per packed training sequence
 PACK_BUCKET = 64  # doc_ids per prefix-sum bucket (see pack docstring)
@@ -396,6 +488,7 @@ QUERIES = {
     "corpus_chunk": corpus_chunk,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_sample_temperature": corpus_sample_temperature,
 }
 
 ORACLES = {
@@ -407,4 +500,5 @@ ORACLES = {
     "corpus_chunk": _CHUNK_SQL,
     "corpus_pack_sequences": _PACK_SQL,
     "corpus_sample_stratified": _SAMPLE_SQL,
+    "corpus_sample_temperature": _TEMP_SQL,
 }

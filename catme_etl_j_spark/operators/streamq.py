@@ -303,8 +303,61 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+def stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on the gate: the events file is read by
+    TWO independent streaming sources and unioned, so every event_id
+    arrives exactly twice; ``dropDuplicatesWithinWatermark`` must
+    collapse the pairs back to one row each. The deduped stream lands
+    in the sink and a batch rollup per event type follows (the
+    streaming part under test is the union + stateful dedup, exactly
+    like stream_stream_join isolates the join). With duplicates fully
+    removed the totals equal plain aggregation over the source file, so
+    the DuckDB twin is one GROUP BY.
+
+    At scale this is the exactly-once repair step for an at-least-once
+    ingest (Kafka replays, file re-drops): state is sharded by
+    event_id and bounded by the watermark window.
+    """
+    from catme_etl_j_spark.streaming.events import WATERMARK, read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s1 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    s2 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"streamq_dedup_{next(_seq)}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            money2(F.sum(dec2("value"))).alias("sum_value"),
+        )
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_dedup_totals": stream_dedup_totals,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_stateful_totals": stream_stateful_totals,
@@ -313,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_stream_join": _SSJOIN_SQL,
+    "stream_dedup_totals": _STREAM_DEDUP_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,
     "stream_tumbling_window": _TUMBLING_SQL,
     "stream_sliding_window": _SLIDING_SQL,

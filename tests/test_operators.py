@@ -222,3 +222,25 @@ def test_bigram_lm_scores_negative(spark, sf_dir):
     for doc_id, r in lm.items():
         assert r["avg_logprob"] < 0
         assert r["n_bigrams"] == toks[doc_id] - 1
+
+
+def test_temperature_sampling_rebalances(spark, sf_dir):
+    """T=0.5 sampling keeps rare languages at a HIGHER rate than
+    common ones (that's the point), targets are met exactly, and the
+    total stays within the half-corpus budget."""
+    from catme_etl_j_spark.operators.corpus import corpus_sample_temperature
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = corpus_sample_temperature(spark, sf_dir).collect()
+    assert rows
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_sampled"] for r in rows) <= total_docs // 2
+    for r in rows:
+        assert r["n_sampled"] == r["target_n"] <= r["n_docs"]
+    rates = {r["lang"]: r["n_sampled"] / r["n_docs"] for r in rows}
+    sizes = {r["lang"]: r["n_docs"] for r in rows}
+    if len(sizes) > 1:
+        smallest = min(sizes, key=sizes.get)
+        largest = max(sizes, key=sizes.get)
+        if sizes[smallest] < sizes[largest]:
+            assert rates[smallest] >= rates[largest]

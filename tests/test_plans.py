@@ -247,3 +247,31 @@ def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
         if "Filter " in line:
             assert "regexp_replace" not in line, line
             assert "md5" not in line, line
+
+
+def test_pq_topk_lut_joins_broadcast_no_cartesian(spark, sf_dir):
+    """PQ/ADC scale shape: the 4 query-to-centroid LUTs (16 rows each)
+    must join by broadcast hash, the global top-k must be
+    TakeOrderedAndProject (per-partition heap, no global sort), and
+    nothing may degenerate to a cartesian product."""
+    import re
+
+    from catme_etl_j_spark.operators.similarity import ann_pq_topk
+
+    plan = formatted_plan(ann_pq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+
+
+def test_resample_locf_shuffle_budget(spark, sf_dir):
+    """Gap-fill + LOCF must stay two keyed shuffles (per-(user, day)
+    aggregate, per-user grid/window) — a third exchange means the
+    carry-forward window stopped reusing the user partitioning."""
+    import re
+
+    from catme_etl_j_spark.operators.events import events_resample_locf
+
+    plan = formatted_plan(events_resample_locf(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
