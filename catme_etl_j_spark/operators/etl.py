@@ -256,13 +256,92 @@ GROUP BY o_orderpriority, year(o_orderdate)
 """
 
 
+# (column, kind) pairs for the orders profile; kind picks the portable
+# min/max rendering (ints verbatim, doubles as exact cents, timestamps
+# formatted under UTC — double->string rendering differs across
+# engines, so it never appears raw on the gate).
+_DQ_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _dq_minmax(col: str, kind: str, dialect: str) -> tuple[str, str]:
+    if kind == "money":  # exact integer cents (floor is monotone)
+        e = f"CAST(floor({col} * 100.0 + 0.5) AS BIGINT)"
+        return (f"CAST(MIN({e}) AS {'STRING' if dialect == 'spark' else 'VARCHAR'})",
+                f"CAST(MAX({e}) AS {'STRING' if dialect == 'spark' else 'VARCHAR'})")
+    if kind == "ts":
+        if dialect == "spark":
+            return (f"date_format(MIN({col}), 'yyyy-MM-dd HH:mm:ss')",
+                    f"date_format(MAX({col}), 'yyyy-MM-dd HH:mm:ss')")
+        return (f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')",
+                f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')")
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"CAST(MIN({col}) AS {s})", f"CAST(MAX({col}) AS {s})"
+
+
+def etl_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: one row per column with
+    null count, exact distinct count, and portably-rendered min/max —
+    the validation gate a warehouse load runs before publishing a
+    partition.
+
+    Single-pass shape: every per-column aggregate rides ONE scan (the
+    multi-distinct rewrite costs an Expand of x|cols| rows — exact by
+    choice here; at 100 TB swap the distinct counts for the mergeable
+    HLL registers of sketch_hll_merge_groups and the pass stays
+    O(4096/col)). The 1-row aggregate is then unpivoted driver-free
+    with ``stack``.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, kind in _DQ_COLS:
+        lo, hi = _dq_minmax(c, kind, "spark")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.expr(lo).alias(f"lo_{c}"),
+            F.expr(hi).alias(f"hi_{c}"),
+        ]
+    prof = orders.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}, lo_{c}, hi_{c}" for c, _ in _DQ_COLS
+    )
+    return prof.selectExpr(
+        f"stack({len(_DQ_COLS)}, {tuples})"
+        " AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def _dq_sql() -> str:
+    per_col = []
+    for c, kind in _DQ_COLS:
+        lo, hi = _dq_minmax(c, kind, "duck")
+        per_col.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {lo} AS min_val, {hi} AS max_val\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(per_col)
+
+
 QUERIES = {
+    "etl_dq_profile": etl_dq_profile,
     "etl_scd2_intervals": etl_scd2_intervals,
     "etl_merge_upsert": etl_merge_upsert,
     "etl_incremental_agg": etl_incremental_agg,
 }
 
 ORACLES = {
+    "etl_dq_profile": _dq_sql(),
     "etl_scd2_intervals": _SCD2_SQL,
     "etl_merge_upsert": _MERGE_SQL,
     "etl_incremental_agg": _INCR_SQL,

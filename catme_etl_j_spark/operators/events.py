@@ -438,10 +438,58 @@ FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
 """
 
 
+TOP_PATHS = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 onboarding paths: each user's FIRST three event types (in
+    deterministic (ts, event_id) order) joined into a ``a>b>c`` path
+    string, counted across users — the "what do users actually do
+    first" query behind funnel design.
+
+    One window pass keyed on user_id, one per-user rollup (the ordered
+    concat uses array_sort over (rn, type) structs — no
+    collect_list-order dependence), one count; top-10 with path
+    tie-break.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, event_type))),"
+            " s -> s.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(TOP_PATHS)
+    )
+
+
+_TOP_PATHS_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, COUNT(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {TOP_PATHS}
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_transition_matrix": events_transition_matrix,
     "events_resample_locf": events_resample_locf,
+    "events_top_paths": events_top_paths,
     "events_retention": events_retention,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
@@ -454,6 +502,7 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
     "events_resample_locf": _RESAMPLE_SQL,
+    "events_top_paths": _TOP_PATHS_SQL,
     "events_retention": _RETENTION_SQL,
     "events_tumbling_window": _TUMBLING_SQL,
     "events_sliding_window": _SLIDING_SQL,

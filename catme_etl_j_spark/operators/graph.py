@@ -140,10 +140,82 @@ ORDER BY rank_e9 DESC, n.n_nationkey ASC"""
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation count on the undirected trade
+    graph (edge = any trade in either direction), plus n_name.
+
+    The standard two-join triangle enumeration over ordered edges
+    (a < b < c counts each triangle once); per-node counts come from
+    exploding the triangle's three corners. All exact integer counts.
+
+    100 TB posture: the heavy step is the one-time edge extraction
+    (same fact join as PageRank, map-side combining to <= 625 keys);
+    the triangle joins run on the tiny edge list. On a billion-edge
+    graph the identical plan shape applies with the edge list
+    co-partitioned on the join keys — the canonical Spark triangle
+    count.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    und = (
+        _trade_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c")).alias("e2")
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("e1.a")) & (F.col("c3") == F.col("c")))
+        .select("e1.a", "e1.b", "c")
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("n_nationkey")
+    )
+    counts = corners.groupBy("n_nationkey").agg(F.count("*").alias("n_triangles"))
+    return (
+        nation.join(counts, "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT unnest([a, b, c]) AS n_nationkey FROM tris),
+counts AS (SELECT n_nationkey, COUNT(*) AS n_triangles FROM corners GROUP BY n_nationkey)
+SELECT n.n_nationkey, n.n_name,
+       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nation n LEFT JOIN counts c ON n.n_nationkey = c.n_nationkey
+"""
+
+
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
     "graph_pagerank_nations": _pagerank_sql(),
+    "graph_triangle_count": _TRIANGLE_SQL,
 }

@@ -503,8 +503,117 @@ ORDER BY e.q
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL MERGEABILITY — the property that makes sketches work on a
+# cluster: per-partition (here per-group) registers merge by plain
+# per-bucket MAX, and the merged estimate is EXACTLY what a direct
+# global sketch would produce (max is associative/commutative/
+# idempotent). That is why a 100 TB distinct-count never reshuffles
+# raw values: every executor ships 4096 registers, period. This query
+# puts the property itself on the hash gate: per-priority estimates of
+# distinct customers PLUS the merged-register global row, against the
+# exact counts.
+# ---------------------------------------------------------------------------
+
+MERGED_KEY = "__merged__"
+
+
+def _hll_estimate(regs: DataFrame, key: str) -> DataFrame:
+    """(key, bucket, mr) registers -> (key, hll_estimate). Same literal
+    arithmetic as sketch_hll_distinct, applied per key."""
+    agg = regs.groupBy(key).agg(
+        F.expr("SUM(shiftleft(1L, 49 - mr))").alias("sum_int"),
+        F.count("*").alias("nb"),
+    )
+    return (
+        agg.select(
+            key,
+            F.expr(
+                f"CAST(sum_int + CAST(4096 - nb AS BIGINT) * {_POW49}L AS DOUBLE)"
+                f" / {float(_POW49)}"
+            ).alias("s_harm"),
+            F.expr("CAST(4096 - nb AS BIGINT)").alias("v_empty"),
+        )
+        .select(
+            key,
+            F.expr(
+                f"CASE WHEN {_ALPHA_M2} / s_harm <= 2.5 * 4096.0 AND v_empty > 0"
+                f" THEN 4096.0 * ln(4096.0 / CAST(v_empty AS DOUBLE))"
+                f" ELSE {_ALPHA_M2} / s_harm END"
+            ).alias("est_raw"),
+        )
+        .select(key, F.expr("CAST(floor(est_raw + 0.5) AS BIGINT)").alias("hll_estimate"))
+    )
+
+
+def sketch_hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via per-group HLL registers,
+    plus the merged-union global row — register merge = per-bucket MAX,
+    estimates vs exact counts on the gate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    tagged = orders.select(
+        "grp",
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+    ).select(
+        "grp",
+        F.expr("CAST(conv(substr(h, 13, 3), 16, 10) AS INT)").alias("bucket"),
+        F.expr(_rho_case("substr(h, 1, 12)")).alias("rho"),
+    )
+    regs = tagged.groupBy("grp", "bucket").agg(F.max("rho").alias("mr"))
+    merged = regs.groupBy("bucket").agg(F.max("mr").alias("mr")).select(
+        F.lit(MERGED_KEY).alias("grp"), "bucket", "mr"
+    )
+    est = _hll_estimate(regs.unionByName(merged), "grp")
+    exact = orders.groupBy("grp").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    ).unionByName(
+        orders.agg(F.countDistinct("o_custkey").alias("n_exact")).select(
+            F.lit(MERGED_KEY).alias("grp"), "n_exact"
+        )
+    )
+    return exact.join(est, "grp").select("grp", "n_exact", "hll_estimate")
+
+
+_HLL_MERGE_SQL = f"""
+WITH tagged AS (
+  SELECT grp,
+         ('0x' || substr(h, 13, 3))::BIGINT AS bucket,
+         {_rho_case("substr(h, 1, 12)", dialect="duck")} AS rho
+  FROM (SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS h
+        FROM orders) t),
+regs AS (SELECT grp, bucket, MAX(rho) AS mr FROM tagged GROUP BY grp, bucket),
+allregs AS (
+  SELECT grp, bucket, mr FROM regs
+  UNION ALL
+  SELECT '{MERGED_KEY}', bucket, MAX(mr) FROM regs GROUP BY bucket),
+hll AS (
+  SELECT grp,
+         CAST(SUM(1::BIGINT << (49 - mr)) + (4096 - COUNT(*))::BIGINT * {_POW49} AS DOUBLE)
+           / {float(_POW49)} AS s_harm,
+         (4096 - COUNT(*))::BIGINT AS v_empty
+  FROM allregs GROUP BY grp),
+est AS (
+  SELECT grp,
+         CAST(floor(CASE WHEN {_ALPHA_M2} / s_harm <= 2.5 * 4096.0 AND v_empty > 0
+                         THEN 4096.0 * ln(4096.0 / CAST(v_empty AS DOUBLE))
+                         ELSE {_ALPHA_M2} / s_harm END + 0.5) AS BIGINT) AS hll_estimate
+  FROM hll),
+exact AS (
+  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT '{MERGED_KEY}', COUNT(DISTINCT o_custkey) FROM orders)
+SELECT e.grp, e.n_exact, s.hll_estimate
+FROM exact e JOIN est s ON e.grp = s.grp
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_hll_merge_groups": sketch_hll_merge_groups,
     "sketch_countmin_topwords": sketch_countmin_topwords,
     "sketch_bloom_join_prune": sketch_bloom_join_prune,
     "sketch_histogram_quantiles": sketch_histogram_quantiles,
@@ -512,6 +621,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_hll_merge_groups": _HLL_MERGE_SQL,
     "sketch_countmin_topwords": _CMS_SQL,
     "sketch_bloom_join_prune": _BLOOM_SQL,
     "sketch_histogram_quantiles": _HIST_SQL,

@@ -244,3 +244,69 @@ def test_temperature_sampling_rebalances(spark, sf_dir):
         largest = max(sizes, key=sizes.get)
         if sizes[smallest] < sizes[largest]:
             assert rates[smallest] >= rates[largest]
+
+
+def test_hll_merge_equals_direct_global(spark, sf_dir):
+    """Mergeability: per-bucket MAX over per-group registers must give
+    the same estimate a direct global sketch would (max is associative),
+    and every estimate lands within HLL's expected error of exact."""
+    from catme_etl_j_spark.operators.sketch import MERGED_KEY, sketch_hll_merge_groups
+
+    rows = {r["grp"]: r for r in sketch_hll_merge_groups(spark, sf_dir).collect()}
+    assert MERGED_KEY in rows and len(rows) > 1
+    for r in rows.values():
+        assert abs(r["hll_estimate"] - r["n_exact"]) <= max(5, 0.1 * r["n_exact"]), r
+    # the merged row covers the union, so it's at least each group's exact
+    assert rows[MERGED_KEY]["n_exact"] >= max(
+        r["n_exact"] for g, r in rows.items() if g != MERGED_KEY
+    )
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    """Every nation appears once; the corner-sum is divisible by 3
+    (each triangle contributes exactly 3 corners)."""
+    from catme_etl_j_spark.operators.graph import graph_triangle_count
+
+    rows = graph_triangle_count(spark, sf_dir).collect()
+    assert len(rows) == 25
+    total_corners = sum(r["n_triangles"] for r in rows)
+    assert total_corners % 3 == 0
+    assert total_corners > 0  # the trade graph is dense enough to close triangles
+
+
+def test_top_paths_counts(spark, sf_dir):
+    """Path user-counts sum to at most the number of users; every path
+    has at most 3 steps."""
+    from catme_etl_j_spark.operators.events import events_top_paths
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert rows
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) <= n_users
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 3
+
+
+def test_dq_profile_exactness(spark, sf_dir):
+    """Profile rows must agree with directly-computed column facts."""
+    from catme_etl_j_spark.operators.etl import etl_dq_profile
+    from catme_etl_j_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = {r["col_name"]: r for r in etl_dq_profile(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_val"] <= r["max_val"] or r["col_name"] == "o_totalprice"
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    d = orders.agg(F.countDistinct("o_orderstatus")).collect()[0][0]
+    assert rows["o_orderstatus"]["n_distinct"] == d
