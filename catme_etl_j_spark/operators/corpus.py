@@ -267,6 +267,103 @@ GROUP BY lang
 """
 
 
+DECON_N = 8  # n-gram width for contamination matching
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every EVAL-split document that
+    shares at least one word 8-gram with any TRAIN-split document — the
+    standard n-gram-overlap check run before an eval set is trusted
+    (train/eval membership is the same deterministic hash split as
+    corpus_split, so the whole check is a pure function of the corpus).
+
+    Output: one row per eval doc with its 8-gram count, the number of
+    distinct 8-grams also present in train, and the contaminated flag.
+
+    Scale shape: both sides explode to (gram-hash) streams; train grams
+    deduplicate with a map-side-combining DISTINCT and the overlap is
+    ONE equi-join co-partitioned on the gram hash — at 100 TB this is
+    exactly the production decontamination join, skew-bounded because
+    an 8-gram repeating across many train docs still collapses to one
+    row before the join.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    staged = docs.select(
+        "doc_id",
+        (bucket < EVAL_PCT).alias("is_eval"),
+        F.expr("split(trim(text), ' +')").alias("w"),
+    )
+    grams = (
+        staged.select(
+            "doc_id",
+            "is_eval",
+            # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark and
+            # slice(w, 0, n) throws — docs under DECON_N words get no grams
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(w) >= {DECON_N} THEN "
+                    f"transform(sequence(1, size(w) - {DECON_N - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {DECON_N}))))"
+                    f" ELSE array() END"
+                )
+            ).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+    )
+    eval_grams = grams.filter("is_eval").select("doc_id", "gh").distinct()
+    train_grams = grams.filter("NOT is_eval").select("gh").distinct()
+    hits = (
+        eval_grams.join(train_grams, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    eval_docs = staged.filter("is_eval").select("doc_id")
+    return (
+        eval_docs.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+_DECON_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {EVAL_PCT} AS is_eval,
+         regexp_split_to_array(trim(text), ' +') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
+                i -> md5(array_to_string(w[i:i+{DECON_N - 1}], ' ')))) AS gh
+  FROM staged),
+eval_grams AS (SELECT DISTINCT doc_id, gh FROM grams WHERE is_eval),
+train_grams AS (SELECT DISTINCT gh FROM grams WHERE NOT is_eval),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM eval_grams JOIN train_grams USING (gh)
+  GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM eval_grams GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN COALESCE(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM staged s
+LEFT JOIN totals t ON s.doc_id = t.doc_id
+LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.is_eval
+"""
+
+
 TEMP_SCALE = 1_000_000  # fixed-point for sqrt(n) weights
 
 
@@ -489,6 +586,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_temperature": corpus_sample_temperature,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 ORACLES = {
@@ -501,4 +599,5 @@ ORACLES = {
     "corpus_pack_sequences": _PACK_SQL,
     "corpus_sample_stratified": _SAMPLE_SQL,
     "corpus_sample_temperature": _TEMP_SQL,
+    "corpus_decontaminate": _DECON_SQL,
 }

@@ -310,3 +310,16 @@ def test_dq_profile_exactness(spark, sf_dir):
     assert rows["o_orderkey"]["n_distinct"] == n  # primary key
     d = orders.agg(F.countDistinct("o_orderstatus")).collect()[0][0]
     assert rows["o_orderstatus"]["n_distinct"] == d
+
+
+def test_decontaminate_covers_eval_split(spark, sf_dir):
+    """One row per eval doc; contaminated implies at least one shared
+    gram; n_contaminated never exceeds the doc's own gram count."""
+    from catme_etl_j_spark.operators.corpus import corpus_decontaminate, corpus_split
+
+    rows = corpus_decontaminate(spark, sf_dir).collect()
+    split = {r["split"]: r["n_docs"] for r in corpus_split(spark, sf_dir).collect()}
+    assert len(rows) == split.get("eval", 0)
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert (r["contaminated"] == 1) == (r["n_contaminated"] > 0)
