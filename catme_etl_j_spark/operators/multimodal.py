@@ -166,13 +166,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4)
     return p.mapInPandas(do_sample, schema=schema)
 
 
+# The frame-sample geometry (step = max(n//4, 1), min(4, n) frames of
+# exactly step bytes — python slicing drops the tail remainder) is pure
+# arithmetic over the payload length, so the mapInPandas operator gets
+# a REAL hash-compared oracle: the SQL recomputes indexes and byte
+# counts; frame CONTENT equality is covered by tests/test_multimodal.py.
+_FRAME_SQL = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+geo AS (
+  SELECT doc_id, greatest(n // 4, 1) AS step, least(4, n) AS nf FROM p)
+SELECT doc_id,
+       unnest(range(0, nf)) AS frame_idx,
+       step AS frame_bytes
+FROM geo
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_fake_features": multimodal_fake_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_meta": _META_SQL,
-    # multimodal_fake_features: intentionally no oracle (procedural
-    # decode path); covered by tests/test_multimodal.py instead.
+    "multimodal_frame_sample": _FRAME_SQL,
+    # multimodal_fake_features / multimodal_resize: intentionally no
+    # oracle (procedural decode/tile paths); covered by
+    # tests/test_multimodal.py instead.
 }
