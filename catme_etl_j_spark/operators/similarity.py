@@ -406,17 +406,25 @@ def _l2_fx(a: str, b: str) -> str:
 
 def _assign(fx4: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) codebook, exact
-    integer distances, ties to the lowest cid."""
-    from pyspark.sql import Window as W
+    integer distances, ties to the lowest cid.
 
-    pairs = fx4.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", F.expr(_l2_fx("fx4", "cfx"))
+    Argmin via min(struct(dist, cid)) rather than a row_number window:
+    the aggregate partially combines MAP-SIDE, so the shuffle carries
+    one row per vector instead of one per (vector, centroid) pair — a
+    K-fold shuffle reduction at cluster scale. first(fx4) is
+    deterministic here (every row in a vec_id group carries the same
+    array)."""
+    pairs = fx4.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "fx4",
+        F.struct(
+            F.expr(_l2_fx("fx4", "cfx")).alias("dist"), F.col("cid")
+        ).alias("dc"),
     )
-    w = W.partitionBy("vec_id").orderBy("dist", "cid")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "fx4", "cid")
+        pairs.groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"), F.first("fx4").alias("fx4"))
+        .select("vec_id", "fx4", F.col("dc.cid").alias("cid"))
     )
 
 

@@ -323,3 +323,29 @@ def test_decontaminate_covers_eval_split(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_contaminated"] <= r["n_grams"]
         assert (r["contaminated"] == 1) == (r["n_contaminated"] > 0)
+
+
+def test_driver_window_covers_every_family():
+    """The driver's correctness gate records only the FIRST 50 queries()
+    entries; this guard keeps every operator family represented there so
+    a future module addition can't silently evict one (the round-3
+    failure mode)."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())[:50]
+    oracles = m.oracle_sql()
+    assert names == list(m._PRIORITY), "priority block must lead iteration order"
+    assert all(n in oracles for n in names), "window entries must be hash-checked"
+    families = {
+        "convert_": False, "stream_": False, "dedup_": False, "ann_": False,
+        "text_": False, "corpus_": False, "rank_": False, "etl_": False,
+        "graph_": False, "embed_": False, "events_": False, "asof_": False,
+        "range_": False, "multimodal_": False, "sketch_": False, "q0": False,
+        "window_": False, "setop_": False, "pivot_": False, "agg_": False,
+    }
+    for n in names:
+        for fam in families:
+            if n.startswith(fam):
+                families[fam] = True
+    missing = [f for f, seen in families.items() if not seen]
+    assert not missing, f"families missing from the driver window: {missing}"
