@@ -51,6 +51,10 @@ HEADLINE = [
     "graph_pagerank_nations",
     "text_repetition",
     "events_funnel",
+    # round-4 new families with a distinct scale shape: PQ/ADC codebook
+    # training + LUT probe, and the corpus-wide 8-gram overlap join
+    "ann_pq_topk",
+    "corpus_decontaminate",
 ]
 
 

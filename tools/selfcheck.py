@@ -117,10 +117,12 @@ def main() -> int:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
-    # One machine-readable summary line + an append-only local record,
-    # so a truncated/empty driver gate artifact is immediately
-    # diagnosable against the full local sweep (VERDICT r3 #7). Only
-    # full sweeps are recorded — subset runs would pollute the history.
+    # One machine-readable summary line + an append-only TRACKED record
+    # (SELFCHECK_LOG.jsonl — PROGRESS.jsonl is the driver's own
+    # gitignored file), so a truncated/empty driver gate artifact is
+    # immediately diagnosable against the full local sweep (VERDICT r3
+    # #7). Only full sweeps are recorded — subset runs would pollute
+    # the history.
     summary = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf_dir": sf_dir,
@@ -133,7 +135,7 @@ def main() -> int:
     if not only:
         try:
             with open(os.path.join(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__))), "PROGRESS.jsonl"), "a") as f:
+                    os.path.abspath(__file__))), "SELFCHECK_LOG.jsonl"), "a") as f:
                 f.write(json.dumps(summary) + "\n")
         except OSError:
             pass
