@@ -113,5 +113,68 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_side")
 
 
-QUERIES = {"asof_purchase_view": asof_purchase_view}
-ORACLES = {"asof_purchase_view": _ASOF_SQL}
+ASOF_TOLERANCE_S = 3600.0  # 1 hour
+
+
+def asof_purchase_view_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pd.merge_asof ``tolerance=``
+    semantics): each purchase matched to the most recent prior view of
+    the same user ONLY if it happened within the last hour; staler
+    matches drop out.
+
+    Same one-window composition as asof_purchase_view plus a post-fill
+    gap filter — the tolerance costs nothing extra at scale (no range
+    explosion; the oracle's range join is DuckDB-side only). The gap is
+    exact microsecond arithmetic on both engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    gap = F.col("ts").cast("double") - F.col("last_view_ts").cast("double")
+    return (
+        ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_view_ts").isNotNull())
+        .filter(gap <= ASOF_TOLERANCE_S)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("last_view_ts", _TS_FMT).alias("view_ts"),
+            gap.alias("gap_s"),
+        )
+    )
+
+
+_ASOF_1H_SQL = f"""
+WITH matched AS (
+  SELECT p.event_id, p.user_id, p.ts AS pts, MAX(v.ts) AS vts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+   AND epoch(p.ts) - epoch(v.ts) <= {ASOF_TOLERANCE_S}
+  GROUP BY p.event_id, p.user_id, p.ts)
+SELECT event_id AS purchase_id,
+       user_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       epoch(pts) - epoch(vts) AS gap_s
+FROM matched
+"""
+
+
+QUERIES = {
+    "asof_purchase_view": asof_purchase_view,
+    "asof_purchase_view_1h": asof_purchase_view_1h,
+}
+ORACLES = {
+    "asof_purchase_view": _ASOF_SQL,
+    "asof_purchase_view_1h": _ASOF_1H_SQL,
+}
