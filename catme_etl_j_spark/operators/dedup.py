@@ -57,6 +57,11 @@ SIMHASH_MAX_HAMMING = 3
 SIMHASH_BITS = 64
 SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole-complete
 SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 16 -> 65,536 buckets/block
+# The banding in dedup_simhash_pairs derives from these constants; they
+# must tile the two 32-bit halves exactly or pigeonhole completeness
+# (any pair within SIMHASH_MAX_HAMMING shares >=1 intact block) breaks.
+assert SIMHASH_BLOCKS * SIMHASH_BLOCK_BITS == SIMHASH_BITS
+assert 32 % SIMHASH_BLOCK_BITS == 0
 
 # Word-3-gram shingling (guards: <3 words -> no shingles; Spark's
 # sequence(1, 0) would yield a DESCENDING [1,0], hence the CASE).
@@ -350,18 +355,17 @@ def _hashed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE2_CTE_DUCK = """
-words AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
-shingles AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
-  FROM words),
-hashed AS (SELECT doc_id,
+# Same words/shingles CTEs as the minhash oracle — only the hashed CTE
+# differs (both 32-bit md5 halves instead of one), so derive it rather
+# than duplicating the shingling SQL.
+_SHINGLE2_CTE_DUCK = _SHINGLE_CTE_DUCK.replace(
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shingles)",
+    """hashed AS (SELECT doc_id,
                   ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
                   ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
-           FROM shingles)
-"""
+           FROM shingles)""",
+)
+assert _SHINGLE2_CTE_DUCK != _SHINGLE_CTE_DUCK  # replace() must have matched
 
 
 def _simhash_sql_core() -> str:
@@ -405,10 +409,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sig = dedup_simhash(spark, sf_dir).cache()
-    # blocks 0,1 from the lo half; 2,3 from the hi half (16 bits each)
+    # Blocks derived from the constants: low half first, then high half
+    # (SIMHASH_BLOCK_BITS bits each; mask = 2^bits - 1). With the
+    # defaults this is blocks 0,1 from simhash_lo and 2,3 from
+    # simhash_hi, 16 bits / 65,536 buckets apiece.
+    bb = SIMHASH_BLOCK_BITS
+    mask = (1 << bb) - 1
+    per_half = 32 // bb
     block_exprs = [
-        F.expr(f"(shiftright(simhash_lo, {j * 16}) & 65535)") for j in range(2)
-    ] + [F.expr(f"(shiftright(simhash_hi, {j * 16}) & 65535)") for j in range(2)]
+        F.expr(f"(shiftright({half}, {j * bb}) & {mask})")
+        for half in ("simhash_lo", "simhash_hi")
+        for j in range(per_half)
+    ][:SIMHASH_BLOCKS]
     blocks = sig.select(
         "doc_id",
         "simhash_hi",

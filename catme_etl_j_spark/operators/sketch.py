@@ -103,34 +103,23 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(conv(substr(h, 13, 3), 16, 10) AS INT)").alias("bucket"),
         F.expr(_rho_case("substr(h, 1, 12)")).alias("rho"),
     )
-    buckets = tagged.groupBy("bucket").agg(F.max("rho").alias("mr"))
-    hll = buckets.agg(
-        F.expr("SUM(shiftleft(1L, 49 - mr))").alias("sum_int"),
-        F.count("*").alias("nb"),
-    ).select(
-        F.expr(
-            f"CAST(sum_int + CAST(4096 - nb AS BIGINT) * {_POW49}L AS DOUBLE)"
-            f" / {float(_POW49)}"
-        ).alias("s_harm"),
-        F.expr("CAST(4096 - nb AS BIGINT)").alias("v_empty"),
-        F.col("nb").alias("n_buckets_used"),
-    ).select(
-        F.expr(
-            f"CASE WHEN {_ALPHA_M2} / s_harm <= 2.5 * 4096.0 AND v_empty > 0"
-            f" THEN 4096.0 * ln(4096.0 / CAST(v_empty AS DOUBLE))"
-            f" ELSE {_ALPHA_M2} / s_harm END"
-        ).alias("est_raw"),
-        "n_buckets_used",
+    # single-key registers so the one estimator definition
+    # (_hll_estimate) serves both this and the merge query
+    regs = (
+        tagged.withColumn("k", F.lit("all"))
+        .groupBy("k", "bucket")
+        .agg(F.max("rho").alias("mr"))
     )
+    hll = _hll_estimate(regs, "k").drop("k")
     exact = sh.agg(F.countDistinct("shingle").alias("n_exact"))
     return (
         exact.join(F.broadcast(hll))
         .select(
             "n_exact",
-            F.expr("CAST(floor(est_raw + 0.5) AS BIGINT)").alias("hll_estimate"),
+            "hll_estimate",
             "n_buckets_used",
             F.expr(
-                "CAST(floor((CAST(floor(est_raw + 0.5) AS BIGINT) - n_exact)"
+                "CAST(floor((hll_estimate - n_exact)"
                 " / CAST(n_exact AS DOUBLE) * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
             ).alias("rel_err_pct"),
         )
@@ -519,8 +508,10 @@ MERGED_KEY = "__merged__"
 
 
 def _hll_estimate(regs: DataFrame, key: str) -> DataFrame:
-    """(key, bucket, mr) registers -> (key, hll_estimate). Same literal
-    arithmetic as sketch_hll_distinct, applied per key."""
+    """(key, bucket, mr) registers -> (key, hll_estimate,
+    n_buckets_used). THE estimator (harmonic mean + linear-counting
+    branch) — sketch_hll_distinct and the merge query both go through
+    this single definition, so a constant tweak cannot diverge them."""
     agg = regs.groupBy(key).agg(
         F.expr("SUM(shiftleft(1L, 49 - mr))").alias("sum_int"),
         F.count("*").alias("nb"),
@@ -533,6 +524,7 @@ def _hll_estimate(regs: DataFrame, key: str) -> DataFrame:
                 f" / {float(_POW49)}"
             ).alias("s_harm"),
             F.expr("CAST(4096 - nb AS BIGINT)").alias("v_empty"),
+            F.col("nb").alias("n_buckets_used"),
         )
         .select(
             key,
@@ -541,8 +533,13 @@ def _hll_estimate(regs: DataFrame, key: str) -> DataFrame:
                 f" THEN 4096.0 * ln(4096.0 / CAST(v_empty AS DOUBLE))"
                 f" ELSE {_ALPHA_M2} / s_harm END"
             ).alias("est_raw"),
+            "n_buckets_used",
         )
-        .select(key, F.expr("CAST(floor(est_raw + 0.5) AS BIGINT)").alias("hll_estimate"))
+        .select(
+            key,
+            F.expr("CAST(floor(est_raw + 0.5) AS BIGINT)").alias("hll_estimate"),
+            "n_buckets_used",
+        )
     )
 
 
@@ -566,7 +563,7 @@ def sketch_hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = regs.groupBy("bucket").agg(F.max("mr").alias("mr")).select(
         F.lit(MERGED_KEY).alias("grp"), "bucket", "mr"
     )
-    est = _hll_estimate(regs.unionByName(merged), "grp")
+    est = _hll_estimate(regs.unionByName(merged), "grp").drop("n_buckets_used")
     exact = orders.groupBy("grp").agg(
         F.countDistinct("o_custkey").alias("n_exact")
     ).unionByName(

@@ -45,13 +45,33 @@ def read_event_stream(
     path (footer-only, no data scan) and ts is normalized to
     TimestampType exactly as the batch loader does (tables._normalize_ts).
     """
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
     from catme_etl_j_spark.sources.tables import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read
     if glob:
         batch = batch.option("pathGlobFilter", glob)
-    schema = batch.parquet(path).schema
+    try:
+        schema = batch.parquet(path).schema
+    except AnalysisException:
+        # Directory exists but holds no matching files yet (producer
+        # drops them after the stream starts — the normal file-stream
+        # deployment). Fall back to the static schema of the current
+        # driver encoding (timestamp[us] -> TIMESTAMP_NTZ); the
+        # normalizer handles it identically.
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )

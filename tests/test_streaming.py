@@ -190,3 +190,16 @@ def test_stream_stream_join_semantics(spark, sf_dir):
     for r in rows:
         assert r["n_clicks_30m"] >= 1
         assert r["last_click_ts"] <= r["purchase_ts"]
+
+
+def test_stream_starts_on_empty_directory(spark, sf_dir, tmp_path):
+    """The file-stream deployment drops files AFTER the query starts:
+    read_event_stream must not fail on an empty source directory (the
+    static-schema fallback), and must pick up files that arrive later."""
+    src = tmp_path / "late_files"
+    src.mkdir()
+    stream = read_event_stream(spark, str(src))  # no files yet — must not raise
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    run_to_memory(stream, "late_out")
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.sql("SELECT count(*) AS n FROM late_out").collect()[0]["n"] == n_src
