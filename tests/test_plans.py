@@ -275,3 +275,30 @@ def test_resample_locf_shuffle_budget(spark, sf_dir):
     plan = formatted_plan(events_resample_locf(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_round4_text_corpus_plan_hygiene(spark, sf_dir):
+    """The three explode-heavy round-4 pipelines must keep the staged
+    split out of pushed filters (generate trap), never degenerate to a
+    cartesian product, and stay within their keyed-shuffle budgets."""
+    import re
+
+    from catme_etl_j_spark.operators.corpus import (
+        corpus_decontaminate,
+        corpus_sample_temperature,
+    )
+    from catme_etl_j_spark.operators.text import text_bigram_lm_score
+
+    budgets = {
+        corpus_decontaminate: 6,
+        text_bigram_lm_score: 10,
+        corpus_sample_temperature: 5,
+    }
+    for fn, max_exchanges in budgets.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n <= max_exchanges, (fn.__name__, n)
+        for line in plan.splitlines():
+            if "Filter " in line:
+                assert "split(" not in line, (fn.__name__, line)
