@@ -582,46 +582,90 @@ PQ_ITERS = 2
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest neighbors of the query vector by PQ/ADC
     approximate squared-L2 (exact int64 arithmetic; ascending distance,
-    vec_id tie-break)."""
+    vec_id tie-break).
+
+    All PQ_M subspaces train in ONE long-format pass: rows are
+    (vec_id, m, subvector), the codebook is (m, cid, centroid), and
+    each Lloyd round is a single broadcast join + argmin + tiny mean
+    aggregate covering every subspace at once — PQ_ITERS+1 assignment
+    stages total instead of PQ_M*(PQ_ITERS+1), and the ADC probe is one
+    broadcast LUT join + per-vector sum instead of PQ_M chained joins.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
     fx = emb.select(
         "vec_id", "label", F.expr(_fx4_expr("embedding")).alias("fv")
     ).cache()
-    qrow = fx.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("fv").alias("qfv")
-    )
-    codes = fx.select("vec_id", "label")
-    adist = None
-    for m in range(PQ_M):
-        sl = f"slice({{c}}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
-        sub = fx.select("vec_id", F.expr(sl.format(c="fv")).alias("fx4"))
-        cent = sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
+    subs = fx.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.expr(
+                        f"slice(fv, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+                    ).alias("sfx"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sfx").cache()
+
+    def assign(cent: DataFrame) -> DataFrame:
+        pairs = subs.join(F.broadcast(cent), "m").select(
+            "vec_id",
+            "m",
+            F.struct(
+                F.expr(_l2_fx("sfx", "cfx")).alias("dist"), F.col("cid")
+            ).alias("dc"),
         )
-        for _ in range(PQ_ITERS):
-            cent = _update(_assign(sub, cent), PQ_SUBDIM)
-        code_m = _assign(sub, cent).select(
-            "vec_id", F.col("cid").alias(f"code{m}")
+        return (
+            pairs.groupBy("vec_id", "m")
+            .agg(F.min("dc").alias("dc"))
+            .select("vec_id", "m", F.col("dc.cid").alias("cid"))
         )
-        codes = codes.join(code_m, "vec_id")
-        lut_m = (
-            cent.crossJoin(F.broadcast(qrow))
+
+    def update(asg: DataFrame) -> DataFrame:
+        means = [
+            F.expr(
+                f"CAST(floor(CAST(sum(element_at(sfx, {i + 1})) AS DOUBLE)"
+                f" / count(1)) AS BIGINT)"
+            ).alias(f"c{i}")
+            for i in range(PQ_SUBDIM)
+        ]
+        return (
+            asg.join(subs, ["vec_id", "m"])
+            .groupBy("m", "cid")
+            .agg(*means)
             .select(
-                F.col("cid").alias(f"lcid{m}"),
-                F.expr(
-                    _l2_fx("cfx", sl.format(c="qfv"))
-                ).alias(f"qd{m}"),
+                "m",
+                "cid",
+                F.array(*[F.col(f"c{i}") for i in range(PQ_SUBDIM)]).alias("cfx"),
             )
         )
-        codes = codes.join(
-            F.broadcast(lut_m), F.col(f"code{m}") == F.col(f"lcid{m}")
-        )
-        term = F.col(f"qd{m}")
-        adist = term if adist is None else adist + term
+
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sfx").alias("cfx")
+    )
+    for _ in range(PQ_ITERS):
+        cent = update(assign(cent))
+    codes = assign(cent)
+
+    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", F.col("sfx").alias("qsfx")
+    )
+    lut = cent.join(F.broadcast(qsubs), "m").select(
+        "m", "cid", F.expr(_l2_fx("cfx", "qsfx")).alias("qd")
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adist"))
+    )
     return (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "label", adist.cast("long").alias("adist"))
+        adist.join(fx.select("vec_id", "label"), "vec_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "adist")
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(TOP_K)
     )
