@@ -116,10 +116,74 @@ FROM staged
 """
 
 
+STAT_DIMS = 8  # leading dims profiled by the grouped-map stats
+
+
+def embed_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics via ``applyInPandas`` — the plain
+    grouped-map custom-operator rung (the stateful streaming variant is
+    stream_stateful_totals), here ON the hash-compare gate.
+
+    Per label: vector count and the floor(mean) of each leading
+    STAT_DIMS dimension in 1e8 fixed-point. Determinism discipline for
+    Python-side math: each component is fixed-pointed to int64 FIRST
+    (floor(x*1e8+0.5) — exact, order-free integer sums regardless of
+    row order within the group), and the mean is one IEEE double
+    division + floor, bit-identical in DuckDB.
+
+    Scale shape: one shuffle on label; each group streams through the
+    pandas worker as Arrow batches. Skew note: a dominant label
+    concentrates its group in one task — pre-aggregate with the
+    equivalent JVM expressions (as sketch/embed ops do) when groups
+    outgrow a task; this operator exists to put the grouped-map PATH
+    on the gate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    cols = ["label", "n"] + [f"mean_fp_{i}" for i in range(STAT_DIMS)]
+    schema = "label int, n long, " + ", ".join(
+        f"mean_fp_{i} long" for i in range(STAT_DIMS)
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.stack(pdf["embedding"].to_numpy())[:, :STAT_DIMS].astype(np.float64)
+        fp = np.floor(arr * 1e8 + 0.5).astype(np.int64)
+        sums = fp.sum(axis=0)
+        n = len(pdf)
+        means = np.floor(sums.astype(np.float64) / n).astype(np.int64)
+        return pd.DataFrame(
+            [[int(pdf["label"].iloc[0]), n, *means]], columns=cols
+        )
+
+    return emb.groupBy("label").applyInPandas(stats, schema)
+
+
+_GROUP_STATS_SQL = f"""
+WITH fp AS (
+  SELECT label,
+         {", ".join(
+             f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 100000000.0 + 0.5)"
+             f" AS BIGINT) AS f{i}" for i in range(STAT_DIMS))}
+  FROM embeddings)
+SELECT CAST(label AS INT) AS label,
+       COUNT(*) AS n,
+       {", ".join(
+           f"CAST(floor(CAST(SUM(f{i}) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+           f" AS mean_fp_{i}" for i in range(STAT_DIMS))}
+FROM fp
+GROUP BY label
+"""
+
+
 QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
+    "embed_group_stats": embed_group_stats,
 }
 
 ORACLES = {
     "embed_quantize_int8": _QUANT_SQL,
+    "embed_group_stats": _GROUP_STATS_SQL,
 }
