@@ -35,9 +35,11 @@ Scale notes (100 TB posture):
 * q11: one fact shuffle on l_partkey; the global total is a 1-row
   broadcast and the threshold compare is exact decimal (no float
   boundary).
-* q16: supplier exclusion is a broadcast anti-join BEFORE the part
-  join, so excluded rows never shuffle; distinct-count shuffles once
-  on the group key.
+* q16: supplier exclusion is an anti-join BEFORE the part join, so
+  excluded rows never shuffle; distinct-count shuffles once on the
+  group key. No forced broadcasts in q11/q16/q20 — their small sides
+  (filtered supplier/part lists) grow with SF, so Catalyst/AQE picks
+  broadcast from actual stats while they fit.
 * q20: per-(supp, part) aggregate shuffles once; the per-part rollup
   reuses the same key prefix, and the correlated threshold is the
   q17-style decorrelated join-back with exact decimal/int arithmetic.
@@ -318,7 +320,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 12)
     vals = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # no broadcast hint: supplier grows with SF (O(SF*10k) rows);
+        # Catalyst/AQE picks broadcast from stats while it's small
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_REV)).alias("value_dec"))
     )
@@ -367,11 +371,11 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     excl = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 2500
     ).select("s_suppkey")
-    kept = li.join(
-        F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
-    )
+    # no broadcast hints: the exclusion set and the part filter both
+    # grow with SF; Catalyst/AQE broadcasts them from stats while small
+    kept = li.join(excl, li.l_suppkey == excl.s_suppkey, "left_anti")
     return (
-        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        kept.join(part, kept.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -410,7 +414,8 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier")
     sp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint: the filtered part list is O(SF)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
     )
