@@ -359,6 +359,53 @@ FROM t
 """
 
 
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface on the gate: per-nation segment->count maps built
+    with map_from_entries, then map_filter / map_keys / map_values /
+    aggregate over the map — the one Catalyst column type the fn_*
+    archetypes hadn't exercised.
+
+    Determinism: maps have no defined entry order, so NOTHING map-ordered
+    reaches the output — keys are array_sort'ed before joining and
+    values only pass through an order-free integer sum. The oracle needs
+    no map type at all: the same facts fall out of the pre-map grouped
+    relation, which is exactly the point of the check.
+    """
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    per = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    m = per.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("c_mktsegment", "n")))
+        ).alias("seg_counts")
+    )
+    return m.select(
+        "c_nationkey",
+        F.expr("CAST(size(seg_counts) AS BIGINT)").alias("n_segments"),
+        F.expr(
+            "array_join(array_sort(map_keys("
+            "map_filter(seg_counts, (k, v) -> v >= 2))), ',')"
+        ).alias("big_segments"),
+        F.expr(
+            "aggregate(map_values(seg_counts), 0L, (a, x) -> a + x)"
+        ).alias("n_customers"),
+    )
+
+
+_MAP_SQL = """
+WITH per AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_nationkey,
+       COUNT(*) AS n_segments,
+       coalesce(string_agg(CASE WHEN n >= 2 THEN c_mktsegment END, ','
+                           ORDER BY c_mktsegment), '') AS big_segments,
+       CAST(SUM(n) AS BIGINT) AS n_customers
+FROM per
+GROUP BY c_nationkey
+"""
+
+
 def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics intersection (keeps duplicate multiplicity)."""
     _prep(spark)
@@ -619,6 +666,7 @@ QUERIES = {
     "agg_stats_exact": agg_stats_exact,
     "agg_median_manual": agg_median_manual,
     "fn_array_ops": fn_array_ops,
+    "fn_map_ops": fn_map_ops,
 }
 
 ORACLES = {
@@ -640,4 +688,5 @@ ORACLES = {
     "agg_stats_exact": _STATS_SQL,
     "agg_median_manual": _MEDIAN_SQL,
     "fn_array_ops": _ARRAY_SQL,
+    "fn_map_ops": _MAP_SQL,
 }
