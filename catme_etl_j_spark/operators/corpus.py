@@ -267,6 +267,75 @@ GROUP BY lang
 """
 
 
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: the rollup a pipeline operator reads
+    before deciding which domains to keep, upsample, or drop — doc
+    count, language diversity, exact-duplicate rate, and size stats per
+    ``source``.
+
+    One groupBy(source) over per-row expressions plus a normalized-text
+    duplicate count derived from a (source, fp) pre-aggregate — two
+    keyed shuffles, all map-side combining. Ratios are single divisions
+    under rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.functions.numeric import rdet as _rdet
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", F.md5(F.expr("trim(lower(text))")).alias("fp")
+    )
+    dup = (
+        fp.groupBy("source", "fp")
+        .agg(F.count("*").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("k") - 1).cast("long").alias("n_dups"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return base.join(dup, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_dups",
+        _rdet(F.col("n_dups").cast("double") / F.col("n_docs").cast("double"), 4).alias(
+            "dup_rate"
+        ),
+        "min_chars",
+        "max_chars",
+        _rdet(F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"), 2).alias(
+            "mean_chars"
+        ),
+    )
+
+
+_SOURCE_PROFILE_SQL = f"""
+WITH dup AS (
+  SELECT source, CAST(SUM(k - 1) AS BIGINT) AS n_dups
+  FROM (SELECT source, md5(trim(lower(text))) AS fp, COUNT(*) AS k
+        FROM documents GROUP BY source, fp) t
+  GROUP BY source),
+base AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source)
+SELECT b.source, b.n_docs, b.n_langs, d.n_dups,
+       {rdet_sql("CAST(d.n_dups AS DOUBLE) / b.n_docs", 4)} AS dup_rate,
+       b.min_chars, b.max_chars,
+       {rdet_sql("CAST(b.sum_chars AS DOUBLE) / b.n_docs", 2)} AS mean_chars
+FROM base b JOIN dup d ON b.source = d.source
+"""
+
+
 DECON_N = 8  # n-gram width for contamination matching
 
 
@@ -587,6 +656,7 @@ QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_temperature": corpus_sample_temperature,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_source_profile": corpus_source_profile,
 }
 
 ORACLES = {
@@ -600,4 +670,5 @@ ORACLES = {
     "corpus_sample_stratified": _SAMPLE_SQL,
     "corpus_sample_temperature": _TEMP_SQL,
     "corpus_decontaminate": _DECON_SQL,
+    "corpus_source_profile": _SOURCE_PROFILE_SQL,
 }

@@ -333,8 +333,62 @@ def _dq_sql() -> str:
     return "\nUNION ALL\n".join(per_col)
 
 
+# (name, child table, child FK, parent table, parent PK)
+_REF_CHECKS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def etl_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation across the star schema: one row
+    per FK relationship with the child row count, the number of orphans
+    (child keys with no parent), and an ok flag — the cross-table half
+    of the DQ gate (etl_dq_profile is the single-table half).
+
+    Each orphan count is a left-anti join on the key — co-partitioned,
+    no fact-table data movement beyond the key column, and at 100 TB
+    the parent side broadcasts or shuffle-joins as stats dictate (no
+    forced hints).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = None
+    for name, child, fk, parent, pk in _REF_CHECKS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        stats = c.join(p, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        ).crossJoin(F.broadcast(c.agg(F.count("*").alias("n_child"))))
+        row = stats.select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_orphans",
+            (F.col("n_orphans") == 0).cast("int").alias("ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ref_sql() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _REF_CHECKS:
+        parts.append(
+            f"SELECT '{name}' AS relation,\n"
+            f"       (SELECT COUNT(*) FROM {child}) AS n_child,\n"
+            f"       (SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS\n"
+            f"          (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans,\n"
+            f"       CAST(CASE WHEN (SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS\n"
+            f"          (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) = 0\n"
+            f"            THEN 1 ELSE 0 END AS INT) AS ok"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "etl_dq_profile": etl_dq_profile,
+    "etl_referential_check": etl_referential_check,
     "etl_scd2_intervals": etl_scd2_intervals,
     "etl_merge_upsert": etl_merge_upsert,
     "etl_incremental_agg": etl_incremental_agg,
@@ -342,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_dq_profile": _dq_sql(),
+    "etl_referential_check": _ref_sql(),
     "etl_scd2_intervals": _SCD2_SQL,
     "etl_merge_upsert": _MERGE_SQL,
     "etl_incremental_agg": _INCR_SQL,

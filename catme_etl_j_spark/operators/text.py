@@ -675,9 +675,52 @@ GROUP BY doc_id
 """
 
 
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of document token counts — the corpus
+    length-distribution report behind truncation/packing decisions.
+
+    The bucket is ``length(bin(n))`` (= floor(log2 n) + 1, pure integer
+    string ops — no float log whose ulp could flip a power-of-two
+    boundary). One groupBy over a per-row expression; share is one
+    division under rdet against a 1-row broadcast total.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.expr("CAST(length(bin(size(split(trim(text), ' +')))) AS BIGINT)").alias("bucket")
+    )
+    hist = b.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.expr("CAST(shiftleft(1L, CAST(bucket AS INT) - 1) AS BIGINT)").alias("lo_tokens"),
+        F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) - 1 AS BIGINT)").alias("hi_tokens"),
+        "n_docs",
+        rdet(F.col("n_docs").cast("double") / F.col("total").cast("double"), 4).alias(
+            "share"
+        ),
+    )
+
+
+_LENGTH_HIST_SQL = f"""
+WITH b AS (
+  SELECT CAST(length(bin(len(regexp_split_to_array(trim(text), ' +')))) AS BIGINT) AS bucket
+  FROM documents),
+hist AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket),
+total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM hist)
+SELECT bucket,
+       CAST(1::BIGINT << CAST(bucket - 1 AS INT) AS BIGINT) AS lo_tokens,
+       CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi_tokens,
+       n_docs,
+       {rdet_sql("CAST(n_docs AS DOUBLE) / total", 4)} AS share
+FROM hist, total
+"""
+
+
 QUERIES = {
     "text_lexical_diversity": text_lexical_diversity,
     "text_bigram_lm_score": text_bigram_lm_score,
+    "text_length_histogram": text_length_histogram,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
@@ -690,6 +733,7 @@ QUERIES = {
 ORACLES = {
     "text_lexical_diversity": _LEXDIV_SQL,
     "text_bigram_lm_score": _BIGRAM_LM_SQL,
+    "text_length_histogram": _LENGTH_HIST_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_lang_id": _TEXT_LANG_SQL,
     "text_token_count": _TEXT_TOKEN_SQL,
