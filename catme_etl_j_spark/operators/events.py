@@ -438,6 +438,81 @@ FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
 """
 
 
+ANOMALY_Z = 2.0  # |z| flag threshold
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each (event_type, day)
+    count against that type's own daily distribution, with an
+    ``anomalous`` flag at |z| >= 2 — the monitoring query a pipeline
+    runs over its ingest stream.
+
+    Counts are exact ints; mean/var follow the exact-sums convention
+    (sum, sum of squares -> identical IEEE arithmetic on both engines,
+    see agg_stats_exact); z is a single division under rdet. Two keyed
+    aggregations (per-(type, day), then per-type) joined back on the
+    bounded type key — map-side combining everywhere.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    daily = (
+        ev.withColumn("day", day)
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    s_d = F.col("s").cast("double")
+    sq_d = F.col("sq").cast("double")
+    nd = F.col("n_days")
+    var = (sq_d - s_d * (s_d / nd)) / (nd - 1)
+    enriched = stats.select(
+        "event_type",
+        (s_d / nd).alias("mean_n"),
+        F.sqrt(var).alias("std_n"),
+    )
+    z = (F.col("n").cast("double") - F.col("mean_n")) / F.col("std_n")
+    return daily.join(F.broadcast(enriched), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        rdet(F.col("mean_n"), 2).alias("mean_n"),
+        rdet(z, 4).alias("z"),
+        (F.abs(z) >= ANOMALY_Z).cast("int").alias("anomalous"),
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(n) AS DOUBLE) AS s_d,
+         CAST(SUM(n * n) AS DOUBLE) AS sq_d
+  FROM daily GROUP BY event_type),
+enr AS (
+  SELECT event_type,
+         s_d / n_days AS mean_n,
+         sqrt((sq_d - s_d * (s_d / n_days)) / (n_days - 1)) AS std_n
+  FROM stats)
+SELECT d.event_type, d.day, d.n,
+       floor(e.mean_n * 100.0 + 0.5) / 100.0 AS mean_n,
+       floor((CAST(d.n AS DOUBLE) - e.mean_n) / e.std_n * 10000.0 + 0.5) / 10000.0 AS z,
+       CAST(CASE WHEN abs((CAST(d.n AS DOUBLE) - e.mean_n) / e.std_n) >= {ANOMALY_Z}
+                 THEN 1 ELSE 0 END AS INT) AS anomalous
+FROM daily d JOIN enr e ON d.event_type = e.event_type
+"""
+
+
 TOP_PATHS = 10
 
 
@@ -490,6 +565,7 @@ QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "events_resample_locf": events_resample_locf,
     "events_top_paths": events_top_paths,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_retention": events_retention,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
@@ -503,6 +579,7 @@ ORACLES = {
     "events_transition_matrix": _TRANSITION_SQL,
     "events_resample_locf": _RESAMPLE_SQL,
     "events_top_paths": _TOP_PATHS_SQL,
+    "events_anomaly_zscore": _ANOMALY_SQL,
     "events_retention": _RETENTION_SQL,
     "events_tumbling_window": _TUMBLING_SQL,
     "events_sliding_window": _SLIDING_SQL,
