@@ -120,8 +120,8 @@ r0 AS (
             f"""
 r{k} AS (
   SELECT nation.n_nationkey AS node,
-         (15::BIGINT * {PR_SCALE} // (100 * nn.n))
-           + (85 * COALESCE(c.s, 0)) // 100 AS r
+         CAST((15::BIGINT * {PR_SCALE} // (100 * nn.n))
+           + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
   FROM nation CROSS JOIN nn
   LEFT JOIN (SELECT e.dst, SUM((p.r * e.w) // e.outw) AS s
              FROM ew e JOIN r{k - 1} p ON e.src = p.node

@@ -99,6 +99,27 @@ def test_every_query_has_callable_and_alias_contract():
         assert name in qs, f"oracle {name} has no query"
 
 
+def test_no_oracle_emits_hugeint(oracle_con):
+    """Convention #5 tripwire: DuckDB SUM(int*)→HUGEINT repr()s like a
+    Python int, so it passes value comparison locally yet hash-fails at
+    the driver (both r4 gate fails). Every oracle must emit only
+    driver-hashable types."""
+    bad = []
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = oracle_con.sql(sql)
+        hits = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()]
+        if hits:
+            bad.append((name, hits))
+    assert not bad, f"uncast HUGEINT oracle columns: {bad}"
+
+
+def test_hugeint_tripwire_detects_uncast_sum(oracle_con):
+    rel = oracle_con.sql(
+        "SELECT n_regionkey, SUM(n_nationkey) AS s FROM nation GROUP BY 1")
+    assert any("HUGEINT" in str(t).upper() for t in rel.types)
+
+
 def test_minhash_band_knob_validated(spark, sf_dir):
     import pytest
 

@@ -94,12 +94,23 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c.lower() for c in rel.columns]
+            otypes = [str(t).upper() for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        # Type tripwire (convention #5): an uncast SUM(int)/SUM(BIGINT)
+        # yields HUGEINT, which repr()s identically to a Python int but
+        # hash-mismatches at the driver (r4 post-mortem: both gate fails
+        # were exactly this, invisible to the value comparison below).
+        bad_types = [f"{c}:{t}" for c, t in zip(ocols, otypes)
+                     if "HUGEINT" in t]
+        if bad_types:
+            problems.append(
+                f"oracle emits HUGEINT column(s) {bad_types} — cast to "
+                f"BIGINT in the oracle SQL (convention #5)")
         if sorted(c.lower() for c in scols) != sorted(ocols):
             problems.append(f"columns spark={scols} oracle={ocols}")
         elif len(srows) != len(orows):
@@ -122,7 +133,9 @@ def main() -> int:
     # gitignored file), so a truncated/empty driver gate artifact is
     # immediately diagnosable against the full local sweep (VERDICT r3
     # #7). Only full sweeps are recorded — subset runs would pollute
-    # the history.
+    # the history. Appending is opt-in via SELFCHECK_RECORD=1 (ADVICE
+    # r4: an unconditional append dirties the tree on every local
+    # verification run); round-final sweeps set the flag deliberately.
     summary = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf_dir": sf_dir,
@@ -132,7 +145,7 @@ def main() -> int:
         "subset": sorted(only) if only else None,
     }
     print("SELFCHECK_SUMMARY " + json.dumps(summary))
-    if not only:
+    if not only and os.environ.get("SELFCHECK_RECORD") == "1":
         try:
             with open(os.path.join(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))), "SELFCHECK_LOG.jsonl"), "a") as f:
