@@ -57,70 +57,82 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
+# Round-5 rotation (VERDICT r4 #5): 83 of 133 queries had never had a
+# driver-verified row, so members already driver-green in prior rounds
+# are swapped for never-witnessed siblings — 34 first-time witnesses
+# here — while keeping >=1 representative per family (the coverage test
+# enforces this and that the list is EXACTLY the 50-entry gate window).
+# graph_pagerank_nations and events_sessionize stay in to prove the r4
+# HUGEINT-oracle fix green; asof_purchase_view and ann_topk_ivf_kmeans
+# stay in because their code changed this round (tie policy /
+# localCheckpoint).
 _PRIORITY: tuple[str, ...] = (
-    # converter (SURVEY §2 core surface)
+    # converter (SURVEY §2 core surface; green r4 only — kept)
     "convert_roundtrip_ndjson",
     "convert_roundtrip_csv",
     "convert_roundtrip_json",
     "convert_roundtrip_multisheet",
     # structured streaming
-    "stream_tumbling_window",
-    "stream_sliding_window",
+    "stream_dedup_totals",
     "stream_session_window",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    # dedup
-    "dedup_winnow_pairs",
-    "dedup_minhash_keep",
-    "dedup_simhash_pairs",
-    "dedup_exact",
-    "dedup_ngram_jaccard_capped",
-    # ANN / similarity
+    # dedup (all four first-time)
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # ANN / similarity (first three first-time)
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_pq_topk",
     "ann_topk_ivf_kmeans",
-    "ann_nn_within_label",
-    "ann_lsh_hyperplane_pairs",
-    "dedup_embedding_cosine",
-    # text analysis
-    "text_winnow_fingerprint",
-    "text_repetition",
-    "text_gopher_quality",
-    "text_lexical_diversity",
-    # corpus pipeline
-    "corpus_clean_pipeline",
-    "corpus_pack_sequences",
-    "corpus_sample_stratified",
+    # text analysis (both first-time)
+    "text_bigram_lm_score",
+    "text_length_histogram",
+    # corpus pipeline (all five first-time)
+    "corpus_split",
+    "corpus_chunk",
+    "corpus_sample_temperature",
+    "corpus_decontaminate",
+    "corpus_source_profile",
     # ranking
-    "rank_tfidf_topterms",
     "rank_bm25_search",
-    # warehouse ETL
-    "etl_scd2_intervals",
-    "etl_merge_upsert",
-    "etl_incremental_agg",
-    # graph / embeddings
+    # warehouse ETL / data quality (both first-time)
+    "etl_dq_profile",
+    "etl_referential_check",
+    # embeddings
+    "embed_group_stats",
+    # graph
     "graph_pagerank_nations",
-    "embed_quantize_int8",
-    # events
-    "events_funnel",
-    "events_retention",
+    "graph_triangle_count",
+    # events (eight first-time + the fixed sessionize)
     "events_sessionize",
+    "events_transition_matrix",
+    "events_resample_locf",
+    "events_top_paths",
+    "events_anomaly_zscore",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_dedup_earliest",
+    "events_json_extract",
+    # as-of / range join
+    "asof_purchase_view_1h",
     "asof_purchase_view",
     "range_join_price_bands",
-    # multimodal
-    "multimodal_meta",
+    # multimodal (frame_sample is the hash-checked sibling; the two
+    # rows-only binary entries stay out — the window is oracle-only)
+    "multimodal_frame_sample",
     # sketches
-    "sketch_hll_distinct",
-    "sketch_countmin_topwords",
-    "sketch_bloom_join_prune",
-    "sketch_histogram_quantiles",
-    # relational archetypes (agg / join / window / setop / pivot / subquery)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier",
-    "agg_grouping_sets",
-    "window_topk_per_group",
-    "setop_except_all",
+    "sketch_hll_merge_groups",
+    # relational archetypes (first-time TPC-H shapes + rotated reps)
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_promotable_suppliers",
+    "q02_min_cost_supplier",
+    "fn_map_ops",
+    "window_range_frame",
+    "setop_intersect_all",
     "pivot_order_status",
-    "scalar_subquery_above_avg",
+    "agg_median_manual",
 )
 
 

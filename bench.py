@@ -161,7 +161,14 @@ def main() -> None:
     # connected components) must be timed end-to-end; lazy queries time
     # execution only (construction is driver-side plan analysis, which a
     # resident service pays once).
-    eager = {"dedup_minhash_keep"}
+    # Queries whose construction eagerly materializes iterative state
+    # (localCheckpoint per round) — time those end-to-end.
+    eager = {
+        "dedup_minhash_keep",
+        "graph_pagerank_nations",
+        "ann_topk_ivf_kmeans",
+        "ann_pq_topk",
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples: list[float] = []

@@ -5,9 +5,9 @@ from the custom-operator ladder): a window ``last(..., ignorenulls)``
 over the union of both streams, partitioned by key and ordered by
 time. This is the scale-friendly formulation — one shuffle on
 (key, time), no range-explosion, no per-group pandas — and it matches
-DuckDB's native ``ASOF JOIN`` semantics for strictly-increasing
-timestamps (ties broken by event_id; exact-equal cross-stream
-timestamps don't occur in microsecond event data).
+DuckDB's native ``ASOF JOIN`` semantics exactly: at an equal
+cross-stream timestamp the right-side (view) row sorts first in the
+window, so it IS matched (``<=`` / allow_exact_matches=True).
 
 Use case here: for every ``purchase`` event, the most recent prior
 ``view`` event of the same user.
@@ -23,6 +23,16 @@ from catme_etl_j_spark.sources.tables import load_table
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _view_first():
+    """Tie-break at an exact-equal cross-stream timestamp: views sort
+    BEFORE purchases, so an equal-ts view IS matched — the
+    ``v.ts <= p.ts`` / allow_exact_matches=True semantics of DuckDB
+    ASOF JOIN and pandas merge_asof (ADVICE r4: previously this rested
+    on the "no exact-equal cross-stream timestamps" data assumption).
+    Built lazily — Column construction needs an active session."""
+    return F.when(F.col("event_type") == "view", 0).otherwise(1)
+
+
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").filter(
@@ -30,7 +40,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", _view_first(), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
@@ -133,7 +143,7 @@ def asof_purchase_view_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", _view_first(), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))

@@ -447,10 +447,15 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary with an exact doc_id checksum of the kept set.
 
     Determinism: sqrt is exact IEEE and immediately fixed-pointed at
-    1e6; budgets are pure int64 arithmetic (``budget * s DIV total``;
-    exact while budget * s < 2^63 — switch the weight scale down at
-    trillion-doc corpora). Per-language take uses row_number over
-    (hash, doc_id) — fully ordered, no ties.
+    1e6; budgets are pure int64 arithmetic (``budget * s DIV total``).
+    Exactness bound: the product ``(tot_n DIV 2) * s`` must stay under
+    2^63, and s ≈ sqrt(n_l)·1e6, so with budget ≈ n/2 this holds while
+    n·sqrt(n_max) < ~1.8e13 — comfortably past any tested scale but
+    reached around n ≈ 1e9 docs (NOT "trillion-doc": at 1e12 docs the
+    product overflows by ~3 orders of magnitude). Past that, drop
+    TEMP_SCALE so that budget * max(s) < 2^63; the floor-division
+    arithmetic is otherwise scale-free. Per-language take uses
+    row_number over (hash, doc_id) — fully ordered, no ties.
 
     Scale shape: language stats are a tiny broadcast; the take is ONE
     window pass partitioned by lang (skew bounded by the largest

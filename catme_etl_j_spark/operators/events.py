@@ -471,12 +471,20 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_d = F.col("s").cast("double")
     sq_d = F.col("sq").cast("double")
     nd = F.col("n_days")
-    var = (sq_d - s_d * (s_d / nd)) / (nd - 1)
-    enriched = stats.select(
+    # greatest(var, 0): float cancellation can drive the exact-sums
+    # variance epsilon-negative, and DuckDB's sqrt() THROWS on negatives
+    # while Spark returns NaN (ADVICE r4). Guarded identically in the
+    # oracle.
+    var = F.greatest((sq_d - s_d * (s_d / nd)) / (nd - 1), F.lit(0.0))
+    # n_days > 1 and std_n > 0: a type seen on a single day (or with
+    # constant daily counts) has no distribution to score against —
+    # Spark 0/0 gives NaN where DuckDB gives NULL, a guaranteed oracle
+    # mismatch. Drop those types on BOTH sides.
+    enriched = stats.filter(nd > 1).select(
         "event_type",
         (s_d / nd).alias("mean_n"),
         F.sqrt(var).alias("std_n"),
-    )
+    ).filter(F.col("std_n") > 0)
     z = (F.col("n").cast("double") - F.col("mean_n")) / F.col("std_n")
     return daily.join(F.broadcast(enriched), "event_type").select(
         "event_type",
@@ -502,14 +510,16 @@ stats AS (
 enr AS (
   SELECT event_type,
          s_d / n_days AS mean_n,
-         sqrt((sq_d - s_d * (s_d / n_days)) / (n_days - 1)) AS std_n
-  FROM stats)
+         sqrt(greatest((sq_d - s_d * (s_d / n_days)) / (n_days - 1), 0)) AS std_n
+  FROM stats
+  WHERE n_days > 1)
 SELECT d.event_type, d.day, d.n,
        floor(e.mean_n * 100.0 + 0.5) / 100.0 AS mean_n,
        floor((CAST(d.n AS DOUBLE) - e.mean_n) / e.std_n * 10000.0 + 0.5) / 10000.0 AS z,
        CAST(CASE WHEN abs((CAST(d.n AS DOUBLE) - e.mean_n) / e.std_n) >= {ANOMALY_Z}
                  THEN 1 ELSE 0 END AS INT) AS anomalous
 FROM daily d JOIN enr e ON d.event_type = e.event_type
+WHERE e.std_n > 0
 """
 
 

@@ -83,6 +83,11 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_nationkey").alias("node"),
                 F.expr(f"{base}L + (85 * coalesce(s, 0L)) DIV 100").alias("r"),
             )
+            # 25-row state: truncate lineage each round, else Catalyst
+            # re-analyzes 10 stacked join+agg rounds at every action
+            # (same lesson as dedup._connected_components; the integer
+            # ranks are unaffected by materialization).
+            .localCheckpoint()
         )
     return (
         nation.join(ranks, nation.n_nationkey == ranks.node)

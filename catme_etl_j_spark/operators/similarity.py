@@ -463,7 +463,10 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
     )
     for _ in range(IVF_ITERS):
-        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent))
+        # K_IVF-row centroid state: localCheckpoint truncates the
+        # per-round lineage (same pattern as dedup._connected_components)
+        # so later rounds don't re-plan the whole Lloyd history.
+        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent)).localCheckpoint()
     final_asg = _assign(fx4.select("vec_id", "fx4"), cent).select("vec_id", "cid")
 
     # query's NPROBE nearest centroids (tiny: K rows through a window)
@@ -648,7 +651,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("cid"), F.col("sfx").alias("cfx")
     )
     for _ in range(PQ_ITERS):
-        cent = update(assign(cent))
+        # PQ_K×M-row codebook state: truncate lineage per Lloyd round
+        # (see ann_topk_ivf_kmeans).
+        cent = update(assign(cent)).localCheckpoint()
     codes = assign(cent)
 
     qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
