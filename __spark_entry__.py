@@ -59,64 +59,67 @@ def _modules():
 # module-iteration order after the priority block.
 # Round-5 rotation (VERDICT r4 #5): 83 of 133 queries had never had a
 # driver-verified row, so members already driver-green in prior rounds
-# are swapped for never-witnessed siblings — 34 first-time witnesses
-# here — while keeping >=1 representative per family (the coverage test
-# enforces this and that the list is EXACTLY the 50-entry gate window).
+# are swapped for never-witnessed siblings — 38 first-time witnesses
+# here, including the five operators new this round — while keeping
+# >=1 representative per family (the coverage test enforces this and
+# that the list is EXACTLY the 50-entry gate window).
 # graph_pagerank_nations and events_sessionize stay in to prove the r4
-# HUGEINT-oracle fix green; asof_purchase_view and ann_topk_ivf_kmeans
-# stay in because their code changed this round (tie policy /
-# localCheckpoint).
+# HUGEINT-oracle fix green.
 _PRIORITY: tuple[str, ...] = (
     # converter (SURVEY §2 core surface; green r4 only — kept)
     "convert_roundtrip_ndjson",
     "convert_roundtrip_csv",
     "convert_roundtrip_json",
     "convert_roundtrip_multisheet",
-    # structured streaming
+    # structured streaming (late_data_drop pins the watermark drop
+    # policy in the hash gate — VERDICT r4 #8)
     "stream_dedup_totals",
-    "stream_session_window",
+    "stream_late_data_policy",
     # dedup (all four first-time)
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # ANN / similarity (first three first-time)
+    # ANN / similarity (all first-time)
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_pq_topk",
-    "ann_topk_ivf_kmeans",
     # text analysis (both first-time)
     "text_bigram_lm_score",
     "text_length_histogram",
-    # corpus pipeline (all five first-time)
+    # corpus pipeline (all first-time; interleave + dedup_lines are new
+    # this round)
     "corpus_split",
     "corpus_chunk",
     "corpus_sample_temperature",
     "corpus_decontaminate",
     "corpus_source_profile",
+    "corpus_interleave_sources",
+    "corpus_dedup_lines",
     # ranking
     "rank_bm25_search",
-    # warehouse ETL / data quality (both first-time)
+    # warehouse ETL / data quality (all first-time; snapshot_diff is
+    # new this round)
     "etl_dq_profile",
     "etl_referential_check",
+    "etl_snapshot_diff",
     # embeddings
     "embed_group_stats",
     # graph
     "graph_pagerank_nations",
     "graph_triangle_count",
-    # events (eight first-time + the fixed sessionize)
+    # events (all first-time + the fixed sessionize; windowed_funnel is
+    # new this round)
     "events_sessionize",
+    "events_windowed_funnel",
     "events_transition_matrix",
     "events_resample_locf",
     "events_top_paths",
     "events_anomaly_zscore",
     "events_tumbling_window",
     "events_sliding_window",
-    "events_dedup_earliest",
-    "events_json_extract",
     # as-of / range join
     "asof_purchase_view_1h",
-    "asof_purchase_view",
     "range_join_price_bands",
     # multimodal (frame_sample is the hash-checked sibling; the two
     # rows-only binary entries stay out — the window is oracle-only)

@@ -162,12 +162,10 @@ def main() -> None:
     # execution only (construction is driver-side plan analysis, which a
     # resident service pays once).
     # Queries whose construction eagerly materializes iterative state
-    # (localCheckpoint per round) — time those end-to-end.
+    # (driver-side tiny-state loops) — time those end-to-end.
     eager = {
         "dedup_minhash_keep",
         "graph_pagerank_nations",
-        "ann_topk_ivf_kmeans",
-        "ann_pq_topk",
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

