@@ -41,6 +41,7 @@ def _modules():
         "multimodal",
         "convertq",
         "streamq",
+        "scale",
     ):
         try:
             mod = __import__(f"catme_etl_j_spark.operators.{name}", fromlist=[name])

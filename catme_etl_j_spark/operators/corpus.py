@@ -781,6 +781,92 @@ GROUP BY b.doc_id
 """
 
 
+SOURCE_CAP = 50
+
+
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every web-crawl
+    pipeline applies so one mega-domain can't dominate the training
+    mix: keep the ``SOURCE_CAP`` longest docs per source
+    (``n_chars`` DESC, ``doc_id`` ASC tie-break), emitting the kept
+    membership with its in-source rank.
+
+    Scale shape: one window PARTITIONED BY source — domains are many
+    and individually small relative to the corpus, so the partitions
+    parallelize; there is no global ordering anywhere. A pathological
+    mega-domain is bounded by the cap itself (rank computation is a
+    per-partition sort; at 100 TB pre-filter with an approximate
+    per-source count to short-circuit sources under the cap).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("source_rank"),
+    ).filter(F.col("source_rank") <= SOURCE_CAP)
+
+
+_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(source_rank AS INT) AS source_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS source_rank
+  FROM documents) t
+WHERE source_rank <= {SOURCE_CAP}
+"""
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram statistics pass that
+    feeds LM-style quality scoring and contamination screens.
+
+    The split array is staged ONCE per row (Catalyst keeps a
+    multiply-referenced non-cheap alias as its own Project), then the
+    bigram list is built with ``transform`` over index pairs —
+    all built-ins, map-side combinable, one shuffle on the bigram key.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(F.expr("split(trim(text), ' +')").alias("w"))
+    bg = staged.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+_BIGRAM_TOPK_SQL = """
+WITH w AS (SELECT regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+b AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+                THEN list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1])
+                ELSE [] END) AS bigram
+  FROM w)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
@@ -795,6 +881,8 @@ QUERIES = {
     "corpus_source_profile": corpus_source_profile,
     "corpus_interleave_sources": corpus_interleave_sources,
     "corpus_dedup_lines": corpus_dedup_lines,
+    "corpus_source_cap": corpus_source_cap,
+    "corpus_bigram_topk": corpus_bigram_topk,
 }
 
 ORACLES = {
@@ -811,4 +899,6 @@ ORACLES = {
     "corpus_sample_temperature": _TEMP_SQL,
     "corpus_decontaminate": _DECON_SQL,
     "corpus_source_profile": _SOURCE_PROFILE_SQL,
+    "corpus_source_cap": _SOURCE_CAP_SQL,
+    "corpus_bigram_topk": _BIGRAM_TOPK_SQL,
 }

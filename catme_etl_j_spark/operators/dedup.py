@@ -35,6 +35,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from catme_etl_j_spark.operators.text import NORM_DUCK, NORM_SPARK
 from catme_etl_j_spark.sources.tables import load_table
@@ -719,6 +720,64 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution: the same LSH near-dup components
+    as :func:`dedup_minhash_keep`, but the kept representative is the
+    LONGEST member (``n_chars`` DESC, ``doc_id`` ASC tie-break) instead
+    of the min doc_id — the policy production corpus pipelines use
+    (keep the richest near-duplicate, drop the truncated mirrors).
+
+    Scale shape: linear CC labels (checkpointed, see
+    ``_connected_components``) + one co-partitioned join back to
+    ``documents`` + one window PARTITIONED BY cluster — no global
+    window, no cross product, so it survives a 100 TB corpus.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = _connected_components(
+        docs.select(F.col("doc_id").alias("nid")), edges
+    )
+    j = labels.join(docs, labels["nid"] == docs["doc_id"]).select(
+        docs["doc_id"], labels["rep"].alias("cluster_id"), docs["n_chars"]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )
+
+
+def _minhash_keep_best_sql() -> str:
+    """Oracle: recursive-CTE closure (as in ``_minhash_keep_sql``) then
+    the same longest-member window over the component."""
+    base = _minhash_sql()
+    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
+    cte_part = cte_part[len("WITH"):].strip()
+    return f"""
+WITH RECURSIVE {cte_part},
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, bi.b FROM reach r JOIN bi ON bi.a = r.m),
+comp AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.cluster_id,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY c.cluster_id
+                ORDER BY d.n_chars DESC, c.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS kept
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -727,6 +786,7 @@ QUERIES = {
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_keep": dedup_minhash_keep,
+    "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
 }
@@ -739,6 +799,7 @@ ORACLES = {
     "dedup_winnow_pairs": _winnow_pairs_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_minhash_keep": _minhash_keep_sql(),
+    "dedup_minhash_keep_best": _minhash_keep_best_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
 }

@@ -104,6 +104,38 @@ def plain_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated wrapper for :func:`salted_group_sum` — proves on the hash
+    gate (not just the local equivalence test) that the two-phase
+    salted aggregation is value-identical to the direct groupBy the
+    oracle runs: decimal partial sums are associative, so splitting
+    the hot key across 16 salts changes the shuffle shape only."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return salted_group_sum(spark, sf_dir).orderBy("l_returnflag")
+
+
+# Oracle = the UNSALTED direct aggregation: equality proves the salting
+# is a pure physical rewrite. COUNT(*) is BIGINT already; the DECIMAL
+# sum follows the money2 convention (round 2 -> DOUBLE).
+_SALTED_SQL = """
+SELECT l_returnflag,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "scale_salted_group_sum": scale_salted_group_sum,
+}
+
+ORACLES = {
+    "scale_salted_group_sum": _SALTED_SQL,
+}
+
+
 def write_date_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Lay orders out partitioned by order year (the 100 TB convention:
     coarse time partitions + parquet row groups)."""

@@ -717,6 +717,53 @@ FROM hist, total
 """
 
 
+N_TIERS = 4
+
+
+def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tiering: NTILE(4) buckets per source by document length
+    (the (n_chars, doc_id) total order makes the tiling deterministic —
+    NTILE's extra-row placement is standard across engines given a
+    total order), then per-(source, tier) stats. This is the binning
+    step that feeds curriculum sampling / quality-weighted mixing.
+
+    Scale shape: the window is PARTITIONED BY source (never a global
+    single-partition window) and the follow-up aggregate map-side
+    combines to |sources| x 4 rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    tiers = docs.select(
+        "source", "n_chars", F.ntile(N_TIERS).over(w).alias("tier")
+    )
+    return (
+        tiers.groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source", "tier")
+    )
+
+
+_QUALITY_TIERS_SQL = f"""
+SELECT source, CAST(tier AS INT) AS tier, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT source, n_chars,
+             NTILE({N_TIERS}) OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS tier
+      FROM documents) t
+GROUP BY source, tier
+ORDER BY source, tier
+"""
+
+
 QUERIES = {
     "text_lexical_diversity": text_lexical_diversity,
     "text_bigram_lm_score": text_bigram_lm_score,
@@ -728,6 +775,7 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
+    "text_quality_tiers": text_quality_tiers,
 }
 
 ORACLES = {
@@ -741,4 +789,5 @@ ORACLES = {
     "text_gopher_quality": _GOPHER_SQL,
     "text_winnow_fingerprint": _winnow_sql(),
     "text_repetition": _REPETITION_SQL,
+    "text_quality_tiers": _QUALITY_TIERS_SQL,
 }

@@ -395,3 +395,76 @@ def test_driver_window_covers_every_family():
                 families[fam] = True
     missing = [f for f, seen in families.items() if not seen]
     assert not missing, f"families missing from the driver window: {missing}"
+
+
+def test_minhash_keep_best_picks_longest(spark, sf_dir):
+    """Exactly one kept doc per cluster, and it is the longest member
+    (doc_id tie-break); cluster membership matches dedup_minhash_keep."""
+    from catme_etl_j_spark.operators.dedup import (
+        dedup_minhash_keep,
+        dedup_minhash_keep_best,
+    )
+
+    best = dedup_minhash_keep_best(spark, sf_dir).collect()
+    keep = {r["doc_id"]: r["rep_id"] for r in dedup_minhash_keep(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in best} == keep
+    by_cluster: dict = {}
+    for r in best:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r["kept"] == 1]
+        assert len(kept) == 1
+        want = min(members, key=lambda r: (-docs[r["doc_id"]], r["doc_id"]))
+        assert kept[0]["doc_id"] == want["doc_id"]
+
+
+def test_source_cap_bounds_and_ranks(spark, sf_dir):
+    """No source exceeds the cap; ranks are contiguous from 1 and follow
+    the (n_chars DESC, doc_id ASC) order."""
+    from catme_etl_j_spark.operators.corpus import SOURCE_CAP, corpus_source_cap
+
+    rows = corpus_source_cap(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for members in by_src.values():
+        members.sort(key=lambda r: r["source_rank"])
+        assert len(members) <= SOURCE_CAP
+        assert [r["source_rank"] for r in members] == list(range(1, len(members) + 1))
+        keys = [(-r["n_chars"], r["doc_id"]) for r in members]
+        assert keys == sorted(keys)
+
+
+def test_quality_tiers_partition_evenly(spark, sf_dir):
+    """Each source splits into tiers 1..4 whose sizes differ by at most
+    one and whose char ranges are non-overlapping in tier order."""
+    from catme_etl_j_spark.operators.text import N_TIERS, text_quality_tiers
+
+    rows = text_quality_tiers(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for members in by_src.values():
+        members.sort(key=lambda r: r["tier"])
+        assert [r["tier"] for r in members] == list(range(1, N_TIERS + 1))
+        sizes = [r["n_docs"] for r in members]
+        assert max(sizes) - min(sizes) <= 1
+        for lo, hi in zip(members, members[1:]):
+            # tier 1 holds the longest docs; ranges may touch at ties
+            assert lo["min_chars"] >= hi["max_chars"] - 0  # non-increasing
+            assert lo["min_chars"] >= hi["min_chars"]
+
+
+def test_bigram_topk_shape(spark, sf_dir):
+    """20 rows, descending counts, deterministic tie order."""
+    from catme_etl_j_spark.operators.corpus import corpus_bigram_topk
+
+    rows = corpus_bigram_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    keys = [(-r["n"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["n"] >= 1 and " " in r["bigram"] for r in rows)
