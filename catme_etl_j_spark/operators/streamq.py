@@ -483,6 +483,141 @@ GROUP BY 1, 2
 """
 
 
+# --- foreachBatch incremental upsert (the lakehouse MERGE pattern) ------
+
+
+def _upsert_fixture_dir(sf_dir: str) -> str:
+    """Two single-file micro-batches of events WITH user_id (the late
+    fixture drops it), mtime-ordered, split at LATE_SPLIT. Built once
+    per sf_dir; atomic via .tmp+rename."""
+    import os
+
+    import duckdb
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/catme_stream_upsert_{tag}"
+    if not os.path.isdir(d):
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
+        base = (
+            f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+            f"event_type, value FROM '{sf_dir}/events.parquet'"
+        )
+        con.execute(
+            f"COPY ({base} WHERE ts < TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
+            f" TO '{tmp}/a_early.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY ({base} WHERE ts >= TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
+            f" TO '{tmp}/b_rest.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        os.utime(f"{tmp}/a_early.parquet", (1_000_000_000, 1_000_000_000))
+        os.utime(f"{tmp}/b_rest.parquet", (1_000_000_100, 1_000_000_100))
+        os.rename(tmp, d)
+    return d
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert via ``foreachBatch`` — the production pattern
+    for maintaining a keyed snapshot table from a stream when the sink
+    has no native MERGE: each micro-batch is pre-aggregated per key,
+    merged with the current snapshot (sum the counts, keep the
+    (ts, event_id)-max last event), and the snapshot is atomically
+    republished. Two file-source micro-batches drive two real merge
+    rounds, so the gate equality against the one-shot batch SQL proves
+    the incremental path is exactly the batch recompute.
+
+    At 100 TB the per-batch merge is a co-partitioned join on the key
+    (bucket both sides by user_id) and the republish is a transactional
+    table commit (Delta/Iceberg MERGE); the parquet-swap here is the
+    same dataflow with the txn log swapped out. State never exceeds
+    |distinct keys| — the map-side pre-aggregation keeps each batch's
+    shuffle proportional to its own key count.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _upsert_fixture_dir(sf_dir)
+    state_root = f"{src}_state_{next(_seq)}_{os.getpid()}"
+    cur = f"{state_root}/cur"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+        if os.path.isdir(cur):
+            merged = (
+                sess.read.parquet(cur)
+                .unionByName(batch_agg)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.max("last").alias("last"))
+            )
+        else:
+            merged = batch_agg
+        nxt = f"{state_root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(nxt)
+        old = f"{state_root}/old{batch_id}"
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(cur).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.date_format("last.ts", _TS_FMT).alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+    )
+    # Materialize before the state dir is cleaned: the returned DF must
+    # outlive the temp snapshot files.
+    out = out.localCheckpoint()
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+_FOREACHBATCH_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_event_type
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_late_data_policy": stream_late_data_policy,
@@ -491,6 +626,7 @@ QUERIES = {
     "stream_session_window": stream_session_window,
     "stream_stateful_totals": stream_stateful_totals,
     "stream_stream_join": stream_stream_join,
+    "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
 }
 
 ORACLES = {
@@ -501,4 +637,5 @@ ORACLES = {
     "stream_tumbling_window": _TUMBLING_SQL,
     "stream_sliding_window": _SLIDING_SQL,
     "stream_session_window": _STREAM_SESSION_SQL,
+    "stream_foreachbatch_upsert": _FOREACHBATCH_UPSERT_SQL,
 }

@@ -302,3 +302,45 @@ def test_round4_text_corpus_plan_hygiene(spark, sf_dir):
         for line in plan.splitlines():
             if "Filter " in line:
                 assert "split(" not in line, (fn.__name__, line)
+
+
+def test_source_cap_window_is_source_partitioned(spark, sf_dir):
+    """The per-domain cap must never collapse to a single partition:
+    its window exchange hashes on source (and the rank filter is
+    applied above the window, not via a global sort)."""
+    from catme_etl_j_spark.operators.corpus import corpus_source_cap
+
+    plan = formatted_plan(corpus_source_cap(spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quality_tiers_window_is_source_partitioned(spark, sf_dir):
+    """NTILE tiers are computed per source — a global-window plan here
+    would serialize the whole corpus through one task at 100 TB."""
+    from catme_etl_j_spark.operators.text import text_quality_tiers
+
+    plan = formatted_plan(text_quality_tiers(spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    assert "ntile(" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_keep_best_window_is_cluster_partitioned(spark, sf_dir):
+    """Cluster resolution windows on cluster_id (many small clusters),
+    never a single global partition."""
+    from catme_etl_j_spark.operators.dedup import dedup_minhash_keep_best
+
+    plan = formatted_plan(dedup_minhash_keep_best(spark, sf_dir))
+    assert "hashpartitioning(cluster_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bigram_topk_partial_agg_and_limit(spark, sf_dir):
+    """Bigram counting map-side combines and the top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from catme_etl_j_spark.operators.corpus import corpus_bigram_topk
+
+    plan = formatted_plan(corpus_bigram_topk(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -245,3 +245,43 @@ def test_late_data_policy_pinned(spark, sf_dir):
         f"'%Y-%m-%d %H:%M:%S') FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert max(r["window_start"] for r in rows) <= wm
+
+
+def test_foreachbatch_upsert_is_incremental_and_exact(spark, sf_dir):
+    """Both fixture halves are non-empty (so >=2 real merge rounds ran)
+    and the incremental snapshot equals a direct batch recompute."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.streamq import (
+        _upsert_fixture_dir,
+        stream_foreachbatch_upsert,
+    )
+
+    d = _upsert_fixture_dir(sf_dir)
+    files = sorted(g.glob(f"{d}/*.parquet"))
+    assert len(files) == 2
+    for f in files:
+        assert spark.read.parquet(f).count() > 0
+    got = {tuple(r) for r in stream_foreachbatch_upsert(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    want = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("last.event_type").alias("last_event_type"),
+        )
+        .collect()
+    }
+    assert got == want
