@@ -452,6 +452,62 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
 """
 
 
+# ---------------------------------------------------------------------------
+# Unpivot (melt) — the inverse of pivot_order_status: wide per-status
+# sums back to long (priority, status, sum_price) form. Spark's
+# DataFrame.unpivot is a zero-shuffle Expand node; the oracle uses
+# DuckDB's native UNPIVOT over the same pivoted CTE.
+# ---------------------------------------------------------------------------
+
+
+def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from catme_etl_j_spark.operators.relational import pivot_order_status
+
+    _prep(spark)
+    wide = pivot_order_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["sum_open", "sum_finished", "sum_pending"],
+        variableColumnName="status",
+        valueColumnName="sum_price",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH p AS (
+  SELECT o_orderpriority,
+         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE), 0.0) AS sum_open,
+         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0.0) AS sum_finished,
+         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P'), 2) AS DOUBLE), 0.0) AS sum_pending
+  FROM orders
+  GROUP BY o_orderpriority)
+UNPIVOT p ON sum_open, sum_finished, sum_pending
+INTO NAME status VALUE sum_price
+"""
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-nation top-2 customers by balance.
+# Exercises Catalyst's lateral-join decorrelation (DomainJoin ->
+# window/limit rewrite); DuckDB runs the identical ANSI LATERAL text.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM {nation} n,
+LATERAL (SELECT c_custkey, c_acctbal FROM {customer}
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) c
+"""
+
+
+def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(_LATERAL_SQL.format(nation="nation_lv", customer="customer_lv"))
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q16_parts_supplier_count": q16_parts_supplier_count,
@@ -462,6 +518,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_banded_revenue": q19_banded_revenue,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "unpivot_order_status": unpivot_order_status,
+    "lateral_top2_customers": lateral_top2_customers,
 }
 
 ORACLES = {
@@ -474,4 +532,8 @@ ORACLES = {
     "q17_small_quantity_revenue": _Q17_SQL,
     "q19_banded_revenue": _Q19_SQL,
     "q21_waiting_supplier": _Q21_SQL,
+    "unpivot_order_status": _UNPIVOT_SQL,
+    "lateral_top2_customers": _LATERAL_SQL.format(
+        nation="nation", customer="customer"
+    ),
 }

@@ -794,6 +794,38 @@ FROM reach GROUP BY node
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (label-restricted) top-k against the exact
+    brute-force top-k — the evaluation loop every ANN deployment needs
+    before trading recall for scan cost. One row: k, overlap count,
+    recall. Both candidate lists are tiny (k rows), so the overlap
+    join is trivially broadcast; the heavy lifting is the two scans,
+    which at 100 TB are exactly the production ANN paths under test.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    bf = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ivf = ann_topk_ivf(spark, sf_dir).select("vec_id")
+    overlap = bf.join(ivf, "vec_id").agg(F.count("*").alias("n_overlap"))
+    return overlap.select(
+        F.lit(TOP_K).cast("int").alias("k"),
+        "n_overlap",
+        rdet(F.col("n_overlap").cast("double") / F.lit(float(TOP_K)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def _ivf_recall_sql() -> str:
+    recall = rdet_sql(f"CAST(COUNT(*) AS DOUBLE) / {float(TOP_K)}", 4)
+    return f"""
+WITH bf AS ({_topk_sql()}),
+ivf AS ({_topk_sql(" AND label = qlabel")})
+SELECT CAST({TOP_K} AS INT) AS k, COUNT(*) AS n_overlap,
+       {recall} AS recall_at_k
+FROM bf JOIN ivf USING (vec_id)
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -801,6 +833,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_nn_within_label": ann_nn_within_label,
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
+    "ann_ivf_recall": ann_ivf_recall,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -811,5 +844,6 @@ ORACLES = {
     "ann_pq_topk": _pq_sql(),
     "ann_nn_within_label": _nn_within_label_sql(),
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
+    "ann_ivf_recall": _ivf_recall_sql(),
     "dedup_embedding_cosine": _emb_keep_sql(),
 }

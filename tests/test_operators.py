@@ -468,3 +468,64 @@ def test_bigram_topk_shape(spark, sf_dir):
     keys = [(-r["n"], r["bigram"]) for r in rows]
     assert keys == sorted(keys)
     assert all(r["n"] >= 1 and " " in r["bigram"] for r in rows)
+
+
+def test_unpivot_is_pivot_inverse(spark, sf_dir):
+    """unpivot(pivot(x)) carries exactly 3 rows per priority and matches
+    the direct long-form conditional aggregation."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.functions.numeric import dec2, money2
+    from catme_etl_j_spark.operators.relational3 import unpivot_order_status
+    from catme_etl_j_spark.sources.tables import load_table
+
+    got = {
+        (r["o_orderpriority"], r["status"]): r["sum_price"]
+        for r in unpivot_order_status(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    name = {"O": "sum_open", "F": "sum_finished", "P": "sum_pending"}
+    direct = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(money2(F.sum(dec2("o_totalprice"))).alias("s"))
+        .collect()
+    )
+    prios = {r["o_orderpriority"] for r in direct}
+    assert len(got) == 3 * len(prios)
+    for r in direct:
+        assert got[(r["o_orderpriority"], name[r["o_orderstatus"]])] == r["s"]
+
+
+def test_lateral_matches_window_top2(spark, sf_dir):
+    """The LATERAL per-nation top-2 equals the window-function rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.relational3 import lateral_top2_customers
+    from catme_etl_j_spark.sources.tables import load_table
+
+    got = {tuple(r) for r in lateral_top2_customers(spark, sf_dir).collect()}
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    want = {
+        tuple(r)
+        for r in c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "c_custkey", "c_acctbal")
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivf_recall_bounds(spark, sf_dir):
+    """Recall is n_overlap/k with 0 <= n_overlap <= k."""
+    from catme_etl_j_spark.operators.similarity import TOP_K, ann_ivf_recall
+
+    r = ann_ivf_recall(spark, sf_dir).collect()[0]
+    assert r["k"] == TOP_K
+    assert 0 <= r["n_overlap"] <= TOP_K
+    assert abs(r["recall_at_k"] - round(r["n_overlap"] / TOP_K, 4)) < 1e-9
