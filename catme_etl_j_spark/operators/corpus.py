@@ -781,6 +781,147 @@ GROUP BY b.doc_id
 """
 
 
+def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one declarative plan, reported
+    as a per-source funnel: PII scrub -> quality gate (>=20 words) ->
+    normalized exact dedup (keep min doc_id) -> train/eval split ->
+    8-gram decontamination of the train split against the eval split.
+
+    Output per source: n_raw, n_quality, n_unique (dedup survivors),
+    n_train (train-split survivors), n_final (train survivors sharing
+    NO 8-gram with any eval survivor).
+
+    Scale: one fp-partitioned window (co-partitioned like the groupBy
+    it replaces), one gram equi-join (|train grams| x matching eval
+    grams, never a cross product), and five tiny per-source aggregates
+    that map-side combine to |sources| rows each. At 100 TB the gram
+    join is the cost center — identical to corpus_decontaminate, which
+    benches it in isolation.
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(scrubbed), '[^a-z0-9 ]', ''), ' +', ' '))"
+    )
+    staged = (
+        docs.select("doc_id", "source", scrubbed.alias("scrubbed"))
+        .withColumn("w", F.expr("split(trim(scrubbed), ' +')"))
+        .withColumn("n_words", F.expr("size(w)").cast("long"))
+        .withColumn("fp", F.md5(F.expr(norm)))
+        .drop("scrubbed")
+        # Materialize ONCE: five funnel stages consume this subtree, and
+        # without a barrier each would re-run the scrub regexes + split
+        # + md5 over the full corpus (measured 5x the text cost). On a
+        # cluster swap localCheckpoint for persist(DISK_ONLY) or a
+        # checkpoint dir — the trade (one materialization vs five full
+        # text passes) is the same at 100 TB.
+        .localCheckpoint()
+    )
+    quality = staged.filter(F.col("n_words") >= 20)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = quality.withColumn("rn", F.row_number().over(w_fp)).filter("rn = 1")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    surv = surv.withColumn(
+        "split", F.when(bucket < EVAL_PCT, "eval").otherwise("train")
+    )
+    grams = surv.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {DECON_N} THEN "
+                f"transform(sequence(1, size(w) - {DECON_N - 1}),"
+                f" i -> md5(concat_ws(' ', slice(w, i, {DECON_N}))))"
+                f" ELSE array() END"
+            )
+        ).alias("gh"),
+    )
+    eval_grams = grams.filter("split = 'eval'").select("gh").distinct()
+    contaminated = (
+        grams.filter("split = 'train'")
+        .join(eval_grams, "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    train_docs = surv.filter("split = 'train'")
+    final_train = train_docs.join(contaminated, "doc_id", "left_anti")
+
+    def _per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    out = (
+        _per_source(staged, "n_raw")
+        .join(_per_source(quality, "n_quality"), "source", "left")
+        .join(_per_source(surv, "n_unique"), "source", "left")
+        .join(_per_source(train_docs, "n_train"), "source", "left")
+        .join(_per_source(final_train, "n_final"), "source", "left")
+    )
+    fill = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
+    return out.select(
+        "source",
+        fill("n_raw"),
+        fill("n_quality"),
+        fill("n_unique"),
+        fill("n_train"),
+        fill("n_final"),
+    ).orderBy("source")
+
+
+_E2E_FUNNEL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g') AS scrubbed
+  FROM documents),
+staged AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(scrubbed), ' +') AS w,
+         len(regexp_split_to_array(trim(scrubbed), ' +')) AS n_words,
+         md5(trim(regexp_replace(regexp_replace(lower(scrubbed), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM base),
+quality AS (SELECT * FROM staged WHERE n_words >= 20),
+surv AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM quality) t
+  WHERE rn = 1),
+split_t AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {EVAL_PCT}
+                 THEN 'eval' ELSE 'train' END AS split
+  FROM surv),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
+                i -> md5(array_to_string(w[i:i+{DECON_N - 1}], ' ')))) AS gh
+  FROM split_t),
+eval_grams AS (SELECT DISTINCT gh FROM grams WHERE split = 'eval'),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split = 'train' AND gh IN (SELECT gh FROM eval_grams))
+SELECT r.source,
+       CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(tr.n_train, 0) AS BIGINT) AS n_train,
+       CAST(COALESCE(f.n_final, 0) AS BIGINT) AS n_final
+FROM (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source) r
+LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source) q USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM split_t GROUP BY source) u USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_train FROM split_t WHERE split = 'train' GROUP BY source) tr USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_final FROM split_t
+           WHERE split = 'train'
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+           GROUP BY source) f USING (source)
+ORDER BY source
+"""
+
+
 SOURCE_CAP = 50
 
 
@@ -883,6 +1024,7 @@ QUERIES = {
     "corpus_dedup_lines": corpus_dedup_lines,
     "corpus_source_cap": corpus_source_cap,
     "corpus_bigram_topk": corpus_bigram_topk,
+    "corpus_e2e_funnel": corpus_e2e_funnel,
 }
 
 ORACLES = {
@@ -901,4 +1043,5 @@ ORACLES = {
     "corpus_source_profile": _SOURCE_PROFILE_SQL,
     "corpus_source_cap": _SOURCE_CAP_SQL,
     "corpus_bigram_topk": _BIGRAM_TOPK_SQL,
+    "corpus_e2e_funnel": _E2E_FUNNEL_SQL,
 }

@@ -529,3 +529,25 @@ def test_ivf_recall_bounds(spark, sf_dir):
     assert r["k"] == TOP_K
     assert 0 <= r["n_overlap"] <= TOP_K
     assert abs(r["recall_at_k"] - round(r["n_overlap"] / TOP_K, 4)) < 1e-9
+
+
+def test_e2e_funnel_is_monotone(spark, sf_dir):
+    """Each pipeline stage can only shrink the corpus, totals match the
+    standalone stage operators, and every source appears."""
+    from catme_etl_j_spark.operators.corpus import (
+        corpus_clean_pipeline,
+        corpus_e2e_funnel,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = corpus_e2e_funnel(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert {r["source"] for r in rows} == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_train"] >= r["n_final"] >= 0
+    assert sum(r["n_raw"] for r in rows) == docs.count()
+    # dedup survivors across sources == clean-pipeline output rows
+    # (same scrub/threshold/fingerprint chain)
+    assert sum(r["n_unique"] for r in rows) == corpus_clean_pipeline(spark, sf_dir).count()
