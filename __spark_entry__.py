@@ -60,12 +60,17 @@ def _modules():
 # module-iteration order after the priority block.
 # Round-5 rotation (VERDICT r4 #5): 83 of 133 queries had never had a
 # driver-verified row, so members already driver-green in prior rounds
-# are swapped for never-witnessed siblings — 38 first-time witnesses
-# here, including the five operators new this round — while keeping
-# >=1 representative per family (the coverage test enforces this and
-# that the list is EXACTLY the 50-entry gate window).
-# graph_pagerank_nations and events_sessionize stay in to prove the r4
-# HUGEINT-oracle fix green.
+# are swapped for never-witnessed siblings — every entry below is a
+# first-time witness except the converter block and the two r4
+# HUGEINT-fix proofs (graph_pagerank_nations, events_sessionize) —
+# while keeping >=1 representative per family (the coverage test
+# enforces this and that the list is EXACTLY the 50-entry gate
+# window). Late-round swaps favor this session's new composite
+# operators (e2e funnel, foreachBatch upsert, keep-best dedup, IVF
+# recall) over entries whose semantics are already driver-proven via
+# oracle-sharing twins (events_tumbling/sliding_window share their
+# exact oracle with the r4-green stream_* twins; ann_topk_ivf's scan
+# is re-run INSIDE ann_ivf_recall).
 _PRIORITY: tuple[str, ...] = (
     # converter (SURVEY §2 core surface; green r4 only — kept)
     "convert_roundtrip_ndjson",
@@ -73,17 +78,22 @@ _PRIORITY: tuple[str, ...] = (
     "convert_roundtrip_json",
     "convert_roundtrip_multisheet",
     # structured streaming (late_data_drop pins the watermark drop
-    # policy in the hash gate — VERDICT r4 #8)
+    # policy in the hash gate — VERDICT r4 #8; foreachbatch_upsert is
+    # the incremental-MERGE pattern new this round)
     "stream_dedup_totals",
     "stream_late_data_policy",
-    # dedup (all four first-time)
+    "stream_foreachbatch_upsert",
+    # dedup (all five first-time; keep_best is new this round)
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
+    "dedup_minhash_keep_best",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # ANN / similarity (all first-time)
+    # ANN / similarity (all first-time; ivf_recall runs BOTH the exact
+    # and the label-restricted scan and checks their overlap, so it
+    # witnesses ann_topk_ivf's semantics too)
     "ann_topk_bruteforce",
-    "ann_topk_ivf",
+    "ann_ivf_recall",
     "ann_pq_topk",
     # text analysis (both first-time)
     "text_bigram_lm_score",
@@ -91,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     # corpus pipeline (all first-time; interleave + dedup_lines are new
     # this round)
     "corpus_split",
-    "corpus_chunk",
+    "corpus_e2e_funnel",
     "corpus_sample_temperature",
     "corpus_decontaminate",
     "corpus_source_profile",
@@ -117,8 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_resample_locf",
     "events_top_paths",
     "events_anomaly_zscore",
-    "events_tumbling_window",
-    "events_sliding_window",
     # as-of / range join
     "asof_purchase_view_1h",
     "range_join_price_bands",
