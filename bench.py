@@ -55,6 +55,9 @@ HEADLINE = [
     # training + LUT probe, and the corpus-wide 8-gram overlap join
     "ann_pq_topk",
     "corpus_decontaminate",
+    # round-5 addition: the whole training-prep pipeline composed into
+    # one plan (scrub -> quality -> dedup -> split -> decontaminate)
+    "corpus_e2e_funnel",
 ]
 
 
@@ -166,6 +169,7 @@ def main() -> None:
     eager = {
         "dedup_minhash_keep",
         "graph_pagerank_nations",
+        "corpus_e2e_funnel",  # localCheckpoints the staged text frame
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
