@@ -778,6 +778,76 @@ FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """
 
 
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify: for every banded-LSH candidate pair, the
+    minhash-estimated Jaccard NEXT TO the exact 3-gram Jaccard and the
+    absolute estimation error — the precision audit that tells you
+    whether 32 permutations and an 8x4 banding are enough before you
+    trust them on the full corpus.
+
+    Scale shape: the exact intersection is computed ONLY for candidate
+    pairs (shingles joined through the pair list on (doc, shingle)),
+    so the quadratic exact-join cost is bounded by |candidates| — this
+    is exactly the verify stage a 100 TB near-dedup runs after LSH.
+    All similarity arithmetic is exact-int division (deterministic
+    IEEE), no rounding needed.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    est = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        est.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    xs = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    ys = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        est.join(xs, "doc_a")
+        .join(ys, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+    )
+    exact = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+    )
+
+
+def _minhash_precision_sql() -> str:
+    base = _minhash_sql()
+    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
+    cte_part = cte_part[len("WITH"):].strip()
+    est_select = "SELECT doc_a, doc_b," + base.split("SELECT doc_a, doc_b,")[1]
+    return f"""
+WITH {cte_part},
+est AS ({est_select}),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       CAST(COALESCE(i.i, 0) AS DOUBLE) / (x.n + y.n - COALESCE(i.i, 0)) AS exact_jaccard,
+       abs(e.est_jaccard - CAST(COALESCE(i.i, 0) AS DOUBLE) / (x.n + y.n - COALESCE(i.i, 0))) AS abs_err
+FROM est e
+JOIN sizes x ON e.doc_a = x.doc_id
+JOIN sizes y ON e.doc_b = y.doc_id
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -785,6 +855,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_precision": dedup_minhash_precision,
     "dedup_minhash_keep": dedup_minhash_keep,
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "dedup_simhash": dedup_simhash,
@@ -798,6 +869,7 @@ ORACLES = {
     "dedup_ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_winnow_pairs": _winnow_pairs_sql(),
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_minhash_precision": _minhash_precision_sql(),
     "dedup_minhash_keep": _minhash_keep_sql(),
     "dedup_minhash_keep_best": _minhash_keep_best_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -674,6 +674,115 @@ LIMIT {TOP_PATHS}
 """
 
 
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user segmentation — the
+    marketing-analytics staple. Recency is measured from the global max
+    event time (a pure function of the data, no wall clock); frequency
+    and monetary thresholds are relative to the corpus averages so the
+    scoring adapts to any SF without magic constants.
+
+    Determinism: all scores come from exact-int / exact-decimal
+    comparisons against double averages computed from exact sums —
+    deterministic IEEE on both engines. One shuffle (per-user agg);
+    the global scalars broadcast.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("double")).alias("last_e"),
+        F.count("*").alias("n_events"),
+        F.sum(dec2("value")).alias("mon_d"),
+    )
+    glob = per_user.agg(
+        F.max("last_e").alias("emax"),
+        F.sum("n_events").alias("tot_ev"),
+        F.count("*").alias("n_users"),
+        F.sum("mon_d").alias("tot_mon"),
+    )
+    j = per_user.crossJoin(F.broadcast(glob))
+    r_days = F.expr("CAST(floor((emax - last_e) / 86400.0) AS BIGINT)")
+    f_avg = F.expr("CAST(tot_ev AS DOUBLE) / n_users")
+    m_avg = F.expr("CAST(tot_mon AS DOUBLE) / n_users")
+    mon = F.col("mon_d").cast("double")
+    r_score = (
+        F.when(r_days <= 7, 4)
+        .when(r_days <= 30, 3)
+        .when(r_days <= 90, 2)
+        .otherwise(1)
+        .cast("int")
+    )
+    f_score = (
+        F.when(F.col("n_events") >= 2 * f_avg, 4)
+        .when(F.col("n_events") >= f_avg, 3)
+        .when(F.col("n_events") * 2 >= f_avg, 2)
+        .otherwise(1)
+        .cast("int")
+    )
+    m_score = (
+        F.when(mon >= 2 * m_avg, 4)
+        .when(mon >= m_avg, 3)
+        .when(mon * 2 >= m_avg, 2)
+        .otherwise(1)
+        .cast("int")
+    )
+    staged = j.select(
+        "user_id",
+        r_days.alias("r_days"),
+        "n_events",
+        money2(F.col("mon_d")).alias("monetary"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "champion")
+        .when(F.col("r_score") >= 3, "recent")
+        .when(F.col("f_score") >= 3, "loyal_lapsing")
+        .otherwise("at_risk")
+    )
+    return staged.withColumn("segment", segment)
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(epoch(ts)) AS last_e,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS mon_d
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT MAX(last_e) AS emax,
+         CAST(SUM(n_events) AS BIGINT) AS tot_ev,
+         COUNT(*) AS n_users,
+         SUM(mon_d) AS tot_mon
+  FROM per_user),
+staged AS (
+  SELECT user_id,
+         CAST(floor((emax - last_e) / 86400.0) AS BIGINT) AS r_days,
+         n_events,
+         CAST(round(mon_d, 2) AS DOUBLE) AS monetary,
+         CAST(CASE WHEN CAST(floor((emax - last_e) / 86400.0) AS BIGINT) <= 7 THEN 4
+                   WHEN CAST(floor((emax - last_e) / 86400.0) AS BIGINT) <= 30 THEN 3
+                   WHEN CAST(floor((emax - last_e) / 86400.0) AS BIGINT) <= 90 THEN 2
+                   ELSE 1 END AS INT) AS r_score,
+         CAST(CASE WHEN n_events >= 2 * (CAST(tot_ev AS DOUBLE) / n_users) THEN 4
+                   WHEN n_events >= (CAST(tot_ev AS DOUBLE) / n_users) THEN 3
+                   WHEN n_events * 2 >= (CAST(tot_ev AS DOUBLE) / n_users) THEN 2
+                   ELSE 1 END AS INT) AS f_score,
+         CAST(CASE WHEN CAST(mon_d AS DOUBLE) >= 2 * (CAST(tot_mon AS DOUBLE) / n_users) THEN 4
+                   WHEN CAST(mon_d AS DOUBLE) >= (CAST(tot_mon AS DOUBLE) / n_users) THEN 3
+                   WHEN CAST(mon_d AS DOUBLE) * 2 >= (CAST(tot_mon AS DOUBLE) / n_users) THEN 2
+                   ELSE 1 END AS INT) AS m_score
+  FROM per_user, g)
+SELECT user_id, r_days, n_events, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+            WHEN r_score >= 3 THEN 'recent'
+            WHEN f_score >= 3 THEN 'loyal_lapsing'
+            ELSE 'at_risk' END AS segment
+FROM staged
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -687,6 +796,7 @@ QUERIES = {
     "events_dedup_earliest": events_dedup_earliest,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
+    "events_rfm_segments": events_rfm_segments,
 }
 
 ORACLES = {
@@ -702,4 +812,5 @@ ORACLES = {
     "events_dedup_earliest": _DEDUP_EARLIEST_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "events_json_extract": _JSON_SQL,
+    "events_rfm_segments": _RFM_SQL,
 }

@@ -717,6 +717,74 @@ FROM hist, total
 """
 
 
+ENT_SCALE = 1_000_000  # fixed-point for per-char n*log2(n) terms
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate signal (low entropy = repeated filler, high
+    entropy = random noise).
+
+    Cross-engine determinism: H = log2(n) - (1/n) * sum(n_c*log2(n_c))
+    has a floating SUM whose accumulation order differs by engine and
+    partitioning. Each term is therefore rounded to fixed-point 1e-6
+    FIRST (``floor(x*1e6+0.5)`` — pure IEEE, same bits everywhere) and
+    summed as exact int64, so the reduction is order-invariant; the
+    final two-term expression is deterministic double arithmetic,
+    rounded rdet(4) for display.
+
+    Scale shape: explode to (doc, char) -> count (map-side combine:
+    at most |alphabet| rows per doc per task) -> per-doc agg. Rows
+    after the first combine are bounded by docs x alphabet, not by
+    corpus bytes.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ''), c -> c <> '')")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n_c"))
+    term_fx = F.expr(
+        f"CAST(floor(n_c * log2(CAST(n_c AS DOUBLE)) * {ENT_SCALE} + 0.5) AS BIGINT)"
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n_chars_obs"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term_fx).alias("sum_fx"),
+    )
+    ent = rdet(
+        F.expr(
+            f"log2(CAST(n_chars_obs AS DOUBLE))"
+            f" - (CAST(sum_fx AS DOUBLE) / {ENT_SCALE}) / CAST(n_chars_obs AS DOUBLE)"
+        ),
+        4,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chars_obs").cast("long").alias("n_chars_obs"),
+        "n_distinct_chars",
+        ent.alias("entropy_bits"),
+    )
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ''), c -> c <> '')) AS ch
+  FROM documents),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS n_c FROM chars GROUP BY doc_id, ch),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_chars_obs,
+         COUNT(*) AS n_distinct_chars,
+         CAST(SUM(CAST(floor(n_c * log2(CAST(n_c AS DOUBLE)) * {ENT_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS sum_fx
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_chars_obs, n_distinct_chars,
+       {rdet_sql(f"log2(CAST(n_chars_obs AS DOUBLE)) - (CAST(sum_fx AS DOUBLE) / {ENT_SCALE}) / CAST(n_chars_obs AS DOUBLE)", 4)} AS entropy_bits
+FROM per_doc
+"""
+
+
 N_TIERS = 4
 
 
@@ -776,6 +844,7 @@ QUERIES = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
     "text_quality_tiers": text_quality_tiers,
+    "text_char_entropy": text_char_entropy,
 }
 
 ORACLES = {
@@ -790,4 +859,5 @@ ORACLES = {
     "text_winnow_fingerprint": _winnow_sql(),
     "text_repetition": _REPETITION_SQL,
     "text_quality_tiers": _QUALITY_TIERS_SQL,
+    "text_char_entropy": _CHAR_ENTROPY_SQL,
 }

@@ -551,3 +551,55 @@ def test_e2e_funnel_is_monotone(spark, sf_dir):
     # dedup survivors across sources == clean-pipeline output rows
     # (same scrub/threshold/fingerprint chain)
     assert sum(r["n_unique"] for r in rows) == corpus_clean_pipeline(spark, sf_dir).count()
+
+
+def test_minhash_precision_estimates_track_exact(spark, sf_dir):
+    """Every LSH candidate gets an exact score; est and exact are in
+    [0,1]; abs_err is their difference; high-exact pairs (>=0.7, the
+    repo threshold) are estimated within 0.35 (32 perms, 3-sigma)."""
+    from catme_etl_j_spark.operators.dedup import dedup_minhash_precision
+
+    rows = dedup_minhash_precision(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-12
+        if r["exact_jaccard"] >= 0.7:
+            assert r["abs_err"] <= 0.35
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(distinct chars), and a single-char doc scores 0."""
+    import math
+
+    from catme_etl_j_spark.operators.text import text_char_entropy
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_distinct_chars"] >= 1
+        hi = math.log2(r["n_distinct_chars"]) if r["n_distinct_chars"] > 1 else 0.0
+        assert -1e-4 <= r["entropy_bits"] <= hi + 1e-4
+
+
+def test_rfm_scores_consistent(spark, sf_dir):
+    """Scores are 1..4, segment derives from (r,f) scores, and per-user
+    counts sum to the event total."""
+    from catme_etl_j_spark.operators.events import events_rfm_segments
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_rfm_segments(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4
+        if r["r_score"] >= 3 and r["f_score"] >= 3:
+            assert r["segment"] == "champion"
+        elif r["r_score"] >= 3:
+            assert r["segment"] == "recent"
+        elif r["f_score"] >= 3:
+            assert r["segment"] == "loyal_lapsing"
+        else:
+            assert r["segment"] == "at_risk"
