@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from catme_etl_j_spark.functions.numeric import dec2, money2
+from catme_etl_j_spark.functions.numeric import dec2, money2, rdet, rdet_sql
 from catme_etl_j_spark.sources.tables import load_table
 
 SESSION_GAP_S = 1800.0
@@ -783,6 +783,83 @@ FROM staged
 """
 
 
+PARETO_PCTS = (50, 80, 90, 99)
+
+
+def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Lorenz curve points): for each target
+    share of total events, the minimum number of users (heaviest
+    first) that produce it, plus their share of the user base.
+
+    Scale note: the ranking happens over PER-USER AGGREGATES — |users|
+    rows, orders of magnitude below |events| — and the final cumsum
+    window runs on that reduced set (here a single ordered pass; at
+    extreme user counts swap in a two-level prefix-sum: per-partition
+    subtotals broadcast back, the standard distributed scan). Exact
+    int arithmetic end-to-end; ties broken by user_id.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_user.agg(
+        F.sum("n").alias("tot_ev"), F.count("*").alias("n_users")
+    )
+    w = W.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_user.select(
+        "user_id",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum_ev"
+        ),
+    ).crossJoin(F.broadcast(tot))
+    rows = []
+    for p in PARETO_PCTS:
+        # first rank whose cumulative events reach p% of the total:
+        # cum_ev * 100 >= tot_ev * p in exact int64
+        hit = ranked.filter(F.col("cum_ev") * 100 >= F.col("tot_ev") * p).agg(
+            F.min("rank").alias("n_top_users")
+        )
+        rows.append(
+            hit.crossJoin(F.broadcast(tot)).select(
+                F.lit(p).cast("int").alias("pct_events"),
+                F.col("n_top_users").cast("long").alias("n_top_users"),
+                rdet(
+                    F.col("n_top_users").cast("double")
+                    / F.col("n_users").cast("double")
+                    * 100.0,
+                    2,
+                ).alias("pct_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_POWER_USERS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot_ev, COUNT(*) AS n_users FROM per_user),
+ranked AS (
+  SELECT user_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rank,
+         CAST(SUM(n) OVER (ORDER BY n DESC, user_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ev
+  FROM per_user),
+pcts AS (SELECT unnest([{", ".join(str(p) for p in PARETO_PCTS)}]) AS p)
+SELECT CAST(p AS INT) AS pct_events,
+       CAST(MIN(rank) AS BIGINT) AS n_top_users,
+       {rdet_sql("CAST(MIN(rank) AS DOUBLE) / CAST(MAX(t.n_users) AS DOUBLE) * 100.0", 2)} AS pct_users
+FROM pcts
+JOIN ranked ON ranked.cum_ev * 100 >= (SELECT tot_ev FROM tot) * p
+CROSS JOIN tot t
+GROUP BY p
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -797,6 +874,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
     "events_rfm_segments": events_rfm_segments,
+    "events_power_users": events_power_users,
 }
 
 ORACLES = {
@@ -813,4 +891,5 @@ ORACLES = {
     "events_sessionize": _SESSIONIZE_SQL,
     "events_json_extract": _JSON_SQL,
     "events_rfm_segments": _RFM_SQL,
+    "events_power_users": _POWER_USERS_SQL,
 }

@@ -785,6 +785,70 @@ FROM per_doc
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative novelty score per document: the fraction of its
+    distinct word-3-grams that appear in NO other document (df == 1).
+    Novelty ~1 means unique content worth keeping; ~0 means the doc is
+    assembled from corpus boilerplate — the curation signal behind
+    near-dup pruning and self-information weighting.
+
+    Scale shape: one explode -> gram df aggregate (map-side combine on
+    the gram key) -> join back on the gram — the same linear shuffle
+    profile as corpus_doc_frequency. Ratios are exact-int divisions.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    # stage the split once (multiply-referenced non-cheap alias stays
+    # its own Project — see text_gopher_quality)
+    grams = docs.withColumn("wx", F.expr("split(trim(text), ' +')")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(wx) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(wx) - 2), "
+                "i -> concat_ws(' ', wx[i-1], wx[i], wx[i+1]))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    novelty = rdet(
+        F.col("n_unique").cast("double") / F.col("n_grams").cast("double"), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        novelty.alias("novelty"),
+    )
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents) t),
+dfc AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM grams JOIN dfc USING (g)
+  GROUP BY doc_id)
+SELECT doc_id, n_grams, n_unique,
+       {rdet_sql("CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)", 4)} AS novelty
+FROM per_doc
+"""
+
+
 N_TIERS = 4
 
 
@@ -845,6 +909,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_quality_tiers": text_quality_tiers,
     "text_char_entropy": text_char_entropy,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 ORACLES = {
@@ -860,4 +925,5 @@ ORACLES = {
     "text_repetition": _REPETITION_SQL,
     "text_quality_tiers": _QUALITY_TIERS_SQL,
     "text_char_entropy": _CHAR_ENTROPY_SQL,
+    "text_ngram_novelty": _NGRAM_NOVELTY_SQL,
 }

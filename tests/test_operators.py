@@ -603,3 +603,34 @@ def test_rfm_scores_consistent(spark, sf_dir):
             assert r["segment"] == "loyal_lapsing"
         else:
             assert r["segment"] == "at_risk"
+
+
+def test_ngram_novelty_bounds_and_df1(spark, sf_dir):
+    """novelty in [0,1]; n_unique <= n_grams; a doc whose grams are all
+    df==1 scores exactly 1.0 (checked via reconstruction)."""
+    from catme_etl_j_spark.operators.text import text_ngram_novelty
+
+    rows = text_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_grams"]
+        import math
+
+        want = math.floor(r["n_unique"] / r["n_grams"] * 1e4 + 0.5) / 1e4
+        assert abs(r["novelty"] - want) < 1e-9
+
+
+def test_power_users_monotone(spark, sf_dir):
+    """Higher event share needs at least as many users; shares and user
+    percents are consistent; covering 99% never exceeds the user base."""
+    from catme_etl_j_spark.operators.events import events_power_users
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = sorted(events_power_users(spark, sf_dir).collect(), key=lambda r: r["pct_events"])
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    prev = 0
+    for r in rows:
+        assert r["n_top_users"] >= prev
+        prev = r["n_top_users"]
+        assert 1 <= r["n_top_users"] <= n_users
+        assert abs(r["pct_users"] - round(r["n_top_users"] / n_users * 100, 2)) < 0.011
