@@ -783,6 +783,69 @@ FROM staged
 """
 
 
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/telemetry-integral
+    aggregation): each event's value is held until the next event, so
+    the average weights values by their holding interval, not their
+    count.
+
+    Determinism: the integral is an EXACT sum — timestamps as int64
+    microseconds (``unix_micros``/``epoch_us``), values as fixed-point
+    cents (``floor(v*100+0.5)``), products carried in DECIMAL(38,0) so
+    the reduction is associative and partitioning-invariant (a double
+    sum here would be order-dependent). Only the final division is
+    floating, rounded rdet(4).
+
+    Scale shape: one user-partitioned window (lead) + one per-user
+    aggregate — the sessionize profile, co-partitioned end to end.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("lead_us"),
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.expr(
+                "CAST(CASE WHEN lead_us IS NULL THEN 0 "
+                "ELSE CAST(cents AS DECIMAL(38,0)) * (lead_us - us) END AS DECIMAL(38,0))"
+            )
+        ).alias("integral"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    twap = rdet(
+        F.expr("CAST(integral AS DOUBLE) / 100.0 / CAST(span_us AS DOUBLE)"), 4
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select("user_id", "n_events", twap.alias("twap"))
+    )
+
+
+_TWAP_SQL = f"""
+WITH staged AS (
+  SELECT user_id,
+         epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead_us
+  FROM events),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(CASE WHEN lead_us IS NULL THEN 0
+                  ELSE CAST(cents AS DECIMAL(38,0)) * (lead_us - us) END AS DECIMAL(38,0))) AS integral,
+         MAX(us) - MIN(us) AS span_us
+  FROM staged GROUP BY user_id)
+SELECT user_id, n_events,
+       {rdet_sql("CAST(integral AS DOUBLE) / 100.0 / CAST(span_us AS DOUBLE)", 4)} AS twap
+FROM agg WHERE span_us > 0
+"""
+
+
 PARETO_PCTS = (50, 80, 90, 99)
 
 
@@ -875,6 +938,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_rfm_segments": events_rfm_segments,
     "events_power_users": events_power_users,
+    "events_twap": events_twap,
 }
 
 ORACLES = {
@@ -892,4 +956,5 @@ ORACLES = {
     "events_json_extract": _JSON_SQL,
     "events_rfm_segments": _RFM_SQL,
     "events_power_users": _POWER_USERS_SQL,
+    "events_twap": _TWAP_SQL,
 }

@@ -634,3 +634,31 @@ def test_power_users_monotone(spark, sf_dir):
         prev = r["n_top_users"]
         assert 1 <= r["n_top_users"] <= n_users
         assert abs(r["pct_users"] - round(r["n_top_users"] / n_users * 100, 2)) < 0.011
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    """TWAP lies within [min cents, max cents]/100 of the user's
+    interval-opening values, and single-event users are excluded."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.events import events_twap
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in events_twap(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    for u in per_user:
+        if u["n"] >= 2:
+            r = rows[u["user_id"]]
+            assert u["lo"] - 0.01 <= r["twap"] <= u["hi"] + 0.01
+            assert r["n_events"] == u["n"]
+        else:
+            assert u["user_id"] not in rows
