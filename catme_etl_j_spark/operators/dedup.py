@@ -700,12 +700,8 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_keep_sql() -> str:
     """Oracle: same LSH pairs, closure via a recursive CTE (min reachable
     doc_id == the propagation fixpoint)."""
-    base = _minhash_sql()
-    # reuse the candidate-pair CTE chain from the minhash oracle
-    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
-    cte_part = cte_part[len("WITH"):].strip()  # strip leading WITH
     return f"""
-WITH RECURSIVE {cte_part},
+WITH RECURSIVE {_minhash_cte_part()},
 bi AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -755,11 +751,8 @@ def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_keep_best_sql() -> str:
     """Oracle: recursive-CTE closure (as in ``_minhash_keep_sql``) then
     the same longest-member window over the component."""
-    base = _minhash_sql()
-    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
-    cte_part = cte_part[len("WITH"):].strip()
     return f"""
-WITH RECURSIVE {cte_part},
+WITH RECURSIVE {_minhash_cte_part()},
 bi AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -776,6 +769,29 @@ SELECT c.doc_id, c.cluster_id,
             THEN 1 ELSE 0 END AS INT) AS kept
 FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """
+
+
+def _minhash_cte_part() -> str:
+    """The shared CTE chain (shingles -> signatures -> bands -> pairs)
+    of ``_minhash_sql()``, for composition into derived oracles. Fails
+    loudly if the base SELECT is ever reworded, instead of letting
+    three call sites silently mangle their SQL."""
+    base = _minhash_sql()
+    marker = "SELECT doc_a, doc_b,"
+    if base.count(marker) != 1:
+        raise AssertionError(
+            "_minhash_sql() final SELECT was reworded; update _minhash_cte_part"
+        )
+    cte = base.split(marker)[0].strip()
+    assert cte.startswith("WITH")
+    return cte[len("WITH"):].strip()
+
+
+def _minhash_est_select() -> str:
+    """The est_jaccard SELECT of ``_minhash_sql()`` (same guard)."""
+    base = _minhash_sql()
+    marker = "SELECT doc_a, doc_b,"
+    return marker + base.split(marker)[1]
 
 
 def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,13 +840,9 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_precision_sql() -> str:
-    base = _minhash_sql()
-    cte_part = base.split("SELECT doc_a, doc_b,")[0].strip()
-    cte_part = cte_part[len("WITH"):].strip()
-    est_select = "SELECT doc_a, doc_b," + base.split("SELECT doc_a, doc_b,")[1]
     return f"""
-WITH {cte_part},
-est AS ({est_select}),
+WITH {_minhash_cte_part()},
+est AS ({_minhash_est_select()}),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS i

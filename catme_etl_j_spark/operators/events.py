@@ -876,29 +876,26 @@ def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ev"
         ),
     ).crossJoin(F.broadcast(tot))
-    rows = []
-    for p in PARETO_PCTS:
-        # first rank whose cumulative events reach p% of the total:
-        # cum_ev * 100 >= tot_ev * p in exact int64
-        hit = ranked.filter(F.col("cum_ev") * 100 >= F.col("tot_ev") * p).agg(
-            F.min("rank").alias("n_top_users")
-        )
-        rows.append(
-            hit.crossJoin(F.broadcast(tot)).select(
-                F.lit(p).cast("int").alias("pct_events"),
-                F.col("n_top_users").cast("long").alias("n_top_users"),
-                rdet(
-                    F.col("n_top_users").cast("double")
-                    / F.col("n_users").cast("double")
-                    * 100.0,
-                    2,
-                ).alias("pct_users"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # Single pass, mirroring the oracle's join-against-pcts shape: the
+    # tiny percentile list broadcast-NL-joins the ranked users on the
+    # exact-int threshold (cum_ev*100 >= tot_ev*p), then MIN(rank) per
+    # percentile. An inner join also keeps the empty-events case
+    # oracle-identical (0 rows), where a per-percentile filter+agg
+    # would emit NULL rows — and would rescan events once per
+    # percentile.
+    pcts = spark.createDataFrame(
+        [(p,) for p in PARETO_PCTS], "pct_events INT"
+    )
+    joined = F.broadcast(pcts).join(
+        ranked, F.col("cum_ev") * 100 >= F.col("tot_ev") * F.col("pct_events")
+    )
+    return joined.groupBy("pct_events").agg(
+        F.min("rank").cast("long").alias("n_top_users"),
+        rdet(
+            F.min("rank").cast("double") / F.max("n_users").cast("double") * 100.0,
+            2,
+        ).alias("pct_users"),
+    )
 
 
 _POWER_USERS_SQL = f"""

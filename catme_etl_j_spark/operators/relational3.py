@@ -473,14 +473,14 @@ def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNPIVOT_SQL = """
-WITH p AS (
-  SELECT o_orderpriority,
-         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE), 0.0) AS sum_open,
-         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0.0) AS sum_finished,
-         COALESCE(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P'), 2) AS DOUBLE), 0.0) AS sum_pending
-  FROM orders
-  GROUP BY o_orderpriority)
+# Composed from the pivot oracle (not copy-pasted) so the two halves
+# cannot drift: the Spark side delegates to pivot_order_status the
+# same way.
+def _unpivot_sql() -> str:
+    from catme_etl_j_spark.operators.relational import _PIVOT_SQL
+
+    return f"""
+WITH p AS ({_PIVOT_SQL})
 UNPIVOT p ON sum_open, sum_finished, sum_pending
 INTO NAME status VALUE sum_price
 """
@@ -532,7 +532,7 @@ ORACLES = {
     "q17_small_quantity_revenue": _Q17_SQL,
     "q19_banded_revenue": _Q19_SQL,
     "q21_waiting_supplier": _Q21_SQL,
-    "unpivot_order_status": _UNPIVOT_SQL,
+    "unpivot_order_status": _unpivot_sql(),
     "lateral_top2_customers": _LATERAL_SQL.format(
         nation="nation", customer="customer"
     ),

@@ -381,38 +381,51 @@ LATE_SPLIT = "2024-01-15 00:00:00"
 LATE_WATERMARK_H = 2
 
 
-def _late_fixture_dir(sf_dir: str) -> str:
-    """Split events.parquet into two single-file micro-batches under
-    /tmp (testdata is read-only), mtime-ordered so the on-time half is
-    batch 1. Built once per sf_dir; atomic via .tmp+rename."""
+def _split_fixture_dir(
+    sf_dir: str, name: str, cols: str, *, early_first: bool
+) -> str:
+    """Split events.parquet at LATE_SPLIT into two single-file
+    micro-batches under /tmp (testdata is read-only), mtime-ordered
+    (FileStreamSource processes oldest-mtime first). Built once per
+    (sf_dir, name); the build dir is pid-unique and published via
+    rename, so a concurrent build loses the race harmlessly."""
     import os
+    import shutil
 
     import duckdb
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = f"/tmp/catme_stream_late_{tag}"
+    d = f"/tmp/catme_stream_{name}_{tag}"
     if not os.path.isdir(d):
-        tmp = d + ".tmp"
+        tmp = f"{d}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con = duckdb.connect()
-        base = (
-            f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value "
-            f"FROM '{sf_dir}/events.parquet'"
-        )
-        con.execute(
-            f"COPY ({base} WHERE ts >= TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
-            f" TO '{tmp}/a_ontime.parquet' (FORMAT PARQUET)"
-        )
-        con.execute(
-            f"COPY ({base} WHERE ts < TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
-            f" TO '{tmp}/b_late.parquet' (FORMAT PARQUET)"
-        )
+        base = f"SELECT {cols} FROM '{sf_dir}/events.parquet'"
+        early = f"{base} WHERE ts < TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id"
+        late = f"{base} WHERE ts >= TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id"
+        first, second = (early, late) if early_first else (late, early)
+        con.execute(f"COPY ({first}) TO '{tmp}/a_first.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({second}) TO '{tmp}/b_second.parquet' (FORMAT PARQUET)")
         con.close()
-        # FileStreamSource processes oldest-mtime first; pin the order.
-        os.utime(f"{tmp}/a_ontime.parquet", (1_000_000_000, 1_000_000_000))
-        os.utime(f"{tmp}/b_late.parquet", (1_000_000_100, 1_000_000_100))
-        os.rename(tmp, d)
+        os.utime(f"{tmp}/a_first.parquet", (1_000_000_000, 1_000_000_000))
+        os.utime(f"{tmp}/b_second.parquet", (1_000_000_100, 1_000_000_100))
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
+
+
+def _late_fixture_dir(sf_dir: str) -> str:
+    """Two micro-batches for the late-data policy: batch 1 = the
+    on-time half (holds the global max ts), batch 2 = everything
+    earlier (unambiguously late)."""
+    return _split_fixture_dir(
+        sf_dir,
+        "late",
+        "event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value",
+        early_first=False,
+    )
 
 
 def run_late_stream(spark: SparkSession, sf_dir: str):
@@ -487,36 +500,14 @@ GROUP BY 1, 2
 
 
 def _upsert_fixture_dir(sf_dir: str) -> str:
-    """Two single-file micro-batches of events WITH user_id (the late
-    fixture drops it), mtime-ordered, split at LATE_SPLIT. Built once
-    per sf_dir; atomic via .tmp+rename."""
-    import os
-
-    import duckdb
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = f"/tmp/catme_stream_upsert_{tag}"
-    if not os.path.isdir(d):
-        tmp = d + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        con = duckdb.connect()
-        base = (
-            f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
-            f"event_type, value FROM '{sf_dir}/events.parquet'"
-        )
-        con.execute(
-            f"COPY ({base} WHERE ts < TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
-            f" TO '{tmp}/a_early.parquet' (FORMAT PARQUET)"
-        )
-        con.execute(
-            f"COPY ({base} WHERE ts >= TIMESTAMP '{LATE_SPLIT}' ORDER BY event_id)"
-            f" TO '{tmp}/b_rest.parquet' (FORMAT PARQUET)"
-        )
-        con.close()
-        os.utime(f"{tmp}/a_early.parquet", (1_000_000_000, 1_000_000_000))
-        os.utime(f"{tmp}/b_rest.parquet", (1_000_000_100, 1_000_000_100))
-        os.rename(tmp, d)
-    return d
+    """Two micro-batches of events WITH user_id (the late fixture
+    drops it), chronological order."""
+    return _split_fixture_dir(
+        sf_dir,
+        "upsert",
+        "event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value",
+        early_first=True,
+    )
 
 
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
