@@ -205,8 +205,54 @@ def convert_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_SCHEMA).option("multiLine", True).json(out)
 
 
+_seq = __import__("itertools").count()
+
+
+def convert_stream_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole raison d'être, composed end to end: xlsx
+    -> streaming parse -> NDJSON sink -> **Structured Streaming
+    source** -> aggregation. Proves the converter's output is directly
+    consumable by the streaming engine (the downstream ETL the
+    reference contract promises but never ships) — at scale this is
+    the drop-a-file-ingest pipeline: new NDJSON files land, the file
+    stream picks them up, the aggregation maintains itself.
+    """
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.converter import convert
+
+    out_dir = tempfile.mkdtemp(prefix="convq_stream_")
+    out = os.path.join(out_dir, "out.ndjson")
+    convert(_fixture(sf_dir), "NDJSON", out, overwrite=True, spark=spark)
+    src = spark.readStream.schema(_SCHEMA).json(out_dir)
+    agg = src.groupBy("returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("quantity").cast("long")).alias("sum_qty"),
+    )
+    name = f"convq_stream_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+_ORACLE_STREAM = f"""
+WITH base AS ({_ORACLE_BASE})
+SELECT returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM base GROUP BY returnflag
+"""
+
+
 QUERIES = {
     "convert_roundtrip_ndjson": convert_roundtrip_ndjson,
+    "convert_stream_ndjson": convert_stream_ndjson,
     "convert_roundtrip_csv": convert_roundtrip_csv,
     "convert_roundtrip_json": convert_roundtrip_json,
     "convert_roundtrip_multisheet": convert_roundtrip_multisheet,
@@ -217,4 +263,5 @@ ORACLES = {
     "convert_roundtrip_ndjson": _ORACLE_BASE,
     "convert_roundtrip_csv": _ORACLE_BASE,
     "convert_roundtrip_json": _ORACLE_BASE,
+    "convert_stream_ndjson": _ORACLE_STREAM,
 }
