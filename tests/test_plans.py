@@ -344,3 +344,30 @@ def test_bigram_topk_partial_agg_and_limit(spark, sf_dir):
     plan = formatted_plan(corpus_bigram_topk(spark, sf_dir))
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_e2e_funnel_reads_checkpoint_not_parquet(spark, sf_dir):
+    """The five funnel consumers must read the materialized staged
+    frame (ExistingRDD), not re-scan documents.parquet per stage."""
+    from catme_etl_j_spark.operators.corpus import corpus_e2e_funnel
+
+    plan = formatted_plan(corpus_e2e_funnel(spark, sf_dir))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_twap_window_is_user_partitioned(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_twap
+
+    plan = formatted_plan(events_twap(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rfm_single_shuffle_and_broadcast_scalars(spark, sf_dir):
+    """One per-user exchange; the global scalar row joins via broadcast
+    nested loop, never a shuffled cross product."""
+    from catme_etl_j_spark.operators.events import events_rfm_segments
+
+    plan = formatted_plan(events_rfm_segments(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
