@@ -111,3 +111,40 @@ def test_cli_requires_input_and_format(tmp_path):
     from catme_etl_j_spark.converter.cli import main
 
     assert main([]) == 2
+
+
+def test_run_query_list_and_show(capsys):
+    from catme_etl_j_spark.run_query import main
+
+    assert main(["--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q01_pricing_summary" in names and len(names) >= 150
+    assert main(["q01_pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+                 "--format", "show", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+
+
+def test_run_query_errors(capsys):
+    from catme_etl_j_spark.run_query import main
+
+    assert main(["q01_priczng_summary"]) == 2
+    assert "did you mean" in capsys.readouterr().err
+    assert main(["q01_pricing_summary", "--format", "parquet"]) == 2
+
+
+def test_run_query_writes_ndjson(tmp_path):
+    import json
+
+    from catme_etl_j_spark.run_query import main
+
+    out = str(tmp_path / "out")
+    assert main(["q01_pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+                 "--format", "ndjson", "--output", out]) == 0
+    import glob as g
+
+    rows = []
+    for f in g.glob(f"{out}/part-*"):
+        rows += [json.loads(l) for l in open(f) if l.strip()]
+    assert len(rows) == 6
+    assert {r["l_returnflag"] for r in rows} <= {"A", "N", "R"}

@@ -662,3 +662,33 @@ def test_twap_within_value_range(spark, sf_dir):
             assert r["n_events"] == u["n"]
         else:
             assert u["user_id"] not in rows
+
+
+def test_pipeline_api_matches_e2e_funnel(spark, sf_dir):
+    """The fluent CorpusPipeline compiles to the same semantics the
+    gated corpus_e2e_funnel hash-checks: stage-by-stage per-source
+    counts agree exactly."""
+    from catme_etl_j_spark.pipelines import CorpusPipeline
+    from catme_etl_j_spark.operators.corpus import corpus_e2e_funnel
+
+    funnel = {r["source"]: r for r in corpus_e2e_funnel(spark, sf_dir).collect()}
+
+    base = CorpusPipeline(spark, sf_dir).scrub_pii()
+    quality = base.quality_filter(min_words=20)
+    unique = quality.dedup_normalized().materialize()
+    train = unique.split().decontaminate()
+
+    q_counts = {r["source"]: r["n_docs"] for r in quality.funnel().collect()}
+    u_counts = {r["source"]: r["n_docs"] for r in unique.funnel().collect()}
+    f_counts = {
+        r["source"]: r["n_docs"]
+        for r in train.train()
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n_docs")
+        .collect()
+    }
+    for src, f in funnel.items():
+        assert q_counts.get(src, 0) == f["n_quality"]
+        assert u_counts.get(src, 0) == f["n_unique"]
+        assert f_counts.get(src, 0) == f["n_final"]
