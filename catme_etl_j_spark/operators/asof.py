@@ -180,11 +180,64 @@ FROM matched
 """
 
 
+def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every purchase, the user's next ``view``
+    STRICTLY after it (time-to-reengagement analysis) — the mirrored
+    window of :func:`asof_purchase_view`: ``first(..., ignorenulls)``
+    over (current row, unbounded following). At an exact-equal
+    timestamp the view sorts BEFORE the purchase, so it is NOT matched
+    (strict-after / allow_exact_matches=False), on both engines.
+    Same single (user, time)-shuffle scale shape as the backward join.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", _view_first(), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    with_next = ev.withColumn(
+        "next_view_ts", F.first(view_ts, ignorenulls=True).over(w)
+    )
+    return (
+        with_next.filter(F.col("event_type") == "purchase")
+        .filter(F.col("next_view_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format("next_view_ts", _TS_FMT).alias("view_ts"),
+        )
+    )
+
+
+_ASOF_NEXT_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('purchase', 'view')),
+marked AS (
+  SELECT event_id, user_id, event_type, ts,
+         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts
+  FROM ev)
+SELECT event_id AS purchase_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(next_view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM marked
+WHERE event_type = 'purchase' AND next_view_ts IS NOT NULL
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_purchase_view_1h": asof_purchase_view_1h,
+    "asof_next_view": asof_next_view,
 }
 ORACLES = {
     "asof_purchase_view": _ASOF_SQL,
     "asof_purchase_view_1h": _ASOF_1H_SQL,
+    "asof_next_view": _ASOF_NEXT_SQL,
 }

@@ -178,12 +178,73 @@ GROUP BY label
 """
 
 
+HASH_DIM = 16  # feature-hash buckets
+
+
+def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, public):
+    categorical document features (language, source, length bucket)
+    hashed into a fixed HASH_DIM-dimensional sparse vector with the
+    signed-hash variance correction. Output is the long/sparse form
+    (doc_id, bucket, weight) a trainer or linear model consumes.
+
+    Portable hash convention: bucket = md5-int % DIM, sign from the
+    next hex nibble — identical in both engines, all-int arithmetic.
+    Map-only until one (doc, bucket) combine; no feature dictionary,
+    no driver state — the property that makes the trick scale-free.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lang:"), "lang"),
+                F.concat(F.lit("src:"), "source"),
+                F.concat(F.lit("len:"), (F.col("n_chars") / 64).cast("bigint")),
+            )
+        ).alias("feat"),
+    )
+    h = "CAST(conv(substr(md5(feat), 1, 8), 16, 10) AS BIGINT)"
+    sign = f"CASE WHEN CAST(conv(substr(md5(feat), 9, 1), 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    return (
+        feats.select(
+            "doc_id",
+            F.expr(f"CAST({h} % {HASH_DIM} AS INT)").alias("bucket"),
+            F.expr(sign).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter("weight <> 0")
+    )
+
+
+_FEATURE_HASH_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, unnest([
+      'lang:' || lang,
+      'src:' || source,
+      'len:' || CAST(n_chars // 64 AS VARCHAR)]) AS feat
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(feat), 1, 8))::BIGINT % {HASH_DIM} AS INT) AS bucket,
+         CASE WHEN ('0x' || substr(md5(feat), 9, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM feats)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, bucket
+HAVING SUM(sign) <> 0
+"""
+
+
 QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
     "embed_group_stats": embed_group_stats,
+    "embed_feature_hash": embed_feature_hash,
 }
 
 ORACLES = {
     "embed_quantize_int8": _QUANT_SQL,
     "embed_group_stats": _GROUP_STATS_SQL,
+    "embed_feature_hash": _FEATURE_HASH_SQL,
 }

@@ -213,12 +213,58 @@ FROM scored ORDER BY score_fp DESC, doc_id ASC LIMIT {BM25_TOP}
 """
 
 
+POSTINGS_TOP = 20
+
+
+def rank_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: for the POSTINGS_TOP highest-df
+    terms, the full sorted posting list (doc ids) as an array column —
+    the retrieval-side data structure BM25/TF-IDF queries probe.
+
+    Scale shape: explode -> distinct (doc, term) -> per-term aggregate
+    with ``sort_array(collect_list(...))``; posting lists live one per
+    term key, so the shuffle is on the term and each task materializes
+    only its own terms' lists. (At web scale, cap or shard giant
+    stopword postings — here the top-k selection itself bounds output.)
+    Arrays hash-compare: DuckDB builds the same list with
+    ``list(... ORDER BY ...)``.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term"))
+        .filter("term <> ''")
+        .distinct()
+    )
+    per_term = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return per_term.orderBy(F.desc("df"), F.asc("term")).limit(POSTINGS_TOP)
+
+
+_POSTINGS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), ' +')) AS term
+  FROM documents),
+clean AS (SELECT * FROM pairs WHERE term <> '')
+SELECT term, COUNT(*) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM clean GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {POSTINGS_TOP}
+"""
+
+
 QUERIES = {
     "rank_tfidf_topterms": rank_tfidf_topterms,
     "rank_bm25_search": rank_bm25_search,
+    "rank_postings": rank_postings,
 }
 
 ORACLES = {
     "rank_tfidf_topterms": _TFIDF_SQL,
     "rank_bm25_search": _BM25_SQL,
+    "rank_postings": _POSTINGS_SQL,
 }

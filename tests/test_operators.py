@@ -692,3 +692,55 @@ def test_pipeline_api_matches_e2e_funnel(spark, sf_dir):
         assert q_counts.get(src, 0) == f["n_quality"]
         assert u_counts.get(src, 0) == f["n_unique"]
         assert f_counts.get(src, 0) == f["n_final"]
+
+
+def test_asof_next_view_strictly_after(spark, sf_dir):
+    """Every matched view timestamp is strictly greater than the
+    purchase's, and it is the user's earliest such view."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.asof import asof_next_view
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = asof_next_view(spark, sf_dir).collect()
+    assert rows
+    views = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'view'")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        views[r["user_id"]].append(r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"))
+    for r in rows:
+        assert r["view_ts"] > r["purchase_ts"]
+        later = [t for t in views[r["user_id"]] if t > r["purchase_ts"]]
+        assert r["view_ts"] == min(later)
+
+
+def test_postings_sorted_and_sized(spark, sf_dir):
+    from catme_etl_j_spark.operators.ranking import POSTINGS_TOP, rank_postings
+
+    rows = rank_postings(spark, sf_dir).collect()
+    assert len(rows) == POSTINGS_TOP
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        p = r["postings"]
+        assert len(p) == r["df"] and p == sorted(p) and len(set(p)) == len(p)
+
+
+def test_feature_hash_bounds(spark, sf_dir):
+    """Buckets within range, weights in [-3, 3] (3 features/doc), and
+    per-doc total |weight| <= 3."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.embed import HASH_DIM, embed_feature_hash
+
+    rows = embed_feature_hash(spark, sf_dir).collect()
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["bucket"] < HASH_DIM
+        assert -3 <= r["weight"] <= 3 and r["weight"] != 0
+        per_doc[r["doc_id"]] += abs(r["weight"])
+    assert per_doc and max(per_doc.values()) <= 3
