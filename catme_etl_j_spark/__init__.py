@@ -19,3 +19,18 @@ Layout:
 __version__ = "0.1.0"
 
 from catme_etl_j_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy public API: importing the package stays cheap (no pyspark
+    # submodule import cascade) while the headline surfaces remain one
+    # attribute away.
+    if name == "CorpusPipeline":
+        from catme_etl_j_spark.pipelines import CorpusPipeline
+
+        return CorpusPipeline
+    if name == "convert":
+        from catme_etl_j_spark.converter import convert
+
+        return convert
+    raise AttributeError(name)
