@@ -846,6 +846,121 @@ FROM agg WHERE span_us > 0
 """
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis archetype: users hash-split into variants A/B
+    (portable md5 bucket — the same deterministic assignment a real
+    experimentation platform uses), conversion = had a purchase event,
+    one summary row with per-variant counts/rates and the two-
+    proportion pooled z-statistic.
+
+    All rates/z come from exact int counts through deterministic IEEE
+    double arithmetic (rdet display rounding); one per-user shuffle,
+    then a single-row conditional aggregate.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    # Conversion must discriminate at every SF (any "has event X"
+    # predicate saturates on dense fixtures): converted = the user's
+    # AVERAGE purchase value exceeds the global average purchase value
+    # — splits the base near the median by construction. Both averages
+    # are exact decimal sums over int counts -> deterministic doubles.
+    gavg = ev.filter("event_type = 'purchase'").agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        ).alias("avg_purchase")
+    )
+    per_user = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+            ).alias("user_avg")
+        )
+        .join(
+            ev.select("user_id").distinct(), "user_id", "right"
+        )
+        .crossJoin(F.broadcast(gavg))
+        .select(
+            "user_id",
+            F.when(F.col("user_avg") > F.col("avg_purchase"), 1)
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    variant = F.expr(
+        "CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    )
+    tagged = per_user.withColumn("variant", variant)
+    agg = tagged.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p1 = "CAST(conv_a AS DOUBLE) / n_a"
+    p2 = "CAST(conv_b AS DOUBLE) / n_b"
+    pp = "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"
+    # z undefined when the pooled rate is degenerate (0 or 1): NULL on
+    # both engines instead of a divide-by-zero (Spark ANSI throws).
+    z = (
+        f"CASE WHEN ({pp}) * (1.0 - ({pp})) = 0.0 THEN NULL ELSE "
+        f"(({p1}) - ({p2})) / sqrt(({pp}) * (1.0 - ({pp})) * "
+        f"(1.0 / n_a + 1.0 / n_b)) END"
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rdet(F.expr(f"({p1}) * 100.0"), 2).alias("rate_a_pct"),
+        rdet(F.expr(f"({p2}) * 100.0"), 2).alias("rate_b_pct"),
+        rdet(F.expr(z), 4).alias("z_score"),
+    )
+
+
+_AB_PP = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+_AB_Z = (
+    f"CASE WHEN {_AB_PP} * (1.0 - {_AB_PP}) = 0.0 THEN NULL ELSE "
+    f"((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b)) / "
+    f"sqrt({_AB_PP} * (1.0 - {_AB_PP}) * (1.0 / n_a + 1.0 / n_b)) END"
+)
+
+_AB_TEST_SQL = f"""
+WITH gavg AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_purchase
+  FROM events WHERE event_type = 'purchase'),
+user_avg AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS user_avg
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+per_user AS (
+  SELECT u.user_id,
+         CASE WHEN ua.user_avg > gavg.avg_purchase THEN 1 ELSE 0 END AS converted,
+         CASE WHEN ('0x' || substr(md5(CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN user_avg ua ON u.user_id = ua.user_id
+  CROSS JOIN gavg),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user)
+SELECT n_a, conv_a, n_b, conv_b,
+       {rdet_sql("(CAST(conv_a AS DOUBLE) / n_a) * 100.0", 2)} AS rate_a_pct,
+       {rdet_sql("(CAST(conv_b AS DOUBLE) / n_b) * 100.0", 2)} AS rate_b_pct,
+       {rdet_sql(_AB_Z, 4)} AS z_score
+FROM agg
+"""
+
+
 PARETO_PCTS = (50, 80, 90, 99)
 
 
@@ -936,6 +1051,7 @@ QUERIES = {
     "events_rfm_segments": events_rfm_segments,
     "events_power_users": events_power_users,
     "events_twap": events_twap,
+    "events_ab_test": events_ab_test,
 }
 
 ORACLES = {
@@ -954,4 +1070,5 @@ ORACLES = {
     "events_rfm_segments": _RFM_SQL,
     "events_power_users": _POWER_USERS_SQL,
     "events_twap": _TWAP_SQL,
+    "events_ab_test": _AB_TEST_SQL,
 }

@@ -794,6 +794,97 @@ FROM reach GROUP BY node
 """
 
 
+def _query_buckets(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The query vector's LSH band buckets, computed driver-side from
+    the key lookup (exact int64 arithmetic — identical to what both
+    engines compute in-plan)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    fx = [_fxp_py(v) for v in row["embedding"]]
+    out = []
+    for b in range(LSH_BANDS):
+        bucket = 0
+        for r in range(LSH_ROWS):
+            plane = PLANES[b * LSH_ROWS + r]
+            if sum(p * x for p, x in zip(plane, fx)) > 0:
+                bucket += 1 << r
+        out.append(bucket)
+    return out
+
+
+def ann_lsh_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN shape: stage 1 filters
+    to vectors sharing at least one hyperplane-LSH band bucket with
+    the query (a pure scan filter — no self-join, no index build);
+    stage 2 exact-cosine re-ranks ONLY the candidates and takes the
+    top-k. At 100 TB stage 1 is a partition-prunable bucket lookup
+    (store vectors bucketed by band hash) and stage 2 touches a few
+    thousand rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    qbuckets = _query_buckets(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    cand_cond = None
+    for b in range(LSH_BANDS):
+        c = F.expr(_band_expr_spark(b)).cast("long") == qbuckets[b]
+        cand_cond = c if cand_cond is None else (cand_cond | c)
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fx', qfx)} AS DOUBLE)") / (F.col("norm") * F.lit(qnorm)),
+        6,
+    )
+    return (
+        emb.filter(cand_cond)
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _lsh_rerank_sql() -> str:
+    def plane_dot(j: int, col: str) -> str:
+        lits = ", ".join(str(v) for v in PLANES[j])
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65), "
+            f"i -> {col}[i] * ([{lits}])[i])) AS BIGINT)"
+        )
+
+    def band(b: int, col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {plane_dot(b * LSH_ROWS + r, col)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(LSH_ROWS)
+        )
+
+    match = " OR ".join(
+        f"({band(b, 'x.fx')}) = ({band(b, 'q.qfx')})" for b in range(LSH_BANDS)
+    )
+    cos = rdet_sql(
+        "CAST(list_sum(list_transform(range(1, 65), i -> x.fx[i] * q.qfx[i])) AS BIGINT)"
+        " / (x.norm * q.qnorm)",
+        6,
+    )
+    return f"""
+WITH fxe AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx
+  FROM embeddings),
+fxn AS (
+  SELECT vec_id, fx,
+         sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> fx[i] * fx[i])) AS BIGINT) AS DOUBLE)) AS norm
+  FROM fxe),
+q AS (SELECT fx AS qfx, norm AS qnorm FROM fxn WHERE vec_id = {QUERY_VEC_ID})
+SELECT x.vec_id, {cos} AS cos_sim
+FROM fxn x CROSS JOIN q
+WHERE x.vec_id <> {QUERY_VEC_ID} AND ({match})
+ORDER BY cos_sim DESC, x.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF (label-restricted) top-k against the exact
     brute-force top-k — the evaluation loop every ANN deployment needs
@@ -834,6 +925,7 @@ QUERIES = {
     "ann_nn_within_label": ann_nn_within_label,
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
     "ann_ivf_recall": ann_ivf_recall,
+    "ann_lsh_rerank_topk": ann_lsh_rerank_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -845,5 +937,6 @@ ORACLES = {
     "ann_nn_within_label": _nn_within_label_sql(),
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
     "ann_ivf_recall": _ivf_recall_sql(),
+    "ann_lsh_rerank_topk": _lsh_rerank_sql(),
     "dedup_embedding_cosine": _emb_keep_sql(),
 }

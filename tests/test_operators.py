@@ -744,3 +744,42 @@ def test_feature_hash_bounds(spark, sf_dir):
         assert -3 <= r["weight"] <= 3 and r["weight"] != 0
         per_doc[r["doc_id"]] += abs(r["weight"])
     assert per_doc and max(per_doc.values()) <= 3
+
+
+def test_ab_test_consistency(spark, sf_dir):
+    """Variant counts cover the user base, rates derive from the
+    counts, and the z-score is finite and non-degenerate on the
+    fixture (some but not all users convert)."""
+    import math
+
+    from catme_etl_j_spark.operators.events import events_ab_test
+    from catme_etl_j_spark.sources.tables import load_table
+
+    r = events_ab_test(spark, sf_dir).collect()[0]
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    assert 0 < r["conv_a"] + r["conv_b"] < n_users, "conversion saturated"
+    assert r["z_score"] is not None and math.isfinite(r["z_score"])
+    want_a = math.floor(r["conv_a"] / r["n_a"] * 100 * 100 + 0.5) / 100
+    assert abs(r["rate_a_pct"] - want_a) < 1e-9
+
+
+def test_lsh_rerank_subset_of_bruteforce_order(spark, sf_dir):
+    """Re-ranked candidates keep exact-cosine ordering, and any
+    candidate also present in the exact top-k carries the identical
+    score (stage 2 IS the exact metric)."""
+    from catme_etl_j_spark.operators.similarity import (
+        TOP_K,
+        ann_lsh_rerank_topk,
+        ann_topk_bruteforce,
+    )
+
+    rr = ann_lsh_rerank_topk(spark, sf_dir).collect()
+    assert 0 < len(rr) <= TOP_K
+    keys = [(-r["cos_sim"], r["vec_id"]) for r in rr]
+    assert keys == sorted(keys)
+    exact = {r["vec_id"]: r["cos_sim"] for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    for r in rr:
+        if r["vec_id"] in exact:
+            assert r["cos_sim"] == exact[r["vec_id"]]
