@@ -846,6 +846,112 @@ FROM agg WHERE span_us > 0
 """
 
 
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning query.
+    Sessions come from the same 30-min-gap logic as
+    ``events_sessionize``; each session is clipped to day boundaries
+    (so the sweep WINDOW PARTITIONS BY DAY — the global interval sweep
+    would serialize at scale), then the classic +1/-1 boundary walk:
+    running sum ordered by (ts, +1-before--1), max per day.
+
+    Tie policy: a session starting exactly when another ends counts as
+    overlapping (+1 sorts first) — pinned identically in the oracle.
+    Pure int arithmetic end to end.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(prev.isNull() | ((epoch - prev) > SESSION_GAP_S), 1).otherwise(0)
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        ev.withColumn("session_id", F.sum(is_new).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    # clip to day boundaries: one row per (session, day-it-touches)
+    clipped = sess.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.expr("sequence(to_date(s), to_date(e), interval 1 day)")
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "user_id",
+        "session_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.greatest(F.col("s"), F.col("day").cast("timestamp")).alias("cs"),
+        F.least(
+            F.col("e"),
+            F.expr("to_timestamp(day) + interval 1 day - interval 1 microsecond"),
+        ).alias("ce"),
+    )
+    bounds = clipped.select(
+        "day", F.col("cs").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        clipped.select(
+            "day", F.col("ce").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    )
+    ws = (
+        W.partitionBy("day")
+        .orderBy("t", F.desc("delta"), "user_id", "session_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = bounds.withColumn("c", F.sum("delta").over(ws))
+    return (
+        running.groupBy("day")
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrent"),
+            (F.count("*") / 2).cast("long").alias("n_sessions"),
+        )
+        .orderBy("day")
+    )
+
+
+_PEAK_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess_rows AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess_rows GROUP BY user_id, session_id),
+clipped AS (
+  SELECT user_id, session_id,
+         strftime(d, '%Y-%m-%d') AS day,
+         greatest(s, CAST(d AS TIMESTAMP)) AS cs,
+         least(e, CAST(d AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS ce
+  FROM sess, unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE), INTERVAL 1 DAY)) AS t(d)),
+bounds AS (
+  SELECT day, cs AS t, 1 AS delta, user_id, session_id FROM clipped
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta, user_id, session_id FROM clipped),
+running AS (
+  SELECT day,
+         CAST(SUM(delta) OVER (PARTITION BY day
+              ORDER BY t, delta DESC, user_id, session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM bounds)
+SELECT day, MAX(c) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM running GROUP BY day ORDER BY day
+"""
+
+
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment-analysis archetype: users hash-split into variants A/B
     (portable md5 bucket — the same deterministic assignment a real
@@ -1052,6 +1158,7 @@ QUERIES = {
     "events_power_users": events_power_users,
     "events_twap": events_twap,
     "events_ab_test": events_ab_test,
+    "events_peak_concurrency": events_peak_concurrency,
 }
 
 ORACLES = {
@@ -1071,4 +1178,5 @@ ORACLES = {
     "events_power_users": _POWER_USERS_SQL,
     "events_twap": _TWAP_SQL,
     "events_ab_test": _AB_TEST_SQL,
+    "events_peak_concurrency": _PEAK_SQL,
 }

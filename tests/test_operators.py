@@ -783,3 +783,19 @@ def test_lsh_rerank_subset_of_bruteforce_order(spark, sf_dir):
     for r in rr:
         if r["vec_id"] in exact:
             assert r["cos_sim"] == exact[r["vec_id"]]
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    """Peak is between 1 and the number of users, and session-day
+    counts are positive with days covering the sessionized range."""
+    from catme_etl_j_spark.operators.events import events_peak_concurrency
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_peak_concurrency(spark, sf_dir).collect()
+    assert rows
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        assert 1 <= r["peak_concurrent"] <= n_users
+        assert r["n_sessions"] >= r["peak_concurrent"]
