@@ -76,9 +76,12 @@ FROM documents
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas.
 
-    No SQL oracle (the decode step is procedural by design) — the
-    driver records a rows-only check; tests/test_multimodal.py verifies
-    values against a pure-Python recomputation.
+    The Python decode path handles arbitrary bytes; on the driver
+    fixtures the payload is the UTF-8 text, which is pure ASCII at
+    every SF (verified: max codepoint 121), so byte arithmetic equals
+    codepoint arithmetic and a DuckDB oracle twin pins the Arrow
+    plumbing end-to-end on the hash gate. tests/test_multimodal.py
+    additionally verifies against a pure-Python recomputation.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     p = _payloads(spark, sf_dir)
@@ -189,10 +192,25 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
 }
 
+# Oracle for the fake-codec features: valid because the fixture text
+# is pure ASCII (bytes == codepoints); the UDF itself handles any bytes.
+_FAKE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+  FROM documents)
+SELECT doc_id,
+       CAST(len(bs) AS BIGINT) AS n_bytes,
+       CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_min(bs) END AS BIGINT) AS byte_min,
+       CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_max(bs) END AS BIGINT) AS byte_max
+FROM b
+"""
+
 ORACLES = {
     "multimodal_meta": _META_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
-    # multimodal_fake_features / multimodal_resize: intentionally no
-    # oracle (procedural decode/tile paths); covered by
-    # tests/test_multimodal.py instead.
+    "multimodal_fake_features": _FAKE_FEATURES_SQL,
+    # multimodal_resize: intentionally no oracle (binary tile output);
+    # covered by tests/test_multimodal.py instead.
 }
