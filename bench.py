@@ -55,9 +55,12 @@ HEADLINE = [
     # training + LUT probe, and the corpus-wide 8-gram overlap join
     "ann_pq_topk",
     "corpus_decontaminate",
-    # round-5 addition: the whole training-prep pipeline composed into
-    # one plan (scrub -> quality -> dedup -> split -> decontaminate)
+    # round-5 additions: the whole training-prep pipeline composed into
+    # one plan (scrub -> quality -> dedup -> split -> decontaminate),
+    # and the production two-stage retrieval path (LSH filter + exact
+    # re-rank)
     "corpus_e2e_funnel",
+    "ann_lsh_rerank_topk",
 ]
 
 
