@@ -647,6 +647,47 @@ GROUP BY 1, 2
 """
 
 
+def fn_udtf_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) in a LATERAL
+    correlation: per document, the 3 most frequent words with counts
+    (ties broken word-ASC inside the UDTF — Python logic, pinned by
+    the SQL window oracle). Arrow-batched like every Python path here;
+    genuinely table-valued, which a scalar UDF cannot express.
+    """
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    @udtf(returnType="word string, n bigint")
+    class TopWords:
+        def eval(self, text: str):
+            from collections import Counter
+
+            c = Counter((text or "").strip().split())
+            for w, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
+                yield w, n
+
+    spark.udtf.register("top_words_udtf", TopWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.n "
+        "FROM docs_udtf_v d, LATERAL top_words_udtf(d.text) t"
+    )
+
+
+_UDTF_TOP_WORDS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS w FROM documents),
+counts AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY doc_id, w),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, w ASC) AS rn
+  FROM counts)
+SELECT doc_id, w AS word, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_nation_profit": q09_nation_profit,
@@ -667,6 +708,7 @@ QUERIES = {
     "agg_median_manual": agg_median_manual,
     "fn_array_ops": fn_array_ops,
     "fn_map_ops": fn_map_ops,
+    "fn_udtf_top_words": fn_udtf_top_words,
 }
 
 ORACLES = {
@@ -689,4 +731,5 @@ ORACLES = {
     "agg_median_manual": _MEDIAN_SQL,
     "fn_array_ops": _ARRAY_SQL,
     "fn_map_ops": _MAP_SQL,
+    "fn_udtf_top_words": _UDTF_TOP_WORDS_SQL,
 }
