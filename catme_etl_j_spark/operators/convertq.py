@@ -23,6 +23,7 @@ format-code renderer's shortest-repr half-up rounding).
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
 from datetime import date
@@ -205,7 +206,7 @@ def convert_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_SCHEMA).option("multiLine", True).json(out)
 
 
-_seq = __import__("itertools").count()
+_seq = itertools.count()
 
 
 def convert_stream_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:

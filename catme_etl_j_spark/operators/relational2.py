@@ -661,9 +661,12 @@ def fn_udtf_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string, n bigint")
     class TopWords:
         def eval(self, text: str):
+            import re
             from collections import Counter
 
-            c = Counter((text or "").strip().split())
+            # split on ' +' exactly like the oracle (str.split() would
+            # also split on tabs/newlines and diverge cross-engine)
+            c = Counter(w for w in re.split(" +", (text or "").strip()) if w)
             for w, n in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
                 yield w, n
 

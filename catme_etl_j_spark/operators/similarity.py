@@ -80,21 +80,33 @@ def _fxp_py(v: float) -> int:
     return math.floor(float(v) * 1e8 + 0.5)
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> tuple[str, float, int]:
-    """Fetch the query vector once (a key lookup, not a data-path
-    collect); return (bigint-literal fxp array expr, norm, label)."""
-    import math
-
+def _query_fx(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """ONE driver-side key lookup of the query vector; returns its fxp
+    int64 components and label (shared by every query-vector consumer
+    so none pays a second Spark job)."""
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding", "label")
         .first()
     )
-    fx = [_fxp_py(v) for v in row["embedding"]]
-    norm = math.sqrt(float(sum(x * x for x in fx)))  # exact int sum -> same sqrt
-    lits = ", ".join(f"CAST({x} AS BIGINT)" for x in fx)
-    return f"array({lits})", norm, row["label"]
+    return [_fxp_py(v) for v in row["embedding"]], row["label"]
+
+
+def _fx_literal(fx: list[int]) -> str:
+    return "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in fx) + ")"
+
+
+def _fx_norm(fx: list[int]) -> float:
+    import math
+
+    return math.sqrt(float(sum(x * x for x in fx)))  # exact int sum -> same sqrt
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> tuple[str, float, int]:
+    """(bigint-literal fxp array expr, norm, label) of the query vector."""
+    fx, label = _query_fx(spark, sf_dir)
+    return _fx_literal(fx), _fx_norm(fx), label
 
 
 def _prescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,17 +806,10 @@ FROM reach GROUP BY node
 """
 
 
-def _query_buckets(spark: SparkSession, sf_dir: str) -> list[int]:
-    """The query vector's LSH band buckets, computed driver-side from
-    the key lookup (exact int64 arithmetic — identical to what both
-    engines compute in-plan)."""
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    fx = [_fxp_py(v) for v in row["embedding"]]
+def _query_buckets(fx: list[int]) -> list[int]:
+    """The query vector's LSH band buckets from its fxp components
+    (exact int64 arithmetic — identical to what both engines compute
+    in-plan). Pure function: no Spark job."""
     out = []
     for b in range(LSH_BANDS):
         bucket = 0
@@ -826,8 +831,8 @@ def ann_lsh_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand rows.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    qfx, qnorm, _ = _query_vec(spark, sf_dir)
-    qbuckets = _query_buckets(spark, sf_dir)
+    fx, _ = _query_fx(spark, sf_dir)  # one key lookup serves all three
+    qfx, qnorm, qbuckets = _fx_literal(fx), _fx_norm(fx), _query_buckets(fx)
     emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
     cand_cond = None
     for b in range(LSH_BANDS):

@@ -140,10 +140,16 @@ class CorpusPipeline:
 
     # -- outputs ------------------------------------------------------
 
+    def _require_split(self) -> None:
+        if "split" not in self._df.columns:
+            raise ValueError("call .split() before selecting a split")
+
     def train(self) -> DataFrame:
+        self._require_split()
         return self._df.filter("split = 'train'")
 
     def eval_split(self) -> DataFrame:
+        self._require_split()
         return self._df.filter("split = 'eval'")
 
     def funnel(self) -> DataFrame:
