@@ -72,10 +72,12 @@ def _modules():
 # exact oracle with the r4-green stream_* twins; ann_topk_ivf's scan
 # is re-run INSIDE ann_ivf_recall).
 _PRIORITY: tuple[str, ...] = (
-    # converter (SURVEY §2 core surface; green r4 only — kept)
+    # converter (SURVEY §2 core surface). roundtrip_json was green r4;
+    # its slot goes to the new end-to-end composition (xlsx -> NDJSON
+    # -> Structured Streaming aggregate) for a first-time witness.
     "convert_roundtrip_ndjson",
     "convert_roundtrip_csv",
-    "convert_roundtrip_json",
+    "convert_stream_ndjson",
     "convert_roundtrip_multisheet",
     # structured streaming (late_data_drop pins the watermark drop
     # policy in the hash gate — VERDICT r4 #8; foreachbatch_upsert is
