@@ -218,12 +218,70 @@ FROM nation n LEFT JOIN counts c ON n.n_nationkey = c.n_nationkey
 """
 
 
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: Jaccard of out-neighbor sets between
+    nation pairs (top-15) — the link-prediction / role-equivalence
+    metric. The co-neighbor self-join groups on the SHARED neighbor,
+    so its cost is sum(deg(n)^2) over neighbors, not |V|^2 — the
+    standard scalable formulation; exact int intersection / union.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nbr = _trade_edges(spark, sf_dir).select("src", "dst").distinct()
+    sizes = nbr.groupBy("src").agg(F.count("*").alias("n"))
+    a = nbr.select(F.col("src").alias("nation_a"), "dst")
+    b = nbr.select(F.col("src").alias("nation_b"), "dst")
+    inter = (
+        a.join(b, ["dst"])
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count("*").alias("common"))
+    )
+    x = sizes.select(F.col("src").alias("nation_a"), F.col("n").alias("na"))
+    y = sizes.select(F.col("src").alias("nation_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        inter.join(x, "nation_a")
+        .join(y, "nation_b")
+        .select("nation_a", "nation_b", "common", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("nation_a"), F.asc("nation_b"))
+        .limit(15)
+    )
+
+
+_COMMON_NBR_SQL = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey),
+nbr AS (SELECT DISTINCT src, dst FROM edges),
+sizes AS (SELECT src, COUNT(*) AS n FROM nbr GROUP BY src),
+inter AS (
+  SELECT a.src AS nation_a, b.src AS nation_b, COUNT(*) AS common
+  FROM nbr a JOIN nbr b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT i.nation_a, i.nation_b, CAST(i.common AS BIGINT) AS common,
+       CAST(i.common AS DOUBLE) / (x.n + y.n - i.common) AS jaccard
+FROM inter i
+JOIN sizes x ON i.nation_a = x.src
+JOIN sizes y ON i.nation_b = y.src
+ORDER BY jaccard DESC, nation_a ASC, nation_b ASC
+LIMIT 15
+"""
+
+
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
     "graph_triangle_count": graph_triangle_count,
+    "graph_common_neighbors": graph_common_neighbors,
 }
 
 ORACLES = {
     "graph_pagerank_nations": _pagerank_sql(),
     "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_common_neighbors": _COMMON_NBR_SQL,
 }
