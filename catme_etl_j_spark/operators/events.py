@@ -846,6 +846,87 @@ FROM agg WHERE span_us > 0
 """
 
 
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    EQUALLY across the user's view events in the 7 days before it
+    (inclusive of the purchase instant); per-user totals of attributed
+    credit. The marketing-analytics allocation archetype.
+
+    Determinism: credit is integer micro-cents — ``(cents * 10000)
+    DIV n_touches`` per (purchase, view) pair, summed as exact int64
+    (a double value/n sum would be accumulation-order dependent); the
+    consistent remainder drop is part of the pinned semantics.
+
+    Scale shape: purchases x their-own-user's recent views is a
+    user-co-partitioned range join (bounded by the 7-day window),
+    never a cross product.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("double").alias("pt"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("double").alias("vt"),
+    )
+    pairs = purchases.join(views, "user_id").filter(
+        (F.col("vt") <= F.col("pt")) & (F.col("vt") > F.col("pt") - ATTR_WINDOW_S)
+    )
+    touched = pairs.groupBy("user_id", "purchase_id", "cents").agg(
+        F.count("*").alias("n_touches")
+    )
+    credited = touched.join(
+        pairs.select("purchase_id", "view_id"), "purchase_id"
+    ).select(
+        "user_id",
+        "view_id",
+        F.expr("CAST(cents * 10000 AS BIGINT) DIV n_touches").alias("credit_ucents"),
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.countDistinct("view_id").alias("n_views_credited"),
+            F.sum("credit_ucents").cast("long").alias("credit_ucents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch(ts) AS pt,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+views AS (
+  SELECT user_id, event_id AS view_id, epoch(ts) AS vt
+  FROM events WHERE event_type = 'view'),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, p.cents, v.view_id
+  FROM purchases p JOIN views v
+    ON p.user_id = v.user_id
+   AND v.vt <= p.pt AND v.vt > p.pt - {ATTR_WINDOW_S}),
+touched AS (
+  SELECT user_id, purchase_id, cents, COUNT(*) AS n_touches
+  FROM pairs GROUP BY user_id, purchase_id, cents),
+credited AS (
+  SELECT t.user_id, p.view_id,
+         CAST(t.cents * 10000 // t.n_touches AS BIGINT) AS credit_ucents
+  FROM touched t JOIN pairs p ON t.purchase_id = p.purchase_id)
+SELECT user_id,
+       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views_credited,
+       CAST(SUM(credit_ucents) AS BIGINT) AS credit_ucents
+FROM credited GROUP BY user_id ORDER BY user_id
+"""
+
+
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the capacity-planning query.
     Sessions come from the same 30-min-gap logic as
@@ -1159,6 +1240,7 @@ QUERIES = {
     "events_twap": events_twap,
     "events_ab_test": events_ab_test,
     "events_peak_concurrency": events_peak_concurrency,
+    "events_attribution_linear": events_attribution_linear,
 }
 
 ORACLES = {
@@ -1179,4 +1261,5 @@ ORACLES = {
     "events_twap": _TWAP_SQL,
     "events_ab_test": _AB_TEST_SQL,
     "events_peak_concurrency": _PEAK_SQL,
+    "events_attribution_linear": _ATTRIBUTION_SQL,
 }

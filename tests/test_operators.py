@@ -799,3 +799,39 @@ def test_peak_concurrency_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r["peak_concurrent"] <= n_users
         assert r["n_sessions"] >= r["peak_concurrent"]
+
+
+def test_attribution_conserves_value(spark, sf_dir):
+    """Total credited micro-cents never exceeds the attributable
+    purchase value (equal-split floors drop at most n_touches-1
+    micro-cents per purchase), and every credited purchase had >=1
+    view in the window."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.events import (
+        ATTR_WINDOW_S,
+        events_attribution_linear,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_attribution_linear(spark, sf_dir).collect()
+    assert rows
+    total_credit = sum(r["credit_ucents"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("ts").cast("double").alias("pt"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    v = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").cast("double").alias("vt")
+    )
+    attributable = (
+        p.join(v, "user_id")
+        .filter((F.col("vt") <= F.col("pt")) & (F.col("vt") > F.col("pt") - ATTR_WINDOW_S))
+        .select("user_id", "pt", "cents")
+        .distinct()
+        .agg(F.sum(F.col("cents") * 10000))
+        .first()[0]
+    )
+    assert 0 < total_credit <= attributable
