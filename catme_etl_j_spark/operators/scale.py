@@ -127,12 +127,37 @@ ORDER BY l_returnflag
 """
 
 
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed co-located join on the hash gate: orders+lineitem
+    are (re)written bucketed-and-sorted by the join key, then joined
+    with a merge hint — the plan has NO shuffle Exchange (asserted in
+    tests/test_scale.py); equality with the plain-join oracle proves
+    the bucketing is a pure physical layout change. At 100 TB this is
+    the nightly fact-join strategy: pay the layout once, join free
+    forever after.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    write_bucketed(spark, sf_dir)
+    return bucketed_join(spark).orderBy("o_orderpriority")
+
+
+_BUCKETED_SQL = """
+SELECT o.o_orderpriority,
+       CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "scale_salted_group_sum": scale_salted_group_sum,
+    "scale_bucketed_join": scale_bucketed_join,
 }
 
 ORACLES = {
     "scale_salted_group_sum": _SALTED_SQL,
+    "scale_bucketed_join": _BUCKETED_SQL,
 }
 
 
