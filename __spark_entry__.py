@@ -137,16 +137,21 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     # sketches
     "sketch_hll_merge_groups",
-    # relational archetypes (first-time TPC-H shapes + rotated reps)
+    # relational archetypes (first-time TPC-H shapes + rotated reps).
+    # r5 rotation per tools/witness.py: q02 / window_range_frame /
+    # setop_intersect_all / pivot_order_status / agg_median_manual are
+    # all driver-green in >=2 prior rounds; their slots go to
+    # never-witnessed one-of-a-kind families (UDTF, UNPIVOT, LATERAL,
+    # and both scale-posture proofs).
     "q11_important_stock",
     "q16_parts_supplier_count",
     "q20_promotable_suppliers",
-    "q02_min_cost_supplier",
     "fn_map_ops",
-    "window_range_frame",
-    "setop_intersect_all",
-    "pivot_order_status",
-    "agg_median_manual",
+    "fn_udtf_top_words",
+    "unpivot_order_status",
+    "lateral_top2_customers",
+    "scale_salted_group_sum",
+    "scale_bucketed_join",
 )
 
 

@@ -386,8 +386,9 @@ def test_driver_window_covers_every_family():
         "convert_": False, "stream_": False, "dedup_": False, "ann_": False,
         "text_": False, "corpus_": False, "rank_": False, "etl_": False,
         "graph_": False, "embed_": False, "events_": False, "asof_": False,
-        "range_": False, "multimodal_": False, "sketch_": False, "q0": False,
-        "window_": False, "setop_": False, "pivot_": False, "agg_": False,
+        "range_": False, "multimodal_": False, "sketch_": False, "q1": False,
+        "q2": False, "fn_": False, "unpivot_": False, "lateral_": False,
+        "scale_": False,
     }
     for n in names:
         for fam in families:
