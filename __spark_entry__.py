@@ -42,6 +42,7 @@ def _modules():
         "convertq",
         "streamq",
         "scale",
+        "stats",
     ):
         try:
             mod = __import__(f"catme_etl_j_spark.operators.{name}", fromlist=[name])

@@ -150,14 +150,70 @@ ORDER BY o.o_orderpriority
 """
 
 
+def scale_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned layout + partition pruning on the hash gate:
+    orders are laid out ``partitionBy(order_year)`` (once per sf_dir,
+    cached in /tmp), then a year predicate aggregates ONE directory —
+    the scan's PartitionFilters prunes every other year without
+    listing a file (asserted in tests/test_scale.py). Equality with
+    the plain-filter oracle proves the layout is a pure physical
+    rewrite. At 100 TB this is the time-travel convention: coarse
+    year/month directories above parquet row-group pushdown.
+    """
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/catme_part_orders_{tag}"
+    # the driver regenerates testdata between rounds (TESTDATA.md): key
+    # the cached layout on the source file's identity, not existence.
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(out_dir, "_SOURCE_FINGERPRINT")
+    stale = True
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != fingerprint
+    if stale:
+        write_date_partitioned(spark, sf_dir, out_dir)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("order_year") == 1997)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money2(F.sum(dec2("o_totalprice"))).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# Oracle = the same year filter over the UNPARTITIONED table (year()
+# returns BIGINT in DuckDB — comparison only, never output).
+_PARTITIONED_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scale_salted_group_sum": scale_salted_group_sum,
     "scale_bucketed_join": scale_bucketed_join,
+    "scale_partitioned_prune": scale_partitioned_prune,
 }
 
 ORACLES = {
     "scale_salted_group_sum": _SALTED_SQL,
     "scale_bucketed_join": _BUCKETED_SQL,
+    "scale_partitioned_prune": _PARTITIONED_SQL,
 }
 
 

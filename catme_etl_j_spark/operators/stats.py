@@ -1,0 +1,211 @@
+"""Exact closed-form statistics: OLS regression and Pearson correlation.
+
+The training-data pipeline's "measure before you filter" tools: fitting
+a per-segment linear trend and a pairwise correlation matrix over the
+fact table, both as ONE aggregation pass (the 100 TB shape — every
+statistic here is a sum of per-row terms, so Spark computes partial
+aggregates map-side and shuffles only `n_groups * n_terms` numbers,
+independent of table size).
+
+Reference parity note: the reference converter (SURVEY.md §2) has no
+statistics surface; these extend the engine along SURVEY §7.5's
+"training-data pipeline" axis.
+
+Determinism (cross-engine, see functions/numeric.py): every input is
+fixed-pointed to an int64 (`floor(x*scale+0.5)`), per-row products stay
+below 2^63, and the sums accumulate in DECIMAL(38,0) — exact integers,
+order-independent, identical in Spark and DuckDB (convention #5:
+DuckDB SUM(BIGINT) would emit HUGEINT; DECIMAL(38,0) sums avoid the
+whole class). Only then do both engines perform the SAME final IEEE
+double arithmetic, and outputs go through `rdet` (convention #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
+from catme_etl_j_spark.sources.tables import load_table
+
+# quantity is integral and price has cents: a 1e2 scale makes both
+# EXACT int64s (no representation error to disagree on).
+_OLS_SCALE = 100.0
+# the correlation matrix also covers discount/tax (4-decimal rates):
+# 1e4 captures them exactly; price*1e4 <= ~1.1e9 so per-row squares
+# (~1.2e18) still fit int64, and the DECIMAL(38,0) accumulator has
+# ~20 orders of magnitude of headroom for the row count.
+_CORR_SCALE = 10000.0
+
+
+def _fx(col: str, scale: float) -> F.Column:
+    return F.floor(F.col(col).cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def _fx_sql(col: str, scale: float) -> str:
+    return f"CAST(floor(CAST({col} AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+
+
+def _dsum(c: F.Column) -> F.Column:
+    """Exact integer sum with headroom: DECIMAL(38,0) accumulator."""
+    return F.sum(c.cast("decimal(38,0)"))
+
+
+def stats_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity: slope,
+    intercept, r2 from the five classic sums — one scan, one shuffle
+    of 3 groups x 6 numbers. At 100 TB the shuffle payload is still
+    18 numbers; the scan dominates and is column-pruned to 3 columns.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    xy = li.select(
+        "l_returnflag",
+        _fx("l_quantity", _OLS_SCALE).alias("x"),
+        _fx("l_extendedprice", _OLS_SCALE).alias("y"),
+    )
+    agg = xy.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov_n = n * sxy - sx * sy  # n^2 * covariance (scaled)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x  # scale cancels (both axes scaled by 1e2)
+    # intercept in ORIGINAL price units: (sy - slope*sx) / (n*scale)
+    intercept = (sy - slope * sx) / (n * F.lit(_OLS_SCALE))
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        rdet(slope, 6).alias("slope"),
+        rdet(intercept, 4).alias("intercept"),
+        rdet(r2, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+def _ols_sql() -> str:
+    x = _fx_sql("l_quantity", _OLS_SCALE)
+    y = _fx_sql("l_extendedprice", _OLS_SCALE)
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST({y} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({x} * {y} AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST({x} * {x} AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({y} * {y} AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n, sx, sy, sxy, sxx, syy,
+         (CAST(n_rows AS DOUBLE) * sxy - sx * sy) AS cov_n,
+         (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS var_x,
+         (CAST(n_rows AS DOUBLE) * syy - sy * sy) AS var_y
+  FROM s
+)
+SELECT l_returnflag, n_rows,
+       {rdet_sql("cov_n / var_x", 6)} AS slope,
+       {rdet_sql("(sy - (cov_n / var_x) * sx) / (n * " + str(_OLS_SCALE) + ")", 4)} AS intercept,
+       {rdet_sql("(cov_n * cov_n) / (var_x * var_y)", 6)} AS r2
+FROM f
+ORDER BY l_returnflag
+"""
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for all 6 column pairs of (quantity, price,
+    discount, tax) in ONE full-table aggregation (no per-pair rescans:
+    the single agg row carries every moment, then explodes to 6 rows
+    driver-free). The map-side partial agg means the shuffle carries
+    one row per task regardless of table size."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    fx = li.select(
+        *[_fx(c, _CORR_SCALE).alias(c) for c in _CORR_COLS]
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _CORR_COLS:
+        aggs.append(_dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(_dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(_dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    one = fx.agg(*aggs)
+
+    n = F.col("n_rows").cast("double")
+
+    def corr(a: str, b: str) -> F.Column:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        return rdet(
+            (n * sab - sa * sb)
+            / (F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)),
+            6,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr(a, b).alias("pearson_r"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("p"))
+        .select("p.col_x", "p.col_y", "p.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    sel = ["COUNT(*) AS n_rows"]
+    for c in _CORR_COLS:
+        e = _fx_sql(c, _CORR_SCALE)
+        sel.append(f"CAST(SUM(CAST({e} AS DECIMAL(38,0))) AS DOUBLE) AS s_{c}")
+        sel.append(f"CAST(SUM(CAST({e} * {e} AS DECIMAL(38,0))) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        ea, eb = _fx_sql(a, _CORR_SCALE), _fx_sql(b, _CORR_SCALE)
+        sel.append(
+            f"CAST(SUM(CAST({ea} * {eb} AS DECIMAL(38,0))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    arms = []
+    for a, b in _CORR_PAIRS:
+        r = (
+            f"(CAST(n_rows AS DOUBLE) * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"(sqrt(CAST(n_rows AS DOUBLE) * ss_{a} - s_{a} * s_{a}) * "
+            f"sqrt(CAST(n_rows AS DOUBLE) * ss_{b} - s_{b} * s_{b}))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {rdet_sql(r, 6)} AS pearson_r FROM m"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH m AS (\n  SELECT {', '.join(sel)} FROM lineitem\n)\n{body}\nORDER BY col_x, col_y"
+
+
+QUERIES = {
+    "stats_ols_regression": stats_ols_regression,
+    "stats_corr_matrix": stats_corr_matrix,
+}
+
+ORACLES = {
+    "stats_ols_regression": _ols_sql(),
+    "stats_corr_matrix": _corr_sql(),
+}

@@ -36,6 +36,28 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert a == b  # decimal sums are associative -> bit-identical
 
 
+def test_partitioned_prune_gate_query(spark, sf_dir):
+    """The gated wrapper prunes at the partition level AND survives a
+    testdata refresh (fingerprint marker forces a rewrite)."""
+    import os
+
+    df = scale.scale_partitioned_prune(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    rows = df.collect()
+    assert rows and all(r["n_orders"] > 0 for r in rows)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    marker = f"/tmp/catme_part_orders_{tag}/_SOURCE_FINGERPRINT"
+    assert os.path.isfile(marker)
+    # poison the marker -> next call must rewrite (and heal the marker)
+    with open(marker, "w") as fh:
+        fh.write("stale")
+    scale.scale_partitioned_prune(spark, sf_dir).collect()
+    with open(marker) as fh:
+        assert fh.read().strip() != "stale"
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     out = str(tmp_path / "orders_by_year")
     scale.write_date_partitioned(spark, sf_dir, out)

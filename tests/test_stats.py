@@ -1,0 +1,26 @@
+"""Semantic checks for operators/stats.py (oracle equality is covered
+by tools/selfcheck.py; these pin the statistics' mathematical shape)."""
+
+from catme_etl_j_spark.operators import stats
+
+
+def test_ols_regression_shape(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in stats.stats_ols_regression(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    for r in rows.values():
+        # NB: unlike real TPC-H, the driver's synthetic testdata draws
+        # extendedprice INDEPENDENTLY of quantity (measured r ~ -0.01),
+        # so only the mathematical invariants are pinned here.
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n_rows"] > 0
+        assert r["intercept"] != 0.0  # mean price is far from zero
+
+
+def test_corr_matrix_bounds(spark, sf_dir):
+    rows = stats.stats_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    by_pair = {(r["col_x"], r["col_y"]): r["pearson_r"] for r in rows}
+    assert all(-1.0 <= v <= 1.0 for v in by_pair.values())
+    # all four columns are (near-)independent draws in the synthetic
+    # testdata: every pairwise correlation is small but well-defined
+    assert all(abs(v) < 0.2 for v in by_pair.values())
