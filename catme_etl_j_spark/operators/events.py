@@ -1222,6 +1222,59 @@ GROUP BY p
 """
 
 
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort activity matrix: users bucketed by the ISO week of
+    their FIRST event, counted distinct in each later week offset —
+    the classic cohort-retention triangle.
+
+    Scale shape: one groupBy(user) for first-seen (map-side combined),
+    one co-partitioned join back on user_id, one count-distinct over
+    (cohort_week, offset) — at 100 TB the matrix itself is tiny
+    (weeks x offsets), so the final shuffle is negligible; the join
+    reuses the user_id partitioning from the first agg.
+
+    Determinism: both engines truncate weeks to Monday; offsets are
+    exact integers (Monday-to-Monday day deltas are divisible by 7).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(firsts, "user_id")
+    j = j.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week"),
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    )
+    return (
+        j.withColumn(
+            "week_offset",
+            (F.datediff("week", "cohort_week") / F.lit(7)).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', f.cw, date_trunc('week', e.ts)) // 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1241,6 +1294,7 @@ QUERIES = {
     "events_ab_test": events_ab_test,
     "events_peak_concurrency": events_peak_concurrency,
     "events_attribution_linear": events_attribution_linear,
+    "events_cohort_matrix": events_cohort_matrix,
 }
 
 ORACLES = {
@@ -1262,4 +1316,5 @@ ORACLES = {
     "events_ab_test": _AB_TEST_SQL,
     "events_peak_concurrency": _PEAK_SQL,
     "events_attribution_linear": _ATTRIBUTION_SQL,
+    "events_cohort_matrix": _COHORT_SQL,
 }

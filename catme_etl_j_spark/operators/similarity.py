@@ -922,6 +922,139 @@ FROM bf JOIN ivf USING (vec_id)
 """
 
 
+_MMR_N = 20  # stage-1 candidate pool (distributed retrieval)
+_MMR_K = 5  # diversified picks (bounded driver-side rerank)
+# lambda = 0.7 expressed as INTEGER weights (score x10 = 7*rel - 3*maxsim)
+# so the greedy argmax is pure int64 arithmetic — engine-identical.
+
+
+def _rel_e6(qfx: str, qnorm: float) -> str:
+    return (
+        f"CAST(floor(CAST({_dot_fx('fx', qfx)} AS DOUBLE) / (norm * {qnorm!r}) "
+        f"* 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: stage 1 retrieves
+    the 20 most cosine-similar candidates DISTRIBUTED (per-partition
+    heap + driver merge, same shape as ann_topk_bruteforce); stage 2
+    greedily picks 5 maximizing ``0.7*relevance - 0.3*max_sim_to_
+    selected`` over the collected candidates. The rerank is driver-side
+    BY DESIGN: the candidate set is bounded at N=20 regardless of
+    corpus size — this is the production retrieve-then-rerank shape
+    (the 100 TB scan never sees the quadratic term; only the N×N
+    candidate block does, and it is computed in-plan before collect).
+
+    Determinism: rel/sim are fixed-point int64 (1e6) from the exact
+    fxp dot products; the MMR score is ``7*rel_e6 - 3*max_sim_e6``
+    (integers), tie-broken by vec_id — so Spark's greedy loop and the
+    oracle's unrolled 5-step SQL agree bit-for-bit.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    cand = (
+        emb.select("vec_id", "fx", "norm", F.expr(_rel_e6(qfx, qnorm)).alias("rel_e6"))
+        .orderBy(F.desc("rel_e6"), F.asc("vec_id"))
+        .limit(_MMR_N)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("av"), F.col("fx").alias("afx"), F.col("norm").alias("an")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bv"), F.col("fx").alias("bfx"), F.col("norm").alias("bn")
+    )
+    sims_df = (
+        a.join(b, F.col("av") != F.col("bv"))
+        .select(
+            "av",
+            "bv",
+            F.expr(
+                f"CAST(floor(CAST({_dot_fx('afx', 'bfx')} AS DOUBLE) / (an * bn) "
+                f"* 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("sim_e6"),
+        )
+    )
+    rel = {r["vec_id"]: r["rel_e6"] for r in cand.select("vec_id", "rel_e6").collect()}
+    sim = {(r["av"], r["bv"]): r["sim_e6"] for r in sims_df.collect()}
+    selected: list[tuple[int, int, int, int]] = []  # (rank, vid, rel, score)
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, r6 in rel.items():
+            if vid in chosen:
+                continue
+            max_sim = max((sim[(vid, s)] for s in chosen), default=0)
+            score = 7 * r6 - 3 * max_sim
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, r6, score)
+        _, vid, r6, score = best
+        chosen.append(vid)
+        selected.append((rank, vid, r6, score))
+    return spark.createDataFrame(
+        selected, "rank INT, vec_id BIGINT, rel_e6 BIGINT, mmr_score_e6x10 BIGINT"
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled 5-step greedy (recursion-free): each CTE picks the
+    argmax of 7*rel - 3*GREATEST(sims to all prior picks)."""
+    rel = (
+        f"CAST(floor(CAST({_dot_duck('embedding', 'qe')} AS DOUBLE) / "
+        f"({_norm_duck('embedding')} * {_norm_duck('qe')}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    pair = (
+        f"CAST(floor(CAST({_dot_duck('a.embedding', 'b.embedding')} AS DOUBLE) / "
+        f"({_norm_duck('a.embedding')} * {_norm_duck('b.embedding')}) "
+        f"* 1000000.0 + 0.5) AS BIGINT)"
+    )
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prior = list(range(1, i))
+        tables = ", ".join([f"s{j}" for j in prior] + [f"sims p{j}" for j in prior])
+        on = " AND ".join(
+            f"p{j}.av = c.vec_id AND p{j}.bv = s{j}.vec_id" for j in prior
+        )
+        not_in = ", ".join(f"s{j}.vec_id" for j in prior)
+        greatest = (
+            f"p{prior[0]}.sim_e6"
+            if len(prior) == 1
+            else "GREATEST(" + ", ".join(f"p{j}.sim_e6" for j in prior) + ")"
+        )
+        steps.append(
+            f"s{i} AS (\n"
+            f"  SELECT c.vec_id, c.rel_e6, 7 * c.rel_e6 - 3 * {greatest} AS score\n"
+            f"  FROM cand c, {tables}\n"
+            f"  WHERE {on} AND c.vec_id NOT IN ({not_in})\n"
+            f"  ORDER BY score DESC, c.vec_id LIMIT 1\n)"
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id, rel_e6, score AS mmr_score_e6x10 FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, embedding, {rel} AS rel_e6
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel_e6 DESC, vec_id LIMIT {_MMR_N}
+),
+sims AS (
+  SELECT a.vec_id AS av, b.vec_id AS bv, {pair} AS sim_e6
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, rel_e6, 7 * rel_e6 AS score
+  FROM cand ORDER BY rel_e6 DESC, vec_id LIMIT 1
+),
+{",".join(steps)}
+{arms}
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_ivf": ann_topk_ivf,
@@ -931,6 +1064,7 @@ QUERIES = {
     "ann_lsh_hyperplane_pairs": ann_lsh_hyperplane_pairs,
     "ann_ivf_recall": ann_ivf_recall,
     "ann_lsh_rerank_topk": ann_lsh_rerank_topk,
+    "ann_mmr_rerank": ann_mmr_rerank,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -943,5 +1077,6 @@ ORACLES = {
     "ann_lsh_hyperplane_pairs": _lsh_sql(),
     "ann_ivf_recall": _ivf_recall_sql(),
     "ann_lsh_rerank_topk": _lsh_rerank_sql(),
+    "ann_mmr_rerank": _mmr_sql(),
     "dedup_embedding_cosine": _emb_keep_sql(),
 }

@@ -151,3 +151,45 @@ def test_embed_quantize_reconstruction_bound(spark, sf_dir):
         assert r["n_dims"] == 64
         mean_err = r["abs_err_e8"] / 1e8 / r["n_dims"]
         assert mean_err <= step  # quantization error < 1 step on average
+
+
+def test_mmr_rerank_semantics(spark, sf_dir):
+    """Rank-1 is the pure-relevance top-1; every later pick trades
+    relevance for diversity, so rel_e6 within the selection need not be
+    monotone but the set must come from the candidate pool."""
+    from catme_etl_j_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_N,
+        ann_mmr_rerank,
+        ann_topk_bruteforce,
+    )
+
+    sel = ann_mmr_rerank(spark, sf_dir).collect()
+    assert [r["rank"] for r in sel] == list(range(1, _MMR_K + 1))
+    assert len({r["vec_id"] for r in sel}) == _MMR_K
+    top = ann_topk_bruteforce(spark, sf_dir).collect()
+    assert sel[0]["vec_id"] == top[0]["vec_id"]  # first pick = argmax rel
+    # rank-1 score is pure relevance (no diversity term). NB: later
+    # scores can EXCEED 7*rel when the max-sim to prior picks is
+    # negative (random embeddings -> negative cosines are common), so
+    # only the exact rank-1 identity is pinned here; the full greedy
+    # arithmetic is oracle-checked by selfcheck.
+    assert sel[0]["mmr_score_e6x10"] == 7 * sel[0]["rel_e6"]
+    assert _MMR_N >= _MMR_K
+
+
+def test_cohort_matrix_offsets(spark, sf_dir):
+    """Offset 0 exists for every cohort and counts the full cohort
+    (every user is active in their own first week by construction)."""
+    from catme_etl_j_spark.operators.events import events_cohort_matrix
+
+    rows = events_cohort_matrix(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for offs in by_cohort.values():
+        assert 0 in offs
+        # retention never exceeds the cohort's own size
+        assert all(n <= offs[0] for n in offs.values())
