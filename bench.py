@@ -61,6 +61,10 @@ HEADLINE = [
     # re-rank)
     "corpus_e2e_funnel",
     "ann_lsh_rerank_topk",
+    # round-5 third wave: the single-pass moment sweep (every Pearson
+    # pair from one aggregation) and the co-partitioned cohort matrix
+    "stats_corr_matrix",
+    "events_cohort_matrix",
 ]
 
 

@@ -1275,6 +1275,51 @@ ORDER BY 1, 2
 """
 
 
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts + a lag
+    window. Two tiny shuffles (weekly agg, then per-type window over a
+    weeks-sized frame) — the window input is |types| x |weeks| rows no
+    matter how big the fact table is.
+
+    Determinism: counts are exact ints; the growth ratio is one
+    int->double division (identical IEEE both engines) through rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
+        ).agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return (
+        weekly.select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "event_type",
+            "n_events",
+            rdet((F.col("n_events") - prev).cast("double") / prev, 4).alias(
+                "wow_growth"
+            ),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+_WOW_SQL = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS wk, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week, event_type, n_events,
+       floor(CAST(n_events - LAG(n_events) OVER w AS DOUBLE)
+             / LAG(n_events) OVER w * 10000.0 + 0.5) / 10000.0 AS wow_growth
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+ORDER BY event_type, week
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1295,6 +1340,7 @@ QUERIES = {
     "events_peak_concurrency": events_peak_concurrency,
     "events_attribution_linear": events_attribution_linear,
     "events_cohort_matrix": events_cohort_matrix,
+    "events_wow_growth": events_wow_growth,
 }
 
 ORACLES = {
@@ -1317,4 +1363,5 @@ ORACLES = {
     "events_peak_concurrency": _PEAK_SQL,
     "events_attribution_linear": _ATTRIBUTION_SQL,
     "events_cohort_matrix": _COHORT_SQL,
+    "events_wow_growth": _WOW_SQL,
 }

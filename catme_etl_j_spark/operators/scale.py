@@ -204,16 +204,55 @@ ORDER BY o_orderstatus
 """
 
 
+def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostics for the skew decision: the 10 heaviest
+    user_id keys in events with their exact row share (ppm). This is
+    the report that tells you whether a groupBy/join on this key needs
+    salting or AQE skew handling — run it BEFORE the expensive job.
+    One map-side-combined agg + a 10-row top-k; the total is a
+    broadcast scalar.
+
+    Determinism: share_ppm is pure int64 arithmetic (cnt*1e6 DIV
+    total); top-k tie-breaks on user_id.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    total = ev.groupBy().agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("CAST((n_rows * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_SKEW_SQL = """
+SELECT user_id, COUNT(*) AS n_rows,
+       CAST(COUNT(*) * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM events CROSS JOIN (SELECT COUNT(*) AS total FROM events) t
+GROUP BY user_id, t.total
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "scale_salted_group_sum": scale_salted_group_sum,
     "scale_bucketed_join": scale_bucketed_join,
     "scale_partitioned_prune": scale_partitioned_prune,
+    "scale_skew_report": scale_skew_report,
 }
 
 ORACLES = {
     "scale_salted_group_sum": _SALTED_SQL,
     "scale_bucketed_join": _BUCKETED_SQL,
     "scale_partitioned_prune": _PARTITIONED_SQL,
+    "scale_skew_report": _SKEW_SQL,
 }
 
 

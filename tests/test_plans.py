@@ -371,3 +371,38 @@ def test_rfm_single_shuffle_and_broadcast_scalars(spark, sf_dir):
 
     plan = formatted_plan(events_rfm_segments(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stats_single_pass_partial_agg(spark, sf_dir):
+    """Both statistics run as ONE scan with map-side partial aggregation
+    and column pruning — the shuffle carries groups x moments only."""
+    from catme_etl_j_spark.operators import stats
+
+    for q in (stats.stats_ols_regression, stats.stats_corr_matrix):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "partial_" in plan  # map-side combine before the exchange
+        # ONE scan node (formatted explain prints it twice: tree + detail)
+        assert plan.count("Scan parquet") <= 2
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_orderkey" not in read_schema  # pruned
+
+
+def test_skew_report_broadcasts_total(spark, sf_dir):
+    from catme_etl_j_spark.operators import scale
+
+    plan = formatted_plan(scale.scale_skew_report(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # top-k never globally sorts: limit pushed into TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cohort_matrix_reuses_user_partitioning(spark, sf_dir):
+    """The join back to first-seen must not re-shuffle the agg side on
+    a different key: every exchange in the plan is on user_id or the
+    final matrix key."""
+    from catme_etl_j_spark.operators.events import events_cohort_matrix
+
+    plan = formatted_plan(events_cohort_matrix(spark, sf_dir))
+    ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert ex, "expected hash exchanges"
+    assert all(("user_id" in ln) or ("cohort_week" in ln) for ln in ex)

@@ -66,3 +66,13 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "order_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
     assert df.agg({"n": "sum"}).collect()[0][0] > 0
+
+
+def test_skew_report_shares(spark, sf_dir):
+    rows = scale.scale_skew_report(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ns = [r["n_rows"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # top-10 shares are each <= 100% and jointly <= 100%
+    assert all(0 <= r["share_ppm"] <= 1_000_000 for r in rows)
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000

@@ -24,3 +24,16 @@ def test_corr_matrix_bounds(spark, sf_dir):
     # all four columns are (near-)independent draws in the synthetic
     # testdata: every pairwise correlation is small but well-defined
     assert all(abs(v) < 0.2 for v in by_pair.values())
+
+
+def test_wow_growth_first_week_null(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_wow_growth
+
+    rows = events_wow_growth(spark, sf_dir).collect()
+    assert rows
+    seen_first = set()
+    for r in rows:  # ordered by (event_type, week)
+        if r["event_type"] not in seen_first:
+            assert r["wow_growth"] is None  # no prior week to compare
+            seen_first.add(r["event_type"])
+        assert r["n_events"] > 0
