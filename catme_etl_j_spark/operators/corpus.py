@@ -1008,7 +1008,61 @@ LIMIT 20
 """
 
 
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training pair-count step: the weighted frequency of every
+    adjacent character pair, counted over DISTINCT words x word
+    frequency (the classic byte-pair-encoding accumulation — the top
+    pair is the next merge). Two shuffles: word frequencies (map-side
+    combined), then pair sums over the DISTINCT-word set — the second
+    stage's input is |vocab|, not |tokens|, which is what makes BPE
+    training tractable at corpus scale.
+
+    Determinism: pure integer counting; DuckDB's SUM(BIGINT)->HUGEINT
+    is cast back (convention #5); top-k tie-breaks on (a, b).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim("text"), " +")).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("n_word"))
+    wf = freq.filter(F.char_length("word") >= 2)
+    pairs = wf.select(
+        "word",
+        "n_word",
+        F.explode(F.expr("sequence(1, char_length(word) - 1)")).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 1)").alias("a"),
+        F.expr("substring(word, i + 1, 1)").alias("b"),
+        "n_word",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("n_word").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_BPE_SQL = """
+WITH w AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents) t
+  GROUP BY word
+),
+p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+         substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+         n_word
+  FROM w, unnest(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+)
+SELECT a, b, CAST(SUM(n_word) AS BIGINT) AS pair_count
+FROM p GROUP BY a, b
+ORDER BY pair_count DESC, a ASC, b ASC
+LIMIT 20
+"""
+
 QUERIES = {
+    "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
     "corpus_doc_frequency": corpus_doc_frequency,
@@ -1028,6 +1082,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_bpe_pair_counts": _BPE_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,
     "corpus_dedup_lines": _DEDUP_LINES_SQL,
     "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,

@@ -22,7 +22,7 @@ double arithmetic, and outputs go through `rdet` (convention #1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
@@ -200,12 +200,153 @@ def _corr_sql() -> str:
     return f"WITH m AS (\n  SELECT {', '.join(sel)} FROM lineitem\n)\n{body}\nORDER BY col_x, col_y"
 
 
+# 3-sigma equivalent for the MAD rule: 3 * 1.4826 (the normal
+# consistency constant). One double multiply, identical both engines.
+_MAD_K = 4.4478
+
+
+def _median2(df: DataFrame, key: str, val: str, order: str, out: str) -> DataFrame:
+    """Exact per-group median of an int64 column, DOUBLED so it stays
+    an integer for even-sized groups (odd: 2*mid; even: lo+hi).
+    One window pass + one group agg — the agg_median_manual technique
+    lifted to integer arithmetic."""
+    w = W.partitionBy(key).orderBy(val, order)
+    ranked = df.select(
+        key,
+        val,
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy(key)).alias("cnt"),
+    )
+    mid = ranked.filter(
+        ((F.col("cnt") % 2 == 1) & (F.col("rn") == (F.col("cnt") + 1) / 2))
+        | (
+            (F.col("cnt") % 2 == 0)
+            & ((F.col("rn") == F.col("cnt") / 2) | (F.col("rn") == F.col("cnt") / 2 + 1))
+        )
+    )
+    return mid.groupBy(key).agg(
+        F.sum(
+            F.when(F.col("cnt") % 2 == 1, 2 * F.col(val)).otherwise(F.col(val))
+        ).alias(out)
+    )
+
+
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: exact median and
+    median-absolute-deviation (both via the doubled-integer median so
+    even-group midpoints stay exact), then count orders beyond
+    3σ-equivalent (|x - med| > 3*1.4826*MAD).
+
+    Scale shape: two per-group window passes over orders (each a
+    single hash exchange on the 5-value key — skew-prone at 100 TB,
+    where the upgrade is the two-level median-of-medians; documented,
+    not needed at the gate scales) plus two broadcast joins of the
+    5-row medians.
+
+    Determinism: prices to cents (exact int64), medians doubled to
+    stay integral, the outlier comparison is one int->double cast and
+    one double multiply — identical IEEE both engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        _fx("o_totalprice", 100.0).alias("cents"),
+    )
+    med = _median2(base, "o_orderpriority", "cents", "o_orderkey", "med_c2")
+    dev = base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "cents",
+        "med_c2",
+        F.abs(2 * F.col("cents") - F.col("med_c2")).alias("dev_c2"),
+    )
+    mad = _median2(dev, "o_orderpriority", "dev_c2", "o_orderkey", "mad_c4")
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority").withColumn(
+        "is_outlier",
+        (
+            (2 * F.col("dev_c2")).cast("double")
+            > F.lit(_MAD_K) * F.col("mad_c4").cast("double")
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first("med_c2").alias("m2"),
+            F.first("mad_c4").alias("m4"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            rdet(F.col("m2").cast("double") / F.lit(200.0), 4).alias("median_price"),
+            rdet(F.col("m4").cast("double") / F.lit(400.0), 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _mad_sql() -> str:
+    cents = _fx_sql("o_totalprice", 100.0)
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey, {cents} AS cents FROM orders
+),
+r1 AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM base
+),
+med AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN cnt % 2 = 1 THEN 2 * cents ELSE cents END) AS BIGINT) AS med_c2
+  FROM r1
+  WHERE (cnt % 2 = 1 AND rn = (cnt + 1) // 2)
+     OR (cnt % 2 = 0 AND (rn = cnt // 2 OR rn = cnt // 2 + 1))
+  GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT b.o_orderpriority, b.o_orderkey, abs(2 * b.cents - m.med_c2) AS dev_c2, m.med_c2
+  FROM base b JOIN med m ON b.o_orderpriority = m.o_orderpriority
+),
+r2 AS (
+  SELECT o_orderpriority, dev_c2,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY dev_c2, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN cnt % 2 = 1 THEN 2 * dev_c2 ELSE dev_c2 END) AS BIGINT) AS mad_c4
+  FROM r2
+  WHERE (cnt % 2 = 1 AND rn = (cnt + 1) // 2)
+     OR (cnt % 2 = 0 AND (rn = cnt // 2 OR rn = cnt // 2 + 1))
+  GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       COUNT(*) AS n_rows,
+       {rdet_sql("CAST(ANY_VALUE(d.med_c2) AS DOUBLE) / 200.0", 4)} AS median_price,
+       {rdet_sql("CAST(ANY_VALUE(a.mad_c4) AS DOUBLE) / 400.0", 4)} AS mad,
+       CAST(SUM(CASE WHEN CAST(2 * d.dev_c2 AS DOUBLE) > {_MAD_K} * CAST(a.mad_c4 AS DOUBLE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+"""
+
+
 QUERIES = {
     "stats_ols_regression": stats_ols_regression,
     "stats_corr_matrix": stats_corr_matrix,
+    "stats_mad_outliers": stats_mad_outliers,
 }
 
 ORACLES = {
     "stats_ols_regression": _ols_sql(),
     "stats_corr_matrix": _corr_sql(),
+    "stats_mad_outliers": _mad_sql(),
 }

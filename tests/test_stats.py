@@ -37,3 +37,23 @@ def test_wow_growth_first_week_null(spark, sf_dir):
             assert r["wow_growth"] is None  # no prior week to compare
             seen_first.add(r["event_type"])
         assert r["n_events"] > 0
+
+
+def test_mad_outliers_invariants(spark, sf_dir):
+    rows = stats.stats_mad_outliers(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] < r["n_rows"]
+        # MAD <= max deviation implies median-MAD band is inside range
+        assert r["median_price"] > 0
+
+
+def test_bpe_pairs_weighted_by_word_freq(spark, sf_dir):
+    from catme_etl_j_spark.operators.corpus import corpus_bpe_pair_counts
+
+    rows = corpus_bpe_pair_counts(spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["a"]) == 1 and len(r["b"]) == 1 for r in rows)
