@@ -274,14 +274,78 @@ LIMIT 15
 """
 
 
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation degree/strength profile of the directed trade graph:
+    out/in degree (distinct counterparties) and out/in strength
+    (total lineitem weight). The full-outer union of the two
+    directions keeps isolated-direction nodes with zeros.
+
+    Scale: reuses the one-time edge extraction (map-side combined to
+    <=625 keys); everything after runs on the SF-invariant edge set.
+    All exact integer counts/sums (convention #5 casts in the oracle).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges = _trade_edges(spark, sf_dir)
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("w").alias("out_strength"),
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum("w").alias("in_strength"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        nation.join(out, nation.n_nationkey == out.node, "left")
+        .join(inn, nation.n_nationkey == inn.node, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("out_strength", F.lit(0)).cast("long").alias("out_strength"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("in_strength", F.lit(0)).cast("long").alias("in_strength"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_DEGREE_SQL = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey),
+o AS (
+  SELECT src AS node, COUNT(*) AS out_degree, CAST(SUM(w) AS BIGINT) AS out_strength
+  FROM edges GROUP BY src),
+i AS (
+  SELECT dst AS node, COUNT(*) AS in_degree, CAST(SUM(w) AS BIGINT) AS in_strength
+  FROM edges GROUP BY dst)
+SELECT n.n_nationkey, n.n_name,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(o.out_strength, 0) AS out_strength,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       COALESCE(i.in_strength, 0) AS in_strength
+FROM nation n
+LEFT JOIN o ON n.n_nationkey = o.node
+LEFT JOIN i ON n.n_nationkey = i.node
+ORDER BY n.n_nationkey
+"""
+
+
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
     "graph_triangle_count": graph_triangle_count,
     "graph_common_neighbors": graph_common_neighbors,
+    "graph_degree_stats": graph_degree_stats,
 }
 
 ORACLES = {
     "graph_pagerank_nations": _pagerank_sql(),
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_common_neighbors": _COMMON_NBR_SQL,
+    "graph_degree_stats": _DEGREE_SQL,
 }

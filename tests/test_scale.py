@@ -76,3 +76,50 @@ def test_skew_report_shares(spark, sf_dir):
     # top-10 shares are each <= 100% and jointly <= 100%
     assert all(0 <= r["share_ppm"] <= 1_000_000 for r in rows)
     assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew posture for JOINS: AQE detects a hot key at
+    runtime and splits the skewed partition (salting stays the tool
+    for skewed AGGREGATIONS — test_salted_agg_equals_plain). Pinned
+    with lowered thresholds so the local fixture trips the optimizer;
+    the executed plan must carry the skew=true marker."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("va")
+        )
+        rest = spark.range(10_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("va")
+        )
+        b = spark.range(101).select(F.col("id").alias("k"), (F.col("id") * 2).alias("vb"))
+        j = hot.union(rest).join(b, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 210_000  # every row finds its key
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
