@@ -1320,6 +1320,64 @@ ORDER BY event_type, week
 """
 
 
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics per observed day: DAU, trailing-7
+    WAU, trailing-30 MAU and the DAU/MAU stickiness ratio.
+
+    Scale shape: the fact table collapses to DISTINCT (user, day)
+    first (map-side combined — this is the only pass over raw events);
+    the rolling windows are then a bounded-fanout join of user-days
+    against the tiny broadcast day list (<=30 rows matched per
+    user-day), with conditional distinct counts doing DAU/WAU/MAU in
+    ONE aggregation. |user-days| x 30 is the worst case regardless of
+    events volume.
+
+    Determinism: exact distinct counts; stickiness is one int->double
+    division through rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d")) & (F.col("day") >= F.date_sub("d", 29)),
+    )
+    agg = j.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") >= F.date_sub("d", 6), F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return agg.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        rdet(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+    ).orderBy("day")
+
+
+_DAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM ud)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN u.day = days.d THEN u.user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN u.day >= days.d - 6 THEN u.user_id END) AS wau,
+       COUNT(DISTINCT u.user_id) AS mau,
+       floor(CAST(COUNT(DISTINCT CASE WHEN u.day = days.d THEN u.user_id END) AS DOUBLE)
+             / COUNT(DISTINCT u.user_id) * 10000.0 + 0.5) / 10000.0 AS stickiness
+FROM days JOIN ud u ON u.day <= days.d AND u.day >= days.d - 29
+GROUP BY d
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1341,6 +1399,7 @@ QUERIES = {
     "events_attribution_linear": events_attribution_linear,
     "events_cohort_matrix": events_cohort_matrix,
     "events_wow_growth": events_wow_growth,
+    "events_dau_wau_mau": events_dau_wau_mau,
 }
 
 ORACLES = {
@@ -1364,4 +1423,5 @@ ORACLES = {
     "events_attribution_linear": _ATTRIBUTION_SQL,
     "events_cohort_matrix": _COHORT_SQL,
     "events_wow_growth": _WOW_SQL,
+    "events_dau_wau_mau": _DAU_SQL,
 }

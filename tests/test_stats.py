@@ -57,3 +57,13 @@ def test_bpe_pairs_weighted_by_word_freq(spark, sf_dir):
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(len(r["a"]) == 1 and len(r["b"]) == 1 for r in rows)
+
+
+def test_dau_wau_mau_monotone(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_dau_wau_mau
+
+    rows = events_dau_wau_mau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
