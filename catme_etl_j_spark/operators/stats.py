@@ -339,14 +339,79 @@ ORDER BY d.o_orderpriority
 """
 
 
+def stats_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for returnflag x linestatus:
+    observed counts, expected counts from the marginals, and each
+    cell's chi2 contribution. Emitting PER-CELL rows (not the summed
+    statistic) keeps the result free of cross-row float accumulation —
+    the one place a chi2 could diverge between engines; consumers sum
+    the 6 contributions themselves.
+
+    Scale: one map-side-combined groupBy to a contingency table whose
+    size is |levels_a| x |levels_b| regardless of row count; the
+    marginals are window sums over that tiny frame.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("observed")
+    )
+    row_t = F.sum("observed").over(W.partitionBy("l_returnflag"))
+    col_t = F.sum("observed").over(W.partitionBy("l_linestatus"))
+    grand = F.sum("observed").over(W.partitionBy())
+    expected = (
+        row_t.cast("double") * col_t.cast("double") / grand.cast("double")
+    )
+    contrib = (
+        (F.col("observed").cast("double") - expected)
+        * (F.col("observed").cast("double") - expected)
+        / expected
+    )
+    return (
+        cells.select(
+            "l_returnflag",
+            "l_linestatus",
+            "observed",
+            rdet(expected, 4).alias("expected"),
+            rdet(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_CHI2_SQL = f"""
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+m AS (
+  SELECT l_returnflag, l_linestatus, observed,
+         CAST(SUM(observed) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS row_t,
+         CAST(SUM(observed) OVER (PARTITION BY l_linestatus) AS DOUBLE) AS col_t,
+         CAST(SUM(observed) OVER () AS DOUBLE) AS grand
+  FROM cells
+)
+SELECT l_returnflag, l_linestatus, observed,
+       {rdet_sql("row_t * col_t / grand", 4)} AS expected,
+       {rdet_sql(
+           "(CAST(observed AS DOUBLE) - row_t * col_t / grand)"
+           " * (CAST(observed AS DOUBLE) - row_t * col_t / grand)"
+           " / (row_t * col_t / grand)", 6)} AS chi2_contrib
+FROM m
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "stats_ols_regression": stats_ols_regression,
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mad_outliers": stats_mad_outliers,
+    "stats_chi2_cells": stats_chi2_cells,
 }
 
 ORACLES = {
     "stats_ols_regression": _ols_sql(),
     "stats_corr_matrix": _corr_sql(),
     "stats_mad_outliers": _mad_sql(),
+    "stats_chi2_cells": _CHI2_SQL,
 }

@@ -896,7 +896,55 @@ ORDER BY source, tier
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948, public formula:
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)) with a
+    vowel-group syllable proxy. One map-only pass, three regexp counts
+    per row — no shuffle at all until the output sort.
+
+    Determinism: the three counts are exact ints (vowel groups cannot
+    span the whitespace that separates words, so whole-text counting
+    equals per-word summation); the formula is fixed double constants
+    times int->double ratios — identical IEEE both engines, then rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.expr("size(split(trim(text), ' +'))").cast("long")
+    n_sent = F.greatest(F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)).cast("long")
+    n_syll = F.greatest(
+        F.expr("regexp_count(text, '[aeiouyAEIOUY]+')"), F.lit(1)
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        rdet(flesch, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+_READABILITY_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+       CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS BIGINT) AS n_syllables,
+       {rdet_sql(
+           "206.835 - 1.015 * (CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)"
+           " / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))"
+           " - 84.6 * (CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) AS DOUBLE)"
+           " / len(regexp_split_to_array(trim(text), ' +')))", 4)} AS flesch
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_readability": text_readability,
     "text_lexical_diversity": text_lexical_diversity,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_length_histogram": text_length_histogram,
@@ -913,6 +961,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_readability": _READABILITY_SQL,
     "text_lexical_diversity": _LEXDIV_SQL,
     "text_bigram_lm_score": _BIGRAM_LM_SQL,
     "text_length_histogram": _LENGTH_HIST_SQL,

@@ -67,3 +67,25 @@ def test_dau_wau_mau_monotone(spark, sf_dir):
     for r in rows:
         assert 1 <= r["dau"] <= r["wau"] <= r["mau"]
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_chi2_cells_marginal_identity(spark, sf_dir):
+    rows = stats.stats_chi2_cells(spark, sf_dir).collect()
+    assert len(rows) == 6  # 3 returnflags x 2 linestatuses
+    total_obs = sum(r["observed"] for r in rows)
+    total_exp = sum(r["expected"] for r in rows)
+    # expected counts preserve the grand total (up to rounding)
+    assert abs(total_obs - total_exp) < 0.01 * total_obs
+    assert all(r["chi2_contrib"] >= 0 for r in rows)
+
+
+def test_readability_bounds(spark, sf_dir):
+    from catme_etl_j_spark.operators.text import text_readability
+
+    rows = text_readability(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["n_words"] >= 1
+        assert r["n_sentences"] >= 1
+        assert r["n_syllables"] >= 1
+        assert r["flesch"] < 206.835  # formula upper bound
