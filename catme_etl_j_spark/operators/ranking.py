@@ -257,14 +257,180 @@ LIMIT {POSTINGS_TOP}
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOP = 20
+RRF_SCALE = 1_000_000_000  # integer 1e9 // (k + rank) — no floats at all
+
+
+def _bm25_all_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every BM25-scored doc with its dense rank (the rank_bm25_search
+    pipeline without the top-k cut)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ndf = docs.agg(F.count("*").alias("n_docs"))
+    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
+    ).filter("term <> ''")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    qtf = (
+        toks.filter(f"term IN ({q})")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    parts = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            F.expr(
+                f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                f" * (tf * ({BM25_K1} + 1.0))"
+                f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+            ).alias("part"),
+        )
+    )
+    scored = parts.groupBy("doc_id").agg(
+        F.expr("CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT)").alias("score_fp")
+    )
+    w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("r_bm25")
+    )
+
+
+def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the lexical
+    BM25 ranking and the embedding-cosine ranking for the same corpus
+    (testdata aligns doc_id and vec_id 1:1) — the standard hybrid
+    retrieval combiner. A doc absent from one list contributes 0 from
+    that list.
+
+    Determinism: the fused score is PURE INTEGER arithmetic —
+    ``1e9 // (60 + rank)`` summed over the two lists — so no float
+    ever enters the fusion; ranks themselves come from the fixed-point
+    BM25 score and the fixed-point cosine with doc-id tie-breaks.
+
+    Scale: two rankings (each already scale-shaped: see
+    rank_bm25_search and ann_topk_bruteforce), one full-outer join on
+    the id, a global top-20. The single-partition rank windows over
+    the scored lists are the local-scale artifact; at 100 TB ranks
+    come from the same per-partition top-k + merge as the ANN path.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from catme_etl_j_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _prescaled,
+        _query_vec,
+        _rel_e6,
+    )
+
+    bm25 = _bm25_all_ranks(spark, sf_dir)
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    wc = Window.orderBy(F.desc("rel_e6"), F.asc("vec_id"))
+    cos = (
+        emb.select("vec_id", F.expr(_rel_e6(qfx, qnorm)).alias("rel_e6"))
+        .select("vec_id", F.row_number().over(wc).cast("long").alias("r_cos"))
+    )
+    fused = bm25.join(
+        cos, bm25.doc_id == cos.vec_id, "full_outer"
+    ).select(
+        F.coalesce(bm25.doc_id, cos.vec_id).alias("doc_id"),
+        "r_bm25",
+        "r_cos",
+        (
+            F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + r_bm25) AS BIGINT)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + r_cos) AS BIGINT)"),
+                F.lit(0),
+            )
+        ).alias("rrf_e9"),
+    )
+    wf = Window.orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select("rank", "doc_id", "r_bm25", "r_cos", "rrf_e9")
+        .orderBy("rank")
+    )
+
+
+def _rrf_sql() -> str:
+    from catme_etl_j_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _dot_duck,
+        _norm_duck,
+    )
+
+    rel = (
+        f"CAST(floor(CAST({_dot_duck('embedding', 'qe')} AS DOUBLE) / "
+        f"({_norm_duck('embedding')} * {_norm_duck('qe')}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    q_terms = ", ".join("'" + t + "'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+    FROM documents) u
+  WHERE term <> ''),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+qtf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({q_terms})
+  GROUP BY doc_id, term),
+qdf AS (SELECT term, COUNT(*)::BIGINT AS df FROM qtf GROUP BY term),
+parts AS (
+  SELECT q.doc_id,
+         ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (q.tf * ({BM25_K1} + 1.0))
+           / (q.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / a.avgdl))
+           AS part
+  FROM qtf q
+  JOIN qdf f ON q.term = f.term
+  JOIN dl d ON q.doc_id = d.doc_id, n, avgdl a),
+bm25 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT) DESC,
+                    doc_id ASC) AS BIGINT) AS r_bm25
+  FROM parts GROUP BY doc_id),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cos AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY {rel} DESC, vec_id ASC) AS BIGINT) AS r_cos
+  FROM embeddings, qv WHERE vec_id <> {QUERY_VEC_ID}),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id, b.r_bm25, c.r_cos,
+         COALESCE({RRF_SCALE} // ({RRF_K} + b.r_bm25), 0)
+           + COALESCE({RRF_SCALE} // ({RRF_K} + c.r_cos), 0) AS rrf_e9
+  FROM bm25 b FULL OUTER JOIN cos c ON b.doc_id = c.vec_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, r_bm25, r_cos, CAST(rrf_e9 AS BIGINT) AS rrf_e9
+FROM fused
+ORDER BY rrf_e9 DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
 QUERIES = {
     "rank_tfidf_topterms": rank_tfidf_topterms,
     "rank_bm25_search": rank_bm25_search,
     "rank_postings": rank_postings,
+    "rank_rrf_fusion": rank_rrf_fusion,
 }
 
 ORACLES = {
     "rank_tfidf_topterms": _TFIDF_SQL,
     "rank_bm25_search": _BM25_SQL,
     "rank_postings": _POSTINGS_SQL,
+    "rank_rrf_fusion": _rrf_sql(),
 }

@@ -45,3 +45,22 @@ def test_bm25_rewards_matching_terms(spark, sf_dir):
     for r in joined:
         words = set(r["text"].split())
         assert words & set(BM25_QUERY_TERMS)
+
+
+def test_rrf_fusion_blends_both_rankers(spark, sf_dir):
+    """Fused top-20 must draw on both lists and score by the integer
+    RRF identity."""
+    from catme_etl_j_spark.operators.ranking import RRF_K, RRF_SCALE, rank_rrf_fusion
+
+    rows = rank_rrf_fusion(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0
+        if r["r_bm25"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["r_bm25"])
+        if r["r_cos"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["r_cos"])
+        assert r["rrf_e9"] == expect
+    # at least one doc ranked by each signal made the cut
+    assert any(r["r_bm25"] is not None for r in rows)
+    assert any(r["r_cos"] is not None for r in rows)
