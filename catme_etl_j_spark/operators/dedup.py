@@ -860,7 +860,42 @@ LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how big are the MinHash
+    components? (size 1 = unique docs). The dedup-audit number a
+    curation run reports — e.g. a fat tail of large clusters means the
+    corpus has template spam. Composition over the same LSH pairs +
+    connected components as dedup_minhash_keep; the histogram itself
+    is two tiny aggregations on |docs| rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    labels = dedup_minhash_keep(spark, sf_dir)
+    sizes = labels.groupBy("rep_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    """Oracle: the keep-one closure wrapped as a subquery, then the
+    same two aggregations (COUNTs stay BIGINT — convention #5)."""
+    keep = _minhash_keep_sql()
+    return f"""
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT rep_id, COUNT(*) AS cluster_size
+  FROM ({keep}) k
+  GROUP BY rep_id
+) s
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 QUERIES = {
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -875,6 +910,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_sizes": _cluster_sizes_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_exact_normalized": _EXACT_NORM_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -89,3 +89,15 @@ def test_readability_bounds(spark, sf_dir):
         assert r["n_sentences"] >= 1
         assert r["n_syllables"] >= 1
         assert r["flesch"] < 206.835  # formula upper bound
+
+
+def test_cluster_sizes_account_for_all_docs(spark, sf_dir):
+    from catme_etl_j_spark.operators.dedup import dedup_cluster_sizes
+
+    rows = dedup_cluster_sizes(spark, sf_dir).collect()
+    assert rows
+    n_docs = sum(r["cluster_size"] * r["n_clusters"] for r in rows)
+    from catme_etl_j_spark.sources.tables import load_table
+
+    assert n_docs == load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["cluster_size"] == 1  # unique docs exist
