@@ -1061,7 +1061,66 @@ ORDER BY pair_count DESC, a ASC, b ASC
 LIMIT 20
 """
 
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: given a token budget of 2x the corpus and an
+    equal target share per source, how many epochs of each source does
+    the training run consume? (epochs > 1 means the source repeats;
+    << 1 means it is subsampled.) One aggregation to per-source token
+    counts + a broadcast total — the planning arithmetic is
+    SF-invariant.
+
+    Determinism: token counts are exact ints; epochs is integer
+    fixed-point ``(budget * 1e4) // (n_sources * src_tokens)`` — no
+    floats until the display division.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(split(trim(text), ' +'))")).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST((2 * total_tokens * 10000) DIV (n_sources * n_tokens) AS BIGINT)"
+            ).alias("epochs_e4"),
+        )
+        .withColumn(
+            "epochs", F.expr("CAST(epochs_e4 AS DOUBLE) / 10000.0")
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_EPOCHS_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST((2 * total_tokens * 10000) // (n_sources * n_tokens) AS BIGINT) AS epochs_e4,
+       CAST(CAST((2 * total_tokens * 10000) // (n_sources * n_tokens) AS BIGINT) AS DOUBLE) / 10000.0 AS epochs
+FROM per, tot
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_mix_epochs": corpus_mix_epochs,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
@@ -1082,6 +1141,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_mix_epochs": _MIX_EPOCHS_SQL,
     "corpus_bpe_pair_counts": _BPE_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,
     "corpus_dedup_lines": _DEDUP_LINES_SQL,

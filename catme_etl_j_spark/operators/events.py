@@ -1378,6 +1378,64 @@ ORDER BY day
 """
 
 
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the 20 longest consecutive-day activity
+    streaks (the classic ``day - row_number`` anchor trick — distinct
+    user-days make row_number equal dense_rank, so consecutive days
+    share an anchor date).
+
+    Scale shape: distinct (user, day) map-side combines the fact
+    table; the window and the streak agg are both partitioned by
+    user_id — one co-partitioned shuffle chain, then a global top-20.
+
+    Determinism: pure date/int arithmetic; top-k tie-breaks on
+    (user_id, start_day).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = ud.withColumn(
+        "anchor", F.expr("date_sub(day, CAST(row_number() OVER "
+                         "(PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_days"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    return (
+        streaks.select(
+            "user_id",
+            F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+            "streak_days",
+        )
+        .orderBy(F.desc("streak_days"), F.asc("user_id"), F.asc("start_day"))
+        .limit(20)
+    )
+
+
+_STREAKS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM ud
+)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS start_day,
+       strftime(MAX(day), '%Y-%m-%d') AS end_day,
+       COUNT(*) AS streak_days
+FROM anchored
+GROUP BY user_id, anchor
+ORDER BY streak_days DESC, user_id ASC, start_day ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1400,6 +1458,7 @@ QUERIES = {
     "events_cohort_matrix": events_cohort_matrix,
     "events_wow_growth": events_wow_growth,
     "events_dau_wau_mau": events_dau_wau_mau,
+    "events_streaks": events_streaks,
 }
 
 ORACLES = {
@@ -1424,4 +1483,5 @@ ORACLES = {
     "events_cohort_matrix": _COHORT_SQL,
     "events_wow_growth": _WOW_SQL,
     "events_dau_wau_mau": _DAU_SQL,
+    "events_streaks": _STREAKS_SQL,
 }

@@ -101,3 +101,30 @@ def test_cluster_sizes_account_for_all_docs(spark, sf_dir):
 
     assert n_docs == load_table(spark, sf_dir, "documents").count()
     assert rows[0]["cluster_size"] == 1  # unique docs exist
+
+
+def test_streaks_are_consistent_islands(spark, sf_dir):
+    import datetime
+
+    from catme_etl_j_spark.operators.events import events_streaks
+
+    rows = events_streaks(spark, sf_dir).collect()
+    assert rows
+    lens = [r["streak_days"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    for r in rows:
+        start = datetime.date.fromisoformat(r["start_day"])
+        end = datetime.date.fromisoformat(r["end_day"])
+        assert (end - start).days == r["streak_days"] - 1  # island identity
+
+
+def test_mix_epochs_budget_identity(spark, sf_dir):
+    from catme_etl_j_spark.operators.corpus import corpus_mix_epochs
+
+    rows = corpus_mix_epochs(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    n_src = len(rows)
+    for r in rows:
+        assert r["epochs_e4"] == (2 * total * 10000) // (n_src * r["n_tokens"])
+        assert r["epochs"] > 0
