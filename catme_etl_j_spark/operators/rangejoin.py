@@ -114,5 +114,151 @@ FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
 GROUP BY band_id
 """
 
-QUERIES = {"range_join_price_bands": range_join_price_bands}
-ORACLES = {"range_join_price_bands": _RANGE_BANDS_SQL}
+def range_join_session_peak(spark, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap join: each user session (30-min-gap
+    logic shared with events_sessionize) against its day's PEAK HOUR
+    (the hour with the most events) — per day, how many sessions touch
+    the peak and for how long in total.
+
+    Scale shape: sessions bucket onto the days they span (explode by
+    day — sessions are short, so fan-out is ~1); the peak-hour side is
+    ONE row per day, so the interval join is a co-partitioned equi-join
+    on day followed by the exact overlap filter — the same
+    bucketize-then-filter discipline as :func:`range_join`, with day as
+    the bucket. Nothing is quadratic.
+
+    Determinism: epochs truncate to whole seconds (CAST AS BIGINT both
+    engines), overlap = min(e, ph+3600) - max(s, ph) counted when
+    STRICTLY positive; peak-hour ties break on the earlier hour.
+    """
+    from pyspark.sql import Window as W
+
+    from catme_etl_j_spark.operators.events import SESSION_GAP_S
+    from catme_etl_j_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(prev.isNull() | ((epoch - prev) > SESSION_GAP_S), 1).otherwise(0)
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        ev.withColumn("session_id", F.sum(is_new).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").cast("long").alias("s"),
+            F.max("ts").cast("long").alias("e"),
+        )
+    )
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    wp = W.partitionBy("day").orderBy(F.desc("n"), F.asc("hour"))
+    peaks = (
+        hourly.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("day", F.col("hour").cast("long").alias("ph"))
+    )
+    # bucket sessions onto the days they span, then equi-join on day
+    sdays = sess.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.expr("sequence(to_date(from_unixtime(s)), to_date(from_unixtime(e)))")
+        ).alias("day"),
+    )
+    j = sdays.join(peaks, "day")
+    overlap = F.least(F.col("e"), F.col("ph") + 3600) - F.greatest(F.col("s"), F.col("ph"))
+    return (
+        j.select("day", "ph", overlap.alias("ov"))
+        .groupBy("day", "ph")
+        .agg(
+            F.sum(F.when(F.col("ov") > 0, 1).otherwise(0)).cast("long").alias(
+                "n_sessions_at_peak"
+            ),
+            F.sum(F.when(F.col("ov") > 0, F.col("ov")).otherwise(0)).cast("long").alias(
+                "total_overlap_s"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.date_format(F.expr("from_unixtime(ph)"), "yyyy-MM-dd HH:mm:ss").alias(
+                "peak_hour"
+            ),
+            "n_sessions_at_peak",
+            "total_overlap_s",
+        )
+        .orderBy("day")
+    )
+
+
+def _session_peak_sql() -> str:
+    from catme_etl_j_spark.operators.events import SESSION_GAP_S
+
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         ts
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS e
+  FROM sess GROUP BY user_id, session_id
+),
+hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+peaks AS (
+  SELECT day, CAST(floor(epoch(hour)) AS BIGINT) AS ph
+  FROM (SELECT day, hour, n,
+               row_number() OVER (PARTITION BY day ORDER BY n DESC, hour ASC) AS rn
+        FROM hourly) t
+  WHERE rn = 1
+),
+sdays AS (
+  SELECT i.user_id, i.session_id, i.s, i.e,
+         CAST(to_timestamp(i.s)::DATE + CAST(u.off AS INTEGER) AS DATE) AS day
+  FROM intervals i,
+       LATERAL (SELECT unnest(range(0, datediff('day', to_timestamp(i.s)::DATE,
+                                    to_timestamp(i.e)::DATE) + 1)) AS off) u
+),
+j AS (
+  SELECT sd.day, p.ph,
+         least(sd.e, p.ph + 3600) - greatest(sd.s, p.ph) AS ov
+  FROM sdays sd JOIN peaks p ON sd.day = p.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       strftime(to_timestamp(ph), '%Y-%m-%d %H:%M:%S') AS peak_hour,
+       CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_at_peak,
+       CAST(SUM(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT) AS total_overlap_s
+FROM j
+GROUP BY day, ph
+ORDER BY day
+"""
+
+
+QUERIES = {
+    "range_join_price_bands": range_join_price_bands,
+    "range_join_session_peak": range_join_session_peak,
+}
+ORACLES = {
+    "range_join_price_bands": _RANGE_BANDS_SQL,
+    "range_join_session_peak": _session_peak_sql(),
+}

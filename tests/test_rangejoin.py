@@ -79,3 +79,16 @@ def test_range_join_rejects_outer(spark):
     with pytest.raises(ValueError, match="inner"):
         range_join(left, right, left_val="v", right_lo="lo", right_hi="hi",
                    bucket_width=1.0, how="left")
+
+
+def test_session_peak_overlap_bounds(spark, sf_dir):
+    """Overlap per session is capped by the peak hour's length, so the
+    day total is bounded by n_sessions * 3600."""
+    from catme_etl_j_spark.operators.rangejoin import range_join_session_peak
+
+    rows = range_join_session_peak(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions_at_peak"] >= 0
+        assert 0 <= r["total_overlap_s"] <= r["n_sessions_at_peak"] * 3600
+        assert r["peak_hour"].startswith(r["day"])
