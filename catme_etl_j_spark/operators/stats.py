@@ -402,7 +402,60 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def stats_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode of l_quantity per returnflag (ties -> smallest
+    value), with its frequency and share in ppm — the third exact
+    robust statistic beside the median and MAD. Two map-side-combined
+    aggregations (value counts, then argmax via one window over
+    |distinct values| rows per group).
+
+    Determinism: quantities are integral (exact cents cast), counts
+    exact, share_ppm pure int64 arithmetic, tie-break on value.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag", _fx("l_quantity", 100.0).alias("qty_c")
+    )
+    counts = vals.groupBy("l_returnflag", "qty_c").agg(F.count("*").alias("n"))
+    wtot = W.partitionBy("l_returnflag")
+    wr = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty_c"))
+    return (
+        counts.withColumn("total", F.sum("n").over(wtot))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("qty_c").cast("double") / F.lit(100.0)).alias("mode_quantity"),
+            F.col("n").alias("n_mode"),
+            F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MODE_SQL = f"""
+WITH counts AS (
+  SELECT l_returnflag, {_fx_sql("l_quantity", 100.0)} AS qty_c, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, qty_c, n,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS total,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, qty_c ASC) AS rn
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(qty_c AS DOUBLE) / 100.0 AS mode_quantity,
+       n AS n_mode,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "stats_mode_quantity": stats_mode_quantity,
     "stats_ols_regression": stats_ols_regression,
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mad_outliers": stats_mad_outliers,
@@ -410,6 +463,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_mode_quantity": _MODE_SQL,
     "stats_ols_regression": _ols_sql(),
     "stats_corr_matrix": _corr_sql(),
     "stats_mad_outliers": _mad_sql(),

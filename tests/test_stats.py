@@ -128,3 +128,12 @@ def test_mix_epochs_budget_identity(spark, sf_dir):
     for r in rows:
         assert r["epochs_e4"] == (2 * total * 10000) // (n_src * r["n_tokens"])
         assert r["epochs"] > 0
+
+
+def test_mode_share_identity(spark, sf_dir):
+    rows = stats.stats_mode_quantity(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["mode_quantity"] == int(r["mode_quantity"])  # integral qty
+        assert 0 < r["share_ppm"] <= 1_000_000
+        assert r["n_mode"] > 0
