@@ -106,18 +106,46 @@ WHERE rn = 1
 """
 
 
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min): lag + cumulative session ids."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, sf_dir, "events")
+def with_session_ids(ev: DataFrame) -> DataFrame:
+    """THE 30-min-gap sessionization: adds ``session_id`` (cumulative
+    count of gap-breaks per user, ordered by (ts, event_id)). Single
+    definition shared by every session consumer (sessionize, peak
+    concurrency, the session-vs-peak interval join) so the boundary
+    semantics — gap STRICTLY greater than SESSION_GAP_S starts a new
+    session — can never silently diverge between them."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("double")
     prev = F.lag(epoch).over(w)
     is_new = F.when(prev.isNull() | ((epoch - prev) > SESSION_GAP_S), 1).otherwise(0)
-    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    with_sess = ev.withColumn("session_id", F.sum(is_new).over(wc))
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.withColumn("session_id", F.sum(is_new).over(wc))
+
+
+def session_sql_ctes(cols: str = "") -> str:
+    """DuckDB twin of :func:`with_session_ids` as a CTE chain
+    ``marked -> sess``; ``cols`` appends extra passthrough columns
+    (e.g. ', value'). Splice as ``WITH {session_sql_ctes(...)}, ...``."""
+    return f"""marked AS (
+  SELECT user_id, event_id, ts{cols},
+         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts{cols},
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative session ids."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    with_sess = with_session_ids(ev)
     return with_sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min(F.date_format("ts", _TS_FMT)).alias("session_start"),
@@ -127,20 +155,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSIONIZE_SQL = f"""
-WITH marked AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
-                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
-              ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, event_id, ts, value,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-  FROM marked
-)
+WITH {session_sql_ctes(', value')}
 SELECT user_id, session_id, COUNT(*) AS n_events,
        min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_start,
        max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS session_end,
@@ -941,15 +956,8 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
-    prev = F.lag(epoch).over(w)
-    is_new = F.when(prev.isNull() | ((epoch - prev) > SESSION_GAP_S), 1).otherwise(0)
-    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     sess = (
-        ev.withColumn("session_id", F.sum(is_new).over(wc))
+        with_session_ids(ev)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
@@ -996,27 +1004,16 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PEAK_SQL = f"""
-WITH marked AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
-                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
-              ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-sess_rows AS (
-  SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-  FROM marked),
-sess AS (
+WITH {session_sql_ctes()},
+intervals AS (
   SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
-  FROM sess_rows GROUP BY user_id, session_id),
+  FROM sess GROUP BY user_id, session_id),
 clipped AS (
   SELECT user_id, session_id,
          strftime(d, '%Y-%m-%d') AS day,
          greatest(s, CAST(d AS TIMESTAMP)) AS cs,
          least(e, CAST(d AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS ce
-  FROM sess, unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE), INTERVAL 1 DAY)) AS t(d)),
+  FROM intervals, unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE), INTERVAL 1 DAY)) AS t(d)),
 bounds AS (
   SELECT day, cs AS t, 1 AS delta, user_id, session_id FROM clipped
   UNION ALL
@@ -1396,8 +1393,7 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = W.partitionBy("user_id").orderBy("day")
     anchored = ud.withColumn(
-        "anchor", F.expr("date_sub(day, CAST(row_number() OVER "
-                         "(PARTITION BY user_id ORDER BY day) AS INT))")
+        "anchor", F.date_sub("day", F.row_number().over(w).cast("int"))
     )
     streaks = anchored.groupBy("user_id", "anchor").agg(
         F.count("*").alias("streak_days"),

@@ -133,18 +133,13 @@ def range_join_session_peak(spark, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from catme_etl_j_spark.operators.events import SESSION_GAP_S
+    from catme_etl_j_spark.operators.events import with_session_ids
     from catme_etl_j_spark.sources.tables import load_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
-    prev = F.lag(epoch).over(w)
-    is_new = F.when(prev.isNull() | ((epoch - prev) > SESSION_GAP_S), 1).otherwise(0)
-    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = (
-        ev.withColumn("session_id", F.sum(is_new).over(wc))
+        with_session_ids(ev)
         .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").cast("long").alias("s"),
@@ -196,24 +191,10 @@ def range_join_session_peak(spark, sf_dir: str) -> DataFrame:
 
 
 def _session_peak_sql() -> str:
-    from catme_etl_j_spark.operators.events import SESSION_GAP_S
+    from catme_etl_j_spark.operators.events import session_sql_ctes
 
     return f"""
-WITH marked AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN LAG(epoch(ts)) OVER w IS NULL
-                   OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S} THEN 1
-              ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
-         ts
-  FROM marked
-),
+WITH {session_sql_ctes()},
 intervals AS (
   SELECT user_id, session_id,
          CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s,
@@ -234,10 +215,10 @@ peaks AS (
 ),
 sdays AS (
   SELECT i.user_id, i.session_id, i.s, i.e,
-         CAST(to_timestamp(i.s)::DATE + CAST(u.off AS INTEGER) AS DATE) AS day
+         CAST(make_timestamp(i.s * 1000000)::DATE + CAST(u.off AS INTEGER) AS DATE) AS day
   FROM intervals i,
-       LATERAL (SELECT unnest(range(0, datediff('day', to_timestamp(i.s)::DATE,
-                                    to_timestamp(i.e)::DATE) + 1)) AS off) u
+       LATERAL (SELECT unnest(range(0, datediff('day', make_timestamp(i.s * 1000000)::DATE,
+                                    make_timestamp(i.e * 1000000)::DATE) + 1)) AS off) u
 ),
 j AS (
   SELECT sd.day, p.ph,
@@ -245,7 +226,7 @@ j AS (
   FROM sdays sd JOIN peaks p ON sd.day = p.day
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       strftime(to_timestamp(ph), '%Y-%m-%d %H:%M:%S') AS peak_hour,
+       strftime(make_timestamp(ph * 1000000), '%Y-%m-%d %H:%M:%S') AS peak_hour,
        CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_at_peak,
        CAST(SUM(CASE WHEN ov > 0 THEN ov ELSE 0 END) AS BIGINT) AS total_overlap_s
 FROM j

@@ -119,10 +119,12 @@ FROM ranked WHERE rn <= {TFIDF_TOP_PER_DOC}
 """
 
 
-def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1=1.2, b=0.75) of every document against the fixed
-    query ``join vector stream``; top-20 docs by fixed-point score with
-    doc_id tie-break.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) fixed-point scores (doc_id,
+    score_fp) of every document matching the fixed query ``join vector
+    stream`` — the ONE implementation both the top-k search and the
+    RRF fusion consume, so the determinism-sensitive formula exists
+    exactly once.
 
     idf uses the standard smoothed form ln(1 + (N - df + 0.5) /
     (df + 0.5)); dl/avgdl is exact rational arithmetic. The exploded
@@ -135,7 +137,6 @@ def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     it joins as a plain shuffle join on doc_id, co-partitioned with
     the qtf side (both hash on doc_id; AQE reuses the exchange).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     ndf = docs.agg(F.count("*").alias("n_docs"))
     q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
@@ -166,13 +167,20 @@ def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part"),
         )
     )
-    scored = parts.groupBy("doc_id").agg(
+    return parts.groupBy("doc_id").agg(
         F.expr("CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT)").alias(
             "score_fp"
         )
     )
+
+
+def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by fixed-point BM25 score with doc_id tie-break
+    (see :func:`_bm25_scored` for the formula and join strategy)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
-        scored.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
         .limit(BM25_TOP)
         .select(
             "doc_id",
@@ -181,8 +189,10 @@ def rank_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_SQL = f"""
-WITH toks AS (
+# The BM25 CTE chain, shared verbatim by _BM25_SQL and _rrf_sql so the
+# determinism-sensitive formula exists exactly once on the oracle side
+# too (mirror of _bm25_scored).
+_BM25_CTES = f"""toks AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
     FROM documents) u
@@ -207,7 +217,10 @@ parts AS (
 scored AS (
   SELECT doc_id,
          CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT) AS score_fp
-  FROM parts GROUP BY doc_id)
+  FROM parts GROUP BY doc_id)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, CAST(score_fp AS DOUBLE) / 10000.0 AS bm25
 FROM scored ORDER BY score_fp DESC, doc_id ASC LIMIT {BM25_TOP}
 """
@@ -263,41 +276,10 @@ RRF_SCALE = 1_000_000_000  # integer 1e9 // (k + rank) — no floats at all
 
 
 def _bm25_all_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every BM25-scored doc with its dense rank (the rank_bm25_search
-    pipeline without the top-k cut)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ndf = docs.agg(F.count("*").alias("n_docs"))
-    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
-    ).filter("term <> ''")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avgdl = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
-    qtf = (
-        toks.filter(f"term IN ({q})")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
-    parts = (
-        qtf.join(F.broadcast(qdf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .crossJoin(F.broadcast(ndf))
-        .select(
-            "doc_id",
-            F.expr(
-                f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-                f" * (tf * ({BM25_K1} + 1.0))"
-                f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
-            ).alias("part"),
-        )
-    )
-    scored = parts.groupBy("doc_id").agg(
-        F.expr("CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT)").alias("score_fp")
-    )
+    """Every BM25-scored doc with its rank — :func:`_bm25_scored`
+    without the top-k cut."""
     w = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
-    return scored.select(
+    return _bm25_scored(spark, sf_dir).select(
         "doc_id", F.row_number().over(w).cast("long").alias("r_bm25")
     )
 
@@ -375,34 +357,11 @@ def _rrf_sql() -> str:
     )
     q_terms = ", ".join("'" + t + "'" for t in BM25_QUERY_TERMS)
     return f"""
-WITH toks AS (
-  SELECT doc_id, term FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
-    FROM documents) u
-  WHERE term <> ''),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
-avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-qtf AS (
-  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
-  WHERE term IN ({q_terms})
-  GROUP BY doc_id, term),
-qdf AS (SELECT term, COUNT(*)::BIGINT AS df FROM qtf GROUP BY term),
-parts AS (
-  SELECT q.doc_id,
-         ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
-           * (q.tf * ({BM25_K1} + 1.0))
-           / (q.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / a.avgdl))
-           AS part
-  FROM qtf q
-  JOIN qdf f ON q.term = f.term
-  JOIN dl d ON q.doc_id = d.doc_id, n, avgdl a),
+WITH {_BM25_CTES},
 bm25 AS (
   SELECT doc_id,
-         CAST(row_number() OVER (
-           ORDER BY CAST(floor(SUM(part) * 10000.0 + 0.5) AS BIGINT) DESC,
-                    doc_id ASC) AS BIGINT) AS r_bm25
-  FROM parts GROUP BY doc_id),
+         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS r_bm25
+  FROM scored),
 qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 cos AS (
   SELECT vec_id,

@@ -150,7 +150,9 @@ ORDER BY o.o_orderpriority
 """
 
 
-def scale_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scale_partitioned_prune(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
     """Date-partitioned layout + partition pruning on the hash gate:
     orders are laid out ``partitionBy(order_year)`` (once per sf_dir,
     cached in /tmp), then a year predicate aggregates ONE directory —
@@ -164,7 +166,9 @@ def scale_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out_dir = f"/tmp/catme_part_orders_{tag}"
+    # out_dir override exists so tests exercise the rewrite logic in a
+    # private directory instead of racing the gate's shared cache.
+    out_dir = out_dir or f"/tmp/catme_part_orders_{tag}"
     # the driver regenerates testdata between rounds (TESTDATA.md): key
     # the cached layout on the source file's identity, not existence.
     src = os.path.join(sf_dir, "orders.parquet")

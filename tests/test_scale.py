@@ -36,24 +36,26 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert a == b  # decimal sums are associative -> bit-identical
 
 
-def test_partitioned_prune_gate_query(spark, sf_dir):
+def test_partitioned_prune_gate_query(spark, sf_dir, tmp_path):
     """The gated wrapper prunes at the partition level AND survives a
-    testdata refresh (fingerprint marker forces a rewrite)."""
+    testdata refresh (fingerprint marker forces a rewrite). Uses a
+    private out_dir so the test never races the gate's shared /tmp
+    cache when selfcheck runs concurrently."""
     import os
 
-    df = scale.scale_partitioned_prune(spark, sf_dir)
+    out = str(tmp_path / "orders_part_private")
+    df = scale.scale_partitioned_prune(spark, sf_dir, out_dir=out)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan
     assert "order_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
     rows = df.collect()
     assert rows and all(r["n_orders"] > 0 for r in rows)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    marker = f"/tmp/catme_part_orders_{tag}/_SOURCE_FINGERPRINT"
+    marker = os.path.join(out, "_SOURCE_FINGERPRINT")
     assert os.path.isfile(marker)
     # poison the marker -> next call must rewrite (and heal the marker)
     with open(marker, "w") as fh:
         fh.write("stale")
-    scale.scale_partitioned_prune(spark, sf_dir).collect()
+    scale.scale_partitioned_prune(spark, sf_dir, out_dir=out).collect()
     with open(marker) as fh:
         assert fh.read().strip() != "stale"
 
