@@ -185,11 +185,39 @@ FROM geo
 """
 
 
+def multimodal_resize_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize pipeline HASH-GATED: the same mapInPandas
+    resize_image path as multimodal_resize, with the 64-byte tile
+    rendered as hex so the oracle can compare content (raw binary
+    columns repr differently across engines; hex is canonical). The
+    ASCII fixture makes the tile reproducible in SQL as
+    repeat(text)[:64] — so the Arrow round-trip AND the tiling
+    arithmetic are value-checked end to end, not just row counts.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return multimodal_resize(spark, sf_dir).select(
+        "doc_id", F.hex("thumb").alias("thumb_hex"), "thumb_bytes"
+    )
+
+
+# reps = ceil(64/len): repeat() then cut to 64 chars; empty text -> 64
+# zero bytes (hex '00' * 64), mirroring resize_image's empty branch.
+_RESIZE_HEX_SQL = """
+SELECT doc_id,
+       CASE WHEN len(text) = 0 THEN repeat('00', 64)
+            ELSE hex(encode(substr(repeat(text, CAST(ceil(64.0 / len(text)) AS INTEGER)), 1, 64)))
+       END AS thumb_hex,
+       CAST(64 AS BIGINT) AS thumb_bytes
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_fake_features": multimodal_fake_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_resize_hex": multimodal_resize_hex,
 }
 
 # Oracle for the fake-codec features: valid because the fixture text
@@ -211,6 +239,8 @@ ORACLES = {
     "multimodal_meta": _META_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_fake_features": _FAKE_FEATURES_SQL,
-    # multimodal_resize: intentionally no oracle (binary tile output);
-    # covered by tests/test_multimodal.py instead.
+    "multimodal_resize_hex": _RESIZE_HEX_SQL,
+    # multimodal_resize: intentionally no oracle (raw binary tile
+    # output); its CONTENT is hash-gated via multimodal_resize_hex and
+    # covered by tests/test_multimodal.py.
 }
