@@ -1432,6 +1432,57 @@ LIMIT 20
 """
 
 
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions with exactly one event,
+    keyed by the session's start day. Built on the ONE shared
+    sessionization (:func:`with_session_ids`); two tiny aggs after it.
+
+    Determinism: exact counts; the rate is one int->double division
+    through rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        with_session_ids(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("start_ts"))
+    )
+    return (
+        sess.groupBy(F.to_date("start_ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "n_bounces",
+            rdet(F.col("n_bounces").cast("double") / F.col("n_sessions"), 4).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def _bounce_sql() -> str:
+    return f"""
+WITH {session_sql_ctes()},
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS bounce_rate
+FROM per_session
+GROUP BY date_trunc('day', start_ts)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1455,6 +1506,7 @@ QUERIES = {
     "events_wow_growth": events_wow_growth,
     "events_dau_wau_mau": events_dau_wau_mau,
     "events_streaks": events_streaks,
+    "events_bounce_rate": events_bounce_rate,
 }
 
 ORACLES = {
@@ -1480,4 +1532,5 @@ ORACLES = {
     "events_wow_growth": _WOW_SQL,
     "events_dau_wau_mau": _DAU_SQL,
     "events_streaks": _STREAKS_SQL,
+    "events_bounce_rate": _bounce_sql(),
 }

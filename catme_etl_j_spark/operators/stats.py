@@ -454,8 +454,86 @@ ORDER BY l_returnflag
 """
 
 
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic comparing event ``value`` between
+    'purchase' and 'view' events (the means-difference companion to
+    events_ab_test's two-proportion z): one conditional aggregation
+    pass collects exact cent sums/sumsq per group, then the t statistic
+    and Welch–Satterthwaite dof are fixed double formulas on the single
+    agg row — no cross-row float accumulation anywhere.
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _lt(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = _fx("value", 100.0)
+    grp = F.when(F.col("event_type") == "purchase", 1).otherwise(2)
+    one = ev.select(grp.alias("g"), cents.alias("c")).agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        _dsum(F.when(F.col("g") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        _dsum(F.when(F.col("g") == 2, F.col("c")).otherwise(0)).alias("s2"),
+        _dsum(F.when(F.col("g") == 1, F.col("c") * F.col("c")).otherwise(0)).alias("ss1"),
+        _dsum(F.when(F.col("g") == 2, F.col("c") * F.col("c")).otherwise(0)).alias("ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1, ss2 = F.col("ss1").cast("double"), F.col("ss2").cast("double")
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return one.select(
+        "n1",
+        "n2",
+        rdet((m1 - m2) / F.lit(100.0), 4).alias("mean_diff"),
+        rdet(t, 6).alias("t_stat"),
+        rdet(dof, 2).alias("welch_dof"),
+    )
+
+
+def _welch_sql() -> str:
+    c = _fx_sql("value", 100.0)
+    return f"""
+WITH a AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g, {c} AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CAST(CASE WHEN g = 1 THEN c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CASE WHEN g = 2 THEN c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(CASE WHEN g = 1 THEN c * c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS ss1,
+         CAST(SUM(CAST(CASE WHEN g = 2 THEN c * c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS ss2
+  FROM a
+),
+f AS (
+  SELECT n1, n2,
+         s1 / n1 AS m1, s2 / n2 AS m2,
+         (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM m
+)
+SELECT n1, n2,
+       {rdet_sql("(m1 - m2) / 100.0", 4)} AS mean_diff,
+       {rdet_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 6)} AS t_stat,
+       {rdet_sql(
+           "((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
+           "((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))", 2)} AS welch_dof
+FROM f
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_welch_ttest": stats_welch_ttest,
     "stats_ols_regression": stats_ols_regression,
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mad_outliers": stats_mad_outliers,
@@ -464,6 +542,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
+    "stats_welch_ttest": _welch_sql(),
     "stats_ols_regression": _ols_sql(),
     "stats_corr_matrix": _corr_sql(),
     "stats_mad_outliers": _mad_sql(),

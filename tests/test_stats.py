@@ -137,3 +137,21 @@ def test_mode_share_identity(spark, sf_dir):
         assert r["mode_quantity"] == int(r["mode_quantity"])  # integral qty
         assert 0 < r["share_ppm"] <= 1_000_000
         assert r["n_mode"] > 0
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_bounce_rate
+
+    rows = events_bounce_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_welch_ttest_shape(spark, sf_dir):
+    [r] = stats.stats_welch_ttest(spark, sf_dir).collect()
+    assert r["n1"] > 1 and r["n2"] > 1
+    assert r["welch_dof"] > 0
+    # dof is bounded above by n1+n2-2 (pooled) for Welch
+    assert r["welch_dof"] <= r["n1"] + r["n2"] - 2
