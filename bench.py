@@ -65,6 +65,9 @@ HEADLINE = [
     # pair from one aggregation) and the co-partitioned cohort matrix
     "stats_corr_matrix",
     "events_cohort_matrix",
+    # round-5 fourth wave: hybrid retrieval (two full rankings fused
+    # with integer RRF — lexical + vector paths in one plan)
+    "rank_rrf_fusion",
 ]
 
 

@@ -58,3 +58,31 @@ def test_decimal_sum_cast_double_is_exact(d):
         f"SELECT CAST(CAST('{d}' AS DECIMAL(18,2)) AS DOUBLE)"
     ).fetchone()[0]
     assert got == float(d)
+
+
+@given(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40)
+)
+@settings(max_examples=50, deadline=None)
+def test_doubled_median_matches_python_reference(vals):
+    """The stats._median2 doubled-integer median (odd: 2*mid; even:
+    lo+hi) equals 2 * statistics.median for any int list — verified via
+    the same SQL shape the oracle uses, on DuckDB (no Spark session
+    needed for the arithmetic identity)."""
+    import statistics
+
+    rows = ", ".join(f"(1, {v}, {i})" for i, v in enumerate(vals))
+    sql = f"""
+WITH base(k, v, id) AS (VALUES {rows}),
+r AS (
+  SELECT k, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS cnt
+  FROM base)
+SELECT CAST(SUM(CASE WHEN cnt % 2 = 1 THEN 2 * v ELSE v END) AS BIGINT)
+FROM r
+WHERE (cnt % 2 = 1 AND rn = (cnt + 1) // 2)
+   OR (cnt % 2 = 0 AND (rn = cnt // 2 OR rn = cnt // 2 + 1))
+"""
+    [(got,)] = duckdb.sql(sql).fetchall()
+    assert got == round(2 * statistics.median(vals))
