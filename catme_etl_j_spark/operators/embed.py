@@ -237,13 +237,113 @@ HAVING SUM(sign) <> 0
 """
 
 
+CENTROID_BOTTOM_K = 15
+
+
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic boilerplate detection: the 15 vectors MOST similar to
+    the corpus centroid (high centroid-cosine = generic/templated
+    content in a dedup-curation pipeline; the inverse ranking finds
+    outliers). Cosine is computed against the exact SUM vector — same
+    direction as the mean, so NO division ever happens: the centroid
+    stays exact int64 and the score is the standard fixed-point cosine.
+
+    Scale shape: one posexplode+groupBy to 64 exact component sums
+    (map-side combined), collected as a literal (k-means-codebook
+    pattern), then a map-only cosine scan + global top-k.
+    """
+    from catme_etl_j_spark.functions.numeric import rdet, rdet_sql  # noqa: F401
+    from catme_etl_j_spark.operators.similarity import (
+        _fx_literal,
+        _fxp_expr,
+        _norm_fx,
+        _prescaled,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = _prescaled(spark, sf_dir)
+    sums = (
+        emb.select(F.posexplode("fx").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .orderBy("pos")
+        .collect()
+    )
+    n_vec = int(sums[0]["n"])
+
+    def _trunc_div(a: int, b: int) -> int:
+        # DuckDB's // TRUNCATES toward zero (verified: -7 // 2 = -3)
+        # while Python's // floors; truncate here so both engines
+        # score the SAME centroid for negative component sums.
+        return a // b if a >= 0 else -((-a) // b)
+
+    # divide by n so centroid components stay in the per-vector
+    # fixed-point regime (a raw SUM vector would overflow the int64
+    # dot product at ~60+ vectors)
+    cvec = [_trunc_div(int(r["s"]), n_vec) for r in sums]
+    import math
+
+    cnorm = math.sqrt(float(sum(x * x for x in cvec)))
+    clit = _fx_literal(cvec)
+    from catme_etl_j_spark.operators.similarity import _dot_fx
+
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fx', clit)} AS DOUBLE)")
+        / (F.col("norm") * F.lit(cnorm)),
+        6,
+    )
+    return (
+        emb.select("vec_id", "label", cos.alias("centroid_cos"))
+        .orderBy(F.desc("centroid_cos"), F.asc("vec_id"))
+        .limit(CENTROID_BOTTOM_K)
+    )
+
+
+def _centroid_sql() -> str:
+    from catme_etl_j_spark.functions.numeric import rdet_sql
+    from catme_etl_j_spark.operators.similarity import _FXP
+
+    fxd = (
+        f"CAST(floor((embedding[u.i])::DOUBLE * {_FXP} + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH comp AS (
+  SELECT CAST(u.i AS INTEGER) AS pos,
+         CAST(SUM({fxd}) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+  GROUP BY u.i
+),
+cvec AS (SELECT list(s // n ORDER BY pos) AS c FROM comp),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {rdet_sql(
+             "CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+             "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
+             " * cv.c[i])) AS DOUBLE)"
+             " / (sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+             "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
+             " * CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT))) AS DOUBLE))"
+             " * sqrt(CAST(list_sum(list_transform(cv.c, x -> x * x)) AS DOUBLE)))", 6)}
+           AS centroid_cos
+  FROM embeddings e, cvec cv
+)
+SELECT vec_id, label, centroid_cos
+FROM scored
+ORDER BY centroid_cos DESC, vec_id ASC
+LIMIT {CENTROID_BOTTOM_K}
+"""
+
+
 QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
     "embed_group_stats": embed_group_stats,
     "embed_feature_hash": embed_feature_hash,
+    "embed_centroid_outliers": embed_centroid_outliers,
 }
 
 ORACLES = {
+    "embed_centroid_outliers": _centroid_sql(),
     "embed_quantize_int8": _QUANT_SQL,
     "embed_group_stats": _GROUP_STATS_SQL,
     "embed_feature_hash": _FEATURE_HASH_SQL,

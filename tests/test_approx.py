@@ -193,3 +193,16 @@ def test_cohort_matrix_offsets(spark, sf_dir):
         assert 0 in offs
         # retention never exceeds the cohort's own size
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_centroid_outliers_cosine_bounds(spark, sf_dir):
+    from catme_etl_j_spark.operators.embed import (
+        CENTROID_BOTTOM_K,
+        embed_centroid_outliers,
+    )
+
+    rows = embed_centroid_outliers(spark, sf_dir).collect()
+    assert len(rows) == CENTROID_BOTTOM_K
+    sims = [r["centroid_cos"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= v <= 1.0 for v in sims)
