@@ -531,8 +531,70 @@ FROM f
 """
 
 
+def stats_gini_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the corpus-
+    inequality number a curation pipeline watches (gini ~ 0: uniform
+    lengths; -> 1: a few giant docs dominate the token budget).
+
+    G = sum_i((2i - n - 1) * x_(i)) / (n * sum(x)) over ascending-
+    sorted lengths: the numerator is an EXACT int64 sum of per-row
+    integer terms (one rank window + one agg, both partitioned by
+    source), so only the final division is floating point.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum("x").alias("total_chars"),
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).alias("num"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            rdet(
+                F.col("num").cast("double")
+                / (F.col("n_docs").cast("double") * F.col("total_chars").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+_GINI_SQL = f"""
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(MAX(n) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS total_chars,
+         CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS num
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       {rdet_sql("CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))", 6)} AS gini
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_gini_doc_length": stats_gini_doc_length,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_ols_regression": stats_ols_regression,
     "stats_corr_matrix": stats_corr_matrix,
@@ -542,6 +604,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
+    "stats_gini_doc_length": _GINI_SQL,
     "stats_welch_ttest": _welch_sql(),
     "stats_ols_regression": _ols_sql(),
     "stats_corr_matrix": _corr_sql(),

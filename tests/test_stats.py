@@ -155,3 +155,11 @@ def test_welch_ttest_shape(spark, sf_dir):
     assert r["welch_dof"] > 0
     # dof is bounded above by n1+n2-2 (pooled) for Welch
     assert r["welch_dof"] <= r["n1"] + r["n2"] - 2
+
+
+def test_gini_bounds_and_mass(spark, sf_dir):
+    rows = stats.stats_gini_doc_length(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["total_chars"] > 0 and r["n_docs"] > 0
