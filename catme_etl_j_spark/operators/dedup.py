@@ -894,8 +894,95 @@ ORDER BY cluster_size
 """
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup executive summary: one row per signal with how many
+    documents it flags — exact-normalized copies (docs beyond the
+    first of each normalized fingerprint), MinHash near-dup members
+    (docs whose CC cluster has size > 1), SimHash near-dup members
+    (docs with >= 1 hamming<=3 neighbor). The number a curation run
+    reports before deciding which dedup tier to apply. Pure
+    composition of the three existing signals; pct in ppm stays
+    integer arithmetic.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.groupBy().agg(F.count("*").alias("n_docs"))
+
+    exact = dedup_exact_normalized(spark, sf_dir).agg(
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_affected")
+    ).select(F.lit("exact_norm").alias("signal"), "n_affected")
+
+    keep = dedup_minhash_keep(spark, sf_dir)
+    sizes = keep.groupBy("rep_id").agg(F.count("*").alias("sz"))
+    minhash = (
+        keep.join(sizes, "rep_id")
+        .filter(F.col("sz") > 1)
+        .agg(F.count("*").cast("long").alias("n_affected"))
+        .select(F.lit("minhash_near").alias("signal"), "n_affected")
+    )
+
+    pairs = dedup_simhash_pairs(spark, sf_dir)
+    simhash = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_affected"))
+        .select(F.lit("simhash_near").alias("signal"), "n_affected")
+    )
+
+    return (
+        exact.union(minhash)
+        .union(simhash)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "signal",
+            "n_docs",
+            "n_affected",
+            F.expr("CAST((n_affected * 1000000) DIV n_docs AS BIGINT)").alias(
+                "affected_ppm"
+            ),
+        )
+        .orderBy("signal")
+    )
+
+
+def _report_sql() -> str:
+    keep = _minhash_keep_sql()
+    simpairs = _simhash_pairs_sql()
+    return f"""
+WITH total AS (SELECT COUNT(*) AS n_docs FROM documents),
+exact_n AS (
+  SELECT CAST(SUM(n_copies - 1) AS BIGINT) AS n_affected
+  FROM ({_EXACT_NORM_SQL}) e
+),
+keep AS ({keep}),
+szs AS (SELECT rep_id, COUNT(*) AS sz FROM keep GROUP BY rep_id),
+minhash_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_affected
+  FROM keep k JOIN szs s ON k.rep_id = s.rep_id WHERE s.sz > 1
+),
+simpairs AS ({simpairs}),
+simhash_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_affected FROM (
+    SELECT doc_a AS d FROM simpairs UNION SELECT doc_b FROM simpairs) u
+),
+arms AS (
+  SELECT 'exact_norm' AS signal, n_affected FROM exact_n
+  UNION ALL
+  SELECT 'minhash_near', n_affected FROM minhash_n
+  UNION ALL
+  SELECT 'simhash_near', n_affected FROM simhash_n
+)
+SELECT signal, t.n_docs, a.n_affected,
+       CAST((a.n_affected * 1000000) // t.n_docs AS BIGINT) AS affected_ppm
+FROM arms a, total t
+ORDER BY signal
+"""
+
+
 QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_report": dedup_report,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -911,6 +998,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_cluster_sizes": _cluster_sizes_sql(),
+    "dedup_report": _report_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_exact_normalized": _EXACT_NORM_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -163,3 +163,17 @@ def test_gini_bounds_and_mass(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["gini"] < 1.0
         assert r["total_chars"] > 0 and r["n_docs"] > 0
+
+
+def test_dedup_report_signal_consistency(spark, sf_dir):
+    from catme_etl_j_spark.operators.dedup import dedup_report
+
+    rows = {r["signal"]: r for r in dedup_report(spark, sf_dir).collect()}
+    assert set(rows) == {"exact_norm", "minhash_near", "simhash_near"}
+    n_docs = rows["exact_norm"]["n_docs"]
+    for r in rows.values():
+        assert 0 <= r["n_affected"] <= n_docs
+        assert 0 <= r["affected_ppm"] <= 1_000_000
+    # exact copies are near-dups too: minhash flags at least 2x the
+    # exact surplus (each exact group >1 contributes ALL members)
+    assert rows["minhash_near"]["n_affected"] >= rows["exact_norm"]["n_affected"]
