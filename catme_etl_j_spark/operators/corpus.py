@@ -1119,7 +1119,70 @@ ORDER BY source
 """
 
 
+VOCAB_BUCKET = 10  # docs per growth-curve bucket
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement) over word
+    BIGRAMS: distinct NEW bigrams introduced per bucket of
+    VOCAB_BUCKET docs (in doc_id order) and the cumulative vocabulary
+    size. (Bigrams, not unigrams: the synthetic corpus draws from ~31
+    words, all seen within the first few docs, so the unigram curve is
+    a single point; the ~900-bigram vocabulary spreads its first
+    occurrences across hundreds of docs and produces a real curve.)
+    Each bigram collapses to its first-occurrence doc (one map-side-
+    combined min aggregation), so the curve costs |vocab| rows after
+    the first shuffle — no cumulative re-scans.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), ' +')) - 1, 0)), "
+                "i -> concat_ws(' ', element_at(split(trim(text), ' +'), i), "
+                "element_at(split(trim(text), ' +'), i + 1)))"
+            )
+        ).alias("word"),
+    ).filter("word <> ''")
+    from pyspark.sql import Window as W
+
+    firsts = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    buckets = firsts.groupBy(
+        (F.col("first_doc") / VOCAB_BUCKET).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("new_words"))
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        buckets.withColumn("cum_vocab", F.sum("new_words").over(w))
+        .select("bucket", "new_words", F.col("cum_vocab").cast("long").alias("cum_vocab"))
+        .orderBy("bucket")
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS word
+    FROM w0) t
+  WHERE word <> ''
+),
+firsts AS (SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word),
+buckets AS (
+  SELECT first_doc // {VOCAB_BUCKET} AS bucket, COUNT(*) AS new_words
+  FROM firsts GROUP BY 1
+)
+SELECT bucket, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM buckets
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_mix_epochs": corpus_mix_epochs,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -1141,6 +1204,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_vocab_growth": _VOCAB_GROWTH_SQL,
     "corpus_mix_epochs": _MIX_EPOCHS_SQL,
     "corpus_bpe_pair_counts": _BPE_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,

@@ -1483,6 +1483,52 @@ ORDER BY day
 """
 
 
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first ever seen that day) vs
+    returning — the growth-accounting companion to DAU/WAU/MAU. One
+    first-seen aggregation (map-side combined on user_id) + one
+    distinct count per day; integer ppm share.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(firsts, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("new_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).cast("long").alias("returning_users"),
+            F.expr("CAST((new_users * 1000000) DIV dau AS BIGINT)").alias("new_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       COUNT(*) AS dau,
+       CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       CAST((SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS new_ppm
+FROM ud JOIN f ON ud.user_id = f.user_id
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1507,6 +1553,7 @@ QUERIES = {
     "events_dau_wau_mau": events_dau_wau_mau,
     "events_streaks": events_streaks,
     "events_bounce_rate": events_bounce_rate,
+    "events_new_vs_returning": events_new_vs_returning,
 }
 
 ORACLES = {
@@ -1533,4 +1580,5 @@ ORACLES = {
     "events_dau_wau_mau": _DAU_SQL,
     "events_streaks": _STREAKS_SQL,
     "events_bounce_rate": _bounce_sql(),
+    "events_new_vs_returning": _NEW_RETURNING_SQL,
 }

@@ -592,8 +592,78 @@ ORDER BY source
 """
 
 
+# Benford expectations precomputed in Python and inlined as IDENTICAL
+# integer literals in both engines (no engine-side log10 to disagree).
+import math as _math
+
+_BENFORD_PPM = {
+    d: int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+
+
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: observed first-significant-
+    digit distribution vs the log10(1+1/d) expectation — the classic
+    fabricated-data / data-quality screen. One map-side-combined count
+    per digit; expectations are Python-precomputed integer ppm
+    literals so no engine-side logarithm can diverge.
+
+    (The synthetic prices are uniform-ish, so the DELTA columns show a
+    strong non-Benford signature — which is the point of the audit.)
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_orders")
+    )
+    total = orders.groupBy().agg(F.count("*").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST((n_orders * 1000000) DIV total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            expected[F.col("digit")].cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "delta_ppm", (F.col("observed_ppm") - F.col("benford_ppm")).cast("long")
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    arms = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS total FROM orders)
+SELECT digit, n_orders,
+       CAST((n_orders * 1000000) // t.total AS BIGINT) AS observed_ppm,
+       CAST(CASE digit {arms} END AS BIGINT) AS benford_ppm,
+       CAST((n_orders * 1000000) // t.total - CASE digit {arms} END AS BIGINT) AS delta_ppm
+FROM c, t
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_benford_first_digit": stats_benford_first_digit,
     "stats_gini_doc_length": stats_gini_doc_length,
     "stats_welch_ttest": stats_welch_ttest,
     "stats_ols_regression": stats_ols_regression,
@@ -604,6 +674,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
+    "stats_benford_first_digit": _benford_sql(),
     "stats_gini_doc_length": _GINI_SQL,
     "stats_welch_ttest": _welch_sql(),
     "stats_ols_regression": _ols_sql(),

@@ -177,3 +177,34 @@ def test_dedup_report_signal_consistency(spark, sf_dir):
     # exact copies are near-dups too: minhash flags at least 2x the
     # exact surplus (each exact group >1 contributes ALL members)
     assert rows["minhash_near"]["n_affected"] >= rows["exact_norm"]["n_affected"]
+
+
+def test_benford_ppm_totals(spark, sf_dir):
+    rows = stats.stats_benford_first_digit(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["benford_ppm"] for r in rows) - 1_000_000) <= 5
+    assert sum(r["observed_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert r["delta_ppm"] == r["observed_ppm"] - r["benford_ppm"]
+
+
+def test_new_vs_returning_day_one(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_new_vs_returning
+
+    rows = events_new_vs_returning(spark, sf_dir).collect()
+    assert rows
+    first = rows[0]
+    assert first["new_users"] == first["dau"]  # day 1: everyone is new
+    assert first["returning_users"] == 0
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == r["dau"]
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    from catme_etl_j_spark.operators.corpus import corpus_vocab_growth
+
+    rows = corpus_vocab_growth(spark, sf_dir).collect()
+    assert len(rows) > 3  # a real curve, not a single point
+    cums = [r["cum_vocab"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r["new_words"] for r in rows)
