@@ -245,8 +245,56 @@ LIMIT 10
 """
 
 
+def scale_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap distinct-counting for small key domains: per market
+    segment, OR customers' nation bits into ONE int64 (nationkey <
+    64), then popcount. The scale trick this demonstrates: a
+    mergeable single-integer aggregation state replaces the expand +
+    re-shuffle a COUNT(DISTINCT) costs — the same idea roaring
+    bitmaps scale to big domains. The exact distinct count is emitted
+    alongside to prove equality on the gate.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), c_nationkey))").alias(
+                "nation_bitmap"
+            ),
+            F.countDistinct("c_nationkey").alias("n_distinct"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            "c_mktsegment",
+            "nation_bitmap",
+            F.expr("CAST(bit_count(nation_bitmap) AS BIGINT)").alias("n_nations"),
+            "n_distinct",
+            "n_customers",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BITMAP_SQL = """
+WITH b AS (
+  SELECT c_mktsegment,
+         bit_or(CAST(1 AS BIGINT) << c_nationkey) AS nation_bitmap,
+         COUNT(DISTINCT c_nationkey) AS n_distinct,
+         COUNT(*) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, nation_bitmap,
+       CAST(bit_count(nation_bitmap) AS BIGINT) AS n_nations,
+       n_distinct, n_customers
+FROM b
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "scale_salted_group_sum": scale_salted_group_sum,
+    "scale_bitmap_distinct": scale_bitmap_distinct,
     "scale_bucketed_join": scale_bucketed_join,
     "scale_partitioned_prune": scale_partitioned_prune,
     "scale_skew_report": scale_skew_report,
@@ -254,6 +302,7 @@ QUERIES = {
 
 ORACLES = {
     "scale_salted_group_sum": _SALTED_SQL,
+    "scale_bitmap_distinct": _BITMAP_SQL,
     "scale_bucketed_join": _BUCKETED_SQL,
     "scale_partitioned_prune": _PARTITIONED_SQL,
     "scale_skew_report": _SKEW_SQL,

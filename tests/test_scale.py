@@ -125,3 +125,12 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    rows = scale.scale_bitmap_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_nations"] == r["n_distinct"]  # popcount == exact
+        assert 0 < r["n_nations"] <= 25
+        assert r["nation_bitmap"] < (1 << 25)
