@@ -1529,6 +1529,72 @@ ORDER BY day
 """
 
 
+def events_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: for every session containing a purchase,
+    seconds from session start to the FIRST purchase, averaged per
+    session-start day. Shared sessionization + one group pass per
+    session, then a daily rollup — all co-partitioned on user_id then
+    a tiny day aggregation.
+
+    Determinism: epoch seconds floor to exact ints (convention #8's
+    floor(epoch()) on the DuckDB side); the mean is one int->double
+    division through rdet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        with_session_ids(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").cast("long").alias("start_s"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts").cast("long"))
+            ).alias("first_purchase_s"),
+        )
+        .filter(F.col("first_purchase_s").isNotNull())
+        .withColumn("lag_s", F.col("first_purchase_s") - F.col("start_s"))
+    )
+    return (
+        sess.groupBy(
+            F.date_format(F.expr("from_unixtime(start_s)"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_converting"),
+            F.sum("lag_s").cast("long").alias("total_lag_s"),
+        )
+        .select(
+            "day",
+            "n_converting",
+            "total_lag_s",
+            rdet(F.col("total_lag_s").cast("double") / F.col("n_converting"), 2).alias(
+                "mean_lag_s"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def _time_to_purchase_sql() -> str:
+    return f"""
+WITH {session_sql_ctes(", event_type")},
+per AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+         MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase_s
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT strftime(make_timestamp(start_s * 1000000), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_converting,
+       CAST(SUM(first_purchase_s - start_s) AS BIGINT) AS total_lag_s,
+       floor(CAST(SUM(first_purchase_s - start_s) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0 AS mean_lag_s
+FROM per
+WHERE first_purchase_s IS NOT NULL
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1554,6 +1620,7 @@ QUERIES = {
     "events_streaks": events_streaks,
     "events_bounce_rate": events_bounce_rate,
     "events_new_vs_returning": events_new_vs_returning,
+    "events_time_to_purchase": events_time_to_purchase,
 }
 
 ORACLES = {
@@ -1581,4 +1648,5 @@ ORACLES = {
     "events_streaks": _STREAKS_SQL,
     "events_bounce_rate": _bounce_sql(),
     "events_new_vs_returning": _NEW_RETURNING_SQL,
+    "events_time_to_purchase": _time_to_purchase_sql(),
 }

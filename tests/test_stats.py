@@ -208,3 +208,14 @@ def test_vocab_growth_monotone(spark, sf_dir):
     cums = [r["cum_vocab"] for r in rows]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r["new_words"] for r in rows)
+
+
+def test_time_to_purchase_nonneg(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_time_to_purchase
+
+    rows = events_time_to_purchase(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_converting"] > 0
+        assert r["total_lag_s"] >= 0  # purchase never precedes its session start
+        assert r["mean_lag_s"] >= 0.0
