@@ -475,7 +475,43 @@ GROUP BY 1
 """
 
 
+SCD2_ASOF_DATE = "1997-06-01"
+
+
+def etl_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction — the query SCD2 history
+    exists to answer: each customer's priority version active AS OF
+    SCD2_ASOF_DATE (valid_from <= D < valid_to, open-ended current
+    rows included). A filter over the interval table; customers whose
+    history starts after D are correctly absent. ISO date strings
+    compare lexicographically, so both engines filter identically.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hist = etl_scd2_intervals(spark, sf_dir)
+    d = F.lit(SCD2_ASOF_DATE)
+    return (
+        hist.filter(
+            (F.col("valid_from") <= d)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+        )
+        .select("custkey", "version", "priority", "valid_from", "valid_to")
+        .orderBy("custkey")
+    )
+
+
+def _scd2_asof_sql() -> str:
+    return f"""
+WITH hist AS ({_SCD2_SQL})
+SELECT custkey, version, priority, valid_from, valid_to
+FROM hist
+WHERE valid_from <= '{SCD2_ASOF_DATE}'
+  AND (valid_to IS NULL OR valid_to > '{SCD2_ASOF_DATE}')
+ORDER BY custkey
+"""
+
+
 QUERIES = {
+    "etl_scd2_asof_snapshot": etl_scd2_asof_snapshot,
     "etl_dq_profile": etl_dq_profile,
     "etl_snapshot_diff": etl_snapshot_diff,
     "etl_referential_check": etl_referential_check,
@@ -485,6 +521,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_scd2_asof_snapshot": _scd2_asof_sql(),
     "etl_dq_profile": _dq_sql(),
     "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "etl_referential_check": _ref_sql(),

@@ -508,7 +508,63 @@ def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL.format(nation="nation_lv", customer="customer_lv"))
 
 
+def window_revenue_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order revenue via a value-based
+    RANGE frame (epoch-day ordering, RANGE BETWEEN 6 PRECEDING AND
+    CURRENT ROW) — unlike a ROWS frame, calendar gaps shrink the
+    window instead of silently reaching further back. Daily sums stay
+    DECIMAL (exact, associative); only the final average divides.
+
+    Scale: the daily aggregate collapses the fact table first, so the
+    window runs over |days| rows — a single tiny-partition sort.
+    """
+    from pyspark.sql import Window as W
+
+    from catme_etl_j_spark.functions.numeric import dec2, money2, rdet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec2("o_totalprice")).alias("rev"), F.count("*").alias("n_orders")
+    )
+    keyed = daily.withColumn("day_n", F.datediff("day", F.lit("1970-01-01")))
+    w = W.orderBy("day_n").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            money2(F.col("rev")).alias("revenue"),
+            money2(F.sum("rev").over(w)).alias("rev_7d_total"),
+            F.count("*").over(w).cast("long").alias("n_days_in_window"),
+            rdet(
+                F.sum("rev").over(w).cast("double") / F.count("*").over(w), 2
+            ).alias("rev_7dma"),
+        )
+        .orderBy("day")
+    )
+
+
+_REV_7DMA_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n_orders,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(SUM(rev) OVER w, 2) AS DOUBLE) AS rev_7d_total,
+       COUNT(*) OVER w AS n_days_in_window,
+       floor(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w * 100.0 + 0.5) / 100.0 AS rev_7dma
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "window_revenue_7dma": window_revenue_7dma,
     "q11_important_stock": q11_important_stock,
     "q16_parts_supplier_count": q16_parts_supplier_count,
     "q20_promotable_suppliers": q20_promotable_suppliers,
@@ -523,6 +579,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_revenue_7dma": _REV_7DMA_SQL,
     "q11_important_stock": _Q11_SQL,
     "q16_parts_supplier_count": _Q16_SQL,
     "q20_promotable_suppliers": _Q20_SQL,

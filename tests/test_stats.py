@@ -219,3 +219,26 @@ def test_time_to_purchase_nonneg(spark, sf_dir):
         assert r["n_converting"] > 0
         assert r["total_lag_s"] >= 0  # purchase never precedes its session start
         assert r["mean_lag_s"] >= 0.0
+
+
+def test_rev_7dma_window_width(spark, sf_dir):
+    from catme_etl_j_spark.operators.relational3 import window_revenue_7dma
+
+    rows = window_revenue_7dma(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days_in_window"] <= 7
+        # average consistent with the window total (rdet-rounded)
+        assert abs(r["rev_7dma"] - r["rev_7d_total"] / r["n_days_in_window"]) < 0.02
+
+
+def test_scd2_asof_one_row_per_customer(spark, sf_dir):
+    from catme_etl_j_spark.operators.etl import SCD2_ASOF_DATE, etl_scd2_asof_snapshot
+
+    rows = etl_scd2_asof_snapshot(spark, sf_dir).collect()
+    assert rows
+    keys = [r["custkey"] for r in rows]
+    assert len(keys) == len(set(keys))  # intervals partition time per key
+    for r in rows:
+        assert r["valid_from"] <= SCD2_ASOF_DATE
+        assert r["valid_to"] is None or r["valid_to"] > SCD2_ASOF_DATE
