@@ -608,12 +608,176 @@ FROM exact e JOIN est s ON e.grp = s.grp
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values / bottom-k) distinct sketch with an in-plan
+# cardinality prefilter — the order-statistics alternative to HLL.
+
+KMV_K = 256  # sketch size; relative error ~ 1/sqrt(K-2) ~= 6%
+_KMV_SAFETY = 8  # prefilter keeps ~SAFETY*K expected survivors per group
+_POW32 = 1 << 32  # hash domain: 8 md5 hex chars = 32 bits
+# (KMV_K - 1) * 2^32, the estimator numerator, as an int64 literal
+_KMV_NUM = (KMV_K - 1) * _POW32
+# SAFETY * K * 2^32, the prefilter-threshold numerator (fits int64: 2^43)
+_KMV_TAU_NUM = _KMV_SAFETY * KMV_K * _POW32
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source + merged KMV distinct-shingle estimates vs exact.
+
+    KMV keeps the K smallest distinct hash values of a stream; the
+    estimate is (K-1) * 2^32 / h_K (k-th minimum). Unlike HLL the
+    state is order statistics, so the same sketch also yields
+    distinct-intersection estimates, and merging = bottom-K of the
+    union of states — the ``__ALL__`` row here is computed ONLY from
+    the 20 per-source sketches (never re-reading the data), which is
+    the mergeability property that matters on a 1000-executor cluster.
+
+    Scale posture: the naive plan shuffles EVERY distinct hash into
+    its group to sort. This plan first computes a cheap per-group
+    HLL++ cardinality (``approx_count_distinct`` — deterministic:
+    register-max is order-independent), broadcasts the 20-row stats,
+    and keeps only hashes below tau = SAFETY*K/d_hat of the 2^32
+    domain — a map-side filter that drops ~(1 - SAFETY*K/d) of the
+    stream before the one small shuffle. The bottom-K itself is a
+    sort-based window (SortExec spills; no unbounded in-memory set).
+    The oracle computes exact bottom-K with no prefilter, so the gate
+    also proves the prefilter never cuts below the true k-th minimum.
+    Estimator arithmetic is pure int64 (integer DIV; all operands
+    positive, so DuckDB ``//`` truncation == floor — convention #7).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("ws", F.split(F.trim("text"), " +"))
+        .withColumn(
+            "sh",
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+            ),
+        )
+        .select("source", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    hashed = sh.select(
+        "source",
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    )
+    taus = (
+        hashed.groupBy("source")
+        .agg(F.approx_count_distinct("h").alias("d_hat"))
+        .select(
+            "source",
+            F.expr(
+                f"least(CAST({_POW32} AS BIGINT),"
+                f" {_KMV_TAU_NUM} DIV greatest(d_hat, 1))"
+            ).alias("tau"),
+        )
+    )
+    from pyspark.sql import Window
+
+    survivors = (
+        hashed.join(F.broadcast(taus), "source")
+        .filter(F.col("h") < F.col("tau"))
+        .select("source", "h")
+        .distinct()
+    )
+    state = (
+        survivors.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    per = state.groupBy("source").agg(
+        F.count("h").alias("n_state"), F.max("h").alias("kth_min")
+    )
+    exact = sh.groupBy("source").agg(F.countDistinct("shingle").alias("n_exact"))
+    # merge: bottom-K of the union of the per-source states (<= 20*K rows,
+    # single-partition window is deliberate at this size)
+    merged = (
+        state.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.count("h").alias("n_state"), F.max("h").alias("kth_min"))
+        .withColumn("source", F.lit(MERGED_KEY))
+    )
+    exact_all = (
+        sh.agg(F.countDistinct("shingle").alias("n_exact"))
+        .withColumn("source", F.lit(MERGED_KEY))
+    )
+    rows = per.join(exact, "source").unionByName(
+        merged.join(exact_all, "source").select("source", "n_state", "kth_min", "n_exact")
+    )
+    est = f"CASE WHEN n_state < {KMV_K} THEN CAST(n_state AS BIGINT) ELSE {_KMV_NUM} DIV kth_min END"
+    return rows.select(
+        "source",
+        "n_exact",
+        "n_state",
+        "kth_min",
+        F.expr(est).alias("kmv_estimate"),
+        F.expr(
+            f"CAST(floor((CAST({est} AS DOUBLE) - n_exact)"
+            " / CAST(n_exact AS DOUBLE) * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+        ).alias("rel_err_pct"),
+    ).orderBy("source")
+
+
+_KMV_EST_DUCK = (
+    f"CASE WHEN n_state < {KMV_K} THEN n_state ELSE {_KMV_NUM} // kth_min END"
+)
+
+_KMV_SQL = f"""
+WITH ws AS (
+  SELECT source, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+sh0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+  FROM ws),
+sh AS (SELECT source, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashed AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed),
+state AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+per AS (
+  SELECT source, COUNT(*)::BIGINT AS n_state, MAX(h) AS kth_min
+  FROM state GROUP BY source),
+exact AS (
+  SELECT source, COUNT(DISTINCT shingle)::BIGINT AS n_exact FROM sh GROUP BY source),
+mranked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM state) u),
+mrow AS (
+  SELECT '{MERGED_KEY}' AS source, COUNT(*)::BIGINT AS n_state, MAX(h) AS kth_min
+  FROM mranked WHERE rn <= {KMV_K}),
+mexact AS (
+  SELECT '{MERGED_KEY}' AS source, COUNT(DISTINCT shingle)::BIGINT AS n_exact FROM sh),
+allrows AS (
+  SELECT p.source, e.n_exact, p.n_state, p.kth_min
+  FROM per p JOIN exact e USING (source)
+  UNION ALL
+  SELECT m.source, x.n_exact, m.n_state, m.kth_min
+  FROM mrow m JOIN mexact x USING (source))
+SELECT source, n_exact, n_state, kth_min,
+       {_KMV_EST_DUCK} AS kmv_estimate,
+       CAST(floor((CAST({_KMV_EST_DUCK} AS DOUBLE) - n_exact)
+             / CAST(n_exact AS DOUBLE) * 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE)
+         AS rel_err_pct
+FROM allrows ORDER BY source
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_hll_merge_groups": sketch_hll_merge_groups,
     "sketch_countmin_topwords": sketch_countmin_topwords,
     "sketch_bloom_join_prune": sketch_bloom_join_prune,
     "sketch_histogram_quantiles": sketch_histogram_quantiles,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
 }
 
 ORACLES = {
@@ -622,4 +786,5 @@ ORACLES = {
     "sketch_countmin_topwords": _CMS_SQL,
     "sketch_bloom_join_prune": _BLOOM_SQL,
     "sketch_histogram_quantiles": _HIST_SQL,
+    "sketch_kmv_distinct": _KMV_SQL,
 }

@@ -206,3 +206,26 @@ def test_centroid_outliers_cosine_bounds(spark, sf_dir):
     sims = [r["centroid_cos"] for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= v <= 1.0 for v in sims)
+
+
+def test_kmv_error_bound_and_merge(spark, sf_dir):
+    """KMV estimate within ~4x the theoretical rsd (1/sqrt(K-2) ~= 6%
+    for K=256); the __merged__ row is derived only from per-source
+    states yet must still bound the global distinct count; every
+    sketch-branch group carries a full K-value state."""
+    from catme_etl_j_spark.operators.sketch import KMV_K, MERGED_KEY, sketch_kmv_distinct
+
+    rows = {r["source"]: r for r in sketch_kmv_distinct(spark, sf_dir).collect()}
+    assert MERGED_KEY in rows
+    for r in rows.values():
+        if r["n_state"] >= KMV_K:
+            assert r["n_state"] == KMV_K
+            assert abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"] < 0.25
+        else:
+            assert r["kmv_estimate"] == r["n_exact"]
+    merged = rows[MERGED_KEY]
+    per_max = max(r["n_exact"] for k, r in rows.items() if k != MERGED_KEY)
+    assert merged["n_exact"] >= per_max
+    assert merged["kth_min"] <= min(
+        r["kth_min"] for k, r in rows.items() if k != MERGED_KEY
+    )
