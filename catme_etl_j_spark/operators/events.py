@@ -1595,6 +1595,89 @@ ORDER BY day
 """
 
 
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution per channel, the
+    single-touch complement of ``events_attribution_linear``.
+
+    Semantics (pinned): for each purchase, within its 30-min session
+    (the shared :func:`with_session_ids` definition), the FIRST-touch
+    channel is the session-opening event's type — 'direct' when the
+    purchase itself opens the session — and the LAST-touch channel is
+    the immediately preceding event's type ('direct' when none).
+    Revenue is exact integer cents; output is one row per channel with
+    both attributions side by side (absent side = 0).
+
+    Scale shape: one user-partitioned sort window (the sessionization
+    pass every session consumer already shares) + two tiny per-channel
+    aggregates full-outer-joined — no self-join of the event stream.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ordered = (
+        with_session_ids(ev)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("first_type", F.first("event_type").over(w))
+    )
+    purch = ordered.filter("event_type = 'purchase'").select(
+        F.when(F.col("rn") == 1, F.lit("direct"))
+        .otherwise(F.col("first_type"))
+        .alias("first_touch"),
+        F.coalesce(F.col("prev_type"), F.lit("direct")).alias("last_touch"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    fa = purch.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count("*").alias("n_first"), F.sum("cents").alias("first_cents")
+    )
+    la = purch.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count("*").alias("n_last"), F.sum("cents").alias("last_cents")
+    )
+    return (
+        fa.join(la, "channel", "full_outer")
+        .select(
+            "channel",
+            F.expr("CAST(COALESCE(n_first, 0) AS BIGINT)").alias("n_first"),
+            F.expr("CAST(COALESCE(first_cents, 0) AS BIGINT)").alias("first_cents"),
+            F.expr("CAST(COALESCE(n_last, 0) AS BIGINT)").alias("n_last"),
+            F.expr("CAST(COALESCE(last_cents, 0) AS BIGINT)").alias("last_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTR_TOUCH_SQL = f"""
+WITH {session_sql_ctes(', value, event_type')},
+ordered AS (
+  SELECT user_id, session_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER ws AS rn,
+         LAG(event_type) OVER ws AS prev_type,
+         FIRST_VALUE(event_type) OVER ws AS first_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+purch AS (
+  SELECT CASE WHEN rn = 1 THEN 'direct' ELSE first_type END AS first_touch,
+         COALESCE(prev_type, 'direct') AS last_touch, cents
+  FROM ordered WHERE event_type = 'purchase'),
+fa AS (
+  SELECT first_touch AS channel, COUNT(*) AS n_first,
+         CAST(SUM(cents) AS BIGINT) AS first_cents
+  FROM purch GROUP BY 1),
+la AS (
+  SELECT last_touch AS channel, COUNT(*) AS n_last,
+         CAST(SUM(cents) AS BIGINT) AS last_cents
+  FROM purch GROUP BY 1)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+       CAST(COALESCE(first_cents, 0) AS BIGINT) AS first_cents,
+       CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+       CAST(COALESCE(last_cents, 0) AS BIGINT) AS last_cents
+FROM fa f FULL OUTER JOIN la l ON f.channel = l.channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
@@ -1621,6 +1704,7 @@ QUERIES = {
     "events_bounce_rate": events_bounce_rate,
     "events_new_vs_returning": events_new_vs_returning,
     "events_time_to_purchase": events_time_to_purchase,
+    "events_attribution_touch": events_attribution_touch,
 }
 
 ORACLES = {
@@ -1649,4 +1733,5 @@ ORACLES = {
     "events_bounce_rate": _bounce_sql(),
     "events_new_vs_returning": _NEW_RETURNING_SQL,
     "events_time_to_purchase": _time_to_purchase_sql(),
+    "events_attribution_touch": _ATTR_TOUCH_SQL,
 }

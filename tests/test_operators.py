@@ -836,3 +836,25 @@ def test_attribution_conserves_value(spark, sf_dir):
         .first()[0]
     )
     assert 0 < total_credit <= attributable
+
+
+def test_attribution_touch_conserves_and_partitions(spark, sf_dir):
+    """Every purchase's cents land on exactly one first-touch channel
+    and exactly one last-touch channel, so both columns must sum to
+    the same total (the exact purchase revenue) and both n_* columns
+    to the purchase count."""
+    from catme_etl_j_spark.operators.events import events_attribution_touch
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_attribution_touch(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.filter("event_type = 'purchase'").selectExpr(
+        "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents",
+        "COUNT(*) AS n",
+    ).first()
+    assert sum(r["first_cents"] for r in rows) == exact["cents"]
+    assert sum(r["last_cents"] for r in rows) == exact["cents"]
+    assert sum(r["n_first"] for r in rows) == exact["n"]
+    assert sum(r["n_last"] for r in rows) == exact["n"]
+    allowed = {"click", "purchase", "error", "signup", "view", "direct"}
+    assert {r["channel"] for r in rows} <= allowed
