@@ -563,8 +563,82 @@ ORDER BY day
 """
 
 
+def window_ewma_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA (alpha=1/2, 14-day lookback) of daily
+    revenue via the SCATTER pattern: the true EMA recursion
+    ``ema_t = a*x_t + (1-a)*ema_{t-1}`` is non-associative, so no
+    Spark window frame computes it — but truncating the tail at 14
+    days (weight 2^-14 ~ 6e-5 of the mass) makes every output a
+    FINITE weighted sum, and each day can then *scatter* its
+    contribution forward: explode 14 (target_day, weight=2^(13-lag))
+    rows per day and groupBy(target). Missing calendar days drop out
+    of both numerator and weight mass (renormalized), mirroring the
+    7dma's RANGE-frame gap handling.
+
+    Determinism: day cents are exact DECIMAL->int64; weights are
+    powers of two via shiftleft; the single DIV at the end truncates
+    identically on both engines (positive operands, convention #7).
+
+    Scale: the fact table collapses to |days| rows FIRST; the 14x
+    scatter explodes the tiny daily aggregate, never the fact stream,
+    and the groupBy(target) map-side combines. This is the
+    general recipe for any bounded non-associative window at 100 TB.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec2("o_totalprice")).alias("rev")
+    )
+    cents = daily.select(
+        "day", F.expr("CAST(rev * 100 AS BIGINT)").alias("day_cents")
+    )
+    contrib = cents.select(
+        "day", "day_cents", F.explode(F.expr("sequence(0, 13)")).alias("l")
+    ).select(
+        F.expr("date_add(day, l)").alias("target"),
+        F.expr("day_cents * shiftleft(CAST(1 AS BIGINT), 13 - l)").alias("wc"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), 13 - l)").alias("wt"),
+    )
+    agg = contrib.groupBy("target").agg(
+        F.sum("wc").cast("long").alias("num"), F.sum("wt").cast("long").alias("den")
+    )
+    return (
+        cents.join(agg, cents["day"] == agg["target"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_cents",
+            F.expr("num DIV den").alias("ewma_cents"),
+            F.col("den").alias("weight_mass"),
+        )
+        .orderBy("day")
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+contrib AS (
+  SELECT day + CAST(l AS INTEGER) AS target,
+         cents * (1::BIGINT << (13 - l)) AS wc,
+         (1::BIGINT << (13 - l)) AS wt
+  FROM daily, (SELECT unnest(range(0, 14)) AS l) r),
+agg AS (
+  SELECT target, CAST(SUM(wc) AS BIGINT) AS num, CAST(SUM(wt) AS BIGINT) AS den
+  FROM contrib GROUP BY target)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.cents AS day_cents,
+       g.num // g.den AS ewma_cents,
+       g.den AS weight_mass
+FROM daily d JOIN agg g ON g.target = d.day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "window_revenue_7dma": window_revenue_7dma,
+    "window_ewma_scatter": window_ewma_scatter,
     "q11_important_stock": q11_important_stock,
     "q16_parts_supplier_count": q16_parts_supplier_count,
     "q20_promotable_suppliers": q20_promotable_suppliers,
@@ -580,6 +654,7 @@ QUERIES = {
 
 ORACLES = {
     "window_revenue_7dma": _REV_7DMA_SQL,
+    "window_ewma_scatter": _EWMA_SQL,
     "q11_important_stock": _Q11_SQL,
     "q16_parts_supplier_count": _Q16_SQL,
     "q20_promotable_suppliers": _Q20_SQL,

@@ -242,3 +242,29 @@ def test_scd2_asof_one_row_per_customer(spark, sf_dir):
     for r in rows:
         assert r["valid_from"] <= SCD2_ASOF_DATE
         assert r["valid_to"] is None or r["valid_to"] > SCD2_ASOF_DATE
+
+
+def test_ewma_scatter_weighting(spark, sf_dir):
+    """The EWMA is a weighted mean over the window's PRESENT days, so
+    it must sit between their min and max daily cents (minus one for
+    DIV truncation); the first day's window is itself, so its EWMA is
+    exactly its own value; no mass can exceed 2^14 - 1."""
+    from catme_etl_j_spark.operators.relational3 import window_ewma_scatter
+
+    rows = window_ewma_scatter(spark, sf_dir).collect()
+    assert rows, "no daily revenue rows"
+    by_day = {r["day"]: r for r in rows}
+    first = rows[0]
+    assert first["ewma_cents"] == first["day_cents"]
+    assert all(r["weight_mass"] <= (1 << 14) - 1 for r in rows)
+    full = sorted(rows, key=lambda r: -r["weight_mass"])[:50]
+    import datetime as dt
+
+    for r in full:
+        d0 = dt.date.fromisoformat(r["day"])
+        window = [
+            by_day[(d0 - dt.timedelta(days=k)).isoformat()]["day_cents"]
+            for k in range(14)
+            if (d0 - dt.timedelta(days=k)).isoformat() in by_day
+        ]
+        assert min(window) - 1 <= r["ewma_cents"] <= max(window)
