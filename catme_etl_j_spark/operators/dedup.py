@@ -980,8 +980,141 @@ ORDER BY signal
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing MinHash index.
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT_MOD = 10
+INCR_BATCH_MIN = 8  # doc_id % 10 >= 8 -> the incoming 20% batch
+INCR_EQ_THRESHOLD = 23  # eq >= 23 of 32 perms ~ est_jaccard >= 0.71875
+
+
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: classify an incoming batch against
+    an ALREADY-INDEXED corpus without ever re-pairing the corpus.
+
+    ``doc_id % 10 < 8`` plays the indexed corpus (its band table is
+    what a real pipeline would persist); ``>= 8`` is the new batch.
+    The batch's band hashes equi-join the index's band table, matched
+    signatures are scored by permutation agreement, and each incoming
+    doc gets its candidate count, its best index match (highest eq,
+    then smallest doc_id — deterministic), and an is_dup verdict at
+    the eq>=23 (~0.72 estimated Jaccard) threshold.
+
+    Scale: this is the shape that keeps a 100 TB corpus dedupable
+    day over day — cost is |batch| x BANDS probe rows joined against
+    a bucketed index, independent of corpus size; batch-internal
+    duplicates are a separate (tiny) pass, deliberately out of scope
+    here. The full-corpus LSH (dedup_minhash_lsh) is the one-time
+    backfill; this is the steady state.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mh = _minhash_df(spark, sf_dir).cache()
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("band_idx"), _band_col(j).alias("bh")
+                    )
+                    for j in range(BANDS)
+                ])
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.bh")
+
+    index = mh.filter(F.expr(f"doc_id % {INCR_SPLIT_MOD} < {INCR_BATCH_MIN}"))
+    batch = mh.filter(F.expr(f"doc_id % {INCR_SPLIT_MOD} >= {INCR_BATCH_MIN}"))
+    cand = (
+        bands_of(batch)
+        .alias("nb")
+        .join(bands_of(index).alias("ib"), ["band_idx", "bh"])
+        .select(
+            F.col("nb.doc_id").alias("doc_id"), F.col("ib.doc_id").alias("idx_id")
+        )
+        .distinct()
+    )
+    x, y = mh.alias("x"), mh.alias("y")
+    eq = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    est = (
+        cand.alias("c")
+        .join(x, F.col("c.doc_id") == F.col("x.doc_id"))
+        .join(y, F.col("c.idx_id") == F.col("y.doc_id"))
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.idx_id").alias("idx_id"),
+            eq.cast("long").alias("eq"),
+        )
+    )
+    best = est.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_index_candidates"),
+        F.max(F.struct(F.col("eq"), (-F.col("idx_id")).alias("nid"))).alias("b"),
+    )
+    best2 = best.select(
+        "doc_id",
+        "n_index_candidates",
+        (-F.col("b.nid")).cast("long").alias("best_match_id"),
+        F.col("b.eq").cast("long").alias("best_eq"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(best2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(COALESCE(n_index_candidates, 0) AS BIGINT)").alias(
+                "n_index_candidates"
+            ),
+            "best_match_id",
+            "best_eq",
+            F.expr(f"COALESCE(best_eq >= {INCR_EQ_THRESHOLD}, false)").alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql() -> str:
+    eq = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    return f"""
+WITH {_minhash_cte_part()},
+ib AS (SELECT * FROM bands WHERE doc_id % {INCR_SPLIT_MOD} < {INCR_BATCH_MIN}),
+nb AS (SELECT * FROM bands WHERE doc_id % {INCR_SPLIT_MOD} >= {INCR_BATCH_MIN}),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS doc_id, ib.doc_id AS idx_id
+  FROM nb JOIN ib ON nb.band_idx = ib.band_idx AND nb.bh = ib.bh),
+est AS (
+  SELECT c.doc_id, c.idx_id, CAST(({eq}) AS BIGINT) AS eq
+  FROM cand c JOIN mh x ON c.doc_id = x.doc_id JOIN mh y ON c.idx_id = y.doc_id),
+ranked AS (
+  SELECT doc_id, idx_id, eq,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_index_candidates,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY eq DESC, idx_id ASC) AS rn
+  FROM est),
+best AS (
+  SELECT doc_id, CAST(n_index_candidates AS BIGINT) AS n_index_candidates,
+         idx_id AS best_match_id, eq AS best_eq
+  FROM ranked WHERE rn = 1),
+batchdocs AS (
+  SELECT DISTINCT doc_id FROM mh WHERE doc_id % {INCR_SPLIT_MOD} >= {INCR_BATCH_MIN})
+SELECT b.doc_id,
+       CAST(COALESCE(n_index_candidates, 0) AS BIGINT) AS n_index_candidates,
+       best_match_id, best_eq,
+       COALESCE(best_eq >= {INCR_EQ_THRESHOLD}, false) AS is_dup
+FROM batchdocs b LEFT JOIN best USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_incremental_index": dedup_incremental_index,
     "dedup_report": dedup_report,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -998,6 +1131,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_cluster_sizes": _cluster_sizes_sql(),
+    "dedup_incremental_index": _incremental_sql(),
     "dedup_report": _report_sql(),
     "dedup_exact": _EXACT_SQL,
     "dedup_exact_normalized": _EXACT_NORM_SQL,

@@ -858,3 +858,32 @@ def test_attribution_touch_conserves_and_partitions(spark, sf_dir):
     assert sum(r["n_last"] for r in rows) == exact["n"]
     allowed = {"click", "purchase", "error", "signup", "view", "direct"}
     assert {r["channel"] for r in rows} <= allowed
+
+
+def test_incremental_index_batch_only_and_thresholds(spark, sf_dir):
+    """Output covers EXACTLY the incoming batch (doc_id % 10 >= 8);
+    candidates imply a matching band, dups imply eq >= threshold, and
+    no-candidate docs are novel with nulled match columns."""
+    from catme_etl_j_spark.operators.dedup import (
+        INCR_BATCH_MIN,
+        INCR_EQ_THRESHOLD,
+        INCR_SPLIT_MOD,
+        dedup_incremental_index,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = dedup_incremental_index(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    batch_ids = {
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] % INCR_SPLIT_MOD >= INCR_BATCH_MIN
+    }
+    assert {r["doc_id"] for r in rows} == batch_ids
+    for r in rows:
+        if r["n_index_candidates"] == 0:
+            assert r["best_match_id"] is None and r["best_eq"] is None
+            assert r["is_dup"] is False
+        else:
+            assert r["best_match_id"] % INCR_SPLIT_MOD < INCR_BATCH_MIN
+            assert r["is_dup"] == (r["best_eq"] >= INCR_EQ_THRESHOLD)
