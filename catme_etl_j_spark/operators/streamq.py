@@ -609,8 +609,63 @@ FROM ranked WHERE rn = 1
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    (batch) customer dimension per micro-batch, then aggregated by
+    the dim's attribute — the canonical lookup-join every streaming
+    pipeline starts with.
+
+    In Structured Streaming a static side is re-planned per
+    micro-batch and needs NO watermark or state store; Spark
+    broadcasts the small dim under the hash-join threshold, so the
+    stream side never shuffles for the join. Complete-mode snapshot
+    over the drained finite input == the batch join, so the DuckDB
+    twin is the plain SQL join — the streaming engine itself sits on
+    the hash gate.
+    """
+    from catme_etl_j_spark.sources.tables import load_table
+    from catme_etl_j_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            money2(F.sum(dec2("value"))).alias("sum_value"),
+        )
+    )
+    name = f"streamq_enrich_{next(_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "c_mktsegment", "event_type", "n", "sum_value"
+    )
+
+
+_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_static_enrich": stream_static_enrich,
     "stream_late_data_policy": stream_late_data_policy,
     "stream_dedup_totals": stream_dedup_totals,
     "stream_sliding_window": stream_sliding_window,
@@ -622,6 +677,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_late_data_policy": _STREAM_LATE_SQL,
+    "stream_static_enrich": _STATIC_ENRICH_SQL,
     "stream_stream_join": _SSJOIN_SQL,
     "stream_dedup_totals": _STREAM_DEDUP_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,
