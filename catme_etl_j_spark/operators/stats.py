@@ -661,8 +661,101 @@ ORDER BY digit
 """
 
 
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic comparing the
+    ``value`` distribution of 'purchase' vs 'view' events — the
+    nonparametric companion to stats_welch_ttest on the same cohorts
+    (Welch compares means; KS sees any distributional difference).
+
+    D = max_x |F1(x) - F2(x)| is computed entirely in integers:
+    per distinct cent value the two groups' counts, one ordered
+    cumulative pass, then D's numerator max|n2*cum1 - n1*cum2| —
+    the single division happens once on the final row. The 5%%
+    rejection compares against the asymptotic critical value
+    1.358*sqrt((n1+n2)/(n1*n2)); both engines evaluate the identical
+    literal double expression (sqrt is IEEE-correctly-rounded,
+    unlike ln).
+
+    Scale: the fact stream collapses to |distinct values| aggregated
+    rows BEFORE the one global-ordered cumulative window (the same
+    posture as the histogram/quantile paths); n1*n2 stays in int64 up
+    to ~3e9 rows per cohort — beyond that, bin values first (the
+    sketch_histogram_quantiles grid) and accept binned-KS semantics.
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _lt(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("g"),
+        _fx("value", 100.0).alias("c"),
+    )
+    per = pts.groupBy("c").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    tot = pts.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias("d_num"))
+    )
+    ks = "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    crit = "1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    return d.select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("long").alias("d_num"),
+        rdet(F.expr(ks), 6).alias("ks_d"),
+        F.expr(f"({ks}) > ({crit})").alias("reject_at_5pct"),
+    )
+
+
+def _ks_sql() -> str:
+    c = _fx_sql("value", 100.0)
+    ks = "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    crit = "1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    return f"""
+WITH pts AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g, {c} AS c
+  FROM events WHERE event_type IN ('purchase', 'view')),
+per AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM pts GROUP BY c),
+cum AS (
+  SELECT CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER w AS BIGINT) AS cum2
+  FROM per
+  WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM pts),
+d AS (
+  SELECT n1, n2, CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+  FROM cum, tot GROUP BY n1, n2)
+SELECT n1, n2, d_num,
+       floor(({ks}) * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+       ({ks}) > ({crit}) AS reject_at_5pct
+FROM d
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_ks_test": stats_ks_test,
     "stats_benford_first_digit": stats_benford_first_digit,
     "stats_gini_doc_length": stats_gini_doc_length,
     "stats_welch_ttest": stats_welch_ttest,
@@ -674,6 +767,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
+    "stats_ks_test": _ks_sql(),
     "stats_benford_first_digit": _benford_sql(),
     "stats_gini_doc_length": _GINI_SQL,
     "stats_welch_ttest": _welch_sql(),

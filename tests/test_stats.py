@@ -268,3 +268,35 @@ def test_ewma_scatter_weighting(spark, sf_dir):
             if (d0 - dt.timedelta(days=k)).isoformat() in by_day
         ]
         assert min(window) - 1 <= r["ewma_cents"] <= max(window)
+
+
+def test_ks_test_against_scipy_definition(spark, sf_dir):
+    """Cross-check D against a direct numpy ECDF computation on the
+    collected cents (small at test scale)."""
+    from catme_etl_j_spark.operators.stats import stats_ks_test
+    from catme_etl_j_spark.sources.tables import load_table
+
+    row = stats_ks_test(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type IN ('purchase', 'view')"
+    )
+    import math
+
+    pdf = ev.selectExpr(
+        "event_type", "CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c"
+    ).toPandas()
+    a = sorted(pdf[pdf.event_type == "purchase"].c)
+    b = sorted(pdf[pdf.event_type == "view"].c)
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    import bisect
+
+    grid = sorted(set(a) | set(b))
+    d_num = max(
+        abs(bisect.bisect_right(a, x) * n2 - bisect.bisect_right(b, x) * n1)
+        for x in grid
+    )
+    assert row["d_num"] == d_num
+    assert abs(row["ks_d"] - d_num / (n1 * n2)) < 1e-6
+    crit = 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    assert row["reject_at_5pct"] == (d_num / (n1 * n2) > crit)
