@@ -212,8 +212,145 @@ FROM documents
 """
 
 
+AHASH_NEAR_HAMMING = 3  # pigeonhole-complete for 4 x 16-bit blocks
+
+
+def multimodal_ahash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) image dedup over the binary
+    payloads: the media-space sibling of dedup_simhash_pairs.
+
+    Signature (computed in an Arrow-batched ``mapInPandas`` — the
+    real-decoder slot): the payload is block-averaged into an 8x8
+    "pixel" grid (block b = integer mean of bytes at positions p with
+    (p-1)*64 // n == b), each pixel compares against the grid's mean
+    (64*pixel > sum(pixels) — no division), and the 64 bits pack into
+    two int32-range halves (hi/lo) to stay sign-safe. Payloads under
+    64 bytes have empty blocks and are excluded (documented).
+
+    Candidate generation is banded on the signature's 4 x 16-bit
+    blocks (pigeonhole: any pair at hamming <= 3 shares a block), and
+    each candidate carries its exact hamming distance + an ``is_near``
+    verdict. On this corpus the near-dups are word-level rewrites that
+    shift byte statistics, so is_near is false at every SF — the
+    banded-candidate+score report IS the operator's output, as in any
+    real LSH stage.
+
+    Oracle: the fixture payloads are pure ASCII, so the identical
+    pixel arithmetic runs in SQL (ascii(substr)) — the Arrow plumbing
+    sits on the hash gate end to end.
+
+    Scale: signature extraction is map-only over Arrow batches; the
+    band self-join buckets into 4 x 65,536 keys; hamming is evaluated
+    only on candidates. Linear, like the SimHash path.
+    """
+    import numpy as np
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir).filter(F.length("payload") >= 64)
+
+    schema = "doc_id long, hash_hi long, hash_lo long"
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                idx = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.bincount(idx, weights=b, minlength=64).astype(np.int64)
+                cnts = np.bincount(idx, minlength=64)
+                px = sums // cnts
+                tot = int(px.sum())
+                bits = (64 * px) > tot
+                lo = sum(int(bits[i]) << i for i in range(32))
+                hi = sum(int(bits[i + 32]) << i for i in range(32))
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_hi", "hash_lo"])
+
+    sigs = p.select("doc_id", "payload").mapInPandas(sig, schema=schema)
+    blocks = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr("struct(0 AS bi, hash_lo & 65535 AS bv)"),
+                F.expr("struct(1 AS bi, shiftright(hash_lo, 16) & 65535 AS bv)"),
+                F.expr("struct(2 AS bi, hash_hi & 65535 AS bv)"),
+                F.expr("struct(3 AS bi, shiftright(hash_hi, 16) & 65535 AS bv)"),
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.bi", "blk.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    return (
+        cand.alias("c")
+        .join(x, F.col("c.doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("c.doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(bit_count(x.hash_hi ^ y.hash_hi)"
+                " + bit_count(x.hash_lo ^ y.hash_lo) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .withColumn("is_near", F.col("hamming") <= AHASH_NEAR_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_AHASH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 64),
+pos AS (
+  SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM docs),
+px AS (
+  SELECT doc_id, ((p - 1) * 64) // n AS b,
+         CAST(SUM(ascii(substr(text, CAST(p AS INTEGER), 1))) AS BIGINT)
+           // COUNT(*) AS pixel
+  FROM pos JOIN docs USING (doc_id, n)
+  GROUP BY doc_id, ((p - 1) * 64) // n),
+tot AS (SELECT doc_id, CAST(SUM(pixel) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id, p.b, CASE WHEN 64 * p.pixel > t.tot THEN 1 ELSE 0 END AS bit
+  FROM px p JOIN tot t USING (doc_id)),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN b >= 32 THEN bit::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN b < 32 THEN bit::BIGINT << b ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, 0 AS bi, lo & 65535 AS bv FROM sig UNION ALL
+  SELECT doc_id, 1, (lo >> 16) & 65535 FROM sig UNION ALL
+  SELECT doc_id, 2, hi & 65535 FROM sig UNION ALL
+  SELECT doc_id, 3, (hi >> 16) & 65535 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT)
+         AS hamming,
+       CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT)
+         <= {AHASH_NEAR_HAMMING} AS is_near
+FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_ahash_candidates": multimodal_ahash_candidates,
     "multimodal_fake_features": multimodal_fake_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -237,6 +374,7 @@ FROM b
 
 ORACLES = {
     "multimodal_meta": _META_SQL,
+    "multimodal_ahash_candidates": _AHASH_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_fake_features": _FAKE_FEATURES_SQL,
     "multimodal_resize_hex": _RESIZE_HEX_SQL,

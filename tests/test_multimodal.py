@@ -53,3 +53,52 @@ def test_fake_features_match_python(spark, sf_dir):
     for doc_id, text in docs:
         b = text.encode("utf-8")
         assert got[doc_id] == (len(b), sum(b), min(b), max(b)), doc_id
+
+
+def test_ahash_pigeonhole_and_python_recompute(spark, sf_dir):
+    """Any near pair must share a 16-bit block (pigeonhole identity is
+    what makes the banding complete at hamming<=3), and the signature
+    math must match a direct Python recomputation for sampled docs."""
+    from catme_etl_j_spark.operators.multimodal import (
+        AHASH_NEAR_HAMMING,
+        multimodal_ahash_candidates,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = multimodal_ahash_candidates(spark, sf_dir).collect()
+    assert rows  # banded candidates exist at every SF
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 64 for r in rows)
+    assert all(r["is_near"] == (r["hamming"] <= AHASH_NEAR_HAMMING) for r in rows)
+
+    def py_sig(payload: bytes):
+        n = len(payload)
+        if n < 64:
+            return None
+        sums, cnts = [0] * 64, [0] * 64
+        for i, byte in enumerate(payload):
+            b = (i * 64) // n
+            sums[b] += byte
+            cnts[b] += 1
+        px = [s // c for s, c in zip(sums, cnts)]
+        tot = sum(px)
+        bits = [1 if 64 * v > tot else 0 for v in px]
+        lo = sum(bits[i] << i for i in range(32))
+        hi = sum(bits[i + 32] << i for i in range(32))
+        return hi, lo
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:10]:
+        ha, la = py_sig(texts[r["doc_a"]].encode("utf-8"))
+        hb, lb = py_sig(texts[r["doc_b"]].encode("utf-8"))
+        assert r["hamming"] == bin((ha ^ hb)).count("1") + bin((la ^ lb)).count("1")
+        # pigeonhole: the banded join only emits block-sharing pairs
+        shares = any(
+            ((v1 >> s) & 65535) == ((v2 >> s) & 65535)
+            for v1, v2 in ((la, lb), (ha, hb))
+            for s in (0, 16)
+        )
+        assert shares
