@@ -510,8 +510,83 @@ ORDER BY custkey
 """
 
 
+def etl_scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated fact join — the query an SCD2 dimension is FOR:
+    every lineitem joins its customer's priority version active at the
+    item's SHIP date (valid_from <= ship_day < valid_to), then revenue
+    rolls up by that historical attribute and whether the matched
+    version is still current. Ship dates trail order dates, so a
+    customer's later lineitems genuinely land in later versions.
+
+    Plan shape: the fact resolves custkey via the orderkey equi-join,
+    then joins the interval table on custkey EQUALITY with the
+    interval predicate as a residual filter over that customer's few
+    versions — the scalable SCD2 lookup (co-partitioned equi-join; no
+    range-join explosion). Every lineitem matches exactly one interval
+    (its ship date is >= its order date >= the customer's first
+    valid_from), so the join is inner by construction.
+
+    ISO date strings compare lexicographically, identically on both
+    engines; revenue stays DECIMAL end to end.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hist = etl_scd2_intervals(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("fk"),
+        F.date_format("l_shipdate", _D_FMT).alias("ship_day"),
+        dec2("l_extendedprice").alias("rev"),
+    )
+    joined = fact.join(
+        hist,
+        (F.col("fk") == F.col("custkey"))
+        & (F.col("valid_from") <= F.col("ship_day"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("ship_day"))),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("priority", F.lit("PRE-HISTORY")).alias("priority"),
+            F.coalesce("is_current", F.lit(-1)).alias("is_current"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("fk").alias("n_customers"),
+            money2(F.sum("rev")).alias("revenue"),
+        )
+        .orderBy("priority", "is_current")
+    )
+
+
+def _scd2_fact_join_sql() -> str:
+    return f"""
+WITH hist AS ({_SCD2_SQL}),
+fact AS (
+  SELECT o.o_custkey AS fk,
+         strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT COALESCE(h.priority, 'PRE-HISTORY') AS priority,
+       COALESCE(h.is_current, -1) AS is_current,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT f.fk) AS n_customers,
+       CAST(round(SUM(f.rev), 2) AS DOUBLE) AS revenue
+FROM fact f LEFT JOIN hist h
+  ON f.fk = h.custkey
+ AND h.valid_from <= f.ship_day
+ AND (h.valid_to IS NULL OR h.valid_to > f.ship_day)
+GROUP BY COALESCE(h.priority, 'PRE-HISTORY'), COALESCE(h.is_current, -1)
+ORDER BY priority, is_current
+"""
+
+
 QUERIES = {
     "etl_scd2_asof_snapshot": etl_scd2_asof_snapshot,
+    "etl_scd2_fact_join": etl_scd2_fact_join,
     "etl_dq_profile": etl_dq_profile,
     "etl_snapshot_diff": etl_snapshot_diff,
     "etl_referential_check": etl_referential_check,
@@ -522,6 +597,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_scd2_asof_snapshot": _scd2_asof_sql(),
+    "etl_scd2_fact_join": _scd2_fact_join_sql(),
     "etl_dq_profile": _dq_sql(),
     "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "etl_referential_check": _ref_sql(),

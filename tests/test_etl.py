@@ -50,3 +50,23 @@ def test_merge_upsert_ops(spark, sf_dir):
     assert len(rows) == n_cust + 5
     inserted = [r for r in rows if r["op"] == "insert"]
     assert all(r["custkey"] > 1000000 and r["name"].startswith("NEW-") for r in inserted)
+
+
+def test_scd2_fact_join_covers_every_lineitem(spark, sf_dir):
+    """Every lineitem lands in exactly one bucket (a validity interval
+    or PRE-HISTORY), so n_items must total |lineitem| and revenue must
+    total the exact sum of extendedprice."""
+    from catme_etl_j_spark.operators.etl import etl_scd2_fact_join
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = etl_scd2_fact_join(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev",
+    ).first()
+    assert sum(r["n_items"] for r in rows) == exact["n"]
+    assert abs(sum(r["revenue"] for r in rows) - exact["rev"]) < 0.02
+    assert all(r["is_current"] in (-1, 0, 1) for r in rows)
+    pre = [r for r in rows if r["priority"] == "PRE-HISTORY"]
+    assert all(r["is_current"] == -1 for r in pre)
