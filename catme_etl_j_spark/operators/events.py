@@ -1678,8 +1678,140 @@ ORDER BY channel
 """
 
 
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase, WITH
+    right-censoring — the estimator behind every retention/conversion
+    'survival' plot. Users who never purchase are censored at their
+    last observed event (they leave the risk set without converting),
+    which a naive conversion-latency average silently ignores.
+
+    Determinism recipe: durations are integer DAYS via int64
+    microsecond arithmetic (unix_micros DIV 86400000000); the risk set
+    n_t = N - |T_i < t| comes from one cumulative pass over the
+    per-day aggregate; each factor ln((n-d)/n) is fixed-pointed to
+    1e-6 BEFORE the cumulative sum (the bigram-LM convention — one ln
+    per distinct event day, never a cross-row float accumulation), so
+    log-survival is an exact int64 prefix sum and survival itself is
+    one exp() of an identical double on both engines. A day where the
+    whole remaining risk set converts (d = n) has survival exactly 0
+    and a NULL log term (ln(0) guarded identically on both sides).
+
+    Scale: everything after the per-user groupBy runs on the
+    |distinct days| aggregate — the event stream shuffles once.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("birth_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.expr("unix_micros(ts)"))
+        ).alias("purch_us"),
+        F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+    )
+    dur = per_user.select(
+        F.expr(
+            "CASE WHEN purch_us IS NOT NULL"
+            " THEN (purch_us - birth_us) DIV 86400000000"
+            " ELSE (last_us - birth_us) DIV 86400000000 END"
+        ).alias("t"),
+        F.expr("CAST(purch_us IS NOT NULL AS INT)").alias("ev"),
+    )
+    per_day = dur.groupBy("t").agg(
+        F.count("*").alias("c_all"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    n_total = dur.count()
+    wt = W.orderBy("t")
+    at_risk = per_day.withColumn(
+        "n_at_risk",
+        F.lit(n_total)
+        - F.coalesce(
+            F.sum("c_all").over(wt.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).filter(F.col("d") > 0)
+    term = at_risk.withColumn(
+        "li",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )
+    cum = term.withColumn(
+        "ls", F.sum("li").over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return cum.select(
+        F.col("t").cast("long").alias("t_day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("d") < F.col("n_at_risk"), F.col("ls").cast("long")).alias(
+            "log_surv_e6"
+        ),
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            rdet(F.exp(F.col("ls").cast("double") / F.lit(1e6)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("survival"),
+    ).orderBy("t_day")
+
+
+_KM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS birth_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purch_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id),
+dur AS (
+  SELECT CASE WHEN purch_us IS NOT NULL
+              THEN (purch_us - birth_us) // 86400000000
+              ELSE (last_us - birth_us) // 86400000000 END AS t,
+         CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user),
+per_day AS (
+  SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS d
+  FROM dur GROUP BY t),
+at_risk AS (
+  SELECT t, d,
+         (SELECT COUNT(*) FROM dur)
+           - COALESCE(SUM(c_all) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_day),
+evdays AS (SELECT * FROM at_risk WHERE d > 0),
+term AS (
+  SELECT t, d, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) END AS li
+  FROM evdays),
+cum AS (
+  SELECT t, d, n_at_risk, li,
+         SUM(li) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+  FROM term)
+SELECT CAST(t AS BIGINT) AS t_day,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       d AS n_events,
+       CASE WHEN d < n_at_risk THEN CAST(ls AS BIGINT) END AS log_surv_e6,
+       CASE WHEN d < n_at_risk
+            THEN floor(exp(CAST(ls AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+                   / 1000000.0
+            ELSE 0.0 END AS survival
+FROM cum ORDER BY t_day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_survival_km": events_survival_km,
     "events_windowed_funnel": events_windowed_funnel,
     "events_transition_matrix": events_transition_matrix,
     "events_resample_locf": events_resample_locf,
@@ -1734,4 +1866,5 @@ ORACLES = {
     "events_new_vs_returning": _NEW_RETURNING_SQL,
     "events_time_to_purchase": _time_to_purchase_sql(),
     "events_attribution_touch": _ATTR_TOUCH_SQL,
+    "events_survival_km": _KM_SQL,
 }

@@ -300,3 +300,62 @@ def test_ks_test_against_scipy_definition(spark, sf_dir):
     assert abs(row["ks_d"] - d_num / (n1 * n2)) < 1e-6
     crit = 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
     assert row["reject_at_5pct"] == (d_num / (n1 * n2) > crit)
+
+
+def test_km_survival_monotone_and_lifelines_free_check(spark, sf_dir):
+    """KM invariants: survival is non-increasing from <=1; n_at_risk is
+    non-increasing; and the curve equals a direct Python KM recompute
+    from the raw events."""
+    from catme_etl_j_spark.operators.events import events_survival_km
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_survival_km(spark, sf_dir).collect()
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_type"
+    ).collect()
+    import collections
+    import math
+
+    birth, purch, last = {}, {}, {}
+    for r in ev:
+        u = r["user_id"]
+        birth[u] = min(birth.get(u, r["us"]), r["us"])
+        last[u] = max(last.get(u, r["us"]), r["us"])
+        if r["event_type"] == "purchase":
+            purch[u] = min(purch.get(u, r["us"]), r["us"])
+    durs = []
+    for u in birth:
+        if u in purch:
+            durs.append(((purch[u] - birth[u]) // 86400000000, 1))
+        else:
+            durs.append(((last[u] - birth[u]) // 86400000000, 0))
+    n = len(durs)
+    per_day = collections.Counter(t for t, _ in durs)
+    deaths = collections.Counter(t for t, e in durs if e == 1)
+    s = 1.0
+    expect = []
+    done = 0
+    for t in sorted(per_day):
+        at_risk = n - done
+        done += per_day[t]
+        d = deaths.get(t, 0)
+        if d == 0:
+            continue
+        if d < at_risk:
+            s *= (at_risk - d) / at_risk
+            expect.append((t, at_risk, d, False))
+        else:
+            expect.append((t, at_risk, d, True))
+    assert [(r["t_day"], r["n_at_risk"], r["n_events"]) for r in rows] == [
+        (t, a, d) for t, a, d, _ in expect
+    ]
+    for r, (t, a, d, zero) in zip(rows, expect):
+        if zero:
+            assert r["survival"] == 0.0
