@@ -292,8 +292,118 @@ ORDER BY c_mktsegment
 """
 
 
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+
+
+def _z_expr(pk: str, sk: str, dialect: str = "spark") -> str:
+    """Bit-interleaved Z-value of two 16-bit keys (pk gets odd bits)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({pk}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({sk}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({pk} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({sk} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def scale_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering proof: lineitem bucketed 64
+    ways by interleaved (l_partkey, l_suppkey) bits versus the naive
+    row order, with each bucket's bounding box in BOTH dimensions —
+    the min/max file statistics a scan would prune on.
+
+    This is the layout technique behind multi-dimensional data
+    skipping (Delta/Iceberg OPTIMIZE ZORDER): a file sorted by one key
+    prunes only that key's predicates; Z-ordered files keep both
+    spans small simultaneously, so predicates on EITHER column skip
+    most buckets. The z-value is pure integer bit arithmetic
+    (identical on both engines); keys wrap at 2^16 (documented — at
+    larger domains widen the interleave). NTILE ties are broken by the
+    unique (l_orderkey, l_linenumber) so bucket boundaries are
+    deterministic. (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic data, so pk/sk join the tie-break; rows still tied are
+    bytewise-identical in every output-relevant column, so boundary
+    assignment among them cannot change any bucket stat. At 100 TB
+    the ntile stands in for repartitionByRange(z) + per-file min/max
+    stats.
+
+    Output: per (strategy, bucket): row count and the two key spans;
+    the z-order strategy's spans are a fraction of the row-order ones
+    (asserted in tests/test_scale.py).
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"l_partkey % {1 << ZORDER_BITS}").alias("pk"),
+        F.expr(f"l_suppkey % {1 << ZORDER_BITS}").alias("sk"),
+    )
+    zed = li.withColumn("z", F.expr(_z_expr("pk", "sk")))
+    wz = W.orderBy("z", "l_orderkey", "l_linenumber", "pk", "sk")
+    wr = W.orderBy("l_orderkey", "l_linenumber", "pk", "sk")
+    both = zed.select(
+        "pk",
+        "sk",
+        F.ntile(ZORDER_BUCKETS).over(wz).alias("zb"),
+        F.ntile(ZORDER_BUCKETS).over(wr).alias("rb"),
+    )
+    zstats = both.groupBy(F.col("zb").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        (F.max("pk") - F.min("pk")).cast("long").alias("pk_span"),
+        (F.max("sk") - F.min("sk")).cast("long").alias("sk_span"),
+    )
+    rstats = both.groupBy(F.col("rb").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        (F.max("pk") - F.min("pk")).cast("long").alias("pk_span"),
+        (F.max("sk") - F.min("sk")).cast("long").alias("sk_span"),
+    )
+    return (
+        zstats.withColumn("strategy", F.lit("zorder"))
+        .unionByName(rstats.withColumn("strategy", F.lit("roworder")))
+        .select("strategy", F.col("bucket").cast("long").alias("bucket"),
+                "n_rows", "pk_span", "sk_span")
+        .orderBy("strategy", "bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    z = _z_expr("pk", "sk", dialect="duck")
+    return f"""
+WITH keys AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % {1 << ZORDER_BITS} AS pk,
+         l_suppkey % {1 << ZORDER_BITS} AS sk
+  FROM lineitem),
+zed AS (SELECT *, {z} AS z FROM keys),
+both_b AS (
+  SELECT pk, sk,
+         NTILE({ZORDER_BUCKETS}) OVER (ORDER BY z, l_orderkey, l_linenumber, pk, sk) AS zb,
+         NTILE({ZORDER_BUCKETS}) OVER (ORDER BY l_orderkey, l_linenumber, pk, sk) AS rb
+  FROM zed),
+zstats AS (
+  SELECT 'zorder' AS strategy, zb AS bucket, COUNT(*) AS n_rows,
+         CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span,
+         CAST(MAX(sk) - MIN(sk) AS BIGINT) AS sk_span
+  FROM both_b GROUP BY zb),
+rstats AS (
+  SELECT 'roworder' AS strategy, rb AS bucket, COUNT(*) AS n_rows,
+         CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span,
+         CAST(MAX(sk) - MIN(sk) AS BIGINT) AS sk_span
+  FROM both_b GROUP BY rb)
+SELECT strategy, CAST(bucket AS BIGINT) AS bucket, n_rows, pk_span, sk_span
+FROM (SELECT * FROM zstats UNION ALL SELECT * FROM rstats) u
+ORDER BY strategy, bucket
+"""
+
+
 QUERIES = {
     "scale_salted_group_sum": scale_salted_group_sum,
+    "scale_zorder_locality": scale_zorder_locality,
     "scale_bitmap_distinct": scale_bitmap_distinct,
     "scale_bucketed_join": scale_bucketed_join,
     "scale_partitioned_prune": scale_partitioned_prune,
@@ -302,6 +412,7 @@ QUERIES = {
 
 ORACLES = {
     "scale_salted_group_sum": _SALTED_SQL,
+    "scale_zorder_locality": _zorder_sql(),
     "scale_bitmap_distinct": _BITMAP_SQL,
     "scale_bucketed_join": _BUCKETED_SQL,
     "scale_partitioned_prune": _PARTITIONED_SQL,

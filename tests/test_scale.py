@@ -134,3 +134,27 @@ def test_bitmap_distinct_equals_exact(spark, sf_dir):
         assert r["n_nations"] == r["n_distinct"]  # popcount == exact
         assert 0 < r["n_nations"] <= 25
         assert r["nation_bitmap"] < (1 << 25)
+
+
+def test_zorder_buckets_shrink_both_spans(spark, sf_dir):
+    """The point of Z-ordering: the average bucket bounding box must be
+    dramatically smaller than row-order buckets (which span ~ the
+    full key domain); the bounding-box area — what multi-dimensional
+    data skipping prunes on — must shrink by an order of magnitude."""
+    from catme_etl_j_spark.operators.scale import scale_zorder_locality
+
+    rows = scale_zorder_locality(spark, sf_dir).collect()
+    z = [r for r in rows if r["strategy"] == "zorder"]
+    r_ = [r for r in rows if r["strategy"] == "roworder"]
+    assert len(z) == len(r_) == 64
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    z_pk, r_pk = avg([x["pk_span"] for x in z]), avg([x["pk_span"] for x in r_])
+    z_sk, r_sk = avg([x["sk_span"] for x in z]), avg([x["sk_span"] for x in r_])
+    # pk has a wide domain: z-order shrinks it dramatically; sk's domain
+    # is only ~10 values at small SF, so require improvement, not ratio
+    assert z_pk < r_pk / 4, (z_pk, r_pk)
+    assert z_sk < r_sk, (z_sk, r_sk)
+    # the pruning metric is the bounding-box AREA: both dims at once
+    z_area = avg([x["pk_span"] * x["sk_span"] for x in z])
+    r_area = avg([x["pk_span"] * x["sk_span"] for x in r_])
+    assert z_area < r_area / 8, (z_area, r_area)
