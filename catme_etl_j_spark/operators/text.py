@@ -943,8 +943,125 @@ ORDER BY doc_id
 """
 
 
+RAKE_STOPWORDS = ("the", "a")
+RAKE_TOP_K = 20
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; each word scores
+    degree/frequency over the phrase corpus (degree = total length of
+    phrases containing it, self included); a phrase scores the sum of
+    its words' scores; output is the corpus-wide top-20 phrases.
+
+    Determinism: word scores are fixed-point ``(deg * 1e6) DIV freq``
+    so phrase scores are exact int64 sums (order-independent); the
+    top-k breaks ties by phrase text. Stopword split ids come from a
+    per-document cumulative count over (pos) — the same
+    gaps-and-islands move as sessionization, applied to token streams.
+
+    Scale: one posexplode pass; word stats collapse to |vocab| rows
+    (broadcastable); phrase assembly groups on (doc, phrase_id) —
+    co-partitioned with the explode. Nothing touches |corpus|² .
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("is_stop", F.expr(f"CAST(w IN ({sw}) AS INT)"))
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).filter(F.col("is_stop") == 0)
+    phrases = marked.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w))"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    stats = (
+        marked.join(
+            phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("w", F.expr("(deg * 1000000) DIV freq").alias("wscore_e6"))
+    )
+    scored = (
+        marked.join(F.broadcast(stats), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore_e6").cast("long").alias("score_e6"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            # phrase text determines its words, so score_e6 is constant
+            # across occurrences; MAX just picks that constant
+            F.max("score_e6").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+        .select("phrase", "n_occurrences", "score_e6")
+    )
+
+
+def _rake_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w, i AS pos,
+         CASE WHEN ws[CAST(i AS INTEGER)] IN ({sw}) THEN 1 ELSE 0 END AS is_stop
+  FROM arrs, unnest(generate_series(1, len(ws))) t(i)
+  WHERE ws[CAST(i AS INTEGER)] <> ''),
+cums AS (
+  SELECT doc_id, w, pos, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM toks),
+marked AS (
+  SELECT doc_id, w, pos, phrase_id FROM cums WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM marked GROUP BY doc_id, phrase_id),
+stats AS (
+  SELECT m.w,
+         (CAST(SUM(p.plen) AS BIGINT) * 1000000) // COUNT(*) AS wscore_e6
+  FROM marked m JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY m.w),
+scored AS (
+  SELECT m.doc_id, m.phrase_id,
+         CAST(SUM(s.wscore_e6) AS BIGINT) AS score_e6
+  FROM marked m JOIN stats s ON m.w = s.w
+  GROUP BY m.doc_id, m.phrase_id)
+SELECT p.phrase,
+       COUNT(*) AS n_occurrences,
+       CAST(MAX(sc.score_e6) AS BIGINT) AS score_e6
+FROM scored sc JOIN phrases p USING (doc_id, phrase_id)
+GROUP BY p.phrase
+ORDER BY score_e6 DESC, phrase ASC
+LIMIT {RAKE_TOP_K}
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
+    "text_rake_keywords": text_rake_keywords,
     "text_lexical_diversity": text_lexical_diversity,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_length_histogram": text_length_histogram,
@@ -961,6 +1078,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rake_keywords": _rake_sql(),
     "text_readability": _READABILITY_SQL,
     "text_lexical_diversity": _LEXDIV_SQL,
     "text_bigram_lm_score": _BIGRAM_LM_SQL,

@@ -887,3 +887,41 @@ def test_incremental_index_batch_only_and_thresholds(spark, sf_dir):
         else:
             assert r["best_match_id"] % INCR_SPLIT_MOD < INCR_BATCH_MIN
             assert r["is_dup"] == (r["best_eq"] >= INCR_EQ_THRESHOLD)
+
+
+def test_rake_scores_recompute(spark, sf_dir):
+    """RAKE invariants: descending scores with phrase tie-break, and a
+    direct Python recompute of degree/frequency word scores for the
+    top phrase."""
+    from catme_etl_j_spark.operators.text import RAKE_STOPWORDS, text_rake_keywords
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["score_e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(RAKE_STOPWORDS[0] not in r["phrase"].split() for r in rows)
+
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").collect()]
+    import collections
+
+    freq: collections.Counter = collections.Counter()
+    deg: collections.Counter = collections.Counter()
+    phrase_count: collections.Counter = collections.Counter()
+    for t in texts:
+        words = t.split()
+        phrase: list[str] = []
+        for w in words + [RAKE_STOPWORDS[0]]:
+            if w in RAKE_STOPWORDS:
+                if phrase:
+                    phrase_count[" ".join(phrase)] += 1
+                    for pw in phrase:
+                        freq[pw] += 1
+                        deg[pw] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    top = rows[0]
+    expect = sum((deg[w] * 1000000) // freq[w] for w in top["phrase"].split())
+    assert top["score_e6"] == expect
+    assert top["n_occurrences"] == phrase_count[top["phrase"]]
