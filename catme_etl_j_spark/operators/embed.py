@@ -335,14 +335,120 @@ LIMIT {CENTROID_BOTTOM_K}
 """
 
 
+COV_DIM = 64
+COV_SCALE = 10000.0  # 1e4 fixed-point per component
+
+
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding space — the
+    distributed-linear-algebra primitive PCA / whitening / Mahalanobis
+    start from: one outer-product accumulation pass over the corpus.
+
+    Components quantize to 1e4 fixed-point int64; the upper-triangle
+    product sums accumulate in DECIMAL(38,0) (per-pair products reach
+    ~1e9, so int64 would overflow around 1e10 vectors — the decimal
+    accumulator pushes that past any real corpus). The covariance
+    numerator n*S_ij - S_i*S_j stays exact (< 2^53 here, so its one
+    int->double conversion is lossless) and a single division per
+    cell closes it out.
+
+    Scale shape: posexplode (64 rows/vector), a vec_id-co-partitioned
+    self-join emitting the 2,080 upper-triangle products per vector,
+    and a groupBy that map-side combines to 2,080 cells per task —
+    the shuffle carries |cells|, not |vectors|. The 64-row marginal
+    sums broadcast-join back onto the cells.
+    """
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    cells = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias("s_ij")
+        )
+    )
+    marg = comp.groupBy("i").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    n_row = emb.agg(F.count("*").alias("n"))
+    joined = (
+        cells.join(
+            F.broadcast(marg.select(F.col("i").alias("mi"), F.col("s").alias("s_i"))),
+            F.col("i") == F.col("mi"),
+        )
+        .join(
+            F.broadcast(marg.select(F.col("i").alias("mj"), F.col("s").alias("s_j"))),
+            F.col("j") == F.col("mj"),
+        )
+        .crossJoin(F.broadcast(n_row))
+    )
+    num = F.col("n").cast("decimal(38,0)") * F.col("s_ij") - F.col("s_i") * F.col(
+        "s_j"
+    )
+    denom = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(COV_SCALE)
+        * F.lit(COV_SCALE)
+    )
+    return joined.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("n").cast("long").alias("n_vectors"),
+        rdet(num.cast("double") / denom, 8).alias("cov"),
+    ).orderBy("i", "j")
+
+
+_COV_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * {COV_SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+cells AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s_ij
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i),
+marg AS (SELECT i, SUM(q) AS s FROM comp GROUP BY i),
+nv AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT c.i, c.j, CAST(n AS BIGINT) AS n_vectors,
+       floor(CAST(n * c.s_ij - mi.s * mj.s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {COV_SCALE} * {COV_SCALE})
+             * 100000000.0 + 0.5) / 100000000.0 AS cov
+FROM cells c
+JOIN marg mi ON c.i = mi.i
+JOIN marg mj ON c.j = mj.i
+CROSS JOIN nv
+ORDER BY c.i, c.j
+"""
+
+
 QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
+    "embed_covariance": embed_covariance,
     "embed_group_stats": embed_group_stats,
     "embed_feature_hash": embed_feature_hash,
     "embed_centroid_outliers": embed_centroid_outliers,
 }
 
 ORACLES = {
+    "embed_covariance": _COV_SQL,
     "embed_centroid_outliers": _centroid_sql(),
     "embed_quantize_int8": _QUANT_SQL,
     "embed_group_stats": _GROUP_STATS_SQL,

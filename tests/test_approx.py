@@ -229,3 +229,26 @@ def test_kmv_error_bound_and_merge(spark, sf_dir):
     assert merged["kth_min"] <= min(
         r["kth_min"] for k, r in rows.items() if k != MERGED_KEY
     )
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    """The exact fixed-point covariance must agree with numpy's
+    population covariance of the quantized components to 1e-8, and the
+    diagonal must be non-negative."""
+    import numpy as np
+
+    from catme_etl_j_spark.operators.embed import COV_SCALE, embed_covariance
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = embed_covariance(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    arr = np.stack([np.array(r["embedding"], dtype=np.float64) for r in emb])
+    q = np.floor(arr * COV_SCALE + 0.5)
+    n = len(q)
+    cov = (q.T @ q) / n - np.outer(q.sum(0) / n, q.sum(0) / n)
+    cov /= COV_SCALE * COV_SCALE
+    for r in rows[:300]:
+        assert abs(r["cov"] - cov[r["i"], r["j"]]) < 2e-8, (r, cov[r["i"], r["j"]])
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0.0
