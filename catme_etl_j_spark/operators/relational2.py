@@ -691,6 +691,66 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured event props: the
+    open-schema path (parse_json -> VARIANT -> typed variant_get)
+    that replaces per-field get_json_object string plucking. VARIANT
+    stores a parsed binary form, so repeated typed extractions don't
+    re-parse the JSON text — at 100 TB that is the difference between
+    one parse per row and one per field access.
+
+    Per event_type: count, exact sum/min/max of the typed $.k
+    extraction, and the count of rows where a MISSING path
+    (try_variant_get $.absent) correctly yields NULL instead of
+    erroring — the schema-drift tolerance semi-structured pipelines
+    rely on. The DuckDB twin uses its native JSON extraction; equal
+    results pin the two engines' JSON->typed semantics against each
+    other. SUM casts to BIGINT on both sides (convention #5).
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _lt(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.absent', 'long')"
+        ).alias("missing"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(F.col("missing").isNull().cast("int")).cast("long").alias(
+                "n_missing_path"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(props::JSON ->> '$.k' AS BIGINT) AS k,
+         CAST(props::JSON ->> '$.absent' AS BIGINT) AS missing
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_path
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_nation_profit": q09_nation_profit,
@@ -712,6 +772,7 @@ QUERIES = {
     "fn_array_ops": fn_array_ops,
     "fn_map_ops": fn_map_ops,
     "fn_udtf_top_words": fn_udtf_top_words,
+    "fn_variant_props": fn_variant_props,
 }
 
 ORACLES = {
@@ -735,4 +796,5 @@ ORACLES = {
     "fn_array_ops": _ARRAY_SQL,
     "fn_map_ops": _MAP_SQL,
     "fn_udtf_top_words": _UDTF_TOP_WORDS_SQL,
+    "fn_variant_props": _VARIANT_SQL,
 }
