@@ -406,3 +406,47 @@ def test_cohort_matrix_reuses_user_partitioning(spark, sf_dir):
     ex = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
     assert ex, "expected hash exchanges"
     assert all(("user_id" in ln) or ("cohort_week" in ln) for ln in ex)
+
+
+def test_kmv_prefilter_broadcasts_taus(spark, sf_dir):
+    """The KMV cardinality prefilter must reach the hash stream as a
+    BROADCAST join (20-row tau table) — a shuffled join here would
+    defeat the point of trimming before the bottom-k shuffle."""
+    from catme_etl_j_spark.operators.sketch import sketch_kmv_distinct
+
+    plan = formatted_plan(sketch_kmv_distinct(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_index_joins_bands_not_pairs(spark, sf_dir):
+    """The incremental dedup must probe the index via the banded
+    equi-join (SortMergeJoin/ShuffledHashJoin on band hash) and never
+    build a corpus-wide pair product: no CartesianProduct or
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    from catme_etl_j_spark.operators.dedup import dedup_incremental_index
+
+    plan = formatted_plan(dedup_incremental_index(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_covariance_partial_aggregation(spark, sf_dir):
+    """The outer-product accumulation must map-side combine (partial
+    aggregate on (i, j)) so the shuffle carries ~2080 cells per task,
+    not |vectors| x 2080 products."""
+    from catme_etl_j_spark.operators.embed import embed_covariance
+
+    plan = formatted_plan(embed_covariance(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_fact_join_is_equi_join_on_custkey(spark, sf_dir):
+    """The interval lookup must be an equi-join on custkey with the
+    date predicates as residual filter — not a range-join cross
+    product."""
+    from catme_etl_j_spark.operators.etl import etl_scd2_fact_join
+
+    plan = formatted_plan(etl_scd2_fact_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
