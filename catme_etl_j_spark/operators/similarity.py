@@ -167,6 +167,100 @@ def _topk_sql(extra_where: str = "") -> str:
     return _TOPK_CORE.format(qid=QUERY_VEC_ID, cos=cos, extra_where=extra_where, k=TOP_K)
 
 
+ANN_FILTER_MOD = 2  # metadata predicate: label % 2 == 0
+ANN_OVERFETCH = 3 * TOP_K
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k among vectors passing a
+    metadata predicate (label %% 2 == 0), annotated with whether the
+    cheaper POST-filter strategy (global top-3k overfetch, then
+    filter, then take k) would have found each hit.
+
+    Pre-filter is the recall-complete strategy (predicate pushes into
+    the scan, cosine runs only on survivors); post-filter reuses an
+    unfiltered index but loses any hit ranked below the overfetch
+    horizon — the found_by_postfilter column IS that recall audit,
+    and at 100 TB it is how you size the overfetch factor per
+    predicate selectivity. TakeOrderedAndProject handles both top-k
+    pulls distributed; the rank windows run on the <=3k pooled rows.
+
+    Determinism: ranks order by (rdet-1e6 cosine DESC, vec_id) — the
+    fixed-point cosine convention plus a unique tie-break.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qfx, qnorm, _ = _query_vec(spark, sf_dir)
+    allv = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fx', qfx)} AS DOUBLE)")
+        / (F.col("norm") * F.lit(qnorm)),
+        6,
+    )
+    scored = allv.select("vec_id", "label", cos.alias("cos_sim"))
+    pred = F.col("label") % ANN_FILTER_MOD == 0
+    pre_topk = (
+        scored.filter(pred)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+    pool = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(ANN_OVERFETCH)
+    wg = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    pool_ranked = pool.select(
+        F.col("vec_id").alias("p_id"), F.row_number().over(wg).alias("post_rank")
+    )
+    filt_ranked = (
+        pool.filter(pred)
+        .select(F.col("vec_id").alias("f_id"), F.row_number().over(wg).alias("fr"))
+        .filter(F.col("fr") <= TOP_K)
+    )
+    return (
+        pre_topk.join(pool_ranked, pre_topk["vec_id"] == F.col("p_id"), "left")
+        .join(filt_ranked, pre_topk["vec_id"] == F.col("f_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            "cos_sim",
+            F.col("post_rank").cast("long").alias("post_rank"),
+            F.col("f_id").isNotNull().alias("found_by_postfilter"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
+def _filtered_topk_sql() -> str:
+    cos = rdet_sql(
+        f"CAST({_dot_duck('embedding', 'qe')} AS DOUBLE)"
+        f" / ({_norm_duck('embedding')} * {_norm_duck('qe')})",
+        6,
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, label, {cos} AS cos_sim
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+pre_topk AS (
+  SELECT vec_id, label, cos_sim FROM scored WHERE label % {ANN_FILTER_MOD} = 0
+  ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}),
+pool AS (
+  SELECT vec_id, label, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS post_rank
+  FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT {ANN_OVERFETCH}),
+filt AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS fr
+  FROM pool WHERE label % {ANN_FILTER_MOD} = 0)
+SELECT t.vec_id, t.label, t.cos_sim,
+       CAST(p.post_rank AS BIGINT) AS post_rank,
+       f.vec_id IS NOT NULL AS found_by_postfilter
+FROM pre_topk t
+LEFT JOIN pool p ON t.vec_id = p.vec_id
+LEFT JOIN (SELECT vec_id FROM filt WHERE fr <= {TOP_K}) f ON t.vec_id = f.vec_id
+ORDER BY t.cos_sim DESC, t.vec_id ASC
+"""
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style top-k: scan only the query's coarse cluster (label)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1057,6 +1151,7 @@ ORDER BY rank
 
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
     "ann_pq_topk": ann_pq_topk,
@@ -1070,6 +1165,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_bruteforce": _topk_sql(),
+    "ann_filtered_topk": _filtered_topk_sql(),
     "ann_topk_ivf": _topk_sql(" AND label = qlabel"),
     "ann_topk_ivf_kmeans": _ivf_kmeans_sql(),
     "ann_pq_topk": _pq_sql(),

@@ -252,3 +252,22 @@ def test_covariance_matches_numpy(spark, sf_dir):
         assert abs(r["cov"] - cov[r["i"], r["j"]]) < 2e-8, (r, cov[r["i"], r["j"]])
         if r["i"] == r["j"]:
             assert r["cov"] >= 0.0
+
+
+def test_filtered_topk_recall_audit(spark, sf_dir):
+    """Pre-filter results all satisfy the predicate; any row the
+    post-filter found must carry a pool rank; descending cosine."""
+    from catme_etl_j_spark.operators.similarity import (
+        ANN_FILTER_MOD,
+        TOP_K,
+        ann_filtered_topk,
+    )
+
+    rows = ann_filtered_topk(spark, sf_dir).collect()
+    assert len(rows) == TOP_K
+    assert all(r["label"] % ANN_FILTER_MOD == 0 for r in rows)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        if r["found_by_postfilter"]:
+            assert r["post_rank"] is not None
