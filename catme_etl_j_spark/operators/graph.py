@@ -336,8 +336,103 @@ ORDER BY n.n_nationkey
 """
 
 
+BFS_MAX_DEPTH = 25  # graph has 25 nodes; any BFS terminates by then
+
+
+def graph_bfs_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS — the Pregel archetype, run LIVE as
+    per-round frontier-join DataFrame iterations (complementing
+    PageRank's collect-tiny-state pattern; this is the shape you keep
+    when the graph scales with the data).
+
+    The dense trade graph is first thresholded to its 'backbone'
+    (edges with w * |edges| >= 2 * total_w — an integer-exact
+    data-relative cut), leaving a sparse directed graph where
+    distances genuinely vary and some nations are unreachable (-1);
+    the source is the backbone's strongest hub (max outgoing weight,
+    smallest key on ties — data-dependent but deterministic). Each round: frontier ⋈ edges -> dedup -> anti-
+    join against visited; the edge set is localCheckpoint'd once
+    before the loop and each round's visited set re-checkpoints so
+    lineage stays flat (the dedup._connected_components lesson).
+
+    Oracle: DuckDB recursive CTE with a depth cap; MIN(dist) per node
+    is exactly the BFS level. All arithmetic is integer.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges_all = _trade_edges(spark, sf_dir)
+    tot = edges_all.agg(
+        F.sum("w").alias("sw"), F.count("*").alias("ne")
+    ).first()
+    sw, ne = int(tot["sw"]), int(tot["ne"])
+    bb = edges_all.filter(F.col("w") * ne >= 2 * sw).localCheckpoint()
+    edges = bb.select("src", "dst")
+    src_row = (
+        bb.groupBy("src")
+        .agg(F.sum("w").alias("ow"))
+        .orderBy(F.desc("ow"), F.asc("src"))
+        .first()
+    )
+    source = int(src_row["src"])
+    dist = spark.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    for level in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(level).cast("long"))
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    return (
+        nations.join(F.broadcast(dist), "node", "left")
+        .select(
+            "node",
+            "n_name",
+            F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
+        )
+        .orderBy("node")
+    )
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey),
+tot AS (SELECT SUM(w) AS sw, COUNT(*) AS ne FROM e),
+bb AS (SELECT src, dst, w FROM e, tot WHERE w * ne >= 2 * sw),
+bsrc AS (
+  SELECT src FROM bb GROUP BY src
+  ORDER BY SUM(w) DESC, src ASC LIMIT 1),
+reach(node, dist) AS (
+  SELECT src, 0 FROM bsrc
+  UNION ALL
+  SELECT bb.dst, r.dist + 1
+  FROM reach r JOIN bb ON bb.src = r.node
+  WHERE r.dist < {BFS_MAX_DEPTH}),
+best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+SELECT CAST(n.n_nationkey AS BIGINT) AS node, n.n_name,
+       CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist
+FROM nation n LEFT JOIN best b ON n.n_nationkey = b.node
+ORDER BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank_nations": graph_pagerank_nations,
+    "graph_bfs_backbone": graph_bfs_backbone,
     "graph_triangle_count": graph_triangle_count,
     "graph_common_neighbors": graph_common_neighbors,
     "graph_degree_stats": graph_degree_stats,
@@ -345,6 +440,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_nations": _pagerank_sql(),
+    "graph_bfs_backbone": _BFS_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_common_neighbors": _COMMON_NBR_SQL,
     "graph_degree_stats": _DEGREE_SQL,

@@ -28,3 +28,30 @@ def test_common_neighbors_jaccard_bounds(spark, sf_dir):
         assert r["nation_a"] < r["nation_b"]
         assert 0 < r["jaccard"] <= 1.0
         assert r["common"] >= 1
+
+
+def test_bfs_levels_consistent(spark, sf_dir):
+    """BFS invariants: exactly one source at distance 0; every node at
+    distance d>0 has an in-neighbor at d-1 in the backbone; distances
+    vary (the backbone is genuinely sparse)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.graph import _trade_edges, graph_bfs_backbone
+
+    rows = graph_bfs_backbone(spark, sf_dir).collect()
+    assert len(rows) == 25
+    dists = {r["node"]: r["dist"] for r in rows}
+    assert sum(1 for d in dists.values() if d == 0) == 1
+    assert len({d for d in dists.values()}) >= 3  # 0, >=1, -1
+
+    edges_all = _trade_edges(spark, sf_dir)
+    tot = edges_all.agg(F.sum("w").alias("sw"), F.count("*").alias("ne")).first()
+    bb = edges_all.filter(
+        F.col("w") * int(tot["ne"]) >= 2 * int(tot["sw"])
+    ).collect()
+    preds = {}
+    for e in bb:
+        preds.setdefault(e["dst"], set()).add(e["src"])
+    for node, d in dists.items():
+        if d > 0:
+            assert any(dists[p] == d - 1 for p in preds.get(node, ())), node
