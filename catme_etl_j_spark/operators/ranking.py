@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
 from catme_etl_j_spark.sources.tables import load_table
 
 TFIDF_TOP_PER_DOC = 5
@@ -380,8 +381,134 @@ LIMIT {RRF_TOP}
 """
 
 
+import math as _math
+
+# 1/log2(r+1) DCG discounts at 1e9 fixed-point, Python-precomputed so
+# neither engine evaluates a log (the one cross-engine float risk).
+_NDCG_W = tuple(
+    int(_math.floor(1e9 / _math.log2(r + 1) + 0.5)) for r in range(1, BM25_TOP + 1)
+)
+
+
+def rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k curve (k = 1..20) of the BM25 ranking against a graded
+    pseudo-relevance label — the IR evaluation loop that closes the
+    retrieval family: rel(d) = number of DISTINCT query terms d
+    contains (0..3), gain = 2^rel - 1, discount = 1/log2(rank+1).
+
+    Determinism: the discounts are Python-precomputed 1e9 integers
+    (neither engine computes a log), gains are integer shifts, so
+    both DCG and IDCG are exact int64 prefix sums; the single
+    division per rank closes out nDCG. The ideal ranking orders by
+    (rel DESC, doc_id) — any descending-gain order maximizes DCG, so
+    the tie-break changes nothing but is pinned anyway.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    rel = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
+        )
+        .filter(f"term IN ({q})")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("rel"))
+    )
+    warr = "array(" + ", ".join(str(w) for w in _NDCG_W) + ")"
+    wr = W.orderBy("rank")
+    ranked = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("score_fp"), F.asc("doc_id"))),
+        )
+        .join(rel, "doc_id")
+        .withColumn("gain", F.expr("shiftleft(1, rel) - 1").cast("long"))
+        .withColumn("gw", F.expr(f"gain * element_at({warr}, rank)"))
+        .withColumn(
+            "dcg_cum_e9",
+            F.sum("gw").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id")))
+        )
+        .withColumn("igain", F.expr("shiftleft(1, rel) - 1").cast("long"))
+        .withColumn("igw", F.expr(f"igain * element_at({warr}, rank)"))
+        .withColumn(
+            "idcg_cum_e9",
+            F.sum("igw").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .select("rank", "idcg_cum_e9")
+    )
+    return (
+        ranked.join(ideal, "rank")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("rel").cast("long").alias("rel"),
+            F.col("dcg_cum_e9").cast("long").alias("dcg_cum_e9"),
+            F.col("idcg_cum_e9").cast("long").alias("idcg_cum_e9"),
+            rdet(
+                F.col("dcg_cum_e9").cast("double")
+                / F.col("idcg_cum_e9").cast("double"),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ndcg_sql() -> str:
+    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    wlist = "list_value(" + ", ".join(str(w) for w in _NDCG_W) + ")"
+    return f"""
+WITH {_BM25_CTES},
+rel AS (
+  SELECT doc_id, COUNT(DISTINCT term)::BIGINT AS rel
+  FROM toks WHERE term IN ({q}) GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, r.rel,
+         ROW_NUMBER() OVER (ORDER BY s.score_fp DESC, s.doc_id ASC) AS rank
+  FROM (SELECT * FROM scored ORDER BY score_fp DESC, doc_id ASC
+        LIMIT {BM25_TOP}) s
+  JOIN rel r ON s.doc_id = r.doc_id),
+dcg AS (
+  SELECT rank, doc_id, rel,
+         CAST(SUM(((1::BIGINT << rel) - 1) * {wlist}[CAST(rank AS INTEGER)])
+              OVER (ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS dcg_cum_e9
+  FROM ranked),
+iranked AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+  FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id ASC LIMIT {BM25_TOP}) i),
+idcg AS (
+  SELECT rank,
+         CAST(SUM(((1::BIGINT << rel) - 1) * {wlist}[CAST(rank AS INTEGER)])
+              OVER (ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS idcg_cum_e9
+  FROM iranked)
+SELECT CAST(d.rank AS BIGINT) AS rank, d.doc_id, d.rel,
+       d.dcg_cum_e9, i.idcg_cum_e9,
+       {rdet_sql("CAST(d.dcg_cum_e9 AS DOUBLE) / CAST(i.idcg_cum_e9 AS DOUBLE)", 6)}
+         AS ndcg_at_k
+FROM dcg d JOIN idcg i ON d.rank = i.rank
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "rank_tfidf_topterms": rank_tfidf_topterms,
+    "rank_ndcg_eval": rank_ndcg_eval,
     "rank_bm25_search": rank_bm25_search,
     "rank_postings": rank_postings,
     "rank_rrf_fusion": rank_rrf_fusion,
@@ -389,6 +516,7 @@ QUERIES = {
 
 ORACLES = {
     "rank_tfidf_topterms": _TFIDF_SQL,
+    "rank_ndcg_eval": _ndcg_sql(),
     "rank_bm25_search": _BM25_SQL,
     "rank_postings": _POSTINGS_SQL,
     "rank_rrf_fusion": _rrf_sql(),

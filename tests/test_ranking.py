@@ -64,3 +64,21 @@ def test_rrf_fusion_blends_both_rankers(spark, sf_dir):
     # at least one doc ranked by each signal made the cut
     assert any(r["r_bm25"] is not None for r in rows)
     assert any(r["r_cos"] is not None for r in rows)
+
+
+def test_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
+    """nDCG in (0,1]; the ideal prefix DCG dominates the actual at
+    every k; relevance grades within 0..|query|."""
+    from catme_etl_j_spark.operators.ranking import (
+        BM25_QUERY_TERMS,
+        rank_ndcg_eval,
+    )
+
+    rows = rank_ndcg_eval(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["rel"] <= len(BM25_QUERY_TERMS)
+        assert 0.0 < r["ndcg_at_k"] <= 1.0
+        assert r["dcg_cum_e9"] <= r["idcg_cum_e9"]
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, 21))
