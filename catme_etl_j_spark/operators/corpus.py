@@ -1061,6 +1061,125 @@ ORDER BY pair_count DESC, a ASC, b ASC
 LIMIT 20
 """
 
+def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One COMPLETE BPE training iteration: count pairs, pick the
+    argmax merge (pair_count DESC, then (a, b) — deterministic), APPLY
+    it to the vocabulary's symbol sequences, and recount — the
+    post-merge top-20 shows the old top pair collapsed and the new
+    2-char symbol's adjacencies appearing (flagged ``touches_merge``).
+
+    The merge applies on the spaced-symbol string form ('h e l l o');
+    ``replace`` is left-to-right non-overlapping in both engines,
+    which is exactly BPE's greedy merge-application order, and with
+    single-char initial symbols the pattern always aligns to symbol
+    boundaries. Everything stays on the |vocab| x word-frequency
+    aggregate — the property that makes BPE training tractable at
+    corpus scale (the token stream is touched once, for frequencies).
+
+    Pure integer counting; SUM cast per convention #5.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim("text"), " +")).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("n_word"))
+    wf = freq.filter(F.char_length("word") >= 2)
+    pre_pairs = wf.select(
+        "word",
+        "n_word",
+        F.explode(F.expr("sequence(1, char_length(word) - 1)")).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 1)").alias("a"),
+        F.expr("substring(word, i + 1, 1)").alias("b"),
+        "n_word",
+    )
+    top1 = (
+        pre_pairs.groupBy("a", "b")
+        .agg(F.sum("n_word").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select(
+            F.expr("concat(a, ' ', b)").alias("pat"),
+            F.expr("concat(a, b)").alias("mrg"),
+        )
+    )
+    spaced = wf.withColumn(
+        "sp",
+        F.expr(
+            "array_join(transform(sequence(1, char_length(word)),"
+            " i -> substring(word, i, 1)), ' ')"
+        ),
+    )
+    merged = spaced.crossJoin(F.broadcast(top1)).withColumn(
+        "syms", F.split(F.expr("replace(sp, pat, mrg)"), " ")
+    )
+    post = (
+        merged.filter(F.size("syms") >= 2)
+        .select(
+            "n_word",
+            "mrg",
+            F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+            F.col("syms"),
+        )
+        .select(
+            F.expr("element_at(syms, i)").alias("a"),
+            F.expr("element_at(syms, i + 1)").alias("b"),
+            "n_word",
+            "mrg",
+        )
+    )
+    return (
+        post.groupBy("a", "b", "mrg")
+        .agg(F.sum("n_word").alias("pair_count"))
+        .select(
+            "a",
+            "b",
+            F.col("mrg").alias("merged_pair"),
+            "pair_count",
+            ((F.col("a") == F.col("mrg")) | (F.col("b") == F.col("mrg"))).alias(
+                "touches_merge"
+            ),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_BPE_MERGE_SQL = """
+WITH w AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents) t
+  GROUP BY word),
+wf AS (SELECT word, n_word FROM w WHERE length(word) >= 2),
+pre AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+         substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+         n_word
+  FROM wf, unnest(range(1, length(word))) AS u(i)),
+top1 AS (
+  SELECT a || ' ' || b AS pat, a || b AS mrg
+  FROM (SELECT a, b, SUM(n_word) AS pc FROM pre GROUP BY a, b
+        ORDER BY pc DESC, a ASC, b ASC LIMIT 1) s),
+spaced AS (
+  SELECT n_word,
+         array_to_string(list_transform(range(1, length(word) + 1),
+             i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS sp
+  FROM wf),
+merged AS (
+  SELECT n_word, mrg, string_split(replace(sp, pat, mrg), ' ') AS syms
+  FROM spaced, top1),
+post AS (
+  SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b,
+         n_word, mrg
+  FROM merged, unnest(range(1, len(syms))) AS u(i)
+  WHERE len(syms) >= 2)
+SELECT a, b, mrg AS merged_pair, CAST(SUM(n_word) AS BIGINT) AS pair_count,
+       (a = mrg OR b = mrg) AS touches_merge
+FROM post GROUP BY a, b, mrg
+ORDER BY pair_count DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
 def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing plan: given a token budget of 2x the corpus and an
     equal target share per source, how many epochs of each source does
@@ -1185,6 +1304,7 @@ QUERIES = {
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_mix_epochs": corpus_mix_epochs,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
+    "corpus_bpe_merge_step": corpus_bpe_merge_step,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_word_counts": corpus_word_counts,
     "corpus_doc_frequency": corpus_doc_frequency,
@@ -1207,6 +1327,7 @@ ORACLES = {
     "corpus_vocab_growth": _VOCAB_GROWTH_SQL,
     "corpus_mix_epochs": _MIX_EPOCHS_SQL,
     "corpus_bpe_pair_counts": _BPE_SQL,
+    "corpus_bpe_merge_step": _BPE_MERGE_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,
     "corpus_dedup_lines": _DEDUP_LINES_SQL,
     "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,

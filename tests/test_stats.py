@@ -359,3 +359,40 @@ def test_km_survival_monotone_and_lifelines_free_check(spark, sf_dir):
     for r, (t, a, d, zero) in zip(rows, expect):
         if zero:
             assert r["survival"] == 0.0
+
+
+def test_bpe_merge_step_semantics(spark, sf_dir):
+    """After applying the argmax merge, the merged 2-char symbol must
+    appear in the recount (touches_merge rows exist), the old top pair
+    (a b as single chars) must no longer be the argmax, and a pure-
+    Python replay of the merge over the vocab agrees on the top row."""
+    import collections
+
+    from catme_etl_j_spark.operators.corpus import corpus_bpe_merge_step
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = corpus_bpe_merge_step(spark, sf_dir).collect()
+    assert len(rows) == 20
+    merged_pair = rows[0]["merged_pair"]
+    assert len(merged_pair) == 2
+    assert any(r["touches_merge"] for r in rows)
+
+    words = collections.Counter(
+        w
+        for r in load_table(spark, sf_dir, "documents").collect()
+        for w in r["text"].split()
+        if len(w) >= 2
+    )
+    pre: collections.Counter = collections.Counter()
+    for w, n in words.items():
+        for x, y in zip(w, w[1:]):
+            pre[(x, y)] += n
+    (ta, tb), _ = min(pre.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert merged_pair == ta + tb
+    post: collections.Counter = collections.Counter()
+    for w, n in words.items():
+        sp = " ".join(w).replace(f"{ta} {tb}", ta + tb).split(" ")
+        for x, y in zip(sp, sp[1:]):
+            post[(x, y)] += n
+    (ba, bb), bc = min(post.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0]["a"], rows[0]["b"], rows[0]["pair_count"]) == (ba, bb, bc)
