@@ -68,6 +68,12 @@ HEADLINE = [
     # round-5 fourth wave: hybrid retrieval (two full rankings fused
     # with integer RRF — lexical + vector paths in one plan)
     "rank_rrf_fusion",
+    # round-5 fifth wave: the steady-state ingestion dedup (batch bands
+    # probing the index), the 64x64 outer-product accumulation, and the
+    # double global-sort Z-order layout comparison
+    "dedup_incremental_index",
+    "embed_covariance",
+    "scale_zorder_locality",
 ]
 
 
