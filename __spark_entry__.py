@@ -71,7 +71,13 @@ def _modules():
 # recall) over entries whose semantics are already driver-proven via
 # oracle-sharing twins (events_tumbling/sliding_window share their
 # exact oracle with the r4-green stream_* twins; ann_topk_ivf's scan
-# is re-run INSIDE ann_ivf_recall).
+# is re-run INSIDE ann_ivf_recall). Late-session swaps: the two
+# r4-green members (rank_bm25_search -> rank_ndcg_eval, which ranks
+# via the same shared _bm25_scored chain; range_join_price_bands ->
+# range_join_session_peak, first-witnessing the round-5 TZ-oracle
+# fix), plus first-ever stats-family evidence (stats_ks_test, for
+# corpus_source_profile) and the KMV prefilter proof
+# (sketch_kmv_distinct, for events_top_paths).
 _PRIORITY: tuple[str, ...] = (
     # converter (SURVEY §2 core surface). roundtrip_json was green r4;
     # its slot goes to the new end-to-end composition (xlsx -> NDJSON
@@ -107,11 +113,11 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_e2e_funnel",
     "corpus_sample_temperature",
     "corpus_decontaminate",
-    "corpus_source_profile",
+    "stats_ks_test",
     "corpus_interleave_sources",
     "corpus_dedup_lines",
     # ranking
-    "rank_bm25_search",
+    "rank_ndcg_eval",
     # warehouse ETL / data quality (all first-time; snapshot_diff is
     # new this round)
     "etl_dq_profile",
@@ -128,11 +134,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_windowed_funnel",
     "events_transition_matrix",
     "events_resample_locf",
-    "events_top_paths",
+    "sketch_kmv_distinct",
     "events_anomaly_zscore",
     # as-of / range join
     "asof_purchase_view_1h",
-    "range_join_price_bands",
+    "range_join_session_peak",
     # multimodal (frame_sample is the hash-checked sibling; the two
     # rows-only binary entries stay out — the window is oracle-only)
     "multimodal_frame_sample",

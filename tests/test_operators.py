@@ -388,7 +388,7 @@ def test_driver_window_covers_every_family():
         "graph_": False, "embed_": False, "events_": False, "asof_": False,
         "range_": False, "multimodal_": False, "sketch_": False, "q1": False,
         "q2": False, "fn_": False, "unpivot_": False, "lateral_": False,
-        "scale_": False,
+        "scale_": False, "stats_": False,
     }
     for n in names:
         for fam in families:
