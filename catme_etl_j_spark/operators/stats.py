@@ -753,8 +753,96 @@ FROM d
 """
 
 
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order totalprice across the five
+    order priorities — the k-group generalization completing the
+    parametric trio (Welch t, chi-square, F).
+
+    Same discipline as Welch: ONE conditional aggregation pass
+    collects exact per-group cent counts/sums/sumsq (DECIMAL(38,0)
+    accumulators), then SSB/SSW and F are fixed double formulas over
+    the 5-row aggregate — no cross-row float accumulation. Output is
+    one row per group (n, mean) plus the shared F/dof columns so the
+    gate hashes both the per-group and the global statistics.
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _lt(spark, sf_dir, "orders")
+    cents = _fx("o_totalprice", 100.0)
+    per = orders.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("c")
+    ).groupBy("grp").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("c")).alias("s"),
+        _dsum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.count("*").alias("k"),
+        # the one float reduction: 5 per-group s^2/n terms, folded in
+        # SORTED group order (a plain SUM would be partition-order
+        # dependent in the last ulp)
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(grp,"
+            " (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)))),"
+            " x -> x.col2), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sum_s2n"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ssb = (
+        F.col("sum_s2n")
+        - (F.col("ts").cast("double") * F.col("ts").cast("double"))
+        / F.col("tn").cast("double")
+    )
+    ssw = F.col("tss").cast("double") - F.col("sum_s2n")
+    fstat = (ssb / (F.col("k").cast("double") - 1.0)) / (
+        ssw / (F.col("tn").cast("double") - F.col("k").cast("double"))
+    )
+    return j.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        rdet(F.col("s").cast("double") / F.col("n").cast("double") / 100.0, 2).alias(
+            "mean_price"
+        ),
+        F.col("k").cast("long").alias("k_groups"),
+        rdet(fstat, 6).alias("f_stat"),
+    ).orderBy("grp")
+
+
+def _anova_sql() -> str:
+    c = _fx_sql("o_totalprice", 100.0)
+    return f"""
+WITH per AS (
+  SELECT o_orderpriority AS grp,
+         COUNT(*) AS n,
+         SUM(CAST({c} AS DECIMAL(38,0))) AS s,
+         SUM(CAST({c} AS DECIMAL(38,0)) * CAST({c} AS DECIMAL(38,0))) AS ss
+  FROM orders GROUP BY o_orderpriority),
+tot AS (
+  SELECT SUM(n) AS tn, SUM(s) AS ts, SUM(ss) AS tss, COUNT(*) AS k,
+         list_sum(list((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / CAST(n AS DOUBLE) ORDER BY grp)) AS sum_s2n
+  FROM per)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       {rdet_sql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 2)} AS mean_price,
+       CAST(k AS BIGINT) AS k_groups,
+       {rdet_sql(
+           "((sum_s2n - (CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)) / CAST(tn AS DOUBLE))"
+           " / (CAST(k AS DOUBLE) - 1.0))"
+           " / ((CAST(tss AS DOUBLE) - sum_s2n)"
+           " / (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE)))", 6)} AS f_stat
+FROM per, tot
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_anova_oneway": stats_anova_oneway,
     "stats_ks_test": stats_ks_test,
     "stats_benford_first_digit": stats_benford_first_digit,
     "stats_gini_doc_length": stats_gini_doc_length,
@@ -767,6 +855,7 @@ QUERIES = {
 
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
+    "stats_anova_oneway": _anova_sql(),
     "stats_ks_test": _ks_sql(),
     "stats_benford_first_digit": _benford_sql(),
     "stats_gini_doc_length": _GINI_SQL,

@@ -396,3 +396,37 @@ def test_bpe_merge_step_semantics(spark, sf_dir):
             post[(x, y)] += n
     (ba, bb), bc = min(post.items(), key=lambda kv: (-kv[1], kv[0]))
     assert (rows[0]["a"], rows[0]["b"], rows[0]["pair_count"]) == (ba, bb, bc)
+
+
+def test_anova_matches_direct_computation(spark, sf_dir):
+    """F must equal a direct per-group computation on collected cents."""
+    import collections
+
+    from catme_etl_j_spark.operators.stats import stats_anova_oneway
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = stats_anova_oneway(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert len({r["f_stat"] for r in rows}) == 1  # shared statistic
+    data = collections.defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS g",
+            "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c",
+        )
+        .collect()
+    ):
+        data[r["g"]].append(r["c"])
+    k = len(data)
+    n = sum(len(v) for v in data.values())
+    sum_s2n = sum((sum(v)) ** 2 / len(v) for v in sorted(data.items()) for v in [v[1]])
+    ts = sum(sum(v) for v in data.values())
+    tss = sum(x * x for v in data.values() for x in v)
+    ssb = sum_s2n - ts * ts / n
+    ssw = tss - sum_s2n
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(rows[0]["f_stat"] - f) < 1e-4
+    for r in rows:
+        got = sum(data[r["grp"]]) / len(data[r["grp"]]) / 100.0
+        assert abs(r["mean_price"] - got) < 0.01
