@@ -636,8 +636,83 @@ ORDER BY day
 """
 
 
+# Weekday partial sums for a week STARTING THURSDAY (epoch day 0 =
+# Thu 1970-01-01): _BDAY_PARTIAL[rem] = weekdays among the first `rem`
+# days of such a week. Python-precomputed so neither engine touches
+# its (mutually incompatible) dayofweek() numbering.
+_BDAY_PARTIAL = (0, 1, 2, 2, 2, 3, 4)
+
+
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) lead-time histogram between order date
+    and each lineitem's ship date — calendar arithmetic done entirely
+    in epoch-day integers, because the engines' dayofweek() functions
+    disagree on numbering (Spark: 1=Sunday; DuckDB: 0=Sunday).
+
+    g(ed) = 5*(ed DIV 7) + partial[ed %% 7] counts weekdays in
+    [1970-01-01, ed) with the partial-week table Python-precomputed
+    (epoch day 0 is a Thursday); business_days = g(ship) - g(order),
+    NEGATIVE when the synthetic data ships before ordering (the same
+    rows the SCD2 fact join books as PRE-HISTORY) — kept, not hidden,
+    since g's difference form is antisymmetric and exact. Map-only
+    expression work + one small groupBy; share in exact ppm.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = "array(" + ", ".join(str(v) for v in _BDAY_PARTIAL) + ")"
+    g = (
+        "(5 * (datediff(to_date({d}), DATE'1970-01-01') DIV 7)"
+        f" + element_at({part},"
+        " CAST(datediff(to_date({d}), DATE'1970-01-01') % 7 AS INT) + 1))"
+    )
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.expr(
+            g.format(d="l_shipdate") + " - " + g.format(d="o_orderdate")
+        ).alias("business_days")
+    )
+    per = joined.groupBy("business_days").agg(F.count("*").alias("n_items"))
+    tot = per.agg(F.sum("n_items").alias("tn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("business_days").cast("long").alias("business_days"),
+            "n_items",
+            F.expr("CAST(n_items * 1000000 AS BIGINT) DIV tn").alias("share_ppm"),
+        )
+        .orderBy("business_days")
+    )
+
+
+def _bday_sql() -> str:
+    part = "list_value(" + ", ".join(str(v) for v in _BDAY_PARTIAL) + ")"
+    g = (
+        "(5 * ((CAST(date_trunc('day', {d}) AS DATE) - DATE '1970-01-01') // 7)"
+        f" + {part}[CAST((CAST(date_trunc('day', {{d}}) AS DATE)"
+        " - DATE '1970-01-01') % 7 AS INTEGER) + 1])"
+    )
+    return f"""
+WITH j AS (
+  SELECT {g.format(d="l.l_shipdate")} - {g.format(d="o.o_orderdate")}
+           AS business_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per AS (
+  SELECT business_days, COUNT(*) AS n_items FROM j GROUP BY business_days),
+tot AS (SELECT SUM(n_items) AS tn FROM per)
+SELECT CAST(business_days AS BIGINT) AS business_days,
+       n_items,
+       CAST(n_items * 1000000 // tn AS BIGINT) AS share_ppm
+FROM per, tot
+ORDER BY business_days
+"""
+
+
 QUERIES = {
     "window_revenue_7dma": window_revenue_7dma,
+    "fn_business_days": fn_business_days,
     "window_ewma_scatter": window_ewma_scatter,
     "q11_important_stock": q11_important_stock,
     "q16_parts_supplier_count": q16_parts_supplier_count,
@@ -654,6 +729,7 @@ QUERIES = {
 
 ORACLES = {
     "window_revenue_7dma": _REV_7DMA_SQL,
+    "fn_business_days": _bday_sql(),
     "window_ewma_scatter": _EWMA_SQL,
     "q11_important_stock": _Q11_SQL,
     "q16_parts_supplier_count": _Q16_SQL,

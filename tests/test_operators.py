@@ -925,3 +925,34 @@ def test_rake_scores_recompute(spark, sf_dir):
     expect = sum((deg[w] * 1000000) // freq[w] for w in top["phrase"].split())
     assert top["score_e6"] == expect
     assert top["n_occurrences"] == phrase_count[top["phrase"]]
+
+
+def test_business_days_formula(spark, sf_dir):
+    """The epoch-day weekday arithmetic must match Python's
+    datetime.weekday over sampled (order, ship) date pairs, and shares
+    must total ~1e6 ppm."""
+    import datetime as dt
+
+    from catme_etl_j_spark.operators.relational3 import fn_business_days
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = fn_business_days(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["share_ppm"] for r in rows) - 1_000_000) < len(rows)
+
+    def g(d: dt.date) -> int:
+        ed = (d - dt.date(1970, 1, 1)).days
+        return 5 * (ed // 7) + (0, 1, 2, 2, 2, 3, 4)[ed % 7]
+
+    import collections
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .selectExpr("to_date(l_shipdate) AS s", "to_date(o_orderdate) AS o")
+        .collect()
+    )
+    expect = collections.Counter(g(r["s"]) - g(r["o"]) for r in pairs)
+    got = {r["business_days"]: r["n_items"] for r in rows}
+    assert got == dict(expect)
