@@ -1112,8 +1112,73 @@ ORDER BY doc_id
 """
 
 
+ER_MAX_EDIT = 3
+
+
+def dedup_er_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking + edit-distance scoring over part
+    names — the structured-data sibling of the text near-dup family.
+
+    The scalable ER shape: resolution runs on the CANONICAL NAME
+    vocabulary (distinct names with their entity multiplicities), not
+    on the entity rows — with a skewed catalog the same name repeats
+    thousands of times, and pairing rows directly is O(dup²) for zero
+    information. Names block on their head noun (last token), pair
+    within the block under levenshtein <= 3 (both engines implement
+    the classic Wagner–Fischer distance — exact integers), and each
+    name pair carries n_a * n_b, the number of entity pairs it
+    represents. At catalog scale the blocks are the shuffle key; a
+    hot noun salts exactly like the NN join in similarity.py.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    part = load_table(spark, sf_dir, "part")
+    canon = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("noun", F.expr("element_at(split(p_name, ' '), -1)"))
+    )
+    a, b = canon.alias("a"), canon.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= ER_MAX_EDIT)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+            (F.col("a.n_parts") * F.col("b.n_parts")).alias("n_entity_pairs"),
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+_ER_SQL = f"""
+WITH canon AS (
+  SELECT p_name, COUNT(*) AS n_parts,
+         string_split(p_name, ' ')[-1] AS noun
+  FROM part GROUP BY p_name),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+         a.n_parts * b.n_parts AS n_entity_pairs
+  FROM canon a JOIN canon b
+    ON a.noun = b.noun AND a.p_name < b.p_name)
+SELECT name_a, name_b, dist, n_parts_a, n_parts_b, n_entity_pairs
+FROM pairs WHERE dist <= {ER_MAX_EDIT}
+ORDER BY dist, name_a, name_b
+"""
+
+
 QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_er_similar_names": dedup_er_similar_names,
     "dedup_incremental_index": dedup_incremental_index,
     "dedup_report": dedup_report,
     "dedup_exact": dedup_exact,
@@ -1131,6 +1196,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_cluster_sizes": _cluster_sizes_sql(),
+    "dedup_er_similar_names": _ER_SQL,
     "dedup_incremental_index": _incremental_sql(),
     "dedup_report": _report_sql(),
     "dedup_exact": _EXACT_SQL,

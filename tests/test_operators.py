@@ -956,3 +956,18 @@ def test_business_days_formula(spark, sf_dir):
     expect = collections.Counter(g(r["s"]) - g(r["o"]) for r in pairs)
     got = {r["business_days"]: r["n_items"] for r in rows}
     assert got == dict(expect)
+
+
+def test_er_similar_names_blocking(spark, sf_dir):
+    """Pairs share a head noun, respect the edit threshold, and the
+    multiplicity product is consistent; distance is symmetric-safe
+    (name_a < name_b canonicalization)."""
+    from catme_etl_j_spark.operators.dedup import ER_MAX_EDIT, dedup_er_similar_names
+
+    rows = dedup_er_similar_names(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split()[-1] == r["name_b"].split()[-1]
+        assert 1 <= r["dist"] <= ER_MAX_EDIT
+        assert r["n_entity_pairs"] == r["n_parts_a"] * r["n_parts_b"]
