@@ -751,6 +751,52 @@ FROM v GROUP BY event_type ORDER BY event_type
 
 
 
+def fn_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow pandas_udf ON the hash gate — completing the
+    gated UDF ladder (grouped-map embed_group_stats, mapInPandas
+    multimodal, applyInPandasWithState streaming, UDTF top-words all
+    already sit there): per-source token statistics where the token
+    count per document flows through ``token_count_udf`` (vectorized
+    pandas str ops over Arrow batches), aggregated JVM-side and
+    hash-matched against DuckDB's split-based count.
+
+    The moral stays the repo's UDF rule: the built-in twin exists
+    (size(split(..))) and is what production code should use — this
+    query exists to pin the Arrow scalar-UDF path's correctness, not
+    to recommend it.
+    """
+    from catme_etl_j_spark.functions.udfs import token_count_udf
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _lt(spark, sf_dir, "documents")
+    toks = docs.select("source", token_count_udf("text").alias("n_tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_PANDAS_UDF_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_nation_profit": q09_nation_profit,
@@ -773,6 +819,7 @@ QUERIES = {
     "fn_map_ops": fn_map_ops,
     "fn_udtf_top_words": fn_udtf_top_words,
     "fn_variant_props": fn_variant_props,
+    "fn_pandas_udf_tokens": fn_pandas_udf_tokens,
 }
 
 ORACLES = {
@@ -797,4 +844,5 @@ ORACLES = {
     "fn_map_ops": _MAP_SQL,
     "fn_udtf_top_words": _UDTF_TOP_WORDS_SQL,
     "fn_variant_props": _VARIANT_SQL,
+    "fn_pandas_udf_tokens": _PANDAS_UDF_SQL,
 }
