@@ -1809,8 +1809,104 @@ FROM cum ORDER BY t_day
 """
 
 
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap — the ops staple.
+
+    Day-of-week comes from epoch-day arithmetic ((ed + 4) %% 7,
+    0=Sunday) because the engines' dayofweek() numberings disagree
+    (the fn_business_days convention); the hour is taken in the
+    pinned UTC session. One map-side-combined groupBy over at most
+    168 cells.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(
+                "(datediff(to_date(ts), DATE'1970-01-01') + 4) % 7"
+            ).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            F.col("event_type"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(event_type = 'purchase' AS INT)"))
+            .cast("long")
+            .alias("n_purchases"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+_HEATMAP_SQL = """
+SELECT CAST(((CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') + 4) % 7
+            AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution in power-of-two second
+    buckets (bucket = bit length of the gap — the log-free
+    text_length_histogram idiom). Heavy-tailed inter-arrival is what
+    motivates the 30-min session gap; this query SHOWS the tail. One
+    user-partitioned sort window + a tiny groupBy.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.expr("(us - prev) DIV 1000000").alias("gap_s"))
+    )
+    return (
+        gaps.groupBy(
+            F.expr("CAST(length(bin(gap_s)) AS BIGINT)").alias("bucket_pow2")
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("bucket_pow2")
+    )
+
+
+_INTER_ARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT (epoch_us(ts) - LAG(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events)
+SELECT CAST(length(bin(gap_s)) AS BIGINT) AS bucket_pow2,
+       COUNT(*) AS n_gaps,
+       MIN(gap_s) AS min_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY bucket_pow2
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_heatmap_hour_dow": events_heatmap_hour_dow,
+    "events_inter_arrival": events_inter_arrival,
     "events_survival_km": events_survival_km,
     "events_windowed_funnel": events_windowed_funnel,
     "events_transition_matrix": events_transition_matrix,
@@ -1867,4 +1963,6 @@ ORACLES = {
     "events_time_to_purchase": _time_to_purchase_sql(),
     "events_attribution_touch": _ATTR_TOUCH_SQL,
     "events_survival_km": _KM_SQL,
+    "events_heatmap_hour_dow": _HEATMAP_SQL,
+    "events_inter_arrival": _INTER_ARRIVAL_SQL,
 }

@@ -971,3 +971,29 @@ def test_er_similar_names_blocking(spark, sf_dir):
         assert r["name_a"].split()[-1] == r["name_b"].split()[-1]
         assert 1 <= r["dist"] <= ER_MAX_EDIT
         assert r["n_entity_pairs"] == r["n_parts_a"] * r["n_parts_b"]
+
+
+def test_heatmap_totals_and_bounds(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_heatmap_hour_dow
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_heatmap_hour_dow(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+        assert 0 <= r["n_purchases"] <= r["n_events"]
+
+
+def test_inter_arrival_buckets(spark, sf_dir):
+    from catme_etl_j_spark.operators.events import events_inter_arrival
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_inter_arrival(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == ev.count() - n_users
+    for r in rows:
+        b = r["bucket_pow2"]
+        lo, hi = (0 if b == 1 else 1 << (b - 1)), (1 << b) - 1
+        assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi
