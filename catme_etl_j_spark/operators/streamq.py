@@ -663,8 +663,73 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stream_rocksdb_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation with the ROCKSDB state store provider —
+    the state backend that matters at 100 TB: the default HDFS-backed
+    store keeps every key in executor heap, while RocksDB spills state
+    to local disk with incremental checkpointing, so watermarked state
+    can exceed memory. Same complete-mode-equals-batch determinism as
+    the other stream_* queries; the provider conf is restored after
+    the run so sibling queries keep the default.
+
+    Per (day, event_type): count + exact DECIMAL sum; the oracle is
+    the plain batch SQL — equality proves the state backend swap
+    changes storage only, never semantics.
+    """
+    from catme_etl_j_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        ev = read_event_stream(spark, sf_dir, glob="events.parquet")
+        agg = ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            money2(F.sum(dec2("value"))).alias("sum_value"),
+        )
+        name = f"streamq_rocksdb_{next(_seq)}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(name).select("day", "event_type", "n", "sum_value")
+
+
+_ROCKSDB_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_rocksdb_daily_totals": stream_rocksdb_daily_totals,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_policy": stream_late_data_policy,
     "stream_dedup_totals": stream_dedup_totals,
@@ -678,6 +743,7 @@ QUERIES = {
 ORACLES = {
     "stream_late_data_policy": _STREAM_LATE_SQL,
     "stream_static_enrich": _STATIC_ENRICH_SQL,
+    "stream_rocksdb_daily_totals": _ROCKSDB_SQL,
     "stream_stream_join": _SSJOIN_SQL,
     "stream_dedup_totals": _STREAM_DEDUP_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,
