@@ -1,0 +1,68 @@
+"""Regenerate PLANS.md: formatted physical plans of the scale-critical
+queries, so the plan-shape claims in SCALE.md and the operator
+docstrings are verifiable receipts rather than prose.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans,
+not timings, so the smallest data is fine; plan shape is SF-invariant
+for everything here except AQE's broadcast-threshold choices, which
+SCALE.md §Relational already discusses.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from catme_etl_j_spark.plans.explain import formatted_plan  # noqa: E402
+from catme_etl_j_spark.session import get_spark  # noqa: E402
+
+# (query, what the plan must show) — one line of intent per receipt.
+AUDIT = [
+    ("q01_pricing_summary", "partial + final HashAggregate; pruned scan"),
+    ("q05_local_supplier", "dims broadcast; filters pushed to scans"),
+    ("q06_revenue_delta", "every predicate in PushedFilters; 4-column ReadSchema"),
+    ("q10_returned_items", "TakeOrderedAndProject (no global sort)"),
+    ("dedup_minhash_lsh", "band-bucket equi-join; no cartesian anywhere"),
+    ("dedup_incremental_index", "batch bands probe index bands; equi-joins only"),
+    ("ann_nn_within_label", "salted (label, salt) join key"),
+    ("ann_topk_ivf_kmeans", "tiny codebook broadcast; TakeOrdered probe"),
+    ("embed_covariance", "vec_id co-partitioned self-join; partial_sum combine"),
+    ("sketch_kmv_distinct", "broadcast tau prefilter before the bottom-k sort"),
+    ("rank_bm25_search", "per-term stats broadcast; per-doc lengths shuffle join"),
+    ("corpus_e2e_funnel", "one staged text frame; no repeated scans of documents"),
+    ("etl_scd2_fact_join", "custkey equi-join with residual interval filter"),
+    ("scale_salted_group_sum", "two-phase aggregate: (key, salt) then key"),
+    ("events_sessionize", "single user-partitioned sort window"),
+]
+
+HEADER = """# PLANS — physical-plan receipts
+
+`.explain("formatted")` output of the scale-critical queries (regenerate
+with `python tools/plan_audit.py`). Each section names the property the
+plan must exhibit; tests/test_plans.py asserts the load-bearing ones.
+Plans below were captured on {sf} (plan SHAPE is what matters; AQE may
+re-plan exchanges at runtime from real sizes).
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    out = [HEADER.format(sf=os.path.basename(sf_dir.rstrip("/")))]
+    for name, intent in AUDIT:
+        df = queries[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        out.append(f"\n## {name}\n\n*Must show:* {intent}\n\n```\n{plan}```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("".join(out))
+    print(f"wrote {path} ({len(AUDIT)} plans)")
+
+
+if __name__ == "__main__":
+    main()
