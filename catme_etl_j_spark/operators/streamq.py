@@ -727,8 +727,92 @@ GROUP BY 1, 2
 """
 
 
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY on the gate: a streaming aggregation runs
+    over micro-batch A, STOPS, the process's second query — same plan,
+    same checkpointLocation — resumes after micro-batch B lands, and
+    the final complete-mode snapshot must equal the one-shot batch
+    aggregate over A∪B, AND the second run's progress metrics must
+    show it ingested ONLY B (gate equality alone cannot distinguish
+    recovery from a silent full reprocess; the in-query assertion on
+    numInputRows can, so a recovery regression fails loudly).
+    This is the operational property every nightly-restart pipeline
+    stands on; availableNow + checkpoint is exactly the incremental
+    batch pattern Spark docs recommend.
+
+    Fixture: per-invocation /tmp copies of the two chronological event
+    files; fresh checkpoint per call so each run exercises a cold
+    start + one real recovery.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fixture = _upsert_fixture_dir(sf_dir)
+    root = f"/tmp/catme_ckpt_{os.path.basename(sf_dir.rstrip('/'))}_{next(_seq)}_{os.getpid()}"
+    src, cp = f"{root}/src", f"{root}/cp"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{fixture}/a_first.parquet", f"{src}/a_first.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_once(name: str) -> int:
+        ev = spark.readStream.schema(schema).parquet(src)
+        agg = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            money2(F.sum(dec2("value"))).alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        q.stop()
+        return rows
+
+    rows_a = run_once(f"streamq_ckpt_a_{next(_seq)}")  # batch A, then STOP
+    shutil.copy(f"{fixture}/b_second.parquet", f"{src}/b_second.parquet")
+    final = f"streamq_ckpt_b_{next(_seq)}"
+    rows_b = run_once(final)  # recovery: offsets + state restored, B only
+    out = spark.table(final).select("event_type", "n", "sum_value")
+    result = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    total = sum(r["n"] for r in result)
+    # Oracle equality alone cannot distinguish recovery from a full
+    # reprocess (both yield the A∪B aggregate); the progress metrics
+    # can. A double-processing regression fails HERE, not at the gate.
+    if rows_a + rows_b != total or rows_b >= total:
+        raise AssertionError(
+            f"checkpoint recovery broken: run1={rows_a} run2={rows_b} total={total}"
+        )
+    return spark.createDataFrame(result, out.schema)
+
+
+_CKPT_RESUME_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_checkpoint_resume": stream_checkpoint_resume,
     "stream_rocksdb_daily_totals": stream_rocksdb_daily_totals,
     "stream_static_enrich": stream_static_enrich,
     "stream_late_data_policy": stream_late_data_policy,
@@ -744,6 +828,7 @@ ORACLES = {
     "stream_late_data_policy": _STREAM_LATE_SQL,
     "stream_static_enrich": _STATIC_ENRICH_SQL,
     "stream_rocksdb_daily_totals": _ROCKSDB_SQL,
+    "stream_checkpoint_resume": _CKPT_RESUME_SQL,
     "stream_stream_join": _SSJOIN_SQL,
     "stream_dedup_totals": _STREAM_DEDUP_SQL,
     "stream_stateful_totals": _STATEFUL_SQL,

@@ -285,3 +285,16 @@ def test_foreachbatch_upsert_is_incremental_and_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_resume_runs_and_asserts_recovery(spark, sf_dir):
+    """The operator itself raises if the second run reprocessed batch A
+    (progress-metric assertion); here we just pin that it returns the
+    full aggregate."""
+    from catme_etl_j_spark.operators.streamq import stream_checkpoint_resume
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = stream_checkpoint_resume(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert len(rows) == 5
