@@ -584,7 +584,69 @@ ORDER BY priority, is_current
 """
 
 
+K_ANON = 5  # minimum acceptable quasi-identifier group size
+L_DIVERSE = 2  # minimum distinct sensitive values per group
+
+
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity and
+    l-diversity over the customer table, with (mktsegment, nationkey)
+    as the quasi-identifier and the account-balance thousand-bucket as
+    the sensitive attribute. A QI group smaller than k re-identifies
+    its members by linkage; a group whose sensitive values collapse to
+    fewer than l distinct buckets leaks the attribute even when k
+    holds (Machanavajjhala et al. 2007, public).
+
+    One groupBy over the QI pair (count + countDistinct — a single
+    shuffle, map-side combined); the release decision columns are
+    plain comparisons. At 100 TB this is the same one-pass shape as
+    the DQ profiler; the QI-combination count is what a generalization
+    search would iterate on.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer")
+    grouped = (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr(
+                "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)"
+            ).alias("bal_bucket"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("bal_bucket").alias("n_sensitive"),
+        )
+    )
+    return grouped.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "group_size",
+        "n_sensitive",
+        (F.col("group_size") < K_ANON).alias("k_violation"),
+        (F.col("n_sensitive") < L_DIVERSE).alias("l_violation"),
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+def _k_anonymity_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(*) AS group_size,
+         COUNT(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT))
+           AS n_sensitive
+  FROM customer GROUP BY c_mktsegment, c_nationkey)
+SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       group_size, CAST(n_sensitive AS BIGINT) AS n_sensitive,
+       group_size < {K_ANON} AS k_violation,
+       n_sensitive < {L_DIVERSE} AS l_violation
+FROM g ORDER BY c_mktsegment, c_nationkey
+"""
+
+
 QUERIES = {
+    "etl_k_anonymity": etl_k_anonymity,
     "etl_scd2_asof_snapshot": etl_scd2_asof_snapshot,
     "etl_scd2_fact_join": etl_scd2_fact_join,
     "etl_dq_profile": etl_dq_profile,
@@ -596,6 +658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_k_anonymity": _k_anonymity_sql(),
     "etl_scd2_asof_snapshot": _scd2_asof_sql(),
     "etl_scd2_fact_join": _scd2_fact_join_sql(),
     "etl_dq_profile": _dq_sql(),

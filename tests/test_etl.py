@@ -70,3 +70,17 @@ def test_scd2_fact_join_covers_every_lineitem(spark, sf_dir):
     assert all(r["is_current"] in (-1, 0, 1) for r in rows)
     pre = [r for r in rows if r["priority"] == "PRE-HISTORY"]
     assert all(r["is_current"] == -1 for r in pre)
+
+
+def test_k_anonymity_flags(spark, sf_dir):
+    from catme_etl_j_spark.operators.etl import K_ANON, L_DIVERSE, etl_k_anonymity
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = etl_k_anonymity(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    assert sum(r["group_size"] for r in rows) == cust.count()
+    for r in rows:
+        assert 1 <= r["n_sensitive"] <= r["group_size"]
+        assert r["k_violation"] == (r["group_size"] < K_ANON)
+        assert r["l_violation"] == (r["n_sensitive"] < L_DIVERSE)
+    assert any(r["k_violation"] for r in rows)  # synthetic QI is sparse
