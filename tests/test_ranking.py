@@ -82,3 +82,33 @@ def test_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
         assert r["dcg_cum_e9"] <= r["idcg_cum_e9"]
     ranks = [r["rank"] for r in rows]
     assert ranks == list(range(1, 21))
+
+
+def test_vector_index_delegates_to_gated_queries(spark, sf_dir):
+    """The fluent facade must return exactly what the gated operators
+    return (same rows, same order), and the filtered path must agree
+    with ann_filtered_topk's pre-filter column set."""
+    from catme_etl_j_spark.operators.similarity import (
+        ANN_FILTER_MOD,
+        ann_filtered_topk,
+        ann_topk_bruteforce,
+    )
+    from catme_etl_j_spark.vector import VectorIndex
+
+    idx = VectorIndex(spark, sf_dir)
+    assert (
+        idx.topk(10, strategy="exact").collect()
+        == ann_topk_bruteforce(spark, sf_dir).collect()
+    )
+    filtered = idx.topk(10, where=f"label % {ANN_FILTER_MOD} = 0").collect()
+    audit = ann_filtered_topk(spark, sf_dir).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in filtered] == [
+        (r["vec_id"], r["cos_sim"]) for r in audit
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx.topk(10, strategy="ivf", where="label = 1")
+    with pytest.raises(ValueError):
+        idx.topk(10, strategy="nope")
+    assert idx.recall_at_k().count() >= 1
