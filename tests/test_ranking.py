@@ -112,3 +112,23 @@ def test_vector_index_delegates_to_gated_queries(spark, sf_dir):
     with pytest.raises(ValueError):
         idx.topk(10, strategy="nope")
     assert idx.recall_at_k().count() >= 1
+
+
+def test_batch_topk_consistent_with_single(spark, sf_dir):
+    """Query 0's batch results must equal the single-query brute-force
+    top-3; every query gets exactly BATCH_TOP ranked rows."""
+    from catme_etl_j_spark.operators.similarity import (
+        BATCH_Q,
+        BATCH_TOP,
+        ann_batch_topk,
+        ann_topk_bruteforce,
+    )
+
+    rows = ann_batch_topk(spark, sf_dir).collect()
+    assert len(rows) == BATCH_Q * BATCH_TOP
+    q0 = [(r["vec_id"], r["cos_sim"]) for r in rows if r["qid"] == 0]
+    single = ann_topk_bruteforce(spark, sf_dir).collect()[:BATCH_TOP]
+    assert q0 == [(r["vec_id"], r["cos_sim"]) for r in single]
+    for qid in range(BATCH_Q):
+        ranks = [r["rank"] for r in rows if r["qid"] == qid]
+        assert ranks == list(range(1, BATCH_TOP + 1))
