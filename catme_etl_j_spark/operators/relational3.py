@@ -710,8 +710,65 @@ ORDER BY business_days
 """
 
 
+def window_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly revenue: trend =
+    centered 13-month moving average (a value-based RANGE frame over
+    months-since-epoch, so calendar gaps shrink the window), seasonal
+    index = month / trend. An index persistently above 1 marks a high
+    season — the planning number behind inventory/capacity curves.
+
+    Determinism: monthly sums are exact DECIMAL; the trend divides the
+    exact window sum by the window count once; the index is one more
+    IEEE division, both through rdet. The fact table collapses to
+    |months| rows before any window (the 7dma posture).
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr(
+            "(year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1"
+        ).alias("month_n")
+    ).agg(F.sum(dec2("o_totalprice")).alias("rev"), F.count("*").alias("n_orders"))
+    w = W.orderBy("month_n").rangeBetween(-6, 6)
+    trend = F.sum("rev").over(w).cast("double") / F.count("*").over(w)
+    return monthly.select(
+        F.expr(
+            "concat(CAST(1970 + month_n DIV 12 AS STRING), '-',"
+            " lpad(CAST(month_n % 12 + 1 AS STRING), 2, '0'))"
+        ).alias("month"),
+        "n_orders",
+        money2(F.col("rev")).alias("revenue"),
+        rdet(trend, 2).alias("trend"),
+        rdet(F.col("rev").cast("double") / trend, 4).alias("seasonal_index"),
+        F.count("*").over(w).cast("long").alias("n_months_in_window"),
+    ).orderBy("month")
+
+
+_SEASONAL_SQL = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS month_n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT concat(CAST(1970 + month_n // 12 AS VARCHAR), '-',
+              lpad(CAST(month_n % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+       n_orders,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       {rdet_sql("CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w", 2)} AS trend,
+       {rdet_sql("CAST(rev AS DOUBLE) / (CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w)", 4)}
+         AS seasonal_index,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_months_in_window
+FROM monthly
+WINDOW w AS (ORDER BY month_n RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+ORDER BY month
+"""
+
+
 QUERIES = {
     "window_revenue_7dma": window_revenue_7dma,
+    "window_seasonal_index": window_seasonal_index,
     "fn_business_days": fn_business_days,
     "window_ewma_scatter": window_ewma_scatter,
     "q11_important_stock": q11_important_stock,
@@ -730,6 +787,7 @@ QUERIES = {
 ORACLES = {
     "window_revenue_7dma": _REV_7DMA_SQL,
     "fn_business_days": _bday_sql(),
+    "window_seasonal_index": _SEASONAL_SQL,
     "window_ewma_scatter": _EWMA_SQL,
     "q11_important_stock": _Q11_SQL,
     "q16_parts_supplier_count": _Q16_SQL,

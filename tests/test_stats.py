@@ -430,3 +430,19 @@ def test_anova_matches_direct_computation(spark, sf_dir):
     for r in rows:
         got = sum(data[r["grp"]]) / len(data[r["grp"]]) / 100.0
         assert abs(r["mean_price"] - got) < 0.01
+
+
+def test_seasonal_index_centers_on_one(spark, sf_dir):
+    """Seasonal indices over a full window hover around 1 (the trend
+    IS the windowed mean), and the full-window count is 13."""
+    from catme_etl_j_spark.operators.relational3 import window_seasonal_index
+
+    rows = window_seasonal_index(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r["month"])
+    full = [r for r in rows if r["n_months_in_window"] == 13]
+    assert full
+    mean_idx = sum(r["seasonal_index"] for r in full) / len(full)
+    assert 0.9 < mean_idx < 1.1
+    for r in rows:
+        assert r["seasonal_index"] > 0
+        assert abs(r["trend"] * r["n_months_in_window"]) > 0
