@@ -840,8 +840,122 @@ ORDER BY grp
 """
 
 
+PSI_BUCKETS = 10
+PSI_SPLIT = "1998-01-01"  # baseline < split <= current
+
+
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1995-97 baseline and the
+    1998+ current order-price distributions — the drift monitor every
+    deployed model sits behind (PSI > 0.25 = retrain alarm by the
+    standard rule of thumb).
+
+    Ten equal-width cent buckets over the GLOBAL min/max (exact int64
+    bounds broadcast from one aggregate; bucket = ((c - mn) * 10) DIV
+    (mx - mn + 1) — pure integer, no float boundary). Laplace +1 on
+    every bucket count kills ln(0)/div-zero identically on both
+    engines; each bucket's (p1 - p2) * ln(p1/p2) term is fixed-pointed
+    to 1e9 BEFORE the total sum (the bigram-LM ln convention), so the
+    total PSI is an exact int64 sum of per-bucket integers.
+
+    Output: one row per bucket with both shares and the term, plus the
+    same total_psi_e9 on every row (the gate hashes bucket AND total).
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _lt(spark, sf_dir, "orders")
+    cents = orders.select(
+        _fx("o_totalprice", 100.0).alias("c"),
+        F.expr(f"CAST(o_orderdate >= TIMESTAMP'{PSI_SPLIT}' AS INT)").alias("cur"),
+    )
+    bounds = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    bucketed = cents.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((c - mn) * {PSI_BUCKETS}) DIV (mx - mn + 1)").alias("bucket"),
+        "cur",
+    )
+    per = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.expr("1 - cur")).cast("long").alias("n_base"),
+            F.sum("cur").cast("long").alias("n_cur"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_base").cast("long").alias("tb"), F.sum("n_cur").cast("long").alias("tc")
+    )
+    # Laplace-smoothed shares (+1 per bucket, +PSI_BUCKETS on totals)
+    p1 = f"(CAST(n_base + 1 AS DOUBLE) / CAST(tb + {PSI_BUCKETS} AS DOUBLE))"
+    p2 = f"(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + {PSI_BUCKETS} AS DOUBLE))"
+    term = (
+        f"CAST(floor((({p1}) - ({p2})) * ln(({p1}) / ({p2}))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_base",
+        "n_cur",
+        rdet(F.expr(p1), 6).alias("share_base"),
+        rdet(F.expr(p2), 6).alias("share_cur"),
+        F.expr(term).alias("psi_term_e9"),
+    )
+    total = terms.agg(F.sum("psi_term_e9").cast("long").alias("total_psi_e9"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_base",
+            "n_cur",
+            "share_base",
+            "share_cur",
+            "psi_term_e9",
+            "total_psi_e9",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _psi_sql() -> str:
+    c = _fx_sql("o_totalprice", 100.0)
+    p1 = f"(CAST(n_base + 1 AS DOUBLE) / CAST(tb + {PSI_BUCKETS} AS DOUBLE))"
+    p2 = f"(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + {PSI_BUCKETS} AS DOUBLE))"
+    term = (
+        f"CAST(floor((({p1}) - ({p2})) * ln(({p1}) / ({p2}))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT {c} AS c,
+         CASE WHEN o_orderdate >= TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS cur
+  FROM orders),
+bounds AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents),
+bucketed AS (
+  SELECT ((c - mn) * {PSI_BUCKETS}) // (mx - mn + 1) AS bucket, cur
+  FROM cents, bounds),
+per AS (
+  SELECT bucket,
+         CAST(SUM(1 - cur) AS BIGINT) AS n_base,
+         CAST(SUM(cur) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM per),
+terms AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_cur,
+         {rdet_sql(p1, 6)} AS share_base,
+         {rdet_sql(p2, 6)} AS share_cur,
+         {term} AS psi_term_e9
+  FROM per, tot),
+total AS (SELECT CAST(SUM(psi_term_e9) AS BIGINT) AS total_psi_e9 FROM terms)
+SELECT bucket, n_base, n_cur, share_base, share_cur, psi_term_e9, total_psi_e9
+FROM terms, total
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_psi_drift": stats_psi_drift,
     "stats_anova_oneway": stats_anova_oneway,
     "stats_ks_test": stats_ks_test,
     "stats_benford_first_digit": stats_benford_first_digit,
@@ -856,6 +970,7 @@ QUERIES = {
 ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
     "stats_anova_oneway": _anova_sql(),
+    "stats_psi_drift": _psi_sql(),
     "stats_ks_test": _ks_sql(),
     "stats_benford_first_digit": _benford_sql(),
     "stats_gini_doc_length": _GINI_SQL,

@@ -446,3 +446,40 @@ def test_seasonal_index_centers_on_one(spark, sf_dir):
     for r in rows:
         assert r["seasonal_index"] > 0
         assert abs(r["trend"] * r["n_months_in_window"]) > 0
+
+
+def test_psi_drift_matches_python(spark, sf_dir):
+    """Total PSI equals a direct Python recompute with the same Laplace
+    smoothing; shares on each side sum to ~1."""
+    import math
+
+    from catme_etl_j_spark.operators.stats import PSI_BUCKETS, stats_psi_drift
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = stats_psi_drift(spark, sf_dir).collect()
+    assert len(rows) == PSI_BUCKETS
+    assert len({r["total_psi_e9"] for r in rows}) == 1
+    data = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c",
+            "CAST(o_orderdate >= TIMESTAMP'1998-01-01' AS INT) AS cur",
+        )
+        .collect()
+    )
+    cs = [r["c"] for r in data]
+    mn, mx = min(cs), max(cs)
+    nb = [0] * PSI_BUCKETS
+    nc = [0] * PSI_BUCKETS
+    for r in data:
+        b = ((r["c"] - mn) * PSI_BUCKETS) // (mx - mn + 1)
+        (nc if r["cur"] else nb)[b] += 1
+    tb, tc = sum(nb), sum(nc)
+    total = 0
+    for b in range(PSI_BUCKETS):
+        p1 = (nb[b] + 1) / (tb + PSI_BUCKETS)
+        p2 = (nc[b] + 1) / (tc + PSI_BUCKETS)
+        total += math.floor((p1 - p2) * math.log(p1 / p2) * 1e9 + 0.5)
+    assert rows[0]["total_psi_e9"] == total
+    assert abs(sum(r["share_base"] for r in rows) - 1.0) < 0.001
+    assert abs(sum(r["share_cur"] for r in rows) - 1.0) < 0.001
