@@ -1176,8 +1176,120 @@ ORDER BY dist, name_a, name_b
 """
 
 
+# The three operating points the tuning sweep compares: same 32-perm
+# signatures, different band geometry. The S-curve steepens with rows
+# per band: 16x2 recalls low-jaccard pairs, 4x8 keeps only near-exact.
+LSH_TUNING_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH threshold tuning: the SAME 32-perm MinHash signatures banded
+    three ways — (16x2, 8x4, 4x8) — with each configuration's candidate
+    count and mean estimated Jaccard. The match-probability S-curve is
+    1-(1-j^r)^b, so more rows per band shifts the operating point
+    toward precision; this sweep is how the 0.7-threshold production
+    config (8x4) is CHOSEN rather than assumed, and at 100 TB it runs
+    on the signature table (one signature pass, three cheap band
+    bucketings) — never re-shingling the corpus.
+
+    Mean est Jaccard stays integer: sum of per-pair agreement counts
+    (0..32) DIV'd once, reported in e6 parts of 32 — no float sums.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    mh = _minhash_df(spark, sf_dir).cache()
+    x, y = mh.alias("x"), mh.alias("y")
+    eq = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    outs = []
+    for bands, rows in LSH_TUNING_CONFIGS:
+        pairs = minhash_lsh_candidates(
+            spark, sf_dir, bands=bands, rows_per_band=rows, mh=mh
+        )
+        scored = (
+            pairs.alias("c")
+            .join(x, F.col("c.doc_a") == F.col("x.doc_id"))
+            .join(y, F.col("c.doc_b") == F.col("y.doc_id"))
+            .select(eq.cast("long").alias("eq"))
+        )
+        outs.append(
+            scored.agg(
+                F.count("*").alias("n_candidates"),
+                F.sum("eq").cast("long").alias("sum_eq"),
+            ).select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                F.expr(
+                    f"CASE WHEN n_candidates > 0 THEN"
+                    f" (sum_eq * 1000000) DIV (n_candidates * {NUM_PERM})"
+                    f" ELSE 0 END"
+                ).alias("mean_est_jaccard_e6"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("rows_per_band")
+
+
+def _lsh_tuning_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    eq = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    blocks = []
+    for bands, rows in LSH_TUNING_CONFIGS:
+        band_rows = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {j} AS band_idx,"
+            " md5(concat_ws(',', {cols})) AS bh FROM mh".format(
+                j=j,
+                cols=", ".join(f"m{j * rows + r}" for r in range(rows)),
+            )
+            for j in range(bands)
+        )
+        blocks.append(
+            f"""b{bands}x{rows} AS (
+{band_rows}),
+p{bands}x{rows} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM b{bands}x{rows} a JOIN b{bands}x{rows} b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+s{bands}x{rows} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         CAST({rows} AS BIGINT) AS rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM({eq}), 0) AS BIGINT) AS sum_eq
+  FROM p{bands}x{rows} c
+  JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id)"""
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM s{b}x{r}" for b, r in LSH_TUNING_CONFIGS
+    )
+    return f"""
+WITH {_SHINGLE_CTE_DUCK},
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id),
+{",".join(blocks)},
+allcfg AS (
+{unions})
+SELECT bands, rows_per_band, n_candidates,
+       CASE WHEN n_candidates > 0
+            THEN (sum_eq * 1000000) // (n_candidates * {NUM_PERM})
+            ELSE 0 END AS mean_est_jaccard_e6
+FROM allcfg ORDER BY rows_per_band
+"""
+
+
 QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_lsh_tuning": dedup_lsh_tuning,
     "dedup_er_similar_names": dedup_er_similar_names,
     "dedup_incremental_index": dedup_incremental_index,
     "dedup_report": dedup_report,
@@ -1197,6 +1309,7 @@ QUERIES = {
 ORACLES = {
     "dedup_cluster_sizes": _cluster_sizes_sql(),
     "dedup_er_similar_names": _ER_SQL,
+    "dedup_lsh_tuning": _lsh_tuning_sql(),
     "dedup_incremental_index": _incremental_sql(),
     "dedup_report": _report_sql(),
     "dedup_exact": _EXACT_SQL,

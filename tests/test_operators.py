@@ -997,3 +997,21 @@ def test_inter_arrival_buckets(spark, sf_dir):
         b = r["bucket_pow2"]
         lo, hi = (0 if b == 1 else 1 << (b - 1)), (1 << b) - 1
         assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi
+
+
+def test_lsh_tuning_scurve_monotonicity(spark, sf_dir):
+    """More rows per band = stricter: candidate counts must be
+    non-increasing and mean estimated Jaccard non-decreasing along
+    (16x2, 8x4, 4x8)."""
+    from catme_etl_j_spark.operators.dedup import dedup_lsh_tuning
+
+    rows = dedup_lsh_tuning(spark, sf_dir).collect()
+    assert [(r["bands"], r["rows_per_band"]) for r in rows] == [
+        (16, 2),
+        (8, 4),
+        (4, 8),
+    ]
+    cands = [r["n_candidates"] for r in rows]
+    assert cands[0] >= cands[1] >= cands[2]
+    quality = [r["mean_est_jaccard_e6"] for r in rows if r["n_candidates"] > 0]
+    assert quality == sorted(quality)
