@@ -1059,8 +1059,130 @@ LIMIT {RAKE_TOP_K}
 """
 
 
+_SPLIT_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_SPLIT_BUCKET_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+)
+
+
+def text_lm_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT bigram perplexity — the proper LM evaluation loop the
+    self-trained scorer (text_bigram_lm_score) is not: the add-one LM
+    trains on the 90%% train split (the corpus_split hash predicate,
+    so train/eval membership is a pure function of doc_id) and scores
+    the 10%% eval split, including genuinely UNSEEN bigrams and
+    contexts (left joins; lp = ln((c12+1)/(c1+V)) with missing counts
+    as 0 — add-one smoothing's whole point). Perplexity = exp(-avg
+    logprob), one exp of an identical double per doc.
+
+    ln runs once per DISTINCT eval bigram, fixed-pointed at 1e6 before
+    the exact per-doc integer sums (the ln-on-the-gate convention).
+    Scale shape: train stats are the usual one-shuffle aggregates; the
+    eval side joins them on the gram key, co-partitioned.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr("split(trim(text), ' +')").alias("w"),
+        (F.expr(_SPLIT_BUCKET_SPARK) < 10).alias("is_eval"),
+    )
+    grams = (
+        staged.select(
+            "doc_id", "is_eval", F.explode_outer(F.expr(_ngram_expr(2))).alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "is_eval", "gram")
+        .agg(F.count("*").alias("k"))
+    )
+    train_c12 = (
+        grams.filter(~F.col("is_eval"))
+        .groupBy("gram")
+        .agg(F.sum("k").alias("c12"))
+        .withColumn("w1", F.expr("element_at(split(gram, ' '), 1)"))
+    )
+    train_c1 = train_c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    train_v = (
+        staged.filter(~F.col("is_eval"))
+        .select(F.explode_outer("w").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    eval_grams = (
+        grams.filter(F.col("is_eval"))
+        .withColumn("w1", F.expr("element_at(split(gram, ' '), 1)"))
+        .join(train_c12.select("gram", "c12"), "gram", "left")
+        .join(F.broadcast(train_c1), "w1", "left")
+        .crossJoin(F.broadcast(train_v))
+        .withColumn(
+            "lp_fp",
+            F.expr(
+                "CAST(floor(ln((COALESCE(c12, 0) + 1.0)"
+                " / (COALESCE(c1, 0) + v)) * 1000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    scored = eval_grams.groupBy("doc_id").agg(
+        F.sum(F.col("k") * F.col("lp_fp")).alias("sum_fp"),
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.expr("CAST(c12 IS NULL AS INT) * k")).cast("long").alias("n_oov"),
+    )
+    avg = F.col("sum_fp").cast("double") / F.col("n_bigrams") / F.lit(1000000.0)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        rdet(avg, 4).alias("avg_logprob"),
+        rdet(F.exp(-avg), 4).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
+def _lm_heldout_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w,
+         {_SPLIT_BUCKET_DUCK} < 10 AS is_eval
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_eval, gram, COUNT(*) AS k
+  FROM (SELECT doc_id, is_eval, unnest({_duck_ngrams(2)}) AS gram FROM s) t
+  GROUP BY doc_id, is_eval, gram),
+c12 AS (
+  SELECT gram, CAST(SUM(k) AS BIGINT) AS c12, split_part(gram, ' ', 1) AS w1
+  FROM grams WHERE NOT is_eval GROUP BY gram),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM s WHERE NOT is_eval) u),
+ev AS (
+  SELECT g.doc_id, g.k,
+         CAST(floor(ln((COALESCE(t.c12, 0) + 1.0)
+              / (COALESCE(c1.c1, 0) + vocab.v)) * 1000000.0 + 0.5) AS BIGINT)
+           AS lp_fp,
+         CASE WHEN t.c12 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM grams g
+  LEFT JOIN c12 t ON g.gram = t.gram
+  LEFT JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+  CROSS JOIN vocab
+  WHERE g.is_eval),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(k * lp_fp) AS BIGINT) AS sum_fp,
+         CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         CAST(SUM(oov * k) AS BIGINT) AS n_oov
+  FROM ev GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_oov,
+       {rdet_sql("CAST(sum_fp AS DOUBLE) / n_bigrams / 1000000.0", 4)} AS avg_logprob,
+       {rdet_sql("exp(-(CAST(sum_fp AS DOUBLE) / n_bigrams / 1000000.0))", 4)} AS perplexity
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_readability": text_readability,
+    "text_lm_heldout_ppl": text_lm_heldout_ppl,
     "text_rake_keywords": text_rake_keywords,
     "text_lexical_diversity": text_lexical_diversity,
     "text_bigram_lm_score": text_bigram_lm_score,
@@ -1079,6 +1201,7 @@ QUERIES = {
 
 ORACLES = {
     "text_rake_keywords": _rake_sql(),
+    "text_lm_heldout_ppl": _lm_heldout_sql(),
     "text_readability": _READABILITY_SQL,
     "text_lexical_diversity": _LEXDIV_SQL,
     "text_bigram_lm_score": _BIGRAM_LM_SQL,

@@ -1015,3 +1015,21 @@ def test_lsh_tuning_scurve_monotonicity(spark, sf_dir):
     assert cands[0] >= cands[1] >= cands[2]
     quality = [r["mean_est_jaccard_e6"] for r in rows if r["n_candidates"] > 0]
     assert quality == sorted(quality)
+
+
+def test_heldout_ppl_oov_and_bounds(spark, sf_dir):
+    """Eval docs only; OOV bigrams exist (held-out split genuinely
+    contains unseen grams); perplexity = exp(-avg_logprob) per row and
+    is >= 1 for a <=1-probability model."""
+    import math
+
+    from catme_etl_j_spark.operators.text import text_lm_heldout_ppl
+
+    rows = text_lm_heldout_ppl(spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_oov"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_bigrams"]
+        assert r["avg_logprob"] < 0
+        assert r["perplexity"] >= 1.0
+        assert abs(r["perplexity"] - math.exp(-r["avg_logprob"])) < 0.01
