@@ -158,3 +158,22 @@ def test_zorder_buckets_shrink_both_spans(spark, sf_dir):
     z_area = avg([x["pk_span"] * x["sk_span"] for x in z])
     r_area = avg([x["pk_span"] * x["sk_span"] for x in r_])
     assert z_area < r_area / 8, (z_area, r_area)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """The small-files remedy: a fragmented write (64 shuffle-sized
+    files) compacts to a bounded file count via repartition, preserving
+    every row — the nightly OPTIMIZE job's core mechanic."""
+    from catme_etl_j_spark.sources.tables import load_table
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 64
+    comp = str(tmp_path / "compact")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+    n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    assert n_comp == 4
+    assert spark.read.parquet(comp).count() == ev.count()
