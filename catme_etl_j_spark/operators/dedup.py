@@ -1287,8 +1287,55 @@ FROM allcfg ORDER BY rows_per_band
 """
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance contamination matrix: near-dup pairs (the LSH
+    candidates) counted per SOURCE pair — which feeds are mirroring
+    each other. Off-diagonal mass means two acquisition channels
+    deliver the same content (pay for one); diagonal mass is
+    within-feed duplication (fix the crawler). The canonical
+    curation report over the pair stream: two broadcast-size joins of
+    doc->source onto the candidates, then a tiny groupBy; sources are
+    canonicalized (least, greatest) so each unordered pair counts
+    once.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("cross_source", F.col("source_x") != F.col("source_y"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+def _cross_source_sql() -> str:
+    return f"""
+WITH {_minhash_cte_part()},
+j AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id)
+SELECT source_x, source_y, COUNT(*) AS n_pairs,
+       source_x <> source_y AS cross_source
+FROM j GROUP BY source_x, source_y
+ORDER BY source_x, source_y
+"""
+
+
 QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "dedup_lsh_tuning": dedup_lsh_tuning,
     "dedup_er_similar_names": dedup_er_similar_names,
     "dedup_incremental_index": dedup_incremental_index,
@@ -1310,6 +1357,7 @@ ORACLES = {
     "dedup_cluster_sizes": _cluster_sizes_sql(),
     "dedup_er_similar_names": _ER_SQL,
     "dedup_lsh_tuning": _lsh_tuning_sql(),
+    "dedup_cross_source_matrix": _cross_source_sql(),
     "dedup_incremental_index": _incremental_sql(),
     "dedup_report": _report_sql(),
     "dedup_exact": _EXACT_SQL,

@@ -1034,3 +1034,17 @@ def test_heldout_ppl_oov_and_bounds(spark, sf_dir):
         assert r["avg_logprob"] < 0
         assert r["perplexity"] >= 1.0
         assert abs(r["perplexity"] - math.exp(-r["avg_logprob"])) < 0.01
+
+
+def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
+    from catme_etl_j_spark.operators.dedup import (
+        dedup_cross_source_matrix,
+        minhash_lsh_candidates,
+    )
+
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    total = minhash_lsh_candidates(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == total
+    for r in rows:
+        assert r["source_x"] <= r["source_y"]
+        assert r["cross_source"] == (r["source_x"] != r["source_y"])
