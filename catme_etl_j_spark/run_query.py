@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=20,
                    help="row cap for --format show")
     p.add_argument("--cpus", help="local[N] parallelism override")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing "
+        "(the PLANS.md receipt for any registered query)",
+    )
     return p
 
 
@@ -64,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("run_query", cpus=args.cpus)
     df = queries[args.query](spark, args.sf_dir)
+    if args.explain:
+        from catme_etl_j_spark.plans.explain import formatted_plan
+
+        print(formatted_plan(df))
+        return 0
     if args.format == "show":
         df.show(args.limit, truncate=False)
     elif args.format == "parquet":

@@ -148,3 +148,13 @@ def test_run_query_writes_ndjson(tmp_path):
         rows += [json.loads(l) for l in open(f) if l.strip()]
     assert len(rows) == 6
     assert {r["l_returnflag"] for r in rows} <= {"A", "N", "R"}
+
+
+def test_run_query_explain_flag(capsys):
+    from catme_etl_j_spark.run_query import main
+
+    rc = main(["q06_revenue_delta", "--sf-dir", "/root/testdata/sf0.001", "--explain"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    assert "Scan parquet" in out
