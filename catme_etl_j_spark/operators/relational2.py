@@ -797,6 +797,47 @@ FROM t GROUP BY source ORDER BY source
 
 
 
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL / three-valued-logic conformance pin: the SQL corners
+    engines most often disagree on, hash-compared in one row.
+    ``nullif(l_quantity, 1)`` injects NULLs deterministically, then:
+    COUNT(*) vs COUNT(col) (NULL skipping), COUNT(DISTINCT) (NULL not
+    a value), SUM over a nullable DECIMAL (NULL-transparent, not
+    NULL-poisoning), and the three-valued split of ``x > 25`` into
+    true / false / unknown — UNKNOWN rows satisfy neither the
+    predicate nor its negation, the classic WHERE-clause trap.
+    """
+    from catme_etl_j_spark.functions.numeric import dec2, money2
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _lt(spark, sf_dir, "lineitem")
+    x = li.select(F.expr("nullif(l_quantity, 1.0)").alias("x"))
+    return x.agg(
+        F.count("*").alias("n_rows"),
+        F.count("x").alias("n_nonnull"),
+        F.countDistinct("x").alias("n_distinct"),
+        money2(F.sum(dec2("x"))).alias("sum_x"),
+        F.sum(F.expr("CAST((x > 25.0) = true AS INT)")).cast("long").alias("n_true"),
+        F.sum(F.expr("CAST((x > 25.0) = false AS INT)")).cast("long").alias("n_false"),
+        F.sum(F.expr("CAST((x > 25.0) IS NULL AS INT)")).cast("long").alias("n_unknown"),
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH t AS (SELECT nullif(l_quantity, 1.0) AS x FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       COUNT(x) AS n_nonnull,
+       COUNT(DISTINCT x) AS n_distinct,
+       CAST(round(SUM(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_x,
+       CAST(SUM(CASE WHEN (x > 25.0) = true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN (x > 25.0) = false THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+       CAST(SUM(CASE WHEN (x > 25.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+FROM t
+"""
+
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_nation_profit": q09_nation_profit,
@@ -820,6 +861,7 @@ QUERIES = {
     "fn_udtf_top_words": fn_udtf_top_words,
     "fn_variant_props": fn_variant_props,
     "fn_pandas_udf_tokens": fn_pandas_udf_tokens,
+    "fn_null_semantics": fn_null_semantics,
 }
 
 ORACLES = {
@@ -845,4 +887,5 @@ ORACLES = {
     "fn_udtf_top_words": _UDTF_TOP_WORDS_SQL,
     "fn_variant_props": _VARIANT_SQL,
     "fn_pandas_udf_tokens": _PANDAS_UDF_SQL,
+    "fn_null_semantics": _NULL_SEMANTICS_SQL,
 }

@@ -1048,3 +1048,17 @@ def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
     for r in rows:
         assert r["source_x"] <= r["source_y"]
         assert r["cross_source"] == (r["source_x"] != r["source_y"])
+
+
+def test_null_semantics_identities(spark, sf_dir):
+    """The three-valued split must partition the rows; NULL skipping
+    must equal the injected NULL count."""
+    from catme_etl_j_spark.operators.relational2 import fn_null_semantics
+    from catme_etl_j_spark.sources.tables import load_table
+
+    [r] = fn_null_semantics(spark, sf_dir).collect()
+    assert r["n_true"] + r["n_false"] + r["n_unknown"] == r["n_rows"]
+    li = load_table(spark, sf_dir, "lineitem")
+    n_ones = li.filter("l_quantity = 1.0").count()
+    assert r["n_rows"] - r["n_nonnull"] == n_ones
+    assert r["n_unknown"] == n_ones
