@@ -953,8 +953,96 @@ ORDER BY bucket
 """
 
 
+def stats_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the itemset-pair level:
+    support, confidence (both directions' max — reported as the
+    canonical unordered pair) and lift for part-TYPE pairs
+    co-purchased in one order. Lift > 1 = the pair attracts, < 1 =
+    substitutes — the cross-sell planning number.
+
+    Shape: baskets collapse to DISTINCT (order, type) first, the pair
+    self-join runs on the orderkey (co-partitioned; fan-out bounded by
+    6 types => <=15 pairs/order), and singleton counts broadcast onto
+    the 15-row pair aggregate. All counts exact; support/conf/lift are
+    single divisions through rdet. The Apriori level-2 pass — at 100 TB
+    level-k would iterate this same join on surviving itemsets.
+    """
+    from catme_etl_j_spark.sources.tables import load_table as _lt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _lt(spark, sf_dir, "lineitem")
+    part = _lt(spark, sf_dir, "part").select("p_partkey", "p_type")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), "p_type")
+        .distinct()
+    )
+    n_orders = baskets.agg(F.countDistinct("ok").alias("n_orders"))
+    singles = baskets.groupBy("p_type").agg(F.count("*").alias("n_single"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_x"), F.col("b.p_type").alias("type_y")
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    sx = singles.select(F.col("p_type").alias("type_x"), F.col("n_single").alias("n_x"))
+    sy = singles.select(F.col("p_type").alias("type_y"), F.col("n_single").alias("n_y"))
+    j = (
+        pair_counts.join(F.broadcast(sx), "type_x")
+        .join(F.broadcast(sy), "type_y")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return j.select(
+        "type_x",
+        "type_y",
+        "n_pair",
+        "n_x",
+        "n_y",
+        rdet(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias("support"),
+        rdet(F.col("n_pair").cast("double") / F.col("n_x"), 6).alias("conf_x_to_y"),
+        rdet(F.col("n_pair").cast("double") / F.col("n_y"), 6).alias("conf_y_to_x"),
+        rdet(
+            (F.col("n_pair").cast("double") * F.col("n_orders"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double")),
+            6,
+        ).alias("lift"),
+    ).orderBy("type_x", "type_y")
+
+
+_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+singles AS (SELECT p_type, COUNT(*) AS n_single FROM baskets GROUP BY p_type),
+pairs AS (
+  SELECT a.p_type AS type_x, b.p_type AS type_y, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.ok = b.ok AND a.p_type < b.p_type
+  GROUP BY a.p_type, b.p_type)
+SELECT type_x, type_y, n_pair,
+       sx.n_single AS n_x, sy.n_single AS n_y,
+       {rdet_sql("CAST(n_pair AS DOUBLE) / n_orders", 6)} AS support,
+       {rdet_sql("CAST(n_pair AS DOUBLE) / sx.n_single", 6)} AS conf_x_to_y,
+       {rdet_sql("CAST(n_pair AS DOUBLE) / sy.n_single", 6)} AS conf_y_to_x,
+       {rdet_sql("(CAST(n_pair AS DOUBLE) * n_orders) / (CAST(sx.n_single AS DOUBLE) * CAST(sy.n_single AS DOUBLE))", 6)} AS lift
+FROM pairs
+JOIN singles sx ON pairs.type_x = sx.p_type
+JOIN singles sy ON pairs.type_y = sy.p_type
+CROSS JOIN n
+ORDER BY type_x, type_y
+"""
+
+
 QUERIES = {
     "stats_mode_quantity": stats_mode_quantity,
+    "stats_basket_lift": stats_basket_lift,
     "stats_psi_drift": stats_psi_drift,
     "stats_anova_oneway": stats_anova_oneway,
     "stats_ks_test": stats_ks_test,
@@ -971,6 +1059,7 @@ ORACLES = {
     "stats_mode_quantity": _MODE_SQL,
     "stats_anova_oneway": _anova_sql(),
     "stats_psi_drift": _psi_sql(),
+    "stats_basket_lift": _BASKET_SQL,
     "stats_ks_test": _ks_sql(),
     "stats_benford_first_digit": _benford_sql(),
     "stats_gini_doc_length": _GINI_SQL,

@@ -483,3 +483,21 @@ def test_psi_drift_matches_python(spark, sf_dir):
     assert rows[0]["total_psi_e9"] == total
     assert abs(sum(r["share_base"] for r in rows) - 1.0) < 0.001
     assert abs(sum(r["share_cur"] for r in rows) - 1.0) < 0.001
+
+
+def test_basket_lift_identities(spark, sf_dir):
+    """Support/confidence/lift relate by their defining identities, and
+    the pair count never exceeds either singleton count."""
+    from catme_etl_j_spark.operators.stats import stats_basket_lift
+
+    rows = stats_basket_lift(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 15  # C(6,2) pairs of 6 part types
+    for r in rows:
+        assert r["n_pair"] <= min(r["n_x"], r["n_y"])
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_x_to_y"] <= 1 and 0 < r["conf_y_to_x"] <= 1
+        # lift identity: lift = conf_x_to_y / P(y), with
+        # P(y) = n_y / n_orders and n_orders = n_pair / support
+        n_orders = r["n_pair"] / r["support"]
+        p_y = r["n_y"] / n_orders
+        assert abs(r["lift"] - r["conf_x_to_y"] / p_y) < 0.01
