@@ -645,8 +645,94 @@ FROM g ORDER BY c_mktsegment, c_nationkey
 """
 
 
+def etl_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance UNDER RETRACTIONS — where naive
+    incremental systems break. A CDC batch arrives against the
+    materialized per-priority aggregate: orders with orderkey %% 7 == 0
+    are UPDATED (price +10.00, encoded as the classic delete+insert
+    retraction pair) and orders with orderkey %% 11 == 0 (and not %% 7)
+    are DELETED outright. The view updates by summing signed deltas —
+    (-1, -price) / (+1, +price') — and must equal the direct aggregate
+    over the post-CDC state (the oracle).
+
+    Only COUNT and SUM appear: they form an abelian group under
+    retraction (every delta has an inverse); MIN/MAX are deliberately
+    absent — a deleted minimum cannot be repaired from the aggregate
+    alone, which is exactly why production IVM engines track extra
+    state or disallow them. DECIMAL deltas keep the arithmetic exact.
+
+    Shape: the delta side scans only CDC rows; the merge is the same
+    group-key full-outer join as etl_incremental_agg.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    view = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(dec2("o_totalprice")).alias("s")
+    )
+    upd = orders.filter("o_orderkey % 7 = 0")
+    dels = orders.filter("o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0")
+    ten = F.lit("10.00").cast("decimal(18,2)")
+    deltas = (
+        upd.select(
+            "o_orderpriority",
+            F.lit(-1).alias("dn"),
+            (-dec2("o_totalprice")).alias("ds"),
+        )
+        .unionByName(
+            upd.select(
+                "o_orderpriority",
+                F.lit(1).alias("dn"),
+                (dec2("o_totalprice") + ten).alias("ds"),
+            )
+        )
+        .unionByName(
+            dels.select(
+                "o_orderpriority",
+                F.lit(-1).alias("dn"),
+                (-dec2("o_totalprice")).alias("ds"),
+            )
+        )
+    )
+    dagg = deltas.groupBy("o_orderpriority").agg(
+        F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    merged = view.alias("v").join(
+        dagg.alias("d"),
+        F.col("v.o_orderpriority") == F.col("d.o_orderpriority"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce(F.col("v.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        money2(F.coalesce("s", zero) + F.coalesce("ds", zero)).alias("sum_price"),
+    ).orderBy("o_orderpriority")
+
+
+# Oracle: the DIRECT aggregate over the post-CDC state — equality is
+# the algebraic proof the retraction path is safe.
+_RETRACTION_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CASE WHEN o_orderkey % 7 = 0
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                + CAST('10.00' AS DECIMAL(18,2))
+                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "etl_k_anonymity": etl_k_anonymity,
+    "etl_retraction_agg": etl_retraction_agg,
     "etl_scd2_asof_snapshot": etl_scd2_asof_snapshot,
     "etl_scd2_fact_join": etl_scd2_fact_join,
     "etl_dq_profile": etl_dq_profile,
@@ -659,6 +745,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_k_anonymity": _k_anonymity_sql(),
+    "etl_retraction_agg": _RETRACTION_SQL,
     "etl_scd2_asof_snapshot": _scd2_asof_sql(),
     "etl_scd2_fact_join": _scd2_fact_join_sql(),
     "etl_dq_profile": _dq_sql(),
