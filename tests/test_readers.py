@@ -62,3 +62,29 @@ def test_schema_inference_never_collects_content(spark, tmp_path, monkeypatch):
     assert collected, "inference should collect paths"
     for cols in collected:
         assert "content" not in cols, f"driver collected file content: {cols}"
+
+
+def test_parquet_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    """Schema evolution across files: an old file without a column and
+    a new file with it read together under mergeSchema yield the
+    unified schema with NULL back-fill — the contract that lets a
+    100 TB table add columns without rewriting history."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    old = ev.select("event_id", "event_type")
+    new = ev.select("event_id", "event_type", F.col("value").alias("score"))
+    d = str(tmp_path / "evolving")
+    old.write.mode("overwrite").parquet(d + "/batch=1")
+    new.write.mode("overwrite").parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert {f.name for f in merged.schema.fields} >= {
+        "event_id",
+        "event_type",
+        "score",
+    }
+    rows = merged.count()
+    nulls = merged.filter("score IS NULL").count()
+    assert rows == 200 and nulls == 100
