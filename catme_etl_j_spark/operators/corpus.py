@@ -1300,6 +1300,99 @@ ORDER BY bucket
 """
 
 
+PAD_BATCH = 32  # sequences per training batch
+
+
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why length-bucketed batching exists, quantified: padding a batch
+    to its longest sequence wastes (batch_max - len) tokens per doc;
+    batching docs SORTED by length makes batch members similar and
+    collapses that waste versus arrival-order batching. Both
+    strategies' waste computed exactly: batch id = (rank - 1) DIV 32
+    over the respective orders (unique doc_id tie-breaks), padded
+    size = count * max per batch, waste in exact tokens and ppm of
+    the padded volume.
+
+    Everything runs on the |docs|-row (doc, n_tokens) aggregate; the
+    two rank windows are the only sorts. At 100 TB the same numbers
+    come from the histogram sketch instead of exact ranks — this exact
+    version is the audit that justifies the bucketing stage in
+    corpus_pack_sequences.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("size(split(trim(text), ' +'))").cast("long").alias("n")
+    )
+
+    out = []
+    for strategy, order_sql in (
+        ("length_bucketed", "n, doc_id"),
+        ("arrival_order", "doc_id"),
+    ):
+        batched = toks.withColumn(
+            "b",
+            F.expr(
+                f"CAST((row_number() OVER (ORDER BY {order_sql}) - 1)"
+                f" DIV {PAD_BATCH} AS BIGINT)"
+            ),
+        )
+        per_batch = batched.groupBy("b").agg(
+            F.count("*").alias("c"), F.max("n").alias("mx"), F.sum("n").alias("s")
+        )
+        out.append(
+            per_batch.agg(
+                F.count("*").cast("long").alias("n_batches"),
+                F.sum("s").cast("long").alias("total_tokens"),
+                F.sum(F.col("c") * F.col("mx")).cast("long").alias("padded_tokens"),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                "n_batches",
+                "total_tokens",
+                "padded_tokens",
+                (F.col("padded_tokens") - F.col("total_tokens")).alias("waste_tokens"),
+                F.expr(
+                    "(padded_tokens - total_tokens) * 1000000 DIV padded_tokens"
+                ).alias("waste_ppm"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("strategy")
+
+
+_PADDING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n
+  FROM documents),
+sorted_b AS (
+  SELECT n, (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) // {PAD_BATCH} AS b
+  FROM toks),
+arrival_b AS (
+  SELECT n, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {PAD_BATCH} AS b
+  FROM toks),
+s1 AS (
+  SELECT 'length_bucketed' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(c * mx) AS BIGINT) AS padded_tokens
+  FROM (SELECT b, COUNT(*) AS c, MAX(n) AS mx, SUM(n) AS s
+        FROM sorted_b GROUP BY b) t),
+s2 AS (
+  SELECT 'arrival_order' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(c * mx) AS BIGINT) AS padded_tokens
+  FROM (SELECT b, COUNT(*) AS c, MAX(n) AS mx, SUM(n) AS s
+        FROM arrival_b GROUP BY b) t),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+SELECT strategy, n_batches, total_tokens, padded_tokens,
+       padded_tokens - total_tokens AS waste_tokens,
+       (padded_tokens - total_tokens) * 1000000 // padded_tokens AS waste_ppm
+FROM u ORDER BY strategy
+"""
+
+
+
 QUERIES = {
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_mix_epochs": corpus_mix_epochs,
@@ -1312,6 +1405,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "corpus_chunk": corpus_chunk,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_padding_waste": corpus_padding_waste,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_temperature": corpus_sample_temperature,
     "corpus_decontaminate": corpus_decontaminate,
@@ -1337,6 +1431,7 @@ ORACLES = {
     "corpus_split": _SPLIT_SQL,
     "corpus_chunk": _CHUNK_SQL,
     "corpus_pack_sequences": _PACK_SQL,
+    "corpus_padding_waste": _PADDING_SQL,
     "corpus_sample_stratified": _SAMPLE_SQL,
     "corpus_sample_temperature": _TEMP_SQL,
     "corpus_decontaminate": _DECON_SQL,

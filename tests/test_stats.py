@@ -501,3 +501,19 @@ def test_basket_lift_identities(spark, sf_dir):
         n_orders = r["n_pair"] / r["support"]
         p_y = r["n_y"] / n_orders
         assert abs(r["lift"] - r["conf_x_to_y"] / p_y) < 0.01
+
+
+def test_padding_waste_sorted_wins(spark, sf_dir):
+    """Length-bucketed batching must waste strictly less than
+    arrival-order batching; both conserve the true token total."""
+    from catme_etl_j_spark.operators.corpus import corpus_padding_waste
+
+    rows = {r["strategy"]: r for r in corpus_padding_waste(spark, sf_dir).collect()}
+    assert set(rows) == {"length_bucketed", "arrival_order"}
+    lb, ar = rows["length_bucketed"], rows["arrival_order"]
+    assert lb["total_tokens"] == ar["total_tokens"]
+    assert lb["n_batches"] == ar["n_batches"]
+    assert lb["waste_tokens"] < ar["waste_tokens"]
+    for r in rows.values():
+        assert r["padded_tokens"] == r["total_tokens"] + r["waste_tokens"]
+        assert 0 <= r["waste_ppm"] < 1_000_000
