@@ -1903,8 +1903,82 @@ GROUP BY 1 ORDER BY bucket_pow2
 """
 
 
+BOT_MIN_GAPS = 20
+BOT_CV2_MAX = 0.1  # squared coefficient of variation below this = metronomic
+
+
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot heuristic: humans arrive with heavy-tailed
+    inter-event gaps, scripts with metronomic ones — so a LOW squared
+    coefficient of variation (var/mean²) over a user's gaps flags
+    automation. The trust-and-safety cut every event pipeline runs
+    before analytics count 'users'.
+
+    Exact plumbing: integer second gaps from the shared
+    (user-partitioned sort) lag pass; per-user Σg and Σg² accumulate
+    in DECIMAL(38,0); cv² = (nΣg² - (Σg)²)/(Σg)² is evaluated from
+    those exact decimals (identical decimal→double rounding on both
+    engines) through rdet. Flag = cv² < 0.1 with >= 20 gaps.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", "ts", "event_id", F.expr("unix_micros(ts)").alias("us")
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", F.expr("(us - prev) DIV 1000000").alias("g"))
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("sgg"),
+    )
+    cv2 = (
+        F.col("n_gaps").cast("double") * F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / (F.col("sg").cast("double") * F.col("sg").cast("double"))
+    return per.select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(sg AS BIGINT) DIV n_gaps").alias("mean_gap_s"),
+        rdet(cv2, 6).alias("cv2"),
+        ((F.expr(f"n_gaps >= {BOT_MIN_GAPS}")) & rdet(cv2, 6).__lt__(BOT_CV2_MAX)).alias(
+            "bot_suspect"
+        ),
+    ).orderBy("user_id")
+
+
+_BOT_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+  FROM events),
+per AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(38,0))) AS sg,
+         SUM(CAST(g * g AS DECIMAL(38,0))) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id),
+calc AS (
+  SELECT user_id, n_gaps,
+         CAST(sg AS BIGINT) // n_gaps AS mean_gap_s,
+         {rdet_sql(
+             "(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)"
+             " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+             " / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))", 6)} AS cv2
+  FROM per)
+SELECT user_id, n_gaps, mean_gap_s, cv2,
+       (n_gaps >= {BOT_MIN_GAPS} AND cv2 < {BOT_CV2_MAX}) AS bot_suspect
+FROM calc ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_bot_score": events_bot_score,
     "events_heatmap_hour_dow": events_heatmap_hour_dow,
     "events_inter_arrival": events_inter_arrival,
     "events_survival_km": events_survival_km,
@@ -1965,4 +2039,5 @@ ORACLES = {
     "events_survival_km": _KM_SQL,
     "events_heatmap_hour_dow": _HEATMAP_SQL,
     "events_inter_arrival": _INTER_ARRIVAL_SQL,
+    "events_bot_score": _BOT_SQL,
 }

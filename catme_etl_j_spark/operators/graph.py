@@ -345,9 +345,11 @@ def graph_bfs_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's collect-tiny-state pattern; this is the shape you keep
     when the graph scales with the data).
 
-    The dense trade graph is first thresholded to its 'backbone'
-    (edges with w * |edges| >= 2 * total_w — an integer-exact
-    data-relative cut), leaving a sparse directed graph where
+    The dense trade graph is first thresholded to its 'backbone' —
+    the top ~5%% heaviest edges (w >= the k-th largest weight,
+    k = max(1, |edges| DIV 20); a fixed multiple-of-average cut went
+    EMPTY at sf0.1 where weights flatten) — leaving a sparse directed
+    graph where
     distances genuinely vary and some nations are unreachable (-1);
     the source is the backbone's strongest hub (max outgoing weight,
     smallest key on ties — data-dependent but deterministic). Each round: frontier ⋈ edges -> dedup -> anti-
@@ -359,12 +361,21 @@ def graph_bfs_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the BFS level. All arithmetic is integer.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as PW
+
     edges_all = _trade_edges(spark, sf_dir)
-    tot = edges_all.agg(
-        F.sum("w").alias("sw"), F.count("*").alias("ne")
-    ).first()
-    sw, ne = int(tot["sw"]), int(tot["ne"])
-    bb = edges_all.filter(F.col("w") * ne >= 2 * sw).localCheckpoint()
+    ranked = edges_all.withColumn(
+        "rn", F.row_number().over(PW.orderBy(F.desc("w"), "src", "dst"))
+    ).withColumn(
+        "ne", F.count("*").over(PW.partitionBy())
+    )
+    thr_row = (
+        ranked.filter(F.expr("rn <= greatest(1, ne DIV 20)"))
+        .agg(F.min("w").alias("thr"))
+        .first()
+    )
+    thr = int(thr_row["thr"])
+    bb = edges_all.filter(F.col("w") >= thr).localCheckpoint()
     edges = bb.select("src", "dst")
     src_row = (
         bb.groupBy("src")
@@ -411,8 +422,11 @@ WITH RECURSIVE e AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY c.c_nationkey, s.s_nationkey),
-tot AS (SELECT SUM(w) AS sw, COUNT(*) AS ne FROM e),
-bb AS (SELECT src, dst, w FROM e, tot WHERE w * ne >= 2 * sw),
+thr AS (
+  SELECT MIN(w) AS thr FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY w DESC, src, dst) AS rn FROM e) r
+  WHERE rn <= GREATEST(1, (SELECT COUNT(*) FROM e) // 20)),
+bb AS (SELECT src, dst, w FROM e, thr WHERE w >= thr),
 bsrc AS (
   SELECT src FROM bb GROUP BY src
   ORDER BY SUM(w) DESC, src ASC LIMIT 1),
