@@ -1062,3 +1062,35 @@ def test_null_semantics_identities(spark, sf_dir):
     n_ones = li.filter("l_quantity = 1.0").count()
     assert r["n_rows"] - r["n_nonnull"] == n_ones
     assert r["n_unknown"] == n_ones
+
+
+def test_bot_score_cv_identity(spark, sf_dir):
+    """cv2 must match a direct Python recompute for sampled users and
+    the flag must follow its definition."""
+    from catme_etl_j_spark.operators.events import (
+        BOT_CV2_MAX,
+        BOT_MIN_GAPS,
+        events_bot_score,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = events_bot_score(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+        .collect()
+    )
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["us"], r["event_id"]))
+    for r in rows[:5]:
+        seq = sorted(per_user[r["user_id"]])
+        gaps = [(b[0] - a[0]) // 1_000_000 for a, b in zip(seq, seq[1:])]
+        n, sg, sgg = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        assert r["n_gaps"] == n
+        cv2 = (n * sgg - sg * sg) / (sg * sg)
+        assert abs(r["cv2"] - cv2) < 1e-5
+        assert r["bot_suspect"] == (n >= BOT_MIN_GAPS and r["cv2"] < BOT_CV2_MAX)
