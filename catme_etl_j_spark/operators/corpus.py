@@ -1259,9 +1259,13 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), ' +')) - 1, 0)), "
+                # CASE guard: a 1-word doc makes sequence(1, 0) the
+                # DESCENDING [1, 0], whose i=0 hits element_at(_, 0) —
+                # an unconditional INVALID_INDEX_OF_ZERO (ADVICE r5 sweep)
+                "CASE WHEN size(split(trim(text), ' +')) >= 2 THEN "
+                "transform(sequence(1, size(split(trim(text), ' +')) - 1), "
                 "i -> concat_ws(' ', element_at(split(trim(text), ' +'), i), "
-                "element_at(split(trim(text), ' +'), i + 1)))"
+                "element_at(split(trim(text), ' +'), i + 1))) ELSE array() END"
             )
         ).alias("word"),
     ).filter("word <> ''")

@@ -522,9 +522,10 @@ def etl_scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then joins the interval table on custkey EQUALITY with the
     interval predicate as a residual filter over that customer's few
     versions — the scalable SCD2 lookup (co-partitioned equi-join; no
-    range-join explosion). Every lineitem matches exactly one interval
-    (its ship date is >= its order date >= the customer's first
-    valid_from), so the join is inner by construction.
+    range-join explosion). The join is LEFT: a ship date can precede
+    the customer's first valid_from in the synthetic history, and those
+    rows fall out of the interval match and are bucketed as
+    'PRE-HISTORY' (version -1) rather than dropped.
 
     ISO date strings compare lexicographically, identically on both
     engines; revenue stays DECIMAL end to end.

@@ -1919,6 +1919,14 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL(38,0); cv² = (nΣg² - (Σg)²)/(Σg)² is evaluated from
     those exact decimals (identical decimal→double rounding on both
     engines) through rdet. Flag = cv² < 0.1 with >= 20 gaps.
+
+    Degenerate guard (VERDICT r5 #4): a user whose gaps are ALL 0 s
+    (every event in the same second — exactly the burst bot this query
+    hunts) makes Σg = 0 and cv² = x/0; Spark yields NaN where DuckDB
+    yields NULL/Inf, a guaranteed flaky hash. Both sides CASE cv² to
+    NULL when Σg = 0 and flag the user as a bot via the explicit
+    `sg = 0 OR cv2 < 0.1` disjunct (all-zero gaps are maximally
+    metronomic), so bot_suspect is never a NULL boolean.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
@@ -1936,18 +1944,20 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
         F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("sgg"),
     )
-    cv2 = (
+    cv2_raw = (
         F.col("n_gaps").cast("double") * F.col("sgg").cast("double")
         - F.col("sg").cast("double") * F.col("sg").cast("double")
     ) / (F.col("sg").cast("double") * F.col("sg").cast("double"))
+    cv2 = F.when(F.col("sg") > 0, rdet(cv2_raw, 6))
     return per.select(
         "user_id",
         "n_gaps",
         F.expr("CAST(sg AS BIGINT) DIV n_gaps").alias("mean_gap_s"),
-        rdet(cv2, 6).alias("cv2"),
-        ((F.expr(f"n_gaps >= {BOT_MIN_GAPS}")) & rdet(cv2, 6).__lt__(BOT_CV2_MAX)).alias(
-            "bot_suspect"
-        ),
+        cv2.alias("cv2"),
+        (
+            F.expr(f"n_gaps >= {BOT_MIN_GAPS}")
+            & ((F.col("sg") == 0) | cv2.__lt__(BOT_CV2_MAX))
+        ).alias("bot_suspect"),
     ).orderBy("user_id")
 
 
@@ -1963,15 +1973,15 @@ per AS (
          SUM(CAST(g * g AS DECIMAL(38,0))) AS sgg
   FROM gaps WHERE g IS NOT NULL GROUP BY user_id),
 calc AS (
-  SELECT user_id, n_gaps,
+  SELECT user_id, n_gaps, sg,
          CAST(sg AS BIGINT) // n_gaps AS mean_gap_s,
-         {rdet_sql(
+         CASE WHEN sg > 0 THEN {rdet_sql(
              "(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)"
              " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
-             " / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))", 6)} AS cv2
+             " / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))", 6)} END AS cv2
   FROM per)
 SELECT user_id, n_gaps, mean_gap_s, cv2,
-       (n_gaps >= {BOT_MIN_GAPS} AND cv2 < {BOT_CV2_MAX}) AS bot_suspect
+       (n_gaps >= {BOT_MIN_GAPS} AND (sg = 0 OR cv2 < {BOT_CV2_MAX})) AS bot_suspect
 FROM calc ORDER BY user_id
 """
 

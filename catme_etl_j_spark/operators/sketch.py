@@ -78,8 +78,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sh",
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                # <3 words -> zero shingles: Spark's sequence(1, 0) is a
+                # DESCENDING [1,0] whose ws[i+1] lookup crashes under
+                # ANSI mode (ADVICE r5; same guard as dedup._SHINGLES_SPARK,
+                # minus array_distinct — the sketch stream is a multiset)
+                "CASE WHEN size(ws) >= 3"
+                " THEN transform(sequence(1, size(ws) - 2),"
                 " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                " ELSE array() END"
             ),
         )
         .select(F.explode_outer("sh").alias("shingle"))
@@ -652,8 +658,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sh",
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                # <3 words -> zero shingles: Spark's sequence(1, 0) is a
+                # DESCENDING [1,0] whose ws[i+1] lookup crashes under
+                # ANSI mode (ADVICE r5; same guard as dedup._SHINGLES_SPARK,
+                # minus array_distinct — the sketch stream is a multiset)
+                "CASE WHEN size(ws) >= 3"
+                " THEN transform(sequence(1, size(ws) - 2),"
                 " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                " ELSE array() END"
             ),
         )
         .select("source", F.explode_outer("sh").alias("shingle"))

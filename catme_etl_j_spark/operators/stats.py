@@ -955,10 +955,10 @@ ORDER BY bucket
 
 def stats_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules at the itemset-pair level:
-    support, confidence (both directions' max — reported as the
-    canonical unordered pair) and lift for part-TYPE pairs
-    co-purchased in one order. Lift > 1 = the pair attracts, < 1 =
-    substitutes — the cross-sell planning number.
+    support, both directional confidences (conf_x_to_y and conf_y_to_x,
+    emitted side by side for the canonical unordered pair) and lift for
+    part-TYPE pairs co-purchased in one order. Lift > 1 = the pair
+    attracts, < 1 = substitutes — the cross-sell planning number.
 
     Shape: baskets collapse to DISTINCT (order, type) first, the pair
     self-join runs on the orderkey (co-partitioned; fan-out bounded by

@@ -291,9 +291,15 @@ def winnow_fps(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFra
     multiply-referenced non-cheap alias in its own Project, so the
     staging survives optimization (asserted in tests/test_plans.py).
     """
+    # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # substring(nt, 0, k) silently aliases position 1 — a doc shorter
+    # than k chars would emit two bogus hashes the DuckDB twin (empty
+    # range) never produces (ADVICE r5 sweep).
     hashes = (
-        f"transform(sequence(1, greatest(length(nt) - {k - 1}, 0)), "
-        f"i -> CAST(conv(substr(md5(substring(nt, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+        f"CASE WHEN length(nt) >= {k} THEN "
+        f"transform(sequence(1, length(nt) - {k - 1}), "
+        f"i -> CAST(conv(substr(md5(substring(nt, i, {k})), 1, 8), 16, 10) AS BIGINT)) "
+        f"ELSE array() END"
     )
     fps = (
         f"CASE WHEN size(hashes) >= {w} THEN "
@@ -359,11 +365,18 @@ DUP_TRIGRAM_MAX_FRAC = 0.30
 
 
 def _ngram_expr(n: int) -> str:
-    """Word n-grams over the staged ``w`` column (space-joined)."""
+    """Word n-grams over the staged ``w`` column (space-joined).
+
+    CASE guard: for a doc with <n words, sequence(1, 0) yields a
+    DESCENDING [1, 0] whose i=0 element hits element_at(w, 0) — an
+    unconditional INVALID_INDEX_OF_ZERO error (ADVICE r5 sweep; same
+    idiom as dedup._SHINGLES_SPARK).
+    """
     parts = " , ' ', ".join(f"element_at(w, i + {j})" for j in range(n))
     return (
-        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-        f"i -> concat({parts}))".replace(" , ", ", ")
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat({parts})) ELSE array() END".replace(" , ", ", ")
     )
 
 
@@ -443,9 +456,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_word_frac = (F.col("n_words") - F.col("n_distinct_words")).cast(
         "double"
     ) / n_words
-    top_bigram_frac = (
-        F.coalesce(F.col("top_bigram_n"), F.lit(0)) * F.length(F.coalesce("top_bigram", F.lit("")))
-    ).cast("double") / F.col("norm_chars").cast("double")
+    # norm_chars = 0 (empty doc): Spark ANSI throws DIVIDE_BY_ZERO where
+    # DuckDB yields NULL — both sides CASE to 0.0 (ADVICE r5 sweep)
+    top_bigram_frac = F.when(
+        F.col("norm_chars") > 0,
+        (
+            F.coalesce(F.col("top_bigram_n"), F.lit(0))
+            * F.length(F.coalesce("top_bigram", F.lit("")))
+        ).cast("double")
+        / F.col("norm_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
     dup_trigram_frac = F.when(
         F.coalesce("tri_chars", F.lit(0)) > 0,
         F.coalesce("dup_tri_chars", F.lit(0)).cast("double")
@@ -509,9 +529,9 @@ SELECT doc_id,
        {rdet_sql("CAST(n_words - n_distinct_words AS DOUBLE) / n_words", 4)} AS dup_word_frac,
        top_bigram,
        CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
-       {rdet_sql("CAST(top_bigram_n * length(top_bigram) AS DOUBLE) / norm_chars", 4)} AS top_bigram_frac,
+       {rdet_sql("CASE WHEN norm_chars > 0 THEN CAST(top_bigram_n * length(top_bigram) AS DOUBLE) / norm_chars ELSE 0.0 END", 4)} AS top_bigram_frac,
        {rdet_sql("CASE WHEN tri_chars > 0 THEN CAST(dup_tri_chars AS DOUBLE) / tri_chars ELSE 0.0 END", 4)} AS dup_trigram_frac,
-       CAST(CASE WHEN CAST(top_bigram_n * length(top_bigram) AS DOUBLE) / norm_chars <= {TOP_BIGRAM_MAX_FRAC}
+       CAST(CASE WHEN (CASE WHEN norm_chars > 0 THEN CAST(top_bigram_n * length(top_bigram) AS DOUBLE) / norm_chars ELSE 0.0 END) <= {TOP_BIGRAM_MAX_FRAC}
                   AND (CASE WHEN tri_chars > 0 THEN CAST(dup_tri_chars AS DOUBLE) / tri_chars ELSE 0.0 END) <= {DUP_TRIGRAM_MAX_FRAC}
                  THEN 1 ELSE 0 END AS INT) AS rep_pass
 FROM j

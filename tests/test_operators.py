@@ -1091,6 +1091,123 @@ def test_bot_score_cv_identity(spark, sf_dir):
         gaps = [(b[0] - a[0]) // 1_000_000 for a, b in zip(seq, seq[1:])]
         n, sg, sgg = len(gaps), sum(gaps), sum(g * g for g in gaps)
         assert r["n_gaps"] == n
-        cv2 = (n * sgg - sg * sg) / (sg * sg)
-        assert abs(r["cv2"] - cv2) < 1e-5
-        assert r["bot_suspect"] == (n >= BOT_MIN_GAPS and r["cv2"] < BOT_CV2_MAX)
+        if sg > 0:
+            cv2 = (n * sgg - sg * sg) / (sg * sg)
+            assert abs(r["cv2"] - cv2) < 1e-5
+        else:
+            assert r["cv2"] is None
+        assert r["bot_suspect"] == (
+            n >= BOT_MIN_GAPS
+            and (sg == 0 or (r["cv2"] is not None and r["cv2"] < BOT_CV2_MAX))
+        )
+
+
+def test_bot_score_all_same_second_user_matches_oracle(spark, tmp_path):
+    """VERDICT r5 #4 fixture: a burst bot firing 25 events inside ONE
+    second makes every gap 0 s and Σg = 0 — the degenerate cv² = x/0.
+    Both engines must agree: cv2 NULL, bot_suspect TRUE (all-zero gaps
+    are maximally metronomic). A metronomic-but-nonzero user and an
+    irregular human ride along to pin the live branches."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    base_us = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    # user 1: 25 events in the same second (sub-second spacing)
+    for i in range(25):
+        rows.append((eid, base_us + i * 1000, 1)); eid += 1
+    # user 2: 25 events exactly 60 s apart (metronomic, sg > 0)
+    for i in range(25):
+        rows.append((eid, base_us + i * 60_000_000, 2)); eid += 1
+    # user 3: 25 events with irregular gaps (human)
+    t = base_us
+    for i in range(25):
+        t += (1 + (i * 37) % 500) * 1_000_000
+        rows.append((eid, t, 3)); eid += 1
+    # user 4: 5 events in one second (degenerate but under BOT_MIN_GAPS)
+    for i in range(5):
+        rows.append((eid, base_us + i * 2000, 4)); eid += 1
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from catme_etl_j_spark.operators.events import events_bot_score
+
+    sdf = events_bot_score(spark, str(tmp_path))
+    srows = {r["user_id"]: r for r in sdf.collect()}
+    assert srows[1]["cv2"] is None and srows[1]["bot_suspect"] is True
+    assert srows[2]["cv2"] == 0.0 and srows[2]["bot_suspect"] is True
+    assert srows[3]["bot_suspect"] is False
+    assert srows[4]["n_gaps"] == 4 and srows[4]["bot_suspect"] is False
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["events_bot_score"])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(scols, [tuple(r) for r in sdf.collect()]) == _norm(
+        ocols, rel.fetchall()
+    )
+
+
+def test_short_doc_guards_match_oracle(spark, tmp_path):
+    """ADVICE r5 sweep fixture: documents with 0/1/2 words (and <k
+    chars) hit every shingle/n-gram/winnow sequence(1, N<=0) trap —
+    unguarded, Spark's DESCENDING sequence(1, 0) either crashes
+    (element_at(_, 0)) or emits bogus pseudo-grams the DuckDB twin
+    never produces. Each guarded query must run AND hash-match its
+    oracle on this corpus."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    texts = [
+        "",            # empty
+        "one",         # 1 word, 3 chars (< winnow k)
+        "two words",   # 2 words
+        "a b c",       # exactly 3 words -> one shingle
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    table = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["web", "web", "book", "book", "wiki"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in (
+        "sketch_kmv_distinct",
+        "sketch_hll_distinct",
+        "text_repetition",
+        "text_winnow_fingerprint",
+        "corpus_vocab_growth",
+    ):
+        sdf = qs[name](spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]  # must not crash
+        rel = con.sql(os_[name])
+        scols = [c.lower() for c in sdf.columns]
+        ocols = [c.lower() for c in rel.columns]
+        assert sorted(scols) == sorted(ocols), name
+        assert _norm(scols, srows) == _norm(ocols, rel.fetchall()), name
