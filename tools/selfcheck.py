@@ -67,6 +67,8 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = 0
+    fails: list[str] = []
+    t_start = time.time()
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -80,10 +82,12 @@ def main() -> int:
         except QueryTimeout as e:
             print(f"FAIL {name}: TIMEOUT: {e}")
             n_fail += 1
+            fails.append(name)
             continue
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
+            fails.append(name)
             continue
         finally:
             signal.alarm(0)
@@ -99,6 +103,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            fails.append(name)
             continue
         problems = []
         # Type tripwire (convention #5): an uncast SUM(int)/SUM(BIGINT)
@@ -124,6 +129,7 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
+            fails.append(name)
         else:
             print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -143,6 +149,10 @@ def main() -> int:
         "n_fail": n_fail,
         "n_queries": len(queries),
         "subset": sorted(only) if only else None,
+        # VERDICT r5 #2: name the failures (an anonymous "1 fail" cost a
+        # round of archaeology) and record the sweep's wall time.
+        "fails": fails,
+        "wall_s": round(time.time() - t_start, 1),
     }
     print("SELFCHECK_SUMMARY " + json.dumps(summary))
     if not only and os.environ.get("SELFCHECK_RECORD") == "1":
