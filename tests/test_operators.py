@@ -1211,3 +1211,32 @@ def test_short_doc_guards_match_oracle(spark, tmp_path):
         ocols = [c.lower() for c in rel.columns]
         assert sorted(scols) == sorted(ocols), name
         assert _norm(scols, srows) == _norm(ocols, rel.fetchall()), name
+
+
+def test_bpe_train_textbook_example():
+    """The classic Sennrich toy corpus: first merges must be the
+    highest-weighted pairs with (count DESC, pat ASC) tie-breaks."""
+    from catme_etl_j_spark.operators.corpus import _bpe_train
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = _bpe_train(vocab, n_merges=4)
+    # e s (9) ties s t (9) -> 'e s' first (pat ASC); then es t (9)
+    assert merges == ["e s", "es t", "l o", "lo w"]
+    # exhausting the corpus stops early instead of looping
+    assert len(_bpe_train([("ab", 1)], n_merges=50)) == 1
+
+
+def test_bpe_tokenize_bounds(spark, sf_dir):
+    """Per source: char_tokens >= bpe_tokens >= ws_tokens (every word
+    is >=1 and <= len(word) tokens); 50 merges trained; ratios follow
+    their fixed-point definitions."""
+    from catme_etl_j_spark.operators.corpus import BPE_MERGES, corpus_bpe_tokenize
+
+    rows = corpus_bpe_tokenize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_merges"] == BPE_MERGES
+        assert r["ws_tokens"] <= r["bpe_tokens"] <= r["char_tokens"]
+        assert r["bpe_per_ws_ppm"] == r["bpe_tokens"] * 1000000 // r["ws_tokens"]
+        assert r["bpe_per_char_ppm"] == r["bpe_tokens"] * 1000000 // r["char_tokens"]
+        assert r["bpe_tok_per_doc"] == (r["bpe_tokens"] * 100 // r["n_docs"]) / 100.0
