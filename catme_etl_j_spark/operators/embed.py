@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
 from catme_etl_j_spark.sources.tables import load_table
 
 
@@ -439,8 +440,190 @@ ORDER BY c.i, c.j
 """
 
 
+# ---------------------------------------------------------------------------
+# embed_e2e_pipeline — the embedding-side composite (VERDICT r5 #8):
+# chunk -> embed -> stats -> ANN index -> dedup-verify as ONE plan.
+# ---------------------------------------------------------------------------
+
+E2E_CHUNK_TOKENS = 64   # same chunking grain as corpus_chunk
+E2E_DIM = 16            # stub-embedder dimensionality
+E2E_COS_DUP = 0.99      # verify threshold: near-identical chunks only
+
+
+def embed_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-pipeline composite, mirroring what corpus_e2e_funnel
+    is for text curation: chunk the corpus -> embed each chunk -> vector
+    quality gate + stats -> LSH index -> candidate pairs -> exact-cosine
+    dedup verify -> keep-one resolution, all in ONE declarative plan
+    with no driver-side seam (the only materialization is the same
+    localCheckpoint barrier corpus_e2e_funnel uses; no mid-pipeline
+    collect). One summary row whose stage counts reconcile:
+    ``n_kept + n_dropped = n_valid``.
+
+    The embed step is a DETERMINISTIC STUB (no embedding model ships in
+    this container — the multimodal fake-features precedent): dim j of
+    a chunk = md5-int of ``chunk_md5:j`` mapped into [-1000, 1000]. The
+    Spark-side plumbing the stub exercises — chunk explode, per-vector
+    int64 arithmetic, sign-bucket index, bucket-equi-join, exact
+    fixed-point cosine — is the real production path; swap the stub
+    for a Pandas-UDF model call and nothing else changes.
+
+    Index = single-band 16-bit sign-LSH (bucket = sign orthant of the
+    16 dims): identical vectors always collide, so the dup-verify
+    recall for exact near-dups is 1.0 by construction; the multi-band
+    recall path for looser thresholds is ann_lsh_hyperplane_pairs.
+    Scale: the bucket join is a co-partitioned equi-join (2^16 key
+    space; heavy identical-content skew concentrates in few buckets —
+    the same caveat, and the same salting remedy, as every LSH dedup
+    op here); everything else is map-side or a single-row aggregate.
+
+    Determinism: integer embeddings (no float scaling needed), int64
+    dots, sqrt-double norms, rdet(6) cosine, positive-int fixed-point
+    everywhere (convention #7).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_arr = (
+        f"transform(sequence(0, CAST(ceil(size(w) / {E2E_CHUNK_TOKENS}.0) AS INT) - 1), "
+        f"c -> array_join(slice(w, c * {E2E_CHUNK_TOKENS} + 1, {E2E_CHUNK_TOKENS}), ' '))"
+    )
+    chunks = (
+        docs.select("doc_id", F.expr("split(trim(text), ' +')").alias("w"))
+        .select("doc_id", F.posexplode_outer(F.expr(chunk_arr)).alias("idx", "chunk"))
+        .filter(F.col("chunk").isNotNull())
+        .select(
+            (F.col("doc_id") * 1000 + F.col("idx")).cast("long").alias("key"),
+            F.md5("chunk").alias("h"),
+        )
+    )
+    fx = (
+        f"transform(sequence(0, {E2E_DIM - 1}), j -> "
+        f"CAST(conv(substr(md5(concat(h, ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % 2001 - 1000)"
+    )
+    bucket = (
+        f"aggregate(sequence(0, {E2E_DIM - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + CASE WHEN element_at(fx, CAST(j + 1 AS INT)) > 0 "
+        f"THEN CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    norm2 = (
+        "aggregate(zip_with(fx, fx, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    emb = (
+        chunks.withColumn("fx", F.expr(fx))
+        .withColumn("norm2", F.expr(norm2))
+        .withColumn("bucket", F.expr(bucket))
+        # one barrier: five stage aggregates + both pair sides consume
+        # this md5-heavy subtree (same rationale as corpus_e2e_funnel)
+        .localCheckpoint()
+    )
+    valid = emb.filter(F.col("norm2") > 0).withColumn(
+        "norm", F.sqrt(F.col("norm2").cast("double"))
+    )
+    a = valid.select(
+        F.col("key").alias("ka"), F.col("bucket").alias("bk"),
+        F.col("fx").alias("fa"), F.col("norm").alias("na"),
+    )
+    b = valid.select(
+        F.col("key").alias("kb"), F.col("bucket").alias("bk"),
+        F.col("fx").alias("fb"), F.col("norm").alias("nb"),
+    )
+    cos = rdet(
+        F.expr(
+            "CAST(aggregate(zip_with(fa, fb, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", cos.alias("cos_sim"))
+        .localCheckpoint()
+    )
+    dup = pairs.filter(F.col("cos_sim") >= E2E_COS_DUP)
+    s_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    s_chunks = emb.agg(F.count("*").cast("long").alias("n_chunks"))
+    s_valid = valid.agg(
+        F.count("*").cast("long").alias("n_valid"),
+        F.sum("norm2").cast("long").alias("total_norm2"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+    )
+    s_cand = pairs.agg(F.count("*").cast("long").alias("n_cand_pairs"))
+    s_dup = dup.agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.countDistinct("kb").cast("long").alias("n_dropped"),
+    )
+    return (
+        s_docs.crossJoin(F.broadcast(s_chunks))
+        .crossJoin(F.broadcast(s_valid))
+        .crossJoin(F.broadcast(s_cand))
+        .crossJoin(F.broadcast(s_dup))
+        .select(
+            "n_docs", "n_chunks", "n_valid", "total_norm2", "n_buckets",
+            "n_cand_pairs", "n_dup_pairs", "n_dropped",
+            (F.col("n_valid") - F.col("n_dropped")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+_E2E_PIPELINE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+c AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {E2E_CHUNK_TOKENS}.0) AS INT)),
+           c -> struct_pack(idx := c,
+                chunk := array_to_string(
+                    w[c * {E2E_CHUNK_TOKENS} + 1 : c * {E2E_CHUNK_TOKENS} + {E2E_CHUNK_TOKENS}], ' ')))) AS u
+  FROM s),
+ch AS (
+  SELECT CAST(doc_id * 1000 + u.idx AS BIGINT) AS key, md5(u.chunk) AS h FROM c),
+emb AS (
+  SELECT key,
+         list_transform(range(0, {E2E_DIM}),
+             j -> ('0x' || substr(md5(h || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                  % 2001 - 1000) AS fx
+  FROM ch),
+en AS (
+  SELECT key, fx,
+         CAST(list_sum(list_transform(range(1, {E2E_DIM} + 1), i -> fx[i] * fx[i])) AS BIGINT) AS norm2,
+         CAST(list_sum(list_transform(range(1, {E2E_DIM} + 1),
+             i -> CASE WHEN fx[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM emb),
+valid AS (
+  SELECT key, fx, norm2, bucket, sqrt(CAST(norm2 AS DOUBLE)) AS norm
+  FROM en WHERE norm2 > 0),
+pairs AS (
+  SELECT a.key AS ka, b.key AS kb,
+         {rdet_sql(
+             "CAST(list_sum(list_transform(range(1, " + str(E2E_DIM) + " + 1), "
+             "i -> a.fx[i] * b.fx[i])) AS BIGINT) / (a.norm * b.norm)", 6)} AS cos_sim
+  FROM valid a JOIN valid b ON a.bucket = b.bucket AND a.key < b.key),
+sd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks FROM en),
+sv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+         CAST(SUM(norm2) AS BIGINT) AS total_norm2,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+  FROM valid),
+sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_pairs FROM pairs),
+sdup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT kb) AS BIGINT) AS n_dropped
+  FROM pairs WHERE cos_sim >= {E2E_COS_DUP})
+SELECT n_docs, n_chunks, n_valid, total_norm2, n_buckets,
+       n_cand_pairs, n_dup_pairs, n_dropped,
+       CAST(n_valid - n_dropped AS BIGINT) AS n_kept
+FROM sd, sc, sv, sp, sdup
+"""
+
+
 QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
+    "embed_e2e_pipeline": embed_e2e_pipeline,
     "embed_covariance": embed_covariance,
     "embed_group_stats": embed_group_stats,
     "embed_feature_hash": embed_feature_hash,
@@ -449,6 +632,7 @@ QUERIES = {
 
 ORACLES = {
     "embed_covariance": _COV_SQL,
+    "embed_e2e_pipeline": _E2E_PIPELINE_SQL,
     "embed_centroid_outliers": _centroid_sql(),
     "embed_quantize_int8": _QUANT_SQL,
     "embed_group_stats": _GROUP_STATS_SQL,

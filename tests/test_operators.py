@@ -1240,3 +1240,38 @@ def test_bpe_tokenize_bounds(spark, sf_dir):
         assert r["bpe_per_ws_ppm"] == r["bpe_tokens"] * 1000000 // r["ws_tokens"]
         assert r["bpe_per_char_ppm"] == r["bpe_tokens"] * 1000000 // r["char_tokens"]
         assert r["bpe_tok_per_doc"] == (r["bpe_tokens"] * 100 // r["n_docs"]) / 100.0
+
+
+def test_embed_e2e_pipeline_reconciles(spark, sf_dir):
+    """Stage counts must reconcile (kept + dropped = valid <= chunks)
+    and the dedup-verify result must equal the ground truth: dropped =
+    chunks minus distinct chunk texts (identical vectors <=> identical
+    chunks for the stub embedder, and sign-LSH always collides them)."""
+    from catme_etl_j_spark.operators.embed import (
+        E2E_CHUNK_TOKENS,
+        embed_e2e_pipeline,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    [r] = embed_e2e_pipeline(spark, sf_dir).collect()
+    assert r["n_kept"] + r["n_dropped"] == r["n_valid"]
+    assert r["n_valid"] <= r["n_chunks"]
+    assert r["n_dup_pairs"] <= r["n_cand_pairs"]
+    assert r["n_buckets"] <= r["n_valid"]
+
+    docs = load_table(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    chunk_arr = (
+        f"transform(sequence(0, CAST(ceil(size(w) / {E2E_CHUNK_TOKENS}.0) AS INT) - 1), "
+        f"c -> array_join(slice(w, c * {E2E_CHUNK_TOKENS} + 1, {E2E_CHUNK_TOKENS}), ' '))"
+    )
+    ch = (
+        docs.select(F.expr("split(trim(text), ' +')").alias("w"))
+        .select(F.explode(F.expr(chunk_arr)).alias("chunk"))
+    )
+    n_chunks = ch.count()
+    n_distinct = ch.distinct().count()
+    assert r["n_chunks"] == n_chunks
+    assert r["n_dropped"] == n_chunks - n_distinct
+    assert r["n_kept"] == n_distinct
