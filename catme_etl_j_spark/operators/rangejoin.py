@@ -235,11 +235,85 @@ ORDER BY day
 """
 
 
+def range_month_in_flight(spark, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency by calendar month: each lineitem is
+    'in flight' over [o_orderdate, l_shipdate]; for every month that
+    interval overlaps, count open lines, distinct open orders, and the
+    open quantity — the backlog/concurrency-over-time archetype (same
+    family as events' peak-concurrency, but at month grain over a
+    date-interval fact).
+
+    Scale shape: the interval side EXPLODES into its overlapping month
+    buckets (bounded fan-out: months-per-interval, a data constant) and
+    aggregates straight to |months| keys with map-side combine — the
+    bucketize half of the range-join recipe with the probe side fused
+    into the aggregation; no BETWEEN nested-loop anywhere. Inverted
+    intervals (ship < order) are dropped explicitly on both sides, the
+    same contract as :func:`range_join`.
+
+    Determinism: month arithmetic on DATEs (TZ-free), output as
+    'yyyy-MM' strings (convention #3); quantity through DECIMAL.
+    """
+    from catme_etl_j_spark.functions.numeric import dec2, money2
+    from catme_etl_j_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.to_date("l_shipdate").alias("ship")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("ordered")
+    )
+    spans = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("ship") >= F.col("ordered"))
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.explode(
+                F.expr(
+                    "sequence(trunc(ordered, 'MM'), trunc(ship, 'MM'),"
+                    " interval 1 month)"
+                )
+            ).alias("month_start"),
+        )
+    )
+    return (
+        spans.groupBy(F.date_format("month_start", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_open_lines"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_open_orders"),
+            money2(F.sum(dec2("l_quantity"))).alias("open_qty"),
+        )
+        .orderBy("month")
+    )
+
+
+_MONTH_IN_FLIGHT_SQL = """
+WITH spans AS (
+  SELECT l.l_orderkey, l.l_quantity,
+         unnest(generate_series(date_trunc('month', CAST(o.o_orderdate AS DATE)),
+                                date_trunc('month', CAST(l.l_shipdate AS DATE)),
+                                INTERVAL 1 MONTH)) AS month_start
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE))
+SELECT strftime(month_start, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_open_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_open_orders,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS open_qty
+FROM spans
+GROUP BY month
+ORDER BY month
+"""
+
+
 QUERIES = {
     "range_join_price_bands": range_join_price_bands,
     "range_join_session_peak": range_join_session_peak,
+    "range_month_in_flight": range_month_in_flight,
 }
 ORACLES = {
     "range_join_price_bands": _RANGE_BANDS_SQL,
     "range_join_session_peak": _session_peak_sql(),
+    "range_month_in_flight": _MONTH_IN_FLIGHT_SQL,
 }

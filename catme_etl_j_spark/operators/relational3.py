@@ -766,6 +766,85 @@ ORDER BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT over MEASURE columns — lineitem's three charge components to
+# long form, then per-measure profiling. Complements unpivot_order_status
+# (which unpivots a pivot result): this one runs UNPIVOT over a raw fact
+# table's measures, the melt step every metrics pipeline needs before a
+# generic per-metric aggregation.
+# ---------------------------------------------------------------------------
+
+
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt (extendedprice, discount, tax) into (charge, value) rows and
+    profile each measure: row count, min/max, DECIMAL-exact sum.
+
+    Scale shape: UNPIVOT is a row-local generate (3x fan-out, no
+    shuffle); the profile aggregates map-side to 3 keys. Monetary
+    arithmetic via DECIMAL(18,4) (discount/tax are 4-dp rates),
+    rendered through a 4-dp fixed double (convention #2).
+    """
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_orderkey"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="charge",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("charge")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            rdet(F.min("value"), 4).alias("min_value"),
+            rdet(F.max("value"), 4).alias("max_value"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("charge")
+    )
+
+
+_UNPIVOT_CHARGES_SQL = f"""
+WITH long AS (
+  UNPIVOT (SELECT l_orderkey, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_extendedprice, l_discount, l_tax
+  INTO NAME charge VALUE value)
+SELECT charge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {rdet_sql('MIN(value)', 4)} AS min_value,
+       {rdet_sql('MAX(value)', 4)} AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM long
+GROUP BY charge
+ORDER BY charge
+"""
+
+
+# LATERAL against a derived (DISTINCT) driving table — per-brand top-3
+# parts by retail price. Complements lateral_top2_customers (dimension
+# table drives): here the correlated subquery and the driver come from
+# the SAME fact table, the self-referential decorrelation case.
+_LATERAL_PARTS_SQL = """
+SELECT b.p_brand, p.p_partkey, p.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM {part}) b,
+LATERAL (SELECT p_partkey, p_retailprice FROM {part}
+         WHERE p_brand = b.p_brand
+         ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 3) p
+"""
+
+
+def lateral_top3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_lv")
+    return spark.sql(_LATERAL_PARTS_SQL.format(part="part_lv"))
+
+
 QUERIES = {
     "window_revenue_7dma": window_revenue_7dma,
     "window_seasonal_index": window_seasonal_index,
@@ -781,7 +860,9 @@ QUERIES = {
     "q19_banded_revenue": q19_banded_revenue,
     "q21_waiting_supplier": q21_waiting_supplier,
     "unpivot_order_status": unpivot_order_status,
+    "unpivot_lineitem_charges": unpivot_lineitem_charges,
     "lateral_top2_customers": lateral_top2_customers,
+    "lateral_top3_parts": lateral_top3_parts,
 }
 
 ORACLES = {
@@ -799,7 +880,9 @@ ORACLES = {
     "q19_banded_revenue": _Q19_SQL,
     "q21_waiting_supplier": _Q21_SQL,
     "unpivot_order_status": _unpivot_sql(),
+    "unpivot_lineitem_charges": _UNPIVOT_CHARGES_SQL,
     "lateral_top2_customers": _LATERAL_SQL.format(
         nation="nation", customer="customer"
     ),
+    "lateral_top3_parts": _LATERAL_PARTS_SQL.format(part="part"),
 }

@@ -783,8 +783,129 @@ FROM allrows ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war sketch for the second frequency moment (F2 = sum of
+# squared frequencies = self-join size; Alon-Matias-Szegedy 1996, public).
+# ---------------------------------------------------------------------------
+
+AMS_R = 16       # estimators
+AMS_GROUPS = 4   # median-of-means: 4 groups of 4
+
+
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (self-join size) of the word-3-gram shingle stream via the
+    AMS tug-of-war sketch, against the exact value.
+
+    Each of the 16 estimators keeps one int64 counter
+    Z_r = sum_x sign_r(x) * f_x (sign from a portable md5 nibble);
+    E[Z_r^2] = F2. The estimate is the textbook median of 4
+    group-means of Z^2. The whole sketch state is 16 mergeable int64
+    counters — the fixed-state, shuffle-16-rows shape that makes F2
+    (and join-size estimation generally) tractable on a 1000-executor
+    stream where the exact computation needs a full groupBy.
+
+    Plan shape: one shingle count aggregate (shared with the exact F2
+    and reused, not re-scanned), a 16-way explode of the DISTINCT
+    shingle table (not the raw stream), groupBy(r) map-side combines
+    to 16 rows, and the median runs on a sorted 4-element array in a
+    single-row aggregate. Squares accumulate in DECIMAL(38,0) (Z^2 can
+    exceed int64 on a 100 TB stream); all divisions are positive-int
+    DIV (convention #7). Determinism: sign_r(x) = parity of md5 nibble
+    r of the shingle — bit-identical in DuckDB.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cnt = (
+        _shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # exact F2 and all 16 estimators share it
+    )
+    exact = cnt.agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n"))
+        .cast("decimal(38,0)")
+        .alias("exact_f2"),
+    )
+    # sign_r = +1 if hex nibble r of md5(shingle) is even else -1
+    signed = cnt.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {AMS_R - 1}), r -> named_struct("
+                f"'r', r, 'z', CASE WHEN CAST(conv(substr(md5(shingle), r + 1, 1), 16, 10)"
+                f" AS INT) % 2 = 0 THEN n ELSE -n END))"
+            )
+        ).alias("s"),
+    ).select(F.col("s.r").alias("r"), F.col("s.z").alias("z"))
+    zr = signed.groupBy("r").agg(F.sum("z").cast("long").alias("zr"))
+    means = (
+        zr.groupBy((F.col("r") % AMS_GROUPS).alias("g"))
+        .agg(
+            # DECIMAL accumulates the squares exactly, then a BIGINT
+            # cast BEFORE the integer division: DuckDB's DECIMAL //
+            # ROUNDS to scale where BIGINT // truncates (caught live at
+            # sf0.1 — a one-ULP est_f2 drift). Values fit int64 at gate
+            # scales; a 100 TB stream needs an explicit floor on the
+            # DECIMAL path instead.
+            F.expr(
+                f"CAST(SUM(CAST(zr AS DECIMAL(38,0)) * zr) AS BIGINT)"
+                f" DIV {AMS_R // AMS_GROUPS}"
+            ).alias("m")
+        )
+    )
+    est = means.agg(
+        F.expr(
+            "(sort_array(collect_list(m))[1] + sort_array(collect_list(m))[2]) DIV 2"
+        ).alias("est_f2")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_distinct",
+        F.col("exact_f2").cast("long").alias("exact_f2"),
+        F.col("est_f2").cast("long").alias("est_f2"),
+        F.expr(
+            "CAST(abs(CAST(est_f2 AS BIGINT) - CAST(exact_f2 AS BIGINT)) * 1000000"
+            " DIV CAST(exact_f2 AS BIGINT) AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )
+
+
+_AMS_SQL = f"""
+WITH sh AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM (SELECT regexp_split_to_array(trim(text), ' +') AS ws FROM documents) t),
+cnt AS (SELECT shingle, COUNT(*) AS n FROM sh GROUP BY shingle),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS exact_f2
+  FROM cnt),
+signed AS (
+  SELECT r.r,
+         CASE WHEN ('0x' || substr(md5(shingle), CAST(r.r + 1 AS INT), 1))::BIGINT % 2 = 0
+              THEN n ELSE -n END AS z
+  FROM cnt, UNNEST(range(0, {AMS_R})) AS r(r)),
+zr AS (SELECT r, CAST(SUM(z) AS BIGINT) AS zr FROM signed GROUP BY r),
+means AS (
+  -- BIGINT cast BEFORE //: DuckDB DECIMAL // ROUNDS (convention note
+  -- in the Spark twin); integer // truncates like Spark DIV
+  SELECT r % {AMS_GROUPS} AS g,
+         CAST(SUM(CAST(zr AS DECIMAL(38,0)) * zr) AS BIGINT) // {AMS_R // AMS_GROUPS} AS m
+  FROM zr GROUP BY g),
+est AS (
+  SELECT CAST((list_sort(list(m))[2] + list_sort(list(m))[3]) // 2 AS BIGINT) AS est_f2
+  FROM means)
+SELECT n_distinct,
+       CAST(exact_f2 AS BIGINT) AS exact_f2,
+       CAST(est_f2 AS BIGINT) AS est_f2,
+       CAST(abs(CAST(est_f2 AS BIGINT) - CAST(exact_f2 AS BIGINT)) * 1000000
+            // CAST(exact_f2 AS BIGINT) AS BIGINT) AS abs_err_ppm
+FROM exact, est
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_ams_f2": sketch_ams_f2,
     "sketch_hll_merge_groups": sketch_hll_merge_groups,
     "sketch_countmin_topwords": sketch_countmin_topwords,
     "sketch_bloom_join_prune": sketch_bloom_join_prune,
@@ -794,6 +915,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_ams_f2": _AMS_SQL,
     "sketch_hll_merge_groups": _HLL_MERGE_SQL,
     "sketch_countmin_topwords": _CMS_SQL,
     "sketch_bloom_join_prune": _BLOOM_SQL,

@@ -1275,3 +1275,70 @@ def test_embed_e2e_pipeline_reconciles(spark, sf_dir):
     assert r["n_chunks"] == n_chunks
     assert r["n_dropped"] == n_chunks - n_distinct
     assert r["n_kept"] == n_distinct
+
+
+def test_ams_f2_estimate_reasonable(spark, sf_dir):
+    """Exact F2 >= n_distinct (sum of squares >= count of positives);
+    the 16-estimator median-of-means lands within 50% of exact on the
+    fixture stream (loose but catches sign/median plumbing bugs)."""
+    from catme_etl_j_spark.operators.sketch import sketch_ams_f2
+
+    [r] = sketch_ams_f2(spark, sf_dir).collect()
+    assert r["exact_f2"] >= r["n_distinct"] >= 1
+    assert r["est_f2"] >= 0
+    assert abs(r["est_f2"] - r["exact_f2"]) <= r["exact_f2"] // 2
+    assert r["abs_err_ppm"] == abs(r["est_f2"] - r["exact_f2"]) * 1000000 // r["exact_f2"]
+
+
+def test_month_in_flight_brackets(spark, sf_dir):
+    """Every joined lineitem contributes to >=1 month; monthly open
+    lines never exceed the total line count; months are contiguous
+    ISO strings."""
+    from catme_etl_j_spark.operators.rangejoin import range_month_in_flight
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = range_month_in_flight(spark, sf_dir).collect()
+    assert rows
+    n_lines = load_table(spark, sf_dir, "lineitem").count()
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+    for r in rows:
+        assert 0 < r["n_open_lines"] <= n_lines * 84  # bounded fan-out
+        assert r["n_open_orders"] <= r["n_open_lines"]
+    # total span contributions >= one per line (each line >=1 month)
+    assert sum(r["n_open_lines"] for r in rows) >= n_lines
+
+
+def test_unpivot_charges_shape(spark, sf_dir):
+    """Three measures, each with the full row count and min <= max."""
+    from catme_etl_j_spark.operators.relational3 import unpivot_lineitem_charges
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = {r["charge"]: r for r in unpivot_lineitem_charges(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert set(rows) == {"l_extendedprice", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["min_value"] <= r["max_value"]
+
+
+def test_lateral_top3_parts_per_brand(spark, sf_dir):
+    """<=3 rows per brand, descending retail price with partkey
+    tie-break, and each row really is in that brand's top-3."""
+    from catme_etl_j_spark.operators.relational3 import lateral_top3_parts
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = lateral_top3_parts(spark, sf_dir).collect()
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    parts = load_table(spark, sf_dir, "part").collect()
+    full: dict = {}
+    for p in parts:
+        full.setdefault(p["p_brand"], []).append(p)
+    assert set(by_brand) == set(full)
+    for brand, members in by_brand.items():
+        assert len(members) == min(3, len(full[brand]))
+        want = sorted(full[brand], key=lambda p: (-p["p_retailprice"], p["p_partkey"]))[:3]
+        got = sorted(members, key=lambda p: (-p["p_retailprice"], p["p_partkey"]))
+        assert [m["p_partkey"] for m in got] == [w["p_partkey"] for w in want]
