@@ -59,106 +59,84 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-5 rotation (VERDICT r4 #5): 83 of 133 queries had never had a
-# driver-verified row, so members already driver-green in prior rounds
-# are swapped for never-witnessed siblings — every entry below is a
-# first-time witness except the converter block and the two r4
-# HUGEINT-fix proofs (graph_pagerank_nations, events_sessionize) —
-# while keeping >=1 representative per family (the coverage test
-# enforces this and that the list is EXACTLY the 50-entry gate
-# window). Late-round swaps favor this session's new composite
-# operators (e2e funnel, foreachBatch upsert, keep-best dedup, IVF
-# recall) over entries whose semantics are already driver-proven via
-# oracle-sharing twins (events_tumbling/sliding_window share their
-# exact oracle with the r4-green stream_* twins; ann_topk_ivf's scan
-# is re-run INSIDE ann_ivf_recall). Late-session swaps: the two
-# r4-green members (rank_bm25_search -> rank_ndcg_eval, which ranks
-# via the same shared _bm25_scored chain; range_join_price_bands ->
-# range_join_session_peak, first-witnessing the round-5 TZ-oracle
-# fix), plus first-ever stats-family evidence (stats_ks_test, for
-# corpus_source_profile) and the KMV prefilter proof
-# (sketch_kmv_distinct, for events_top_paths).
+# Round-6 rotation (VERDICT r5 #1): all 50 r5 window members went
+# driver-green, so every swappable slot rotates to a never-witnessed
+# sibling. Only THREE witnessed entries remain — the family-coverage
+# guard requires convert_/q1*/q2* representatives and those families
+# have no unwitnessed members left (convert_roundtrip_json is the
+# least-witnessed converter row, once in r4; q11/q20 were r5
+# first-timers getting their second row). The other four
+# witnessed-only families (sketch, range, unpivot, lateral) got NEW
+# operators this round, so their mandatory slots are first-time
+# witnesses too. Net: 47 of 50 entries are first-time witnesses —
+# 41 from the backlog (all of corpus/dedup/text/ANN, the top of
+# events/stats per witness.py) + 6 new r6 operators.
 _PRIORITY: tuple[str, ...] = (
-    # converter (SURVEY §2 core surface). roundtrip_json was green r4;
-    # its slot goes to the new end-to-end composition (xlsx -> NDJSON
-    # -> Structured Streaming aggregate) for a first-time witness.
-    "convert_roundtrip_ndjson",
-    "convert_roundtrip_csv",
-    "convert_stream_ndjson",
-    "convert_roundtrip_multisheet",
-    # structured streaming (late_data_drop pins the watermark drop
-    # policy in the hash gate — VERDICT r4 #8; foreachbatch_upsert is
-    # the incremental-MERGE pattern new this round)
-    "stream_dedup_totals",
-    "stream_late_data_policy",
-    "stream_foreachbatch_upsert",
-    # dedup (all five first-time; keep_best is new this round)
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # ANN / similarity (all first-time; ivf_recall runs BOTH the exact
-    # and the label-restricted scan and checks their overlap, so it
-    # witnesses ann_topk_ivf's semantics too)
-    "ann_topk_bruteforce",
-    "ann_ivf_recall",
-    "ann_pq_topk",
-    # text analysis (both first-time)
-    "text_bigram_lm_score",
-    "text_length_histogram",
-    # corpus pipeline (all first-time; interleave + dedup_lines are new
-    # this round)
-    "corpus_split",
-    "corpus_e2e_funnel",
-    "corpus_sample_temperature",
-    "corpus_decontaminate",
-    "stats_ks_test",
-    "corpus_interleave_sources",
-    "corpus_dedup_lines",
-    # ranking
-    "rank_ndcg_eval",
-    # warehouse ETL / data quality (all first-time; snapshot_diff is
-    # new this round)
-    "etl_dq_profile",
-    "etl_referential_check",
-    "etl_snapshot_diff",
-    # embeddings
-    "embed_group_stats",
-    # graph
-    "graph_pagerank_nations",
-    "graph_triangle_count",
-    # events (all first-time + the fixed sessionize; windowed_funnel is
-    # new this round)
-    "events_sessionize",
-    "events_windowed_funnel",
-    "events_transition_matrix",
-    "events_resample_locf",
-    "sketch_kmv_distinct",
-    "events_anomaly_zscore",
-    # as-of / range join
-    "asof_purchase_view_1h",
-    "range_join_session_peak",
-    # multimodal (frame_sample is the hash-checked sibling; the two
-    # rows-only binary entries stay out — the window is oracle-only)
-    "multimodal_frame_sample",
-    # sketches
-    "sketch_hll_merge_groups",
-    # relational archetypes (first-time TPC-H shapes + rotated reps).
-    # r5 rotation per tools/witness.py: q02 / window_range_frame /
-    # setop_intersect_all / pivot_order_status / agg_median_manual are
-    # all driver-green in >=2 prior rounds; their slots go to
-    # never-witnessed one-of-a-kind families (UDTF, UNPIVOT, LATERAL,
-    # and both scale-posture proofs).
+    # converter (SURVEY §2 core surface) — mandatory witnessed rep
+    "convert_roundtrip_json",
+    # new this round (each doubles as its family's mandatory rep):
+    # the trained-BPE tokenizer (r5 ask #7), the embedding e2e
+    # composite (r5 ask #8), AMS F2, month interval-overlap,
+    # measures-UNPIVOT, self-referential LATERAL
+    "corpus_bpe_tokenize",
+    "embed_e2e_pipeline",
+    "sketch_ams_f2",
+    "range_month_in_flight",
+    "unpivot_lineitem_charges",
+    "lateral_top3_parts",
+    # corpus backlog — finishes the family's never-witnessed tail
+    "corpus_vocab_growth",
+    "corpus_mix_epochs",
+    "corpus_bpe_pair_counts",
+    "corpus_bpe_merge_step",
+    "corpus_chunk",
+    "corpus_padding_waste",
+    "corpus_source_profile",
+    "corpus_source_cap",
+    "corpus_bigram_topk",
+    # dedup backlog — finishes the tail
+    "dedup_cluster_sizes",
+    "dedup_cross_source_matrix",
+    "dedup_lsh_tuning",
+    "dedup_er_similar_names",
+    "dedup_incremental_index",
+    "dedup_report",
+    "dedup_minhash_precision",
+    # text backlog — finishes the tail
+    "text_readability",
+    "text_lm_heldout_ppl",
+    "text_rake_keywords",
+    "text_quality_tiers",
+    "text_char_entropy",
+    "text_ngram_novelty",
+    # ANN backlog — finishes the tail
+    "ann_filtered_topk",
+    "ann_batch_topk",
+    "ann_topk_ivf",
+    "ann_lsh_rerank_topk",
+    "ann_mmr_rerank",
+    # events backlog (largest family: 5 of 23; bot_score first-
+    # witnesses this round's degenerate-division fix)
+    "events_bot_score",
+    "events_survival_km",
+    "events_top_paths",
+    "events_rfm_segments",
+    "events_cohort_matrix",
+    # one never-witnessed rep per remaining family (graph_bfs_backbone
+    # first-witnesses the r5 threshold fix the judge flagged;
+    # stream_checkpoint_resume is the recovery-tripwire proof)
+    "etl_retraction_agg",
+    "stats_ols_regression",
+    "stream_checkpoint_resume",
+    "rank_rrf_fusion",
+    "graph_bfs_backbone",
+    "asof_nearest_view",
+    "multimodal_ahash_candidates",
+    "scale_partitioned_prune",
+    "fn_null_semantics",
+    # mandatory witnessed reps (no unwitnessed members left in q1*/q2*)
     "q11_important_stock",
-    "q16_parts_supplier_count",
     "q20_promotable_suppliers",
-    "fn_map_ops",
-    "fn_udtf_top_words",
-    "unpivot_order_status",
-    "lateral_top2_customers",
-    "scale_salted_group_sum",
-    "scale_bucketed_join",
 )
 
 
