@@ -74,6 +74,14 @@ HEADLINE = [
     "dedup_incremental_index",
     "embed_covariance",
     "scale_zorder_locality",
+    # round-6 additions: trained-BPE tokenization (driver-side train +
+    # 50-deep codegen replace chain), the chunk->embed->index->dedup
+    # composite, the 16-counter AMS F2 sketch, and the interval-overlap
+    # month explode
+    "corpus_bpe_tokenize",
+    "embed_e2e_pipeline",
+    "sketch_ams_f2",
+    "range_month_in_flight",
 ]
 
 
@@ -162,9 +170,9 @@ def _bench_converter_parallel(
     return round(best, 3)
 
 
-def main() -> None:
+def _run_session() -> dict[str, float]:
+    """One JVM session's worth of timings (the round-5 protocol)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
@@ -186,6 +194,9 @@ def main() -> None:
         "dedup_minhash_keep",
         "graph_pagerank_nations",
         "corpus_e2e_funnel",  # localCheckpoints the staged text frame
+        "corpus_bpe_tokenize",  # driver-side merge training in the builder
+        "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
+        "sketch_ams_f2",  # localCheckpoints the shingle counts
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -210,6 +221,55 @@ def main() -> None:
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
     timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    # VERDICT r5 #6: single-session numbers carry JVM-session noise
+    # (the same binary measured one query at 2.80 s and 4.69 s
+    # back-to-back; r4 chased four phantom regressions and r5's only
+    # "regressions" were byte-identical converter code +20/25%). Run
+    # the whole protocol in N INDEPENDENT JVM sessions (subprocess
+    # re-exec) and report per-query MINIMA — the minimum across
+    # sessions estimates the noise floor, which is the number that
+    # tracks code changes. The converter benches get a fresh JVM in
+    # every child session for free.
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        print("CHILD_TIMINGS " + json.dumps(_run_session()))
+        return
+
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    per_session: list[dict[str, float]] = []
+    if n_sessions > 1:
+        import subprocess
+
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        for i in range(n_sessions):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("CHILD_TIMINGS "):
+                    per_session.append(json.loads(line[len("CHILD_TIMINGS "):]))
+                    break
+            else:
+                sys.stderr.write(
+                    f"# bench child {i} produced no timings "
+                    f"(rc={r.returncode}); stderr tail: {r.stderr[-500:]}\n"
+                )
+    if not per_session:  # single-session fallback (child spawn failed)
+        per_session = [_run_session()]
+
+    timings = {
+        name: min(s[name] for s in per_session if name in s)
+        for name in per_session[0]
+    }
+    if len(per_session) > 1:
+        sys.stderr.write(f"# per-query min of {len(per_session)} JVM sessions\n")
 
     total = round(sum(timings.values()), 3)
 

@@ -237,24 +237,32 @@ ORDER BY day
 
 def range_month_in_flight(spark, sf_dir: str) -> DataFrame:
     """Interval-overlap concurrency by calendar month: each lineitem is
-    'in flight' over [o_orderdate, l_shipdate]; for every month that
-    interval overlaps, count open lines, distinct open orders, and the
-    open quantity — the backlog/concurrency-over-time archetype (same
-    family as events' peak-concurrency, but at month grain over a
-    date-interval fact).
+    'in flight' over [o_orderdate, l_shipdate]; per overlapped month,
+    open lines, distinct open orders, and open quantity — the
+    backlog/concurrency-over-time archetype (events' peak-concurrency
+    at month grain over a date-interval fact).
 
-    Scale shape: the interval side EXPLODES into its overlapping month
-    buckets (bounded fan-out: months-per-interval, a data constant) and
-    aggregates straight to |months| keys with map-side combine — the
-    bucketize half of the range-join recipe with the probe side fused
-    into the aggregation; no BETWEEN nested-loop anywhere. Inverted
-    intervals (ship < order) are dropped explicitly on both sides, the
-    same contract as :func:`range_join`.
+    Scale shape — SWEEP LINE, not explode: the fixture intervals
+    average 27 months, so the naive explode-per-overlapped-month plan
+    materializes ~28x the fact table (measured 11 s at sf0.1 and
+    growing with span length, not data). Instead each interval emits
+    exactly TWO delta events (+1/+qty at its start month, -1/-qty at
+    end month + 1; per-ORDER intervals likewise for the distinct-order
+    count), deltas map-side combine to |months| keys, and a running sum
+    over the ~84-row month spine recovers the concurrency (that final
+    single-partition window is over |months| rows — constant — not
+    data). Inverted intervals (ship < order) are dropped explicitly,
+    the :func:`range_join` contract.
 
-    Determinism: month arithmetic on DATEs (TZ-free), output as
-    'yyyy-MM' strings (convention #3); quantity through DECIMAL.
+    The DuckDB oracle deliberately keeps the NAIVE overlap-join
+    formulation, so the gate also proves sweep-line == explode.
+
+    Determinism: month arithmetic on DATEs (TZ-free), 'yyyy-MM' string
+    output (convention #3); quantity deltas accumulate in DECIMAL.
     """
-    from catme_etl_j_spark.functions.numeric import dec2, money2
+    from pyspark.sql import Window as W
+
+    from catme_etl_j_spark.functions.numeric import money2
     from catme_etl_j_spark.sources.tables import load_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -269,21 +277,61 @@ def range_month_in_flight(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("ship") >= F.col("ordered"))
         .select(
             "l_orderkey",
-            "l_quantity",
+            F.expr("CAST(l_quantity AS DECIMAL(18,2))").alias("qty"),
+            F.expr("trunc(ordered, 'MM')").alias("m0"),
+            F.expr("trunc(ship, 'MM')").alias("m1"),
+        )
+        # three consumers (line deltas, order spans, spine bounds) re-run
+        # this join; a localCheckpoint barrier measured NO win at sf0.1
+        # (1.19 s vs 1.22 s — the scans are cheap linear work), so the
+        # plan stays fully lazy.
+    )
+    line_ev = spans.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('m', m0, 'dl', 1L, 'dq', qty),"
+                " named_struct('m', add_months(m1, 1), 'dl', -1L, 'dq', -qty))"
+            )
+        ).alias("e")
+    ).select("e.m", "e.dl", "e.dq")
+    ldelta = line_ev.groupBy("m").agg(
+        F.sum("dl").alias("dl"), F.sum("dq").alias("dq")
+    )
+    order_ev = (
+        spans.groupBy("l_orderkey")
+        .agg(F.min("m0").alias("m0"), F.max("m1").alias("m1"))
+        .select(
             F.explode(
                 F.expr(
-                    "sequence(trunc(ordered, 'MM'), trunc(ship, 'MM'),"
-                    " interval 1 month)"
+                    "array(named_struct('m', m0, 'do', 1L),"
+                    " named_struct('m', add_months(m1, 1), 'do', -1L))"
                 )
-            ).alias("month_start"),
+            ).alias("e")
+        )
+        .select("e.m", "e.do")
+    )
+    odelta = order_ev.groupBy("m").agg(F.sum("do").alias("do"))
+    spine = spans.agg(F.min("m0").alias("lo"), F.max("m1").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("m")
+    )
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        spine.join(ldelta, "m", "left")
+        .join(odelta, "m", "left")
+        .select(
+            "m",
+            F.sum(F.coalesce("dl", F.lit(0))).over(w).cast("long").alias("n_open_lines"),
+            F.sum(F.coalesce("do", F.lit(0))).over(w).cast("long").alias("n_open_orders"),
+            F.sum(F.coalesce(F.col("dq"), F.expr("CAST(0 AS DECIMAL(18,2))"))).over(w).alias("oq"),
         )
     )
     return (
-        spans.groupBy(F.date_format("month_start", "yyyy-MM").alias("month"))
-        .agg(
-            F.count("*").cast("long").alias("n_open_lines"),
-            F.countDistinct("l_orderkey").cast("long").alias("n_open_orders"),
-            money2(F.sum(dec2("l_quantity"))).alias("open_qty"),
+        cum.filter(F.col("n_open_lines") > 0)
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_open_lines",
+            "n_open_orders",
+            money2(F.col("oq")).alias("open_qty"),
         )
         .orderBy("month")
     )
