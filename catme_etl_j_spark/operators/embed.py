@@ -450,6 +450,34 @@ E2E_DIM = 16            # stub-embedder dimensionality
 E2E_COS_DUP = 0.99      # verify threshold: near-identical chunks only
 
 
+def _e2e_pairs(valid: DataFrame) -> DataFrame:
+    """LAZY candidate-pair stage (bucket equi-join + exact cosine) —
+    split out so tests/test_plans.py can pin the pre-checkpoint plan
+    shape (the pipeline's localCheckpoint would otherwise hide the
+    equi-join behind an ExistingRDD scan)."""
+    a = valid.select(
+        F.col("key").alias("ka"), F.col("bucket").alias("bk"),
+        F.col("fx").alias("fa"), F.col("norm").alias("na"),
+    )
+    b = valid.select(
+        F.col("key").alias("kb"), F.col("bucket").alias("bk"),
+        F.col("fx").alias("fb"), F.col("norm").alias("nb"),
+    )
+    cos = rdet(
+        F.expr(
+            "CAST(aggregate(zip_with(fa, fb, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", cos.alias("cos_sim"))
+    )
+
+
 def embed_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-pipeline composite, mirroring what corpus_e2e_funnel
     is for text curation: chunk the corpus -> embed each chunk -> vector
@@ -521,28 +549,7 @@ def embed_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = emb.filter(F.col("norm2") > 0).withColumn(
         "norm", F.sqrt(F.col("norm2").cast("double"))
     )
-    a = valid.select(
-        F.col("key").alias("ka"), F.col("bucket").alias("bk"),
-        F.col("fx").alias("fa"), F.col("norm").alias("na"),
-    )
-    b = valid.select(
-        F.col("key").alias("kb"), F.col("bucket").alias("bk"),
-        F.col("fx").alias("fb"), F.col("norm").alias("nb"),
-    )
-    cos = rdet(
-        F.expr(
-            "CAST(aggregate(zip_with(fa, fb, (x, y) -> x * y), CAST(0 AS BIGINT),"
-            " (acc, v) -> acc + v) AS DOUBLE)"
-        )
-        / (F.col("na") * F.col("nb")),
-        6,
-    )
-    pairs = (
-        a.join(b, "bk")
-        .filter(F.col("ka") < F.col("kb"))
-        .select("ka", "kb", cos.alias("cos_sim"))
-        .localCheckpoint()
-    )
+    pairs = _e2e_pairs(valid).localCheckpoint()
     dup = pairs.filter(F.col("cos_sim") >= E2E_COS_DUP)
     s_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
     s_chunks = emb.agg(F.count("*").cast("long").alias("n_chunks"))

@@ -450,3 +450,86 @@ def test_scd2_fact_join_is_equi_join_on_custkey(spark, sf_dir):
     plan = formatted_plan(etl_scd2_fact_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_month_in_flight_is_sweep_line_not_explode(spark, sf_dir):
+    """The sweep-line plan must NOT explode per overlapped month (the
+    fixture's 27-month average interval makes that ~28x the fact) —
+    only the two-event delta generates and the tiny month spine appear,
+    and there is no nested-loop range join anywhere."""
+    from catme_etl_j_spark.operators.rangejoin import range_month_in_flight
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(range_month_in_flight(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # delta events are 2-element array explodes; the month-sequence
+    # explode exists ONLY on the single-row spine aggregate (sequence
+    # over min/max), never over the fact table
+    assert "sequence(lo" in plan or "sequence(min" in plan or "sequence" in plan
+    # the running sum is a window over the spine, after the deltas
+    assert plan.count("Window") >= 1
+
+
+def test_embed_e2e_candidates_are_bucket_equi_join(spark, sf_dir):
+    """Candidate generation must be a hash equi-join on the sign bucket
+    (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on bk), with
+    nested-loop joins ONLY for the single-row stat combination."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from catme_etl_j_spark.operators.embed import _e2e_pairs, embed_e2e_pipeline
+    from catme_etl_j_spark.plans.explain import formatted_plan
+    from catme_etl_j_spark.sources.tables import load_table
+
+    # the pair stage pre-checkpoint: equi-join on the sign bucket
+    valid = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("key"),
+            F.expr("array(CAST(1 AS BIGINT))").alias("fx"),
+            # a VARYING bucket — a literal would constant-fold the join
+            # condition away and degenerate the plan to a nested loop
+            (F.col("doc_id") % 7).alias("bucket"),
+            F.lit(1.0).alias("norm"),
+        )
+    )
+    pair_plan = formatted_plan(_e2e_pairs(valid))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", pair_plan)
+    assert "CartesianProduct" not in pair_plan
+
+    # the assembled summary: no cartesian; nested loops only as the
+    # Cross BuildRight single-row stat pattern
+    plan = formatted_plan(embed_e2e_pipeline(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "Cross" in line:
+            assert "BuildRight" in line
+
+
+def test_bpe_tokenize_replace_chain_is_one_projection(spark, sf_dir):
+    """The 50 merge replaces must collapse into a single Project over
+    the (source, word) aggregate — 50 stacked projections would break
+    whole-stage codegen."""
+    from catme_etl_j_spark.operators.corpus import corpus_bpe_tokenize
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    df = corpus_bpe_tokenize(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("replace(") >= 50  # the chain is present...
+    # ...inside a plan with few Projects (chain fused, not stacked)
+    assert plan.count("(Project") + plan.count(") Project") < 15
+    assert "WholeStageCodegen" in formatted_plan(df, mode="codegen")
+
+
+def test_ams_f2_combines_to_sixteen_keys(spark, sf_dir):
+    """The estimator aggregation must show partial_sum (map-side
+    combine) so only 16 rows shuffle per task, and the shingle-count
+    base is shared via the checkpoint (no second documents scan)."""
+    from catme_etl_j_spark.operators.sketch import sketch_ams_f2
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(sketch_ams_f2(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Scan parquet" not in plan.replace("Scan ExistingRDD", "")  # checkpointed base

@@ -35,6 +35,12 @@ AUDIT = [
     ("etl_scd2_fact_join", "custkey equi-join with residual interval filter"),
     ("scale_salted_group_sum", "two-phase aggregate: (key, salt) then key"),
     ("events_sessionize", "single user-partitioned sort window"),
+    ("scale_zorder_locality", "two global sorts only (layout compare); pruned scans"),
+    # round-6 additions (VERDICT r5 #9: every bench entry >=1 s gets a receipt)
+    ("range_month_in_flight", "sweep-line deltas; no per-month explode of the fact, no BroadcastNestedLoopJoin"),
+    ("embed_e2e_pipeline", "bucket equi-join for candidates; no cartesian; single-row stat joins broadcast"),
+    ("corpus_bpe_tokenize", "50-merge replace chain in ONE projection over the (source, word) aggregate"),
+    ("sketch_ams_f2", "16-estimator explode combines map-side to 16 keys"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
