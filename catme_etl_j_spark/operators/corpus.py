@@ -1192,9 +1192,13 @@ _SPACED_SPARK = (
 )
 
 
-def _bpe_train(vocab: list[tuple[str, int]], n_merges: int = BPE_MERGES) -> list[str]:
+def _bpe_train(
+    vocab: list[tuple[str, int]], n_merges: int = BPE_MERGES
+) -> list[tuple[str, int]]:
     """Greedy BPE trainer over a (word, count) table — pure exact-int
     Python, replayed bit-identically by the oracle's recursive CTE.
+    Returns the ordered merge table as (pattern, pair_count-at-merge-
+    time) tuples.
 
     Semantics pinned by corpus_bpe_merge_step: pair counts = adjacent
     symbol positions weighted by word frequency; argmax tie-break =
@@ -1204,7 +1208,7 @@ def _bpe_train(vocab: list[tuple[str, int]], n_merges: int = BPE_MERGES) -> list
     from canonical BPE documented in corpus_bpe_tokenize).
     """
     state = [(" ".join(word), n) for word, n in vocab]
-    merges: list[str] = []
+    merges: list[tuple[str, int]] = []
     for _ in range(n_merges):
         counts: dict[str, int] = {}
         for sp, n in state:
@@ -1214,8 +1218,8 @@ def _bpe_train(vocab: list[tuple[str, int]], n_merges: int = BPE_MERGES) -> list
                 counts[pat] = counts.get(pat, 0) + n
         if not counts:
             break
-        pat = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(pat)
+        pat, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((pat, c))
         mrg = pat.replace(" ", "")
         state = [(sp.replace(pat, mrg), n) for sp, n in state]
     return merges
@@ -1262,7 +1266,7 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOP_V)
         .collect()
     )
-    merges = _bpe_train([(r["word"], r["n"]) for r in top])
+    merges = [p for p, _ in _bpe_train([(r["word"], r["n"]) for r in top])]
     wc = words.groupBy("source", "word").agg(F.count("*").alias("n_occ"))
     col = F.expr(_SPACED_SPARK)
     for pat in merges:
@@ -1577,8 +1581,79 @@ FROM u ORDER BY strategy
 
 
 
+def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge TABLE itself — rank, spaced pattern,
+    merged symbol, and the weighted pair count at merge time: the
+    artifact a tokenizer ships (and the strongest trainer gate — the
+    DuckDB recursion must reproduce not just the patterns but every
+    intermediate argmax COUNT).
+
+    The table is driver-resident by construction (it IS the trained
+    model, 50 rows); the corpus-sized work is the same single
+    word-frequency aggregation corpus_bpe_tokenize shares.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    top = (
+        docs.select(F.explode(F.split(F.trim("text"), " +")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(BPE_TOP_V)
+        .collect()
+    )
+    merges = _bpe_train([(r["word"], r["n"]) for r in top])
+    return spark.createDataFrame(
+        [
+            (i + 1, pat, pat.replace(" ", ""), c)
+            for i, (pat, c) in enumerate(merges)
+        ],
+        "rank BIGINT, pattern STRING, merged STRING, pair_count BIGINT",
+    ).orderBy("rank")
+
+
+_BPE_VOCAB_SQL = f"""
+WITH RECURSIVE w AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents) t
+  GROUP BY word ORDER BY n DESC, word ASC LIMIT {BPE_TOP_V}),
+tr(step, vocab, pats, cs) AS (
+  SELECT 0,
+         (SELECT list(struct_pack(
+              sp := array_to_string(list_transform(range(1, length(word) + 1),
+                                                   i -> word[i]), ' '),
+              n := n)) FROM w),
+         []::VARCHAR[], []::BIGINT[]
+  UNION ALL
+  SELECT step + 1,
+         list_transform(tr.vocab, e -> struct_pack(
+             sp := replace(e.sp, best.pat, replace(best.pat, ' ', '')),
+             n := e.n)),
+         list_append(tr.pats, best.pat),
+         list_append(tr.cs, best.c)
+  FROM tr, LATERAL (
+    SELECT pat, c FROM (
+      SELECT sy[i] || ' ' || sy[i + 1] AS pat, CAST(SUM(e.n) AS BIGINT) AS c
+      FROM unnest(tr.vocab) AS t(e),
+           LATERAL (SELECT string_split(e.sp, ' ') AS sy) s,
+           UNNEST(range(1, len(sy))) AS r(i)
+      GROUP BY 1
+    ) ORDER BY c DESC, pat ASC LIMIT 1
+  ) best
+  WHERE tr.step < {BPE_MERGES}),
+m AS (SELECT pats, cs FROM tr ORDER BY step DESC LIMIT 1)
+SELECT CAST(i AS BIGINT) AS rank,
+       pats[CAST(i AS INT)] AS pattern,
+       replace(pats[CAST(i AS INT)], ' ', '') AS merged,
+       cs[CAST(i AS INT)] AS pair_count
+FROM m, UNNEST(range(1, len(pats) + 1)) AS r(i)
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "corpus_vocab_growth": corpus_vocab_growth,
+    "corpus_bpe_vocab": corpus_bpe_vocab,
     "corpus_mix_epochs": corpus_mix_epochs,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_bpe_merge_step": corpus_bpe_merge_step,
@@ -1608,6 +1683,7 @@ ORACLES = {
     "corpus_bpe_pair_counts": _BPE_SQL,
     "corpus_bpe_merge_step": _BPE_MERGE_SQL,
     "corpus_bpe_tokenize": _BPE_TOKENIZE_SQL,
+    "corpus_bpe_vocab": _BPE_VOCAB_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,
     "corpus_dedup_lines": _DEDUP_LINES_SQL,
     "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,

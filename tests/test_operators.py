@@ -1221,9 +1221,9 @@ def test_bpe_train_textbook_example():
     vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
     merges = _bpe_train(vocab, n_merges=4)
     # e s (9) ties s t (9) -> 'e s' first (pat ASC); then es t (9)
-    assert merges == ["e s", "es t", "l o", "lo w"]
+    assert merges == [("e s", 9), ("es t", 9), ("l o", 7), ("lo w", 7)]
     # exhausting the corpus stops early instead of looping
-    assert len(_bpe_train([("ab", 1)], n_merges=50)) == 1
+    assert _bpe_train([("ab", 1)], n_merges=50) == [("a b", 1)]
 
 
 def test_bpe_tokenize_bounds(spark, sf_dir):
