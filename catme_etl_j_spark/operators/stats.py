@@ -1040,7 +1040,122 @@ ORDER BY type_x, type_y
 """
 
 
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: are 'purchase' event
+    values stochastically larger than 'click' values? The standard
+    nonparametric two-sample test — the robust sibling of
+    stats_welch_ttest for the heavy-tailed metrics event data actually
+    has.
+
+    Exact-rank plumbing, no per-row global sort: values fix-point to
+    cents, counts collapse per DISTINCT cent (one map-side-combining
+    aggregation — the only corpus-sized pass), and tie-averaged ranks
+    come from a cumulative window over the |distinct cents| rows
+    (bounded; the single-partition window is over distincts, not rows).
+    Ranks are kept DOUBLED so tie-averages (x.5) stay exact int64:
+    2*rank(v) = 2*C(v) + t(v) + 1. The doubled rank-sum and doubled
+    U statistics are exact ints; only the final z (with the standard
+    tie correction, no continuity correction) and the rank-biserial
+    effect size are IEEE doubles through rdet. sigma = 0 (all values
+    tied) CASEs z to NULL on both engines (convention #9).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            (F.col("event_type") == "purchase").cast("long").alias("is_a"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+        )
+    )
+    per = ev.groupBy("v").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb"),
+        F.count("*").alias("t"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.expr("na * (2 * c + t + 1)")).cast("long").alias("r2_a"),
+        F.sum(F.expr("t * t * t - t")).cast("long").alias("tie_cube"),
+    )
+    n = "CAST(n_a + n_b AS DOUBLE)"
+    sigma2 = (
+        f"sqrt(CAST(n_a AS DOUBLE) * n_b *"
+        f" (({n} + 1.0) - CAST(tie_cube AS DOUBLE) / ({n} * ({n} - 1.0))) / 3.0)"
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("r2_a - n_a * (n_a + 1)").alias("u2_a"),
+        F.expr("2 * n_a * n_b - (r2_a - n_a * (n_a + 1))").alias("u2_b"),
+        F.when(
+            F.expr(sigma2) > 0,
+            rdet(
+                F.expr(
+                    "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+                    " - CAST(n_a AS DOUBLE) * n_b"
+                )
+                / F.expr(sigma2),
+                4,
+            ),
+        ).alias("z"),
+        # r = 2U_a/(n_a n_b) - 1; doubled-U makes it u2_a/(n_a n_b) - 1
+        rdet(
+            F.expr("CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)")
+            / F.expr("CAST(n_a AS DOUBLE) * n_b")
+            - F.lit(1.0),
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+_MWU_N ="CAST(n_a + n_b AS DOUBLE)"
+_MWU_SIGMA2 = (
+    f"sqrt(CAST(n_a AS DOUBLE) * n_b *"
+    f" (({_MWU_N} + 1.0) - CAST(tie_cube AS DOUBLE) / ({_MWU_N} * ({_MWU_N} - 1.0))) / 3.0)"
+)
+
+_MWU_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')),
+per AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+         COUNT(*) AS t
+  FROM ev GROUP BY v),
+ranked AS (
+  SELECT na, nb, t,
+         COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS c
+  FROM per),
+agg AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nb) AS BIGINT) AS n_b,
+         CAST(SUM(na * (2 * c + t + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+  FROM ranked)
+SELECT n_a, n_b,
+       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+       CASE WHEN {_MWU_SIGMA2} > 0 THEN
+         {rdet_sql(
+             "(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+             " - CAST(n_a AS DOUBLE) * n_b) / " + _MWU_SIGMA2, 4)}
+       END AS z,
+       {rdet_sql(
+           "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+           " / (CAST(n_a AS DOUBLE) * n_b) - 1.0", 6)} AS rank_biserial
+FROM agg
+"""
+
+
 QUERIES = {
+    "stats_mannwhitney_u": stats_mannwhitney_u,
     "stats_mode_quantity": stats_mode_quantity,
     "stats_basket_lift": stats_basket_lift,
     "stats_psi_drift": stats_psi_drift,
@@ -1056,6 +1171,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_mannwhitney_u": _MWU_SQL,
     "stats_mode_quantity": _MODE_SQL,
     "stats_anova_oneway": _anova_sql(),
     "stats_psi_drift": _psi_sql(),

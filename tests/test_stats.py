@@ -517,3 +517,39 @@ def test_padding_waste_sorted_wins(spark, sf_dir):
     for r in rows.values():
         assert r["padded_tokens"] == r["total_tokens"] + r["waste_tokens"]
         assert 0 <= r["waste_ppm"] < 1_000_000
+
+
+def test_mannwhitney_u_identities(spark, sf_dir):
+    """U_a + U_b = n_a*n_b (doubled: u2_a + u2_b = 2*n_a*n_b); the
+    doubled U matches a direct Python recompute with scipy-style
+    tie-averaged ranks; rank_biserial follows its definition."""
+    from collections import Counter
+
+    from catme_etl_j_spark.operators.stats import stats_mannwhitney_u
+    from catme_etl_j_spark.sources.tables import load_table
+
+    [r] = stats_mannwhitney_u(spark, sf_dir).collect()
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+    assert 0 <= r["u2_a"] <= 2 * r["n_a"] * r["n_b"]
+    assert abs(r["rank_biserial"]) <= 1.0
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('purchase', 'click')")
+        .selectExpr(
+            "event_type = 'purchase' AS is_a",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    vals = sorted(set(x["v"] for x in ev))
+    cnt = Counter(x["v"] for x in ev)
+    c = 0
+    rank2 = {}
+    for v in vals:
+        rank2[v] = 2 * c + cnt[v] + 1
+        c += cnt[v]
+    n_a = sum(1 for x in ev if x["is_a"])
+    r2a = sum(rank2[x["v"]] for x in ev if x["is_a"])
+    assert r["n_a"] == n_a
+    assert r["u2_a"] == r2a - n_a * (n_a + 1)
