@@ -557,6 +557,115 @@ FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
 """
 
 
+CUSUM_BASE_DAYS = 14  # baseline window establishing the target mean
+CUSUM_MIN_DAYS = 21   # need a week past baseline to score
+CUSUM_H_BASESUMS = 3  # alarm when scaled CUSUM >= 3 x base_sum (3 x 14 x mean)
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-drift changepoint detection on daily event volume via
+    one-sided CUSUM — the sequential sibling of events_anomaly_zscore
+    (z-scores flag single outlier days; CUSUM accumulates small
+    sustained shifts until they cross a decision threshold, the
+    monitoring shape for slow ingest regressions).
+
+    PURE-INT plumbing via the prefix identity: the textbook recursion
+    S_t = max(0, S_{t-1} + (x_t - target)) is not window-expressible,
+    but S_t = P_t - least(min_{j<=t} P_j, 0) is, where P is the
+    running sum of deviations. Deviations are scaled by the 14-day
+    baseline count (dev = 14*x_t - base_sum) so the target mean never
+    becomes a float; the alarm threshold 3*base_sum is 3x the daily
+    mean in the same scaling. Exact int64 end to end — no float enters
+    the query at all.
+
+    Scale shape: one (type, day) count aggregate, then three window
+    passes all PARTITIONed BY event_type ORDER BY day — one shuffle,
+    one sort, reused by rank/prefix-sum/running-min; per-type stats
+    broadcast back (bounded type key). Days with zero events simply
+    don't appear — CUSUM runs over observed days, identically on both
+    engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    daily = (
+        ev.withColumn("day", day)
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("rn") <= CUSUM_BASE_DAYS, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("base_sum"),
+    ).filter(F.col("n_days") >= CUSUM_MIN_DAYS)
+    dev = ranked.join(F.broadcast(stats), "event_type").withColumn(
+        "dev", F.expr(f"{CUSUM_BASE_DAYS} * n - base_sum")
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cur = (
+        dev.withColumn("p", F.sum("dev").over(wrun))
+        .withColumn("s", F.expr("p - least(0, min(p) OVER "
+                                "(PARTITION BY event_type ORDER BY day "
+                                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"))
+    )
+    thr = F.expr(f"{CUSUM_H_BASESUMS} * base_sum")
+    return (
+        cur.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("base_sum").alias("base_sum"),
+            F.max("s").cast("long").alias("max_cusum"),
+            F.min(F.when(F.col("s") >= thr, F.col("day"))).alias("alarm_day_idx"),
+            F.max((F.col("s") >= thr).cast("int")).alias("alarmed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(CASE WHEN rn <= {CUSUM_BASE_DAYS} THEN n ELSE 0 END) AS BIGINT) AS base_sum
+  FROM ranked GROUP BY event_type
+  HAVING COUNT(*) >= {CUSUM_MIN_DAYS}),
+dev AS (
+  SELECT r.event_type, r.day, s.n_days, s.base_sum,
+         {CUSUM_BASE_DAYS} * r.n - s.base_sum AS dev
+  FROM ranked r JOIN stats s ON r.event_type = s.event_type),
+cum1 AS (
+  SELECT event_type, day, n_days, base_sum,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev),
+cum AS (
+  SELECT event_type, day, n_days, base_sum,
+         p - least(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM cum1)
+SELECT event_type,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       MAX(base_sum) AS base_sum,
+       CAST(MAX(s) AS BIGINT) AS max_cusum,
+       CAST(MIN(CASE WHEN s >= {CUSUM_H_BASESUMS} * base_sum THEN day END) AS BIGINT) AS alarm_day_idx,
+       CAST(MAX(CASE WHEN s >= {CUSUM_H_BASESUMS} * base_sum THEN 1 ELSE 0 END) AS INT) AS alarmed
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ANOMALY_Z = 2.0  # |z| flag threshold
 
 
@@ -1989,6 +2098,7 @@ FROM calc ORDER BY user_id
 QUERIES = {
     "events_funnel": events_funnel,
     "events_bot_score": events_bot_score,
+    "events_cusum_changepoint": events_cusum_changepoint,
     "events_heatmap_hour_dow": events_heatmap_hour_dow,
     "events_inter_arrival": events_inter_arrival,
     "events_survival_km": events_survival_km,
@@ -2050,4 +2160,5 @@ ORACLES = {
     "events_heatmap_hour_dow": _HEATMAP_SQL,
     "events_inter_arrival": _INTER_ARRIVAL_SQL,
     "events_bot_score": _BOT_SQL,
+    "events_cusum_changepoint": _CUSUM_SQL,
 }

@@ -1342,3 +1342,50 @@ def test_lateral_top3_parts_per_brand(spark, sf_dir):
         want = sorted(full[brand], key=lambda p: (-p["p_retailprice"], p["p_partkey"]))[:3]
         got = sorted(members, key=lambda p: (-p["p_retailprice"], p["p_partkey"]))
         assert [m["p_partkey"] for m in got] == [w["p_partkey"] for w in want]
+
+
+def test_cusum_changepoint_detects_injected_drift(spark, tmp_path):
+    """A 2x volume step after the 14-day baseline must alarm exactly
+    when the scaled CUSUM first reaches 3*base_sum: dev = 14*20-140 =
+    140/day, threshold 420 -> day 16. A stationary control type must
+    not alarm. Spark output is also hash-compared to the oracle."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    eid = 0
+    for day in range(30):
+        n = 10 if day < 14 else 20
+        for i in range(n):
+            rows.append((eid, day * 86_400_000_000 + i * 1_000_000, "drift")); eid += 1
+        for i in range(10):  # stationary control
+            rows.append((eid, day * 86_400_000_000 + i * 1_000_000, "flat")); eid += 1
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from catme_etl_j_spark.operators.events import events_cusum_changepoint
+
+    sdf = events_cusum_changepoint(spark, str(tmp_path))
+    out = {r["event_type"]: r for r in sdf.collect()}
+    assert out["drift"]["base_sum"] == 140
+    assert out["drift"]["alarmed"] == 1
+    assert out["drift"]["alarm_day_idx"] == 16
+    assert out["flat"]["alarmed"] == 0 and out["flat"]["alarm_day_idx"] is None
+
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["events_cusum_changepoint"])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(scols, [tuple(r) for r in sdf.collect()]) == _norm(ocols, rel.fetchall())
