@@ -1333,7 +1333,112 @@ ORDER BY source_x, source_y
 """
 
 
+SUBSTR_N = 8  # token width defining an exact repeated substring
+
+
+def dedup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication mass (the Lee et al. 2021 /
+    C4-class metric): per source, how many TOKENS sit inside a word
+    {SUBSTR_N}-gram that occurs more than once in the whole corpus —
+    i.e. the share of text that exact-substring dedup would touch.
+    The near-dup operators here answer "which documents"; this one
+    answers "how much text", the number a curation budget is set by.
+
+    Shape: one gram-hash count (map-side combine), a co-partitioned
+    join back on the gram hash (same profile as corpus_decontaminate),
+    then per-doc INTERVAL-UNION coverage via one doc-partitioned
+    window — each repeated gram covers token positions [i, i+N); the
+    union length is sum(max(0, end_i - max(start_i, running-max of
+    prior ends))), exact int64, no per-token explode. Docs shorter
+    than N words contribute zero grams (guarded sequence).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", F.expr("split(trim(text), ' +')").alias("w")
+    ).withColumn("n_tokens", F.expr("size(w)").cast("long"))
+    grams = staged.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.expr(
+                f"CASE WHEN size(w) >= {SUBSTR_N} THEN "
+                f"transform(sequence(1, size(w) - {SUBSTR_N - 1}),"
+                f" i -> md5(concat_ws(' ', slice(w, i, {SUBSTR_N}))))"
+                f" ELSE array() END"
+            )
+        ).alias("pos", "gh"),
+    ).filter(F.col("gh").isNotNull())
+    gcount = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
+    rep = grams.join(gcount.filter("n_occ > 1"), "gh").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + SUBSTR_N).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("pos") + SUBSTR_N)
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    per_doc = rep.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("dup_tokens")
+    )
+    return (
+        staged.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("long").alias("dup_tokens"),
+            F.sum((F.coalesce("dup_tokens", F.lit(0)) > 0).cast("long"))
+            .cast("long")
+            .alias("n_docs_touched"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "dup_tokens",
+            "n_docs_touched",
+            F.expr("dup_tokens * 1000000 DIV n_tokens").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SUBSTR_MASS_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), ' +') AS w
+  FROM documents),
+base AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM staged),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(w[i : i + {SUBSTR_N - 1}], ' ')) AS gh
+  FROM staged, UNNEST(range(1, greatest(len(w) - {SUBSTR_N - 2}, 1))) AS r(i)
+  WHERE len(w) >= {SUBSTR_N}),
+gcount AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+rep AS (SELECT g.doc_id, g.pos FROM grams g JOIN gcount USING (gh)),
+cov AS (
+  SELECT doc_id,
+         greatest(0, (pos + {SUBSTR_N})
+           - greatest(pos, COALESCE(MAX(pos + {SUBSTR_N}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS c
+  FROM rep),
+per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       CAST(SUM(CASE WHEN COALESCE(dup_tokens, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+       CAST(SUM(COALESCE(dup_tokens, 0)) * 1000000 // SUM(n_tokens) AS BIGINT) AS dup_ppm
+FROM base LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "dedup_substring_mass": dedup_substring_mass,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "dedup_lsh_tuning": dedup_lsh_tuning,
@@ -1354,6 +1459,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring_mass": _SUBSTR_MASS_SQL,
     "dedup_cluster_sizes": _cluster_sizes_sql(),
     "dedup_er_similar_names": _ER_SQL,
     "dedup_lsh_tuning": _lsh_tuning_sql(),

@@ -1389,3 +1389,47 @@ def test_cusum_changepoint_detects_injected_drift(spark, tmp_path):
     ocols = [c.lower() for c in rel.columns]
     assert sorted(scols) == sorted(ocols)
     assert _norm(scols, [tuple(r) for r in sdf.collect()]) == _norm(ocols, rel.fetchall())
+
+
+def test_substring_mass_coverage_bounds(spark, sf_dir):
+    """dup_tokens never exceeds n_tokens; touched docs <= n_docs;
+    dup_ppm follows its fixed-point definition. A hand-built corpus
+    with one shared 8-gram pins the interval-union arithmetic."""
+    from catme_etl_j_spark.operators.dedup import dedup_substring_mass
+
+    rows = dedup_substring_mass(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_docs_touched"] <= r["n_docs"]
+        assert r["dup_ppm"] == r["dup_tokens"] * 1000000 // r["n_tokens"]
+
+
+def test_substring_mass_hand_fixture(spark, tmp_path):
+    """Two docs sharing one 8-token run + a unique doc: the shared run
+    covers exactly 8 tokens in each sharer (overlapping gram intervals
+    union, not sum), the unique doc contributes zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "a b c d e f g h i j"  # 10 tokens: grams at pos 0,1,2 all repeated
+    texts = [
+        shared,
+        shared,
+        "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",
+    ]
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s1", "s1", "s2"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    from catme_etl_j_spark.operators.dedup import dedup_substring_mass
+
+    out = {r["source"]: r for r in dedup_substring_mass(spark, str(tmp_path)).collect()}
+    # both copies fully covered: grams at pos 0..2 union to [0, 10) = 10 tokens
+    assert out["s1"]["dup_tokens"] == 20 and out["s1"]["n_docs_touched"] == 2
+    assert out["s2"]["dup_tokens"] == 0 and out["s2"]["n_docs_touched"] == 0
