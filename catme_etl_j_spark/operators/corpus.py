@@ -1259,15 +1259,17 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.trim("text"), " +")).alias("word")
     )
+    wc = words.groupBy("source", "word").agg(
+        F.count("*").alias("n_occ")
+    ).localCheckpoint()  # the ONE corpus pass; vocab + application share it
     top = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n"))
+        wc.groupBy("word")
+        .agg(F.sum("n_occ").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(BPE_TOP_V)
         .collect()
     )
     merges = [p for p, _ in _bpe_train([(r["word"], r["n"]) for r in top])]
-    wc = words.groupBy("source", "word").agg(F.count("*").alias("n_occ"))
     col = F.expr(_SPACED_SPARK)
     for pat in merges:
         col = F.replace(col, F.lit(pat), F.lit(pat.replace(" ", "")))

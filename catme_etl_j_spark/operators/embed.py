@@ -520,7 +520,10 @@ def embed_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode_outer(F.expr(chunk_arr)).alias("idx", "chunk"))
         .filter(F.col("chunk").isNotNull())
         .select(
-            (F.col("doc_id") * 1000 + F.col("idx")).cast("long").alias("key"),
+            # 1e6 chunk slots per doc = 64M-word documents before a key
+            # collision could corrupt the pair dedup (code-review r6);
+            # doc_id stays collision-free in int64 below ~9.2e12 docs
+            (F.col("doc_id") * 1_000_000 + F.col("idx")).cast("long").alias("key"),
             F.md5("chunk").alias("h"),
         )
     )
@@ -587,7 +590,7 @@ c AS (
                     w[c * {E2E_CHUNK_TOKENS} + 1 : c * {E2E_CHUNK_TOKENS} + {E2E_CHUNK_TOKENS}], ' ')))) AS u
   FROM s),
 ch AS (
-  SELECT CAST(doc_id * 1000 + u.idx AS BIGINT) AS key, md5(u.chunk) AS h FROM c),
+  SELECT CAST(doc_id * 1000000 + u.idx AS BIGINT) AS key, md5(u.chunk) AS h FROM c),
 emb AS (
   SELECT key,
          list_transform(range(0, {E2E_DIM}),

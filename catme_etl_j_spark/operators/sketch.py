@@ -854,8 +854,14 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = means.agg(
+        # COUNT guard: a corpus with zero shingles (every doc <3 words)
+        # leaves `means` empty; indexing the empty collect_list crashes
+        # under ANSI where DuckDB's list index yields NULL (code-review
+        # r6). Both sides emit NULL est_f2 for that corpus.
         F.expr(
+            f"CASE WHEN count(m) = {AMS_GROUPS} THEN "
             "(sort_array(collect_list(m))[1] + sort_array(collect_list(m))[2]) DIV 2"
+            " END"
         ).alias("est_f2")
     )
     return exact.crossJoin(F.broadcast(est)).select(
@@ -892,7 +898,9 @@ means AS (
          CAST(SUM(CAST(zr AS DECIMAL(38,0)) * zr) AS BIGINT) // {AMS_R // AMS_GROUPS} AS m
   FROM zr GROUP BY g),
 est AS (
-  SELECT CAST((list_sort(list(m))[2] + list_sort(list(m))[3]) // 2 AS BIGINT) AS est_f2
+  SELECT CASE WHEN COUNT(m) = {AMS_GROUPS} THEN
+           CAST((list_sort(list(m))[2] + list_sort(list(m))[3]) // 2 AS BIGINT)
+         END AS est_f2
   FROM means)
 SELECT n_distinct,
        CAST(exact_f2 AS BIGINT) AS exact_f2,

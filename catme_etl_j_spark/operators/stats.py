@@ -1063,6 +1063,10 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "click"))
+        # NULL values carry no rank information AND sort NULLS FIRST in
+        # Spark vs NULLS LAST in DuckDB — dropping them identically on
+        # both sides is the only stable choice (code-review r6)
+        .filter(F.col("value").isNotNull())
         .select(
             (F.col("event_type") == "purchase").cast("long").alias("is_a"),
             F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
@@ -1091,23 +1095,32 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.expr("r2_a - n_a * (n_a + 1)").alias("u2_a"),
         F.expr("2 * n_a * n_b - (r2_a - n_a * (n_a + 1))").alias("u2_b"),
+        # empty-group guard FIRST (lazy CASE branch): with n_a or n_b at
+        # 0 the sigma expression itself divides by N*(N-1) = 0 — Spark
+        # ANSI throws while DuckDB NULLs (code-review r6; conv. #9)
         F.when(
-            F.expr(sigma2) > 0,
-            rdet(
-                F.expr(
-                    "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
-                    " - CAST(n_a AS DOUBLE) * n_b"
-                )
-                / F.expr(sigma2),
-                4,
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.when(
+                F.expr(sigma2) > 0,
+                rdet(
+                    F.expr(
+                        "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+                        " - CAST(n_a AS DOUBLE) * n_b"
+                    )
+                    / F.expr(sigma2),
+                    4,
+                ),
             ),
         ).alias("z"),
         # r = 2U_a/(n_a n_b) - 1; doubled-U makes it u2_a/(n_a n_b) - 1
-        rdet(
-            F.expr("CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)")
-            / F.expr("CAST(n_a AS DOUBLE) * n_b")
-            - F.lit(1.0),
-            6,
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            rdet(
+                F.expr("CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)")
+                / F.expr("CAST(n_a AS DOUBLE) * n_b")
+                - F.lit(1.0),
+                6,
+            ),
         ).alias("rank_biserial"),
     )
 
@@ -1122,7 +1135,7 @@ _MWU_SQL = f"""
 WITH ev AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events WHERE event_type IN ('purchase', 'click')),
+  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
 per AS (
   SELECT v, CAST(SUM(is_a) AS BIGINT) AS na,
          CAST(SUM(1 - is_a) AS BIGINT) AS nb,
@@ -1142,14 +1155,18 @@ agg AS (
 SELECT n_a, n_b,
        CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
        CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
-       CASE WHEN {_MWU_SIGMA2} > 0 THEN
-         {rdet_sql(
-             "(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
-             " - CAST(n_a AS DOUBLE) * n_b) / " + _MWU_SIGMA2, 4)}
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CASE WHEN {_MWU_SIGMA2} > 0 THEN
+           {rdet_sql(
+               "(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+               " - CAST(n_a AS DOUBLE) * n_b) / " + _MWU_SIGMA2, 4)}
+         END
        END AS z,
-       {rdet_sql(
-           "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
-           " / (CAST(n_a AS DOUBLE) * n_b) - 1.0", 6)} AS rank_biserial
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         {rdet_sql(
+             "CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+             " / (CAST(n_a AS DOUBLE) * n_b) - 1.0", 6)}
+       END AS rank_biserial
 FROM agg
 """
 

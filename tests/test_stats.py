@@ -553,3 +553,50 @@ def test_mannwhitney_u_identities(spark, sf_dir):
     r2a = sum(rank2[x["v"]] for x in ev if x["is_a"])
     assert r["n_a"] == n_a
     assert r["u2_a"] == r2a - n_a * (n_a + 1)
+
+
+def test_mannwhitney_u_empty_group_matches_oracle(spark, tmp_path):
+    """Code-review r6 repro: a fixture with clicks but NO purchases
+    made rank_biserial divide by n_a*n_b = 0 — Spark ANSI crash vs a
+    DuckDB NULL row. Both engines must now agree on the NULL-guarded
+    row. NULL values must also be dropped identically (Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST)."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    rows = [(i, 1_700_000_000_000_000 + i * 1_000_000, "click",
+             float(i % 7) if i % 5 else None) for i in range(40)]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from catme_etl_j_spark.operators.stats import stats_mannwhitney_u
+
+    sdf = stats_mannwhitney_u(spark, str(tmp_path))
+    [r] = sdf.collect()  # must not crash
+    assert r["n_a"] == 0 and r["n_b"] == 32  # NULL values dropped
+    assert r["z"] is None and r["rank_biserial"] is None
+
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["stats_mannwhitney_u"])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+
+    def _norm(cols, rws):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(repr(x[i]) for i in order) for x in rws)
+
+    assert _norm(scols, [tuple(x) for x in sdf.collect()]) == _norm(
+        ocols, rel.fetchall()
+    )
