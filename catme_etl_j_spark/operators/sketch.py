@@ -911,9 +911,139 @@ FROM exact, est
 """
 
 
+def sketch_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join SIZE estimation from AMS sketches — the CBO statistic:
+    |A ⋈ B| on the shingle key, where A = shingles of even doc_ids and
+    B = odd, estimated as the median of 4 group-means of Z_A,r * Z_B,r
+    (the AMS inner product; E[Z_A Z_B] = sum_x fA(x) fB(x) = join size)
+    vs the exact join size.
+
+    The point at scale: each side's sketch is 16 mergeable int64
+    counters built in one linear pass — two streams that may live on
+    different clusters never co-shuffle; the exact answer needs the
+    full count-join both sides. Same counting/sign plumbing as
+    sketch_ams_f2 (signs must be the SAME hash family across the two
+    streams for the inner product to correlate); same BIGINT-before-
+    division rule (DuckDB DECIMAL // rounds).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("ws", F.split(F.trim("text"), " +"))
+        .withColumn(
+            "sh",
+            F.expr(
+                "CASE WHEN size(ws) >= 3"
+                " THEN transform(sequence(1, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                " ELSE array() END"
+            ),
+        )
+        .select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    cnt = (
+        sh.groupBy("side", "shingle")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # exact join + both sketches share it
+    )
+    a = cnt.filter("side = 0").select("shingle", F.col("n").alias("fa"))
+    b = cnt.filter("side = 1").select("shingle", F.col("n").alias("fb"))
+    exact = a.join(b, "shingle").agg(
+        F.count("*").cast("long").alias("n_common_keys"),
+        F.sum(F.expr("CAST(fa AS DECIMAL(38,0)) * fb"))
+        .cast("decimal(38,0)")
+        .alias("exact_join"),
+    )
+    signed = cnt.select(
+        "side",
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {AMS_R - 1}), r -> named_struct("
+                f"'r', r, 'z', CASE WHEN CAST(conv(substr(md5(shingle), r + 1, 1), 16, 10)"
+                f" AS INT) % 2 = 0 THEN n ELSE -n END))"
+            )
+        ).alias("s"),
+    ).select("side", F.col("s.r").alias("r"), F.col("s.z").alias("z"))
+    zr = signed.groupBy("side", "r").agg(F.sum("z").cast("long").alias("zr"))
+    prod = (
+        zr.filter("side = 0")
+        .select("r", F.col("zr").alias("za"))
+        .join(zr.filter("side = 1").select("r", F.col("zr").alias("zb")), "r")
+    )
+    means = prod.groupBy((F.col("r") % AMS_GROUPS).alias("g")).agg(
+        F.expr(
+            f"CAST(SUM(CAST(za AS DECIMAL(38,0)) * zb) AS BIGINT)"
+            f" DIV {AMS_R // AMS_GROUPS}"
+        ).alias("m")
+    )
+    est = means.agg(
+        F.expr(
+            f"CASE WHEN count(m) = {AMS_GROUPS} THEN "
+            "(sort_array(collect_list(m))[1] + sort_array(collect_list(m))[2]) DIV 2"
+            " END"
+        ).alias("est_join")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_common_keys",
+        F.col("exact_join").cast("long").alias("exact_join"),
+        "est_join",
+        F.expr(
+            "CASE WHEN CAST(exact_join AS BIGINT) > 0 THEN"
+            " CAST(abs(est_join - CAST(exact_join AS BIGINT)) * 1000000"
+            " DIV CAST(exact_join AS BIGINT) AS BIGINT) END"
+        ).alias("abs_err_ppm"),
+    )
+
+
+_AMS_JOIN_SQL = f"""
+WITH sh AS (
+  SELECT doc_id % 2 AS side,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents) t),
+cnt AS (SELECT side, shingle, COUNT(*) AS n FROM sh GROUP BY side, shingle),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+         CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * b.n) AS DECIMAL(38,0)) AS exact_join
+  FROM cnt a JOIN cnt b ON a.shingle = b.shingle AND a.side = 0 AND b.side = 1),
+signed AS (
+  SELECT side, r.r,
+         CASE WHEN ('0x' || substr(md5(shingle), CAST(r.r + 1 AS INT), 1))::BIGINT % 2 = 0
+              THEN n ELSE -n END AS z
+  FROM cnt, UNNEST(range(0, {AMS_R})) AS r(r)),
+zr AS (SELECT side, r, CAST(SUM(z) AS BIGINT) AS zr FROM signed GROUP BY side, r),
+prod AS (
+  SELECT a.r, a.zr AS za, b.zr AS zb
+  FROM zr a JOIN zr b ON a.r = b.r AND a.side = 0 AND b.side = 1),
+means AS (
+  SELECT r % {AMS_GROUPS} AS g,
+         CAST(SUM(CAST(za AS DECIMAL(38,0)) * zb) AS BIGINT) // {AMS_R // AMS_GROUPS} AS m
+  FROM prod GROUP BY g),
+est AS (
+  SELECT CASE WHEN COUNT(m) = {AMS_GROUPS} THEN
+           CAST((list_sort(list(m))[2] + list_sort(list(m))[3]) // 2 AS BIGINT)
+         END AS est_join
+  FROM means)
+SELECT n_common_keys,
+       CAST(exact_join AS BIGINT) AS exact_join,
+       est_join,
+       CASE WHEN CAST(exact_join AS BIGINT) > 0 THEN
+         CAST(abs(est_join - CAST(exact_join AS BIGINT)) * 1000000
+              // CAST(exact_join AS BIGINT) AS BIGINT)
+       END AS abs_err_ppm
+FROM exact, est
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_ams_f2": sketch_ams_f2,
+    "sketch_ams_join_size": sketch_ams_join_size,
     "sketch_hll_merge_groups": sketch_hll_merge_groups,
     "sketch_countmin_topwords": sketch_countmin_topwords,
     "sketch_bloom_join_prune": sketch_bloom_join_prune,
@@ -924,6 +1054,7 @@ QUERIES = {
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_ams_f2": _AMS_SQL,
+    "sketch_ams_join_size": _AMS_JOIN_SQL,
     "sketch_hll_merge_groups": _HLL_MERGE_SQL,
     "sketch_countmin_topwords": _CMS_SQL,
     "sketch_bloom_join_prune": _BLOOM_SQL,

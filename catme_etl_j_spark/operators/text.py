@@ -1200,7 +1200,110 @@ FROM scored ORDER BY doc_id
 """
 
 
+PMI_MIN_COUNT = 5  # collocation count floor (rare-pair PMI is noise)
+PMI_TOP_K = 20
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information:
+    pmi(x, y) = ln( P(x,y) / (P(x) P(y)) ) with the joint over adjacent
+    bigram positions and marginals over the token stream — the classic
+    phrase-mining statistic (Church & Hanks 1990, public).
+
+    Determinism: all counts exact int64; the single ln() evaluates the
+    SAME double expression ln(c12 * Nw * Nw / (Nb * c1 * c2)) on both
+    engines and is fixed-pointed to 1e6 (the LM-score convention), so
+    ordering by (pmi_fp DESC, bigram ASC) is stable cross-engine.
+
+    Scale shape: one token explode feeding both the unigram count and
+    (via the staged array) the guarded bigram explode; two
+    co-partitioned joins on the word key (the unigram side is
+    vocabulary-sized — skewed hot words are bounded by the count
+    aggregation that precedes the join); totals broadcast as one row;
+    TakeOrdered for the top-k.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(F.expr("split(trim(text), ' +')").alias("w"))
+    uni = (
+        staged.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_all = (
+        staged.select(
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN "
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> named_struct('x', element_at(w, i), 'y', element_at(w, i + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .agg(F.count("*").alias("c12"))
+    )
+    # the count floor prunes CANDIDATES only; the joint normalizer nb
+    # must cover every bigram position or P(x,y) is inflated
+    bi = bi_all.filter(F.col("c12") >= PMI_MIN_COUNT)
+    totals = uni.agg(
+        F.sum("c").cast("long").alias("nw"),
+    ).crossJoin(
+        F.broadcast(
+            bi_all.agg(F.sum("c12").cast("long").alias("nb"))
+        )
+    )
+    cx = uni.select(F.col("word").alias("x"), F.col("c").alias("c1"))
+    cy = uni.select(F.col("word").alias("y"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c12",
+            "c1",
+            "c2",
+            F.expr(
+                "CAST(floor(ln(CAST(c12 AS DOUBLE) * nw * nw"
+                " / (CAST(nb AS DOUBLE) * c1 * c2)) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("pmi_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_fp"), F.asc("bigram")).limit(PMI_TOP_K)
+
+
+_PMI_SQL = f"""
+WITH s AS (SELECT regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+uni AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest(w) AS word FROM s) t GROUP BY word),
+bi_all AS (
+  SELECT x, y, COUNT(*) AS c12
+  FROM (SELECT u.p.x AS x, u.p.y AS y
+        FROM s, UNNEST(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+             i -> struct_pack(x := w[i], y := w[i+1]))) AS u(p)) t
+  GROUP BY x, y),
+bi AS (SELECT * FROM bi_all WHERE c12 >= {PMI_MIN_COUNT}),
+totals AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nw,
+         (SELECT CAST(SUM(c12) AS BIGINT) FROM bi_all) AS nb)
+SELECT x || ' ' || y AS bigram,
+       c12, cx.c AS c1, cy.c AS c2,
+       CAST(floor(ln(CAST(c12 AS DOUBLE) * nw * nw
+            / (CAST(nb AS DOUBLE) * cx.c * cy.c)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_fp
+FROM bi JOIN uni cx ON bi.x = cx.word
+        JOIN uni cy ON bi.y = cy.word
+        CROSS JOIN totals
+ORDER BY pmi_fp DESC, bigram ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
+    "text_pmi_bigrams": text_pmi_bigrams,
     "text_readability": text_readability,
     "text_lm_heldout_ppl": text_lm_heldout_ppl,
     "text_rake_keywords": text_rake_keywords,
@@ -1220,6 +1323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pmi_bigrams": _PMI_SQL,
     "text_rake_keywords": _rake_sql(),
     "text_lm_heldout_ppl": _lm_heldout_sql(),
     "text_readability": _READABILITY_SQL,

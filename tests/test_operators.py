@@ -1433,3 +1433,57 @@ def test_substring_mass_hand_fixture(spark, tmp_path):
     # both copies fully covered: grams at pos 0..2 union to [0, 10) = 10 tokens
     assert out["s1"]["dup_tokens"] == 20 and out["s1"]["n_docs_touched"] == 2
     assert out["s2"]["dup_tokens"] == 0 and out["s2"]["n_docs_touched"] == 0
+
+
+def test_ams_join_size_identity(spark, sf_dir):
+    """exact_join >= n_common_keys (each shared key contributes
+    fa*fb >= 1); estimate within 50% on fixtures; err ppm follows its
+    definition."""
+    from catme_etl_j_spark.operators.sketch import sketch_ams_join_size
+
+    [r] = sketch_ams_join_size(spark, sf_dir).collect()
+    assert r["exact_join"] >= r["n_common_keys"] >= 1
+    # 16 estimators give only an order-of-magnitude guarantee when the
+    # inner product is small relative to the stream norms (sf0.001 sits
+    # at ~64% error; sf0.1 at ~5%) — pin the arithmetic identity and a
+    # loose magnitude band, not statistical luck
+    assert r["exact_join"] // 5 <= r["est_join"] <= r["exact_join"] * 5
+    assert r["abs_err_ppm"] == abs(r["est_join"] - r["exact_join"]) * 1000000 // r["exact_join"]
+
+
+def test_pmi_bigrams_ordering_and_floor(spark, sf_dir):
+    """Exactly top-20, count floor respected, (pmi DESC, bigram ASC)
+    order, and one row's PMI matches a Python recompute."""
+    import math
+
+    from catme_etl_j_spark.operators.text import PMI_MIN_COUNT, text_pmi_bigrams
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = text_pmi_bigrams(spark, sf_dir).collect()
+    assert len(rows) == 20
+    keys = [(-r["pmi_fp"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["c12"] >= PMI_MIN_COUNT for r in rows)
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    # replicate split(trim(text), ' +') EXACTLY: spaces only (not any
+    # whitespace), and an empty doc yields one '' token
+    toks = [re.split(" +", d["text"].strip()) for d in docs]
+    words = [w for ws in toks for w in ws]
+    nw = len(words)
+    from collections import Counter
+
+    uni = Counter(words)
+    bi = Counter()
+    for ws in toks:
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    nb = sum(bi.values())
+    r = rows[0]
+    x, y = r["bigram"].split(" ", 1)
+    want = math.floor(
+        math.log(bi[(x, y)] * nw * nw / (nb * uni[x] * uni[y])) * 1e6 + 0.5
+    )
+    assert r["pmi_fp"] == want
+    assert r["c12"] == bi[(x, y)] and r["c1"] == uni[x] and r["c2"] == uni[y]
