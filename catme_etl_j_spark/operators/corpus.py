@@ -1653,8 +1653,68 @@ ORDER BY rank
 """
 
 
+N_SHARDS = 16
+
+
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding — the write-side op a corpus runs
+    before emitting training shards: shard = portable-md5(doc_id) %
+    N_SHARDS (stable across engines, reruns, and cluster sizes, unlike
+    Spark's own hashpartitioning), with the per-shard balance report
+    (doc/token counts and each shard's load as ppm of the ideal equal
+    share) that tells you whether the hash is safe to write by.
+
+    Map-only until one N_SHARDS-key combine; the total broadcasts back
+    as a single row. All-int arithmetic (convention #7).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {N_SHARDS}"
+            ).alias("shard"),
+            F.expr("size(split(trim(text), ' +'))").cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"n_tokens * {N_SHARDS} * 1000000 DIV total_tokens"
+            ).alias("load_ppm_of_ideal"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_SQL = f"""
+WITH per AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_SHARDS} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT shard, n_docs, n_tokens,
+       CAST(n_tokens * {N_SHARDS} * 1000000 // total_tokens AS BIGINT) AS load_ppm_of_ideal
+FROM per, tot
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "corpus_vocab_growth": corpus_vocab_growth,
+    "corpus_shard_assignment": corpus_shard_assignment,
     "corpus_bpe_vocab": corpus_bpe_vocab,
     "corpus_mix_epochs": corpus_mix_epochs,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
@@ -1686,6 +1746,7 @@ ORACLES = {
     "corpus_bpe_merge_step": _BPE_MERGE_SQL,
     "corpus_bpe_tokenize": _BPE_TOKENIZE_SQL,
     "corpus_bpe_vocab": _BPE_VOCAB_SQL,
+    "corpus_shard_assignment": _SHARD_SQL,
     "corpus_interleave_sources": _INTERLEAVE_SQL,
     "corpus_dedup_lines": _DEDUP_LINES_SQL,
     "corpus_clean_pipeline": _CLEAN_PIPELINE_SQL,

@@ -1487,3 +1487,24 @@ def test_pmi_bigrams_ordering_and_floor(spark, sf_dir):
     )
     assert r["pmi_fp"] == want
     assert r["c12"] == bi[(x, y)] and r["c1"] == uni[x] and r["c2"] == uni[y]
+
+
+def test_shard_assignment_conserves_and_balances(spark, sf_dir):
+    """Shards partition the corpus exactly (doc/token totals conserve),
+    the portable hash matches a Python recompute, and ppm loads sum to
+    ~N_SHARDS million (integer truncation only)."""
+    import hashlib
+
+    from catme_etl_j_spark.operators.corpus import N_SHARDS, corpus_shard_assignment
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = corpus_shard_assignment(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    want = {}
+    for d in docs:
+        s = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16) % N_SHARDS
+        want[s] = want.get(s, 0) + 1
+    assert {r["shard"]: r["n_docs"] for r in rows} == want
+    total_ppm = sum(r["load_ppm_of_ideal"] for r in rows)
+    assert N_SHARDS * 1000000 - len(rows) <= total_ppm <= N_SHARDS * 1000000
