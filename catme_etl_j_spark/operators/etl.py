@@ -731,7 +731,115 @@ ORDER BY o_orderpriority
 """
 
 
+def etl_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (the dbt-test / Great
+    Expectations archetype, absent from etl_dq_profile which PROFILES
+    rather than ASSERTS): a rule table of NOT-NULL / range / enum /
+    uniqueness / referential constraints over orders+lineitem, one row
+    per rule with checked and violation counts — the CI gate a
+    warehouse load runs before publishing a partition.
+
+    Shape: each rule is a conditional aggregate over its own table
+    scan group — Catalyst collapses the per-table rules into ONE pass
+    per table (map-side partial counts); uniqueness is a groupBy-
+    having count; the referential rule is the anti-join from
+    etl_referential_check's playbook. Pure int counts.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _rule(df, name, bad_cond):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.when(bad_cond, 1).otherwise(0)).cast("long").alias("n_violations"),
+        )
+
+    o_rules = [
+        _rule(orders, "orders.o_orderkey NOT NULL", F.col("o_orderkey").isNull()),
+        _rule(orders, "orders.o_totalprice > 0", ~(F.col("o_totalprice") > 0)),
+        _rule(
+            orders,
+            "orders.o_orderstatus IN (O,F,P)",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+    ]
+    l_rules = [
+        _rule(li, "lineitem.l_quantity IN [1,50]", ~F.col("l_quantity").between(1, 50)),
+        _rule(li, "lineitem.l_discount IN [0,1]", ~F.col("l_discount").between(0, 1)),
+    ]
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit("orders.o_orderkey UNIQUE").alias("rule"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    orphan = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("n_orphans"))
+        .crossJoin(F.broadcast(li.agg(F.count("*").cast("long").alias("n_lines"))))
+        .select(
+            F.lit("lineitem.l_orderkey REFERENCES orders").alias("rule"),
+            F.col("n_lines").alias("n_checked"),
+            F.col("n_orphans").alias("n_violations"),
+        )
+    )
+    out = o_rules[0]
+    for r in o_rules[1:] + l_rules + [dup, orphan]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("int")
+    ).orderBy("rule")
+
+
+_CONSTRAINT_SQL = """
+WITH r1 AS (
+  SELECT 'orders.o_orderkey NOT NULL' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM orders),
+r2 AS (
+  SELECT 'orders.o_totalprice > 0', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders),
+r3 AS (
+  SELECT 'orders.o_orderstatus IN (O,F,P)', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders),
+r4 AS (
+  SELECT 'lineitem.l_quantity IN [1,50]', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem),
+r5 AS (
+  SELECT 'lineitem.l_discount IN [0,1]', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem),
+r6 AS (
+  SELECT 'orders.o_orderkey UNIQUE', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey) t),
+r7 AS (
+  SELECT 'lineitem.l_orderkey REFERENCES orders',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))),
+u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+  UNION ALL SELECT * FROM r6 UNION ALL SELECT * FROM r7)
+SELECT rule, n_checked, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM u ORDER BY rule
+"""
+
+
 QUERIES = {
+    "etl_constraint_violations": etl_constraint_violations,
     "etl_k_anonymity": etl_k_anonymity,
     "etl_retraction_agg": etl_retraction_agg,
     "etl_scd2_asof_snapshot": etl_scd2_asof_snapshot,
@@ -745,6 +853,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_constraint_violations": _CONSTRAINT_SQL,
     "etl_k_anonymity": _k_anonymity_sql(),
     "etl_retraction_agg": _RETRACTION_SQL,
     "etl_scd2_asof_snapshot": _scd2_asof_sql(),

@@ -1220,7 +1220,93 @@ ORDER BY rank
 """
 
 
+MRR_Q = 20       # vec_id < MRR_Q play the query set
+MRR_DEPTH = 50   # MRR@50: no same-label hit in depth -> RR = 0
+
+
+def rank_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of exact cosine retrieval, labels as
+    ground truth: for each of the {MRR_Q} query vectors, RR = 1/rank
+    of the FIRST same-label neighbor within depth {MRR_DEPTH} (0 if
+    none) — the second standard IR eval metric next to rank_ndcg_eval
+    (which grades one lexical ranking; this grades the vector side,
+    completing the hybrid-retrieval evaluation loop).
+
+    Determinism: the same fixed-point cosine + (cos DESC, vec_id)
+    rank pinning as every ANN path; RR is integer 1e9 DIV rank and
+    MRR is the exact int sum DIV n_queries (positive ints — conv #7).
+    Shape: one corpus scan against the broadcast query batch (the
+    batched-retrieval plan of ann_batch_topk), one per-query window.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pre = _prescaled(spark, sf_dir)
+    queries = pre.filter(F.col("vec_id") < MRR_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("fx").alias("qfx"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fx', 'qfx')} AS DOUBLE)")
+        / (F.col("norm") * F.col("qnorm")),
+        6,
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    firsts = (
+        pre.select("vec_id", "label", "fx", "norm")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", "vec_id", "label", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= MRR_DEPTH)
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rank")))
+            .alias("first_hit_rank")
+        )
+    )
+    return firsts.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum((F.col("first_hit_rank").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_hit"),
+        F.expr(
+            "CAST(SUM(COALESCE(1000000000 DIV first_hit_rank, 0)) AS BIGINT)"
+            " DIV COUNT(*)"
+        ).alias("mrr_e9"),
+    )
+
+
+def _mrr_sql() -> str:
+    cos = rdet_sql(
+        f"CAST({_dot_duck('e.embedding', 'q.embedding')} AS DOUBLE)"
+        f" / ({_norm_duck('e.embedding')} * {_norm_duck('q.embedding')})",
+        6,
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id, e.label,
+         {cos} AS cos_sim
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < {MRR_Q} AND e.vec_id <> q.vec_id),
+ranked AS (
+  SELECT qid, qlabel, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored),
+firsts AS (
+  SELECT qid, MIN(CASE WHEN label = qlabel THEN rank END) AS first_hit_rank
+  FROM ranked WHERE rank <= {MRR_DEPTH} GROUP BY qid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_hit_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(CAST(SUM(COALESCE(1000000000 // first_hit_rank, 0)) AS BIGINT) // COUNT(*) AS BIGINT) AS mrr_e9
+FROM firsts
+"""
+
+
 QUERIES = {
+    "rank_mrr_eval": rank_mrr_eval,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_batch_topk": ann_batch_topk,
@@ -1236,6 +1322,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rank_mrr_eval": _mrr_sql(),
     "ann_topk_bruteforce": _topk_sql(),
     "ann_filtered_topk": _filtered_topk_sql(),
     "ann_batch_topk": _batch_topk_sql(),

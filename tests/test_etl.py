@@ -84,3 +84,21 @@ def test_k_anonymity_flags(spark, sf_dir):
         assert r["k_violation"] == (r["group_size"] < K_ANON)
         assert r["l_violation"] == (r["n_sensitive"] < L_DIVERSE)
     assert any(r["k_violation"] for r in rows)  # synthetic QI is sparse
+
+
+def test_constraint_violations_all_pass_on_fixtures(spark, sf_dir):
+    """Seven rules, all green on the synthetic data; checked counts
+    match the underlying tables; passed flag follows violations."""
+    from catme_etl_j_spark.operators.etl import etl_constraint_violations
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = {r["rule"]: r for r in etl_constraint_violations(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_lines = load_table(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r["passed"] == (1 if r["n_violations"] == 0 else 0)
+        assert r["n_violations"] >= 0
+    assert rows["orders.o_orderkey NOT NULL"]["n_checked"] == n_orders
+    assert rows["lineitem.l_orderkey REFERENCES orders"]["n_checked"] == n_lines
+    assert all(r["n_violations"] == 0 for r in rows.values())

@@ -132,3 +132,16 @@ def test_batch_topk_consistent_with_single(spark, sf_dir):
     for qid in range(BATCH_Q):
         ranks = [r["rank"] for r in rows if r["qid"] == qid]
         assert ranks == list(range(1, BATCH_TOP + 1))
+
+
+def test_mrr_eval_bounds(spark, sf_dir):
+    """n_hit <= n_queries = MRR_Q; mrr_e9 bounded by 1e9 and 0; a
+    hit-for-every-query corpus gives mrr >= 1e9/MRR_DEPTH."""
+    from catme_etl_j_spark.operators.similarity import MRR_Q, MRR_DEPTH, rank_mrr_eval
+
+    [r] = rank_mrr_eval(spark, sf_dir).collect()
+    assert r["n_queries"] == MRR_Q
+    assert 0 <= r["n_hit"] <= r["n_queries"]
+    assert 0 <= r["mrr_e9"] <= 1_000_000_000
+    if r["n_hit"] == r["n_queries"]:
+        assert r["mrr_e9"] >= 1_000_000_000 // MRR_DEPTH // 2
