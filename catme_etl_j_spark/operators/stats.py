@@ -1171,7 +1171,93 @@ FROM agg
 """
 
 
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise slopes — the outlier-resistant complement to
+    stats_ols_regression's least-squares line (one corrupted day moves
+    OLS; it takes half the days to move Theil–Sen).
+
+    Scale shape: the fact table collapses to |days| (~84) daily
+    DECIMAL sums first, so the O(|days|²) pair join (~3.5k slope rows)
+    is over the AGGREGATE, not the data — at any corpus size the pair
+    stage is calendar-bounded. Slopes are exact fixed-point
+    cents-per-day: (r2-r1) * 100 DIV (d2-d1) on cent-int revenues
+    (both operands' signs handled identically — Spark DIV and DuckDB
+    // truncate toward zero, convention #7). The even-count median
+    averages the two middle slopes with one more truncating DIV; the
+    final display division is the only float.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr("datediff(to_date(o_orderdate), DATE '1970-01-01')")
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            ).alias("r")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(F.expr("(r2 - r1) * 100 DIV (d2 - d1)").alias("s"))
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(W.orderBy("s")).alias("rn"),
+    )
+    n = slopes.count()  # driver-side scalar: |days|²/2 pair count, bounded
+    if n == 0:
+        # single-day corpus: no pairs, no slope (conv. #9 — the oracle's
+        # COUNT-guarded median yields the same NULL row)
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_pairs,"
+            " CAST(NULL AS BIGINT) AS slope_cents_fp,"
+            " CAST(NULL AS DOUBLE) AS slope_per_day"
+        )
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    med = ranked.filter(F.col("rn").isin(lo, hi)).agg(
+        F.expr("CAST(SUM(s) DIV COUNT(*) AS BIGINT)").alias("slope_cents_fp")
+    )
+    return med.select(
+        F.lit(n).cast("long").alias("n_pairs"),
+        "slope_cents_fp",
+        (F.col("slope_cents_fp").cast("double") / 10000.0).alias("slope_per_day"),
+    )
+
+
+_THEIL_SQL = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT (b.r - a.r) * 100 // (b.d - a.d) AS s
+  FROM daily a JOIN daily b ON a.d < b.d),
+ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS n
+  FROM slopes),
+med AS (
+  SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_pairs,
+         CASE WHEN COUNT(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1) THEN 1 END) > 0
+              THEN CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1) THEN s END)
+                   // COUNT(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1) THEN 1 END)
+                   AS BIGINT)
+         END AS slope_cents_fp
+  FROM ranked)
+SELECT n_pairs, slope_cents_fp,
+       CAST(slope_cents_fp AS DOUBLE) / 10000.0 AS slope_per_day
+FROM med
+"""
+
+
 QUERIES = {
+    "stats_theil_sen": stats_theil_sen,
     "stats_mannwhitney_u": stats_mannwhitney_u,
     "stats_mode_quantity": stats_mode_quantity,
     "stats_basket_lift": stats_basket_lift,
@@ -1188,6 +1274,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_theil_sen": _THEIL_SQL,
     "stats_mannwhitney_u": _MWU_SQL,
     "stats_mode_quantity": _MODE_SQL,
     "stats_anova_oneway": _anova_sql(),

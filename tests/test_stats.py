@@ -600,3 +600,42 @@ def test_mannwhitney_u_empty_group_matches_oracle(spark, tmp_path):
     assert _norm(scols, [tuple(x) for x in sdf.collect()]) == _norm(
         ocols, rel.fetchall()
     )
+
+
+def test_theil_sen_median_identity(spark, sf_dir):
+    """The fixed-point slope equals a Python recompute of the median of
+    pairwise (cents*100 per day) slopes with truncating division."""
+    from catme_etl_j_spark.operators.stats import stats_theil_sen
+    from catme_etl_j_spark.sources.tables import load_table
+
+    [r] = stats_theil_sen(spark, sf_dir).collect()
+    import math
+    from collections import defaultdict
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS LONG) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).collect()
+    daily = defaultdict(int)
+    for o in orders:
+        daily[o["d"]] += o["cents"]
+    days = sorted(daily)
+
+    def tdiv(a, b):  # truncate toward zero like Spark DIV / DuckDB //
+        return a // b if (a >= 0) == (b >= 0) else -((-a) // b) if b > 0 else None
+
+    slopes = sorted(
+        tdiv((daily[d2] - daily[d1]) * 100, d2 - d1)
+        for i, d1 in enumerate(days)
+        for d2 in days[i + 1:]
+    )
+    n = len(slopes)
+    assert r["n_pairs"] == n
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    mids = [slopes[lo - 1], slopes[hi - 1]]
+    want = sum(mids)
+    want = want // 2 if want >= 0 else -((-want) // 2)
+    if lo == hi:
+        want = slopes[lo - 1]
+    assert r["slope_cents_fp"] == want
+    assert r["slope_per_day"] == r["slope_cents_fp"] / 10000.0
