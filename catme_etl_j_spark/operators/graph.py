@@ -274,6 +274,74 @@ LIMIT 15
 """
 
 
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the trade graph (top-15 nation
+    pairs): AA(a,b) = sum over shared out-neighbors z of 1/ln(indeg(z))
+    — common-neighbors' popularity-discounted sibling (a hub shared by
+    everyone says little; a rare shared counterparty says a lot).
+
+    Determinism: each z's weight is the fixed-point
+    floor(1e9/ln(indeg)+0.5) (one identical double ln per NODE, the
+    PMI convention), so per-pair scores are exact int64 sums with
+    (aa_fp DESC, a, b) ordering. A shared neighbor has indeg >= 2 by
+    construction, so ln is never 0 inside the sum. Same
+    group-on-shared-neighbor join shape as graph_common_neighbors
+    (cost sum(deg²) over neighbors, not |V|²).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nbr = _trade_edges(spark, sf_dir).select("src", "dst").distinct()
+    indeg = nbr.groupBy("dst").agg(F.count("*").alias("n_in"))
+    w = indeg.select(
+        "dst",
+        F.expr(
+            "CASE WHEN n_in >= 2 THEN"
+            " CAST(floor(1000000000.0 / ln(CAST(n_in AS DOUBLE)) + 0.5) AS BIGINT)"
+            " END"
+        ).alias("w_fp"),
+    )
+    a = nbr.select(F.col("src").alias("nation_a"), "dst")
+    b = nbr.select(F.col("src").alias("nation_b"), "dst")
+    return (
+        a.join(b, ["dst"])
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .join(w, "dst")
+        .groupBy("nation_a", "nation_b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("w_fp").cast("long").alias("aa_fp"),
+        )
+        .orderBy(F.desc("aa_fp"), F.asc("nation_a"), F.asc("nation_b"))
+        .limit(15)
+    )
+
+
+_ADAMIC_ADAR_SQL = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey),
+nbr AS (SELECT DISTINCT src, dst FROM edges),
+w AS (
+  SELECT dst,
+         CASE WHEN COUNT(*) >= 2 THEN
+           CAST(floor(1000000000.0 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT)
+         END AS w_fp
+  FROM nbr GROUP BY dst)
+SELECT a.src AS nation_a, b.src AS nation_b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       CAST(SUM(w.w_fp) AS BIGINT) AS aa_fp
+FROM nbr a
+JOIN nbr b ON a.dst = b.dst AND a.src < b.src
+JOIN w ON w.dst = a.dst
+GROUP BY a.src, b.src
+ORDER BY aa_fp DESC, nation_a ASC, nation_b ASC
+LIMIT 15
+"""
+
+
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation degree/strength profile of the directed trade graph:
     out/in degree (distinct counterparties) and out/in strength
@@ -445,6 +513,7 @@ ORDER BY node
 
 
 QUERIES = {
+    "graph_adamic_adar": graph_adamic_adar,
     "graph_pagerank_nations": graph_pagerank_nations,
     "graph_bfs_backbone": graph_bfs_backbone,
     "graph_triangle_count": graph_triangle_count,
@@ -453,6 +522,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_adamic_adar": _ADAMIC_ADAR_SQL,
     "graph_pagerank_nations": _pagerank_sql(),
     "graph_bfs_backbone": _BFS_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,

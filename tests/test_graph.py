@@ -54,3 +54,22 @@ def test_bfs_levels_consistent(spark, sf_dir):
     for node, d in dists.items():
         if d > 0:
             assert any(dists[p] == d - 1 for p in preds.get(node, ())), node
+
+
+def test_adamic_adar_dominates_common_neighbors(spark, sf_dir):
+    """aa_fp grows with shared-neighbor count bounded by common *
+    (1e9/ln 2); every listed pair has >=1 shared neighbor; ordering is
+    (aa_fp DESC, a, b)."""
+    import math
+
+    from catme_etl_j_spark.operators.graph import graph_adamic_adar
+
+    rows = graph_adamic_adar(spark, sf_dir).collect()
+    assert rows
+    max_w = math.floor(1e9 / math.log(2) + 0.5)
+    for r in rows:
+        assert r["common"] >= 1
+        assert 0 < r["aa_fp"] <= r["common"] * max_w
+        assert r["nation_a"] < r["nation_b"]
+    keys = [(-r["aa_fp"], r["nation_a"], r["nation_b"]) for r in rows]
+    assert keys == sorted(keys)
