@@ -584,6 +584,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (bounded type key). Days with zero events simply
     don't appear — CUSUM runs over observed days, identically on both
     engines.
+
+    ``alarm_epoch_day`` is the ABSOLUTE epoch-day number
+    (floor(epoch/86400)) of the first threshold crossing, not an
+    offset into the per-type day series (ADVICE r6: the former
+    ``alarm_day_idx`` name invited that misreading).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
@@ -618,7 +623,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_days").alias("n_days"),
             F.max("base_sum").alias("base_sum"),
             F.max("s").cast("long").alias("max_cusum"),
-            F.min(F.when(F.col("s") >= thr, F.col("day"))).alias("alarm_day_idx"),
+            F.min(F.when(F.col("s") >= thr, F.col("day"))).alias("alarm_epoch_day"),
             F.max((F.col("s") >= thr).cast("int")).alias("alarmed"),
         )
         .orderBy("event_type")
@@ -658,7 +663,7 @@ SELECT event_type,
        CAST(MAX(n_days) AS BIGINT) AS n_days,
        MAX(base_sum) AS base_sum,
        CAST(MAX(s) AS BIGINT) AS max_cusum,
-       CAST(MIN(CASE WHEN s >= {CUSUM_H_BASESUMS} * base_sum THEN day END) AS BIGINT) AS alarm_day_idx,
+       CAST(MIN(CASE WHEN s >= {CUSUM_H_BASESUMS} * base_sum THEN day END) AS BIGINT) AS alarm_epoch_day,
        CAST(MAX(CASE WHEN s >= {CUSUM_H_BASESUMS} * base_sum THEN 1 ELSE 0 END) AS INT) AS alarmed
 FROM cum
 GROUP BY event_type

@@ -37,6 +37,10 @@ _OLS_SCALE = 100.0
 # ~20 orders of magnitude of headroom for the row count.
 _CORR_SCALE = 10000.0
 
+# Theil–Sen slope-histogram range partitions: bounds the driver-side
+# offsets collect at _TS_PARTS rows regardless of pair count.
+_TS_PARTS = 32
+
 
 def _fx(col: str, scale: float) -> F.Column:
     return F.floor(F.col(col).cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
@@ -1186,6 +1190,17 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     // truncate toward zero, convention #7). The even-count median
     averages the two middle slopes with one more truncating DIV; the
     final display division is the only float.
+
+    Median WITHOUT a global window (ADVICE r6): a multi-year span
+    (~2400 days → ~3M pairs) would push every slope row through one
+    unpartitioned row_number sort. Instead the slopes collapse to a
+    (value, count) histogram, the histogram is RANGE-partitioned on
+    the value, per-partition prefix sums run inside their own
+    partition, and only the ≤_TS_PARTS per-partition totals reach the
+    driver to compute the cross-partition offsets — the classic
+    distributed order-statistic plan. The DuckDB oracle keeps the
+    naive global-row_number formulation, so the gate itself proves
+    histogram-walk ≡ rank-pick (the range_month_in_flight precedent).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
@@ -1207,11 +1222,24 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("d1") < F.col("d2"))
         .select(F.expr("(r2 - r1) * 100 DIV (d2 - d1)").alias("s"))
     )
-    ranked = slopes.select(
-        "s",
-        F.row_number().over(W.orderBy("s")).alias("rn"),
+    # (value, count) histogram, range-partitioned so each partition owns
+    # a contiguous slope interval; localCheckpoint pins the partition
+    # assignment for its two consumers (totals collect + cum walk).
+    hist = (
+        slopes.groupBy("s")
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(_TS_PARTS, "s")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    n = slopes.count()  # driver-side scalar: |days|²/2 pair count, bounded
+    # ≤ _TS_PARTS rows to the driver — bounded by partition count, never
+    # by pair count.
+    ptot = hist.groupBy("pid").agg(F.sum("cnt").alias("t")).collect()
+    offsets, run = [], 0
+    for r in sorted(ptot, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], run))
+        run += r["t"]
+    n = run  # total pair count, from the same histogram pass
     if n == 0:
         # single-day corpus: no pairs, no slope (conv. #9 — the oracle's
         # COUNT-guarded median yields the same NULL row)
@@ -1221,8 +1249,34 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(NULL AS DOUBLE) AS slope_per_day"
         )
     lo, hi = (n + 1) // 2, n // 2 + 1
-    med = ranked.filter(F.col("rn").isin(lo, hi)).agg(
-        F.expr("CAST(SUM(s) DIV COUNT(*) AS BIGINT)").alias("slope_cents_fp")
+    off_df = spark.createDataFrame(offsets, "pid INT, off BIGINT")
+    wcum = (
+        W.partitionBy("pid")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        hist.withColumn("cum_in", F.sum("cnt").over(wcum))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("cum_in") + F.col("off"))
+    )
+    # a value covers rank k iff cum-cnt < k <= cum; contrib carries the
+    # multiplicity so lo==hi (odd n) and lo/hi-in-one-value both reduce
+    # to the same SUM DIV SUM as the oracle's rank-pick average.
+    contrib = sum(
+        F.when(
+            (F.col("cum") - F.col("cnt") < F.lit(k)) & (F.lit(k) <= F.col("cum")), 1
+        ).otherwise(0)
+        for k in (lo, hi)
+    )
+    med = (
+        cum.withColumn("contrib", contrib)
+        .filter(F.col("contrib") > 0)
+        .agg(
+            F.expr("CAST(SUM(s * contrib) DIV SUM(contrib) AS BIGINT)").alias(
+                "slope_cents_fp"
+            )
+        )
     )
     return med.select(
         F.lit(n).cast("long").alias("n_pairs"),

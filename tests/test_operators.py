@@ -1379,8 +1379,10 @@ def test_cusum_changepoint_detects_injected_drift(spark, tmp_path):
     out = {r["event_type"]: r for r in sdf.collect()}
     assert out["drift"]["base_sum"] == 140
     assert out["drift"]["alarmed"] == 1
-    assert out["drift"]["alarm_day_idx"] == 16
-    assert out["flat"]["alarmed"] == 0 and out["flat"]["alarm_day_idx"] is None
+    # absolute epoch-day number (fixture starts at epoch day 0, so the
+    # number and the series offset coincide here — see docstring)
+    assert out["drift"]["alarm_epoch_day"] == 16
+    assert out["flat"]["alarmed"] == 0 and out["flat"]["alarm_epoch_day"] is None
 
     con = ddb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
