@@ -132,6 +132,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str, width: int = 8, height: 
     The schema/batching pattern for any per-item media transform:
     payload column + params -> transformed payload + metadata, Arrow
     both ways, no driver involvement.
+
+    This binary-out form is the library API (and what a real pipeline
+    writes back to parquet); the gated ``queries()`` entry is
+    ``multimodal_resize_gated`` below, which renders the tile as hex so
+    the DuckDB oracle can value-compare it (raw binary reprs differ
+    across engines; hex is canonical — VERDICT r6 #4).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     p = _payloads(spark, sf_dir)
@@ -185,14 +191,17 @@ FROM geo
 """
 
 
-def multimodal_resize_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The resize pipeline HASH-GATED: the same mapInPandas
-    resize_image path as multimodal_resize, with the 64-byte tile
-    rendered as hex so the oracle can compare content (raw binary
-    columns repr differently across engines; hex is canonical). The
-    ASCII fixture makes the tile reproducible in SQL as
-    repeat(text)[:64] — so the Arrow round-trip AND the tiling
-    arithmetic are value-checked end to end, not just row counts.
+def multimodal_resize_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize pipeline HASH-GATED (registered as
+    ``multimodal_resize``): the same mapInPandas resize_image path as
+    the binary-out library form above, with the 64-byte tile rendered
+    as hex so the oracle can compare content (raw binary columns repr
+    differently across engines; hex is canonical). The ASCII fixture
+    makes the tile reproducible in SQL as repeat(text)[:64] — so the
+    Arrow round-trip AND the tiling arithmetic are value-checked end
+    to end, not just row counts. Folded from the former
+    ``multimodal_resize_hex`` sibling (VERDICT r6 #4: one query, one
+    oracle — no rows-only asterisk left in the registry).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return multimodal_resize(spark, sf_dir).select(
@@ -353,8 +362,7 @@ QUERIES = {
     "multimodal_ahash_candidates": multimodal_ahash_candidates,
     "multimodal_fake_features": multimodal_fake_features,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_resize": multimodal_resize,
-    "multimodal_resize_hex": multimodal_resize_hex,
+    "multimodal_resize": multimodal_resize_gated,
 }
 
 # Oracle for the fake-codec features: valid because the fixture text
@@ -377,8 +385,5 @@ ORACLES = {
     "multimodal_ahash_candidates": _AHASH_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_fake_features": _FAKE_FEATURES_SQL,
-    "multimodal_resize_hex": _RESIZE_HEX_SQL,
-    # multimodal_resize: intentionally no oracle (raw binary tile
-    # output); its CONTENT is hash-gated via multimodal_resize_hex and
-    # covered by tests/test_multimodal.py.
+    "multimodal_resize": _RESIZE_HEX_SQL,
 }
