@@ -7,9 +7,11 @@ nation-pair keys); the power iteration then runs on that SF-invariant
 aggregate driver-side — the "collect tiny state to literals" pattern,
 chosen over per-round DataFrame joins (deep lineage) or localCheckpoint
 (10 materialization jobs, measured 2x slower at sf0.1). A graph whose
-node count scaled with the data would instead keep per-round
+node count scales with the data instead keeps per-round
 ranks-onto-edges equi-join + aggregate (the Pregel shape) with
-periodic checkpoints, as dedup._connected_components does.
+periodic checkpoints — that regime's gated witness is
+``graph_pagerank_users`` below (user-interaction graph, nodes ∝ data),
+alongside dedup._connected_components.
 
 Graph: nodes = nations, edge (c_nation -> s_nation) weighted by the
 number of lineitems a customer of the source nation bought from a
@@ -32,7 +34,7 @@ Reference (waldfalke/catme-etl-j) has no graph surface (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catme_etl_j_spark.sources.tables import load_table
@@ -512,7 +514,173 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-scaled PageRank (the Pregel shape) — VERDICT r6 #3.
+#
+# graph_pagerank_nations above is honest about collecting its <=625-edge
+# SF-invariant aggregate and iterating driver-side; this operator is the
+# witness for the OTHER regime: a graph whose node count grows with the
+# data (users) where per-round state can never visit the driver. Every
+# round is a ranks-onto-edges equi-join + groupBy aggregate, with
+# periodic localCheckpoint to truncate the iterative lineage — the same
+# loop discipline as dedup._connected_components.
+
+PRU_ITERS = 5  # fixed unrolled rounds (oracle unrolls the same 5 CTEs)
+PRU_TOPK = 20
+PRU_CHECKPOINT_EVERY = 2
+
+
+def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): the user-interaction graph via TEMPORAL ADJACENCY —
+    a directed edge from the previous event's user to this event's user
+    within the same (event_type, day), ordered by (ts, event_id).
+
+    Each event contributes at most one edge, so |E| <= |events| by
+    construction — linear at any corpus size, unlike same-window
+    co-occurrence (quadratic in group size). The lag window partitions
+    on (event_type, day): ~|types| x |days| keys, so partitions stay
+    bounded as the corpus grows along the calendar.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    ev = ev.filter(F.col("user_id").isNotNull()).withColumn(
+        "day", F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    adj = ev.withColumn("src", F.lag("user_id").over(w))
+    return (
+        adj.filter(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .groupBy("src", F.col("user_id").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def _pagerank_users_ranks(
+    spark: SparkSession, sf_dir: str, checkpoint_every: int = PRU_CHECKPOINT_EVERY
+) -> DataFrame:
+    """Final fixed-point ranks after PRU_ITERS Pregel-shaped rounds.
+
+    Per round: ranks JOIN edges ON src (equi-join, co-shuffled on the
+    join key) -> per-dst SUM -> damping update LEFT-joined back onto
+    the full node set (isolated users hold the base rank). All int64
+    arithmetic — (r*w) DIV outw then base + (85*s) DIV 100 — so
+    aggregation order cannot move a bit and the DuckDB oracle
+    hash-matches (same determinism scheme as graph_pagerank_nations;
+    r <= 1e9 and w <= outw keep every product far under 2^63).
+    ``checkpoint_every`` is exposed so tests can pin the UNtruncated
+    plan (proving the per-round joins) while the shipped query
+    checkpoints every 2 rounds.
+    """
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    edges = _user_edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    # edge list is reused every round: materialize once (it is the
+    # data-scaled analogue of broadcasting a static structure — at
+    # 100 TB this would be persist(DISK) on a bucketed layout).
+    ew = edges.join(outw, "src").select("src", "dst", "w", "outw")
+    if checkpoint_every:
+        ew = ew.localCheckpoint()
+    n = nodes.count()  # single aggregate scalar (not data-sized state)
+    base = (15 * PR_SCALE) // (100 * n)
+    r0 = PR_SCALE // n
+    ranks = nodes.select(
+        F.col("user_id").alias("node"), F.lit(r0).cast("long").alias("r")
+    )
+    for k in range(1, PRU_ITERS + 1):
+        s = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("r * w DIV outw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = nodes.join(s, nodes.user_id == s.dst, "left").select(
+            F.col("user_id").alias("node"),
+            (
+                F.lit(base).cast("long")
+                + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
+            ).cast("long").alias("r"),
+        )
+        if checkpoint_every and k % checkpoint_every == 0 and k < PRU_ITERS:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by damped PageRank over the temporal-adjacency
+    user-interaction graph (nodes ∝ data — 15/150/1500 users and
+    ~|events| edges across the driver SFs). The gated witness that the
+    iterative per-round equi-join loop is right, not just the
+    SF-invariant driver-side variant above."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ranks = _pagerank_users_ranks(spark, sf_dir)
+    return (
+        ranks.select(
+            F.col("node").alias("user_id"),
+            F.col("r").alias("rank_e9"),
+            F.expr(f"CAST(r AS DOUBLE) / {float(PR_SCALE)}").alias("rank"),
+        )
+        .orderBy(F.desc("rank_e9"), F.asc("user_id"))
+        .limit(PRU_TOPK)
+    )
+
+
+def _pagerank_users_sql() -> str:
+    """DuckDB twin: the same PRU_ITERS integer rounds unrolled as CTEs
+    (the corpus_bpe recursive-oracle precedent, unrolled form)."""
+    head = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         ts, event_id, user_id
+  FROM events WHERE user_id IS NOT NULL),
+adj AS (
+  SELECT user_id AS dst,
+         lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
+  FROM ev),
+edges AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w
+  FROM adj WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst),
+ew AS (
+  SELECT e.src, e.dst, e.w, CAST(t.outw AS BIGINT) AS outw
+  FROM edges e JOIN (SELECT src, SUM(w) AS outw FROM edges GROUP BY src) t
+    ON e.src = t.src),
+nodes AS (SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, ({PR_SCALE}::BIGINT // nn.n) AS r FROM nodes, nn)"""
+    iters = []
+    for k in range(1, PRU_ITERS + 1):
+        iters.append(
+            f"""
+r{k} AS (
+  SELECT nodes.node,
+         CAST((15::BIGINT * {PR_SCALE} // (100 * nn.n))
+           + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM((p.r * e.w) // e.outw) AS s
+             FROM ew e JOIN r{k - 1} p ON e.src = p.node
+             GROUP BY e.dst) c ON c.dst = nodes.node)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT node AS user_id, r AS rank_e9,
+       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS rank
+FROM r{PRU_ITERS}
+ORDER BY rank_e9 DESC, user_id ASC
+LIMIT {PRU_TOPK}"""
+    )
+
+
 QUERIES = {
+    "graph_pagerank_users": graph_pagerank_users,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_pagerank_nations": graph_pagerank_nations,
     "graph_bfs_backbone": graph_bfs_backbone,
@@ -522,6 +690,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_pagerank_users": _pagerank_users_sql(),
     "graph_adamic_adar": _ADAMIC_ADAR_SQL,
     "graph_pagerank_nations": _pagerank_sql(),
     "graph_bfs_backbone": _BFS_SQL,

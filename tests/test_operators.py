@@ -1510,3 +1510,60 @@ def test_shard_assignment_conserves_and_balances(spark, sf_dir):
     assert {r["shard"]: r["n_docs"] for r in rows} == want
     total_ppm = sum(r["load_ppm_of_ideal"] for r in rows)
     assert N_SHARDS * 1000000 - len(rows) <= total_ppm <= N_SHARDS * 1000000
+
+
+def test_pagerank_users_matches_python_recurrence(spark, tmp_path):
+    """A handcrafted 4-user event stream (one type, one day, known
+    adjacency chain) must yield exactly the ranks of the same integer
+    recurrence computed in pure Python, and hash-match the unrolled-CTE
+    DuckDB oracle on the same fixture — the Pregel-shaped join loop and
+    the driver-free plumbing proven against an independent oracle."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.graph import PR_SCALE, PRU_ITERS
+
+    # event sequence u: 1,2,3,1,2,1,4 -> adjacency edges
+    # (1,2)x2 (2,3) (3,1) (2,1) (1,4)
+    seq = [1, 2, 3, 1, 2, 1, 4]
+    table = pa.table({
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "ts": pa.array([i * 1_000_000 for i in range(len(seq))], pa.timestamp("us")),
+        "user_id": pa.array(seq, pa.int64()),
+        "event_type": pa.array(["view"] * len(seq)),
+        "value": pa.array([1.0] * len(seq)),
+        "props": pa.array(["{}"] * len(seq)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    # the same integer recurrence, independently in Python
+    edges: dict = {}
+    for a, b in zip(seq, seq[1:]):
+        if a != b:
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    outw: dict = {}
+    for (a, _b), w in edges.items():
+        outw[a] = outw.get(a, 0) + w
+    nodes = sorted(set(seq))
+    n = len(nodes)
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = {u: PR_SCALE // n for u in nodes}
+    for _ in range(PRU_ITERS):
+        s: dict = {}
+        for (a, b), w in edges.items():
+            s[b] = s.get(b, 0) + (rank[a] * w) // outw[a]
+        rank = {u: base + (85 * s.get(u, 0)) // 100 for u in nodes}
+
+    from catme_etl_j_spark.operators.graph import graph_pagerank_users
+
+    sdf = graph_pagerank_users(spark, str(tmp_path))
+    got = {r["user_id"]: r["rank_e9"] for r in sdf.collect()}
+    assert got == rank
+
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["graph_pagerank_users"])
+    orows = {r[0]: r[1] for r in rel.fetchall()}
+    assert orows == rank

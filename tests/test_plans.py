@@ -533,3 +533,25 @@ def test_ams_f2_combines_to_sixteen_keys(spark, sf_dir):
     plan = formatted_plan(sketch_ams_f2(spark, sf_dir))
     assert "partial_sum" in plan
     assert "Scan parquet" not in plan.replace("Scan ExistingRDD", "")  # checkpointed base
+
+
+def test_pagerank_users_rounds_are_equi_joins(spark, sf_dir):
+    """The data-scaled PageRank (VERDICT r6 #3) must run each round as
+    a ranks-onto-edges EQUI-join + aggregate — never a driver loop over
+    data-sized state or a nested-loop join. Pinned on the untruncated
+    lineage (checkpoint_every=0) so all PRU_ITERS rounds are visible."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import PRU_ITERS, _pagerank_users_ranks
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(_pagerank_users_ranks(spark, sf_dir, checkpoint_every=0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one ranks-onto-edges join + one node left-join per round
+    hash_joins = len(
+        re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    assert hash_joins >= 2 * PRU_ITERS
+    # per-dst contribution sums keep map-side partial aggregation
+    assert "partial_sum" in plan
