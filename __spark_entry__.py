@@ -59,84 +59,89 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-6 rotation (VERDICT r5 #1): all 50 r5 window members went
-# driver-green, so every swappable slot rotates to a never-witnessed
-# sibling. Only THREE witnessed entries remain — the family-coverage
-# guard requires convert_/q1*/q2* representatives and those families
-# have no unwitnessed members left (convert_roundtrip_json is the
-# least-witnessed converter row, once in r4; q11/q20 were r5
-# first-timers getting their second row). The other four
-# witnessed-only families (sketch, range, unpivot, lateral) got NEW
-# operators this round, so their mandatory slots are first-time
-# witnesses too. Net: 47 of 50 entries are first-time witnesses —
-# 41 from the backlog (all of corpus/dedup/text/ANN, the top of
-# events/stats per witness.py) + 6 new r6 operators.
+# Round-7 rotation (VERDICT r6 #1/#2): the whole 50-slot window goes to
+# first-time witnesses — the 62-name backlog exceeds the window, so any
+# witnessed repeat would only delay convergence. 3 slots are reserved
+# for this round's OWN new operators (the pinned "new operator =>
+# witnessed in its birth round" invariant — tests/test_operators.py
+# diffs queries() against tools/registry_prev_round.txt and asserts
+# every newborn sits in the first 50). The 47 backlog slots COMPLETE
+# the events tail (19) and every never-witnessed family of <=4 members
+# (etl 4, fn/window/embed 3, multimodal/rank/corpus/stream 2,
+# sketch/text/dedup/asof 1), plus 3 of stats' 12. The family-coverage
+# guard evolved with the rotation: a family may leave the window ONLY
+# when all its members are already driver-green in a committed
+# CORRECTNESS artifact (convert_/ann_/q1*/q2*/range_/unpivot_/lateral_
+# all are), and any family with backlog must be represented by a
+# never-witnessed member, never a repeat.
+# Leftover after r7 (if all green): stats 9, graph 3, scale 3 = 15 —
+# fully drainable in r8 with ~35 slots to spare for r8 newborns.
 _PRIORITY: tuple[str, ...] = (
-    # converter (SURVEY §2 core surface) — mandatory witnessed rep
-    "convert_roundtrip_json",
-    # new this round (each doubles as its family's mandatory rep):
-    # the trained-BPE tokenizer (r5 ask #7), the embedding e2e
-    # composite (r5 ask #8), AMS F2, month interval-overlap,
-    # measures-UNPIVOT, self-referential LATERAL
-    "corpus_bpe_tokenize",
-    "embed_e2e_pipeline",
-    "sketch_ams_f2",
-    "range_month_in_flight",
-    "unpivot_lineitem_charges",
-    "lateral_top3_parts",
-    # corpus backlog — finishes the family's never-witnessed tail
-    "corpus_vocab_growth",
-    "corpus_mix_epochs",
-    "corpus_bpe_pair_counts",
-    "corpus_bpe_merge_step",
-    "corpus_chunk",
-    "corpus_padding_waste",
-    "corpus_source_profile",
-    "corpus_source_cap",
-    "corpus_bigram_topk",
-    # dedup backlog — finishes the tail
-    "dedup_cluster_sizes",
-    "dedup_cross_source_matrix",
-    "dedup_lsh_tuning",
-    "dedup_er_similar_names",
-    "dedup_incremental_index",
-    "dedup_report",
-    "dedup_minhash_precision",
-    # text backlog — finishes the tail
-    "text_readability",
-    "text_lm_heldout_ppl",
-    "text_rake_keywords",
-    "text_quality_tiers",
-    "text_char_entropy",
-    "text_ngram_novelty",
-    # ANN backlog — finishes the tail
-    "ann_filtered_topk",
-    "ann_batch_topk",
-    "ann_topk_ivf",
-    "ann_lsh_rerank_topk",
-    "ann_mmr_rerank",
-    # events backlog (largest family: 5 of 23; bot_score first-
-    # witnesses this round's degenerate-division fix)
-    "events_bot_score",
-    "events_survival_km",
-    "events_top_paths",
-    "events_rfm_segments",
-    "events_cohort_matrix",
-    # one never-witnessed rep per remaining family (graph_bfs_backbone
-    # first-witnesses the r5 threshold fix the judge flagged;
-    # stream_checkpoint_resume is the recovery-tripwire proof)
-    "etl_retraction_agg",
-    "stats_ols_regression",
-    "stream_checkpoint_resume",
-    "rank_rrf_fusion",
-    "graph_bfs_backbone",
-    "asof_nearest_view",
-    "multimodal_ahash_candidates",
-    "scale_partitioned_prune",
-    "fn_null_semantics",
-    # mandatory witnessed reps (no unwitnessed members left in q1*/q2*)
-    "q11_important_stock",
-    "q20_promotable_suppliers",
+    # --- round-7 newborns (birth-round witnesses) ---
+    "graph_pagerank_users",
+    "graph_lpa_communities",
+    "scale_compaction_plan",
+    # --- events backlog: the full 19-name tail ---
+    "events_cusum_changepoint",
+    "events_heatmap_hour_dow",
+    "events_inter_arrival",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_dedup_earliest",
+    "events_json_extract",
+    "events_power_users",
+    "events_twap",
+    "events_ab_test",
+    "events_peak_concurrency",
+    "events_attribution_linear",
+    "events_wow_growth",
+    "events_dau_wau_mau",
+    "events_streaks",
+    "events_bounce_rate",
+    "events_new_vs_returning",
+    "events_time_to_purchase",
+    "events_attribution_touch",
+    # --- stats backlog: 3 of 12 — the two ops whose adversarial fixes
+    # this round/last round deserve a driver witness (theil_sen's
+    # distributed median rewrite, mannwhitney's divide-by-zero guard)
+    # plus the bench-headline corr matrix ---
+    "stats_theil_sen",
+    "stats_mannwhitney_u",
+    "stats_corr_matrix",
+    # --- etl backlog: the full 4-name tail ---
+    "etl_constraint_violations",
+    "etl_k_anonymity",
+    "etl_scd2_asof_snapshot",
+    "etl_scd2_fact_join",
+    # --- fn backlog: the full 3-name tail ---
+    "fn_variant_props",
+    "fn_pandas_udf_tokens",
+    "fn_business_days",
+    # --- window backlog: the full 3-name tail ---
+    "window_revenue_7dma",
+    "window_seasonal_index",
+    "window_ewma_scatter",
+    # --- embed backlog: the full 3-name tail ---
+    "embed_covariance",
+    "embed_feature_hash",
+    "embed_centroid_outliers",
+    # --- multimodal backlog (resize now oracle-gated, r6 #4) ---
+    "multimodal_fake_features",
+    "multimodal_resize",
+    # --- rank backlog: the full 2-name tail ---
+    "rank_postings",
+    "rank_mrr_eval",
+    # --- corpus backlog: the full 2-name tail ---
+    "corpus_shard_assignment",
+    "corpus_bpe_vocab",
+    # --- stream backlog: the full 2-name tail ---
+    "stream_rocksdb_daily_totals",
+    "stream_static_enrich",
+    # --- single-member tails: sketch, text, dedup, asof ---
+    "sketch_ams_join_size",
+    "text_pmi_bigrams",
+    "dedup_substring_mass",
+    "asof_next_view",
 )
 
 

@@ -82,6 +82,15 @@ HEADLINE = [
     "embed_e2e_pipeline",
     "sketch_ams_f2",
     "range_month_in_flight",
+    # round-7 additions (VERDICT r6 #6): the events family was the
+    # largest module with no window-heavy representative in the bench —
+    # these are its three most expensive sweeps at sf0.1 (survival-curve
+    # windows, minute-grid concurrency explode, multi-touch attribution)
+    "events_survival_km",
+    "events_peak_concurrency",
+    "events_attribution_touch",
+    # round-7: the data-scaled Pregel-shape iterative join loop
+    "graph_pagerank_users",
 ]
 
 

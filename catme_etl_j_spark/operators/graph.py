@@ -630,6 +630,136 @@ def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 6  # fixed semi-synchronous rounds (3 per color class)
+LPA_TOPK = 20
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-synchronous label propagation (community detection) over
+    the undirected user-interaction graph — the second Pregel-shape
+    witness, with per-round state keyed on MODE-of-neighbors rather
+    than PageRank's sum (Raghavan et al. 2007; the semi-synchronous
+    color schedule of Cordasco & Gargano 2011, made deterministic).
+
+    Labels start as the node's own user_id. Round k updates ONLY the
+    parity color class node % 2 == k % 2 — fully synchronous LPA
+    provably oscillates on bipartite-ish structure (two triads joined
+    by one bridge flip labels forever; the unit test pins this case),
+    while alternating color classes converge. An updating node adopts
+    the label with the greatest total incident edge weight among its
+    neighbors, ties broken by SMALLEST label; isolated and off-color
+    nodes keep their label. Both engines pick the argmax with an
+    identical (node)-partitioned row_number window ordered
+    (weight DESC, label ASC) — exact integer weights, so no float can
+    drift. After LPA_ITERS rounds the output is the top-20 communities
+    by size (size DESC, community ASC).
+
+    Scale shape per round: labels-onto-edges equi-join, (node, label)
+    weight aggregate, per-node windowed argmax — all co-shuffled on
+    the node key; labels localCheckpoint every 2 rounds, exactly the
+    pagerank_users loop discipline.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ed = _user_edges(spark, sf_dir)
+    # undirected neighborhood: each directed edge contributes its
+    # weight in both directions
+    both = ed.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "w"
+    ).unionAll(ed.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w"))
+    both = both.localCheckpoint()
+    labels = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    win = Window.partitionBy("node").orderBy(F.desc("tw"), F.asc("lbl"))
+    for k in range(1, LPA_ITERS + 1):
+        nbr_lbl = both.join(
+            labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
+            "nbr",
+        )
+        best = (
+            nbr_lbl.groupBy("node", F.col("nlbl").alias("lbl"))
+            .agg(F.sum("w").cast("long").alias("tw"))
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        # double-mod parity: identical for negative ids on every engine
+        labels = labels.join(best, "node", "left").select(
+            "node",
+            F.when(
+                F.expr("((node % 2) + 2) % 2") == k % 2,
+                F.coalesce("new_lbl", "lbl"),
+            )
+            .otherwise(F.col("lbl"))
+            .alias("lbl"),
+        )
+        if k % 2 == 0 and k < LPA_ITERS:
+            labels = labels.localCheckpoint()
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(LPA_TOPK)
+    )
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin: LPA_ITERS semi-synchronous rounds unrolled as CTEs;
+    the argmax uses the same QUALIFY row_number (tw DESC, lbl ASC) and
+    the same parity gate on which nodes update."""
+    head = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         ts, event_id, user_id
+  FROM events WHERE user_id IS NOT NULL),
+adj AS (
+  SELECT user_id AS dst,
+         lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
+  FROM ev),
+edges AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w
+  FROM adj WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst),
+nb AS (
+  SELECT src AS node, dst AS nbr, w FROM edges
+  UNION ALL
+  SELECT dst AS node, src AS nbr, w FROM edges),
+l0 AS (
+  SELECT DISTINCT user_id AS node, user_id AS lbl
+  FROM events WHERE user_id IS NOT NULL)"""
+    iters = []
+    for k in range(1, LPA_ITERS + 1):
+        iters.append(
+            f"""
+b{k} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT e.node, p.lbl, CAST(SUM(e.w) AS BIGINT) AS tw
+    FROM nb e JOIN l{k - 1} p ON e.nbr = p.node
+    GROUP BY e.node, p.lbl)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY tw DESC, lbl ASC) = 1),
+l{k} AS (
+  SELECT p.node,
+         CASE WHEN ((p.node % 2) + 2) % 2 = {k % 2}
+              THEN COALESCE(b.new_lbl, p.lbl) ELSE p.lbl END AS lbl
+  FROM l{k - 1} p LEFT JOIN b{k} b ON p.node = b.node)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT lbl AS community, COUNT(*)::BIGINT AS size
+FROM l{LPA_ITERS}
+GROUP BY lbl
+ORDER BY size DESC, community ASC
+LIMIT {LPA_TOPK}"""
+    )
+
+
 def _pagerank_users_sql() -> str:
     """DuckDB twin: the same PRU_ITERS integer rounds unrolled as CTEs
     (the corpus_bpe recursive-oracle precedent, unrolled form)."""
@@ -681,6 +811,7 @@ LIMIT {PRU_TOPK}"""
 
 QUERIES = {
     "graph_pagerank_users": graph_pagerank_users,
+    "graph_lpa_communities": graph_lpa_communities,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_pagerank_nations": graph_pagerank_nations,
     "graph_bfs_backbone": graph_bfs_backbone,
@@ -691,6 +822,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank_users": _pagerank_users_sql(),
+    "graph_lpa_communities": _lpa_sql(),
     "graph_adamic_adar": _ADAMIC_ADAR_SQL,
     "graph_pagerank_nations": _pagerank_sql(),
     "graph_bfs_backbone": _BFS_SQL,

@@ -401,7 +401,84 @@ ORDER BY strategy, bucket
 """
 
 
+# Compaction planner targets: a deliberately small target "file" size
+# so the plan shows variety at the driver SFs (sf0.001 days flag
+# needs_merge, sf0.1 days plan multiple files); on a real deployment
+# this is 128-1024 MiB. est_bytes is a pure-arithmetic proxy
+# (payload octets + fixed per-row overhead) so the oracle can replay it.
+COMPACT_TARGET_BYTES = 32_768
+COMPACT_ROW_OVERHEAD = 40
+
+
+def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner over the date-partitioned events
+    layout — the table-maintenance job every 100 TB deployment runs
+    nightly (Delta OPTIMIZE / Iceberg rewrite_data_files archetype;
+    those table formats' jars are absent here, so the PLANNING step is
+    implemented engine-side over partition stats).
+
+    Per calendar-day partition: row count, estimated bytes (payload
+    octet lengths + COMPACT_ROW_OVERHEAD per row — a deterministic
+    stand-in for file-footer stats), files_planned =
+    ceil(est_bytes / target) as pure integer arithmetic, the resulting
+    average file fill, and a needs_merge flag for partitions under a
+    quarter target (the small-file problem itself).
+
+    Scale shape: ONE groupBy over the fact table that map-side
+    combines to |days| keys — the planner's cost is a single scan
+    regardless of corpus size, and the plan it emits is what bounds
+    the rewrite job's shuffle. All integers; DIV truncation identical
+    on both engines (convention #7; all operands non-negative).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "props")
+    day = F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    per = (
+        ev.withColumn("day", day)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(octet_length(coalesce(props, '')) "
+                "+ octet_length(coalesce(event_type, '')) "
+                f"+ {COMPACT_ROW_OVERHEAD}) AS BIGINT)"
+            ).alias("est_bytes"),
+        )
+    )
+    t = COMPACT_TARGET_BYTES
+    return per.select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        F.expr(f"(est_bytes + {t - 1}) DIV {t}").alias("files_planned"),
+        F.expr(f"est_bytes DIV ((est_bytes + {t - 1}) DIV {t})").alias(
+            "avg_file_bytes"
+        ),
+        F.expr(f"est_bytes < {t} DIV 4").alias("needs_merge"),
+    ).orderBy("day")
+
+
+_COMPACTION_SQL = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         COUNT(*) AS n_rows,
+         CAST(SUM(octet_length(encode(COALESCE(props, '')))
+              + octet_length(encode(COALESCE(event_type, '')))
+              + {COMPACT_ROW_OVERHEAD}) AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1)
+SELECT day, n_rows, est_bytes,
+       (est_bytes + {COMPACT_TARGET_BYTES - 1}) // {COMPACT_TARGET_BYTES}
+         AS files_planned,
+       est_bytes // ((est_bytes + {COMPACT_TARGET_BYTES - 1})
+         // {COMPACT_TARGET_BYTES}) AS avg_file_bytes,
+       est_bytes < {COMPACT_TARGET_BYTES} // 4 AS needs_merge
+FROM per
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "scale_compaction_plan": scale_compaction_plan,
     "scale_salted_group_sum": scale_salted_group_sum,
     "scale_zorder_locality": scale_zorder_locality,
     "scale_bitmap_distinct": scale_bitmap_distinct,
@@ -411,6 +488,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scale_compaction_plan": _COMPACTION_SQL,
     "scale_salted_group_sum": _SALTED_SQL,
     "scale_zorder_locality": _zorder_sql(),
     "scale_bitmap_distinct": _BITMAP_SQL,

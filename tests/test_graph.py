@@ -73,3 +73,60 @@ def test_adamic_adar_dominates_common_neighbors(spark, sf_dir):
         assert r["nation_a"] < r["nation_b"]
     keys = [(-r["aa_fp"], r["nation_a"], r["nation_b"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_lpa_communities_splits_bridged_clusters(spark, tmp_path):
+    """Two tight triads joined by a single weak bridge must resolve to
+    two size-3 communities, and the full label table must equal an
+    independent pure-Python replay of the deterministic LPA rule
+    (max total weight, smallest-label tie-break)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catme_etl_j_spark.operators.graph import LPA_ITERS, graph_lpa_communities
+
+    seq = [1, 2, 3, 1, 2, 3, 1, 2, 3, 10, 11, 12, 10, 11, 12, 10, 11, 12]
+    table = pa.table({
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "ts": pa.array([i * 1_000_000 for i in range(len(seq))], pa.timestamp("us")),
+        "user_id": pa.array(seq, pa.int64()),
+        "event_type": pa.array(["view"] * len(seq)),
+        "value": pa.array([1.0] * len(seq)),
+        "props": pa.array(["{}"] * len(seq)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    # independent replay of the same rule
+    edges: dict = {}
+    for a, b in zip(seq, seq[1:]):
+        if a != b:
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nbrs: dict = {}
+    for (a, b), w in edges.items():
+        nbrs.setdefault(a, {})[b] = nbrs.get(a, {}).get(b, 0) + w
+        nbrs.setdefault(b, {})[a] = nbrs.get(b, {}).get(a, 0) + w
+    lbl = {u: u for u in set(seq)}
+    for k in range(1, LPA_ITERS + 1):
+        new = {}
+        for u in lbl:
+            if u % 2 != k % 2:  # semi-synchronous: off-color keeps label
+                new[u] = lbl[u]
+                continue
+            tw: dict = {}
+            for v, w in nbrs.get(u, {}).items():
+                tw[lbl[v]] = tw.get(lbl[v], 0) + w
+            new[u] = min(
+                (l for l in tw if tw[l] == max(tw.values())), default=lbl[u]
+            ) if tw else lbl[u]
+        lbl = new
+    expect: dict = {}
+    for u, l in lbl.items():
+        expect[l] = expect.get(l, 0) + 1
+
+    got = {
+        r["community"]: r["size"]
+        for r in graph_lpa_communities(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    assert sorted(got.values(), reverse=True)[:2] == [3, 3]
+    assert len(got) == 2

@@ -371,31 +371,95 @@ def test_decontaminate_covers_eval_split(spark, sf_dir):
         assert (r["contaminated"] == 1) == (r["n_contaminated"] > 0)
 
 
+def _driver_witnessed() -> set:
+    """Query names with >=1 driver-green row across committed
+    CORRECTNESS_r*.json artifacts (same criterion as tools/witness.py)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(path)).items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+                and not rec.get("err")
+            ):
+                out.add(name)
+    return out
+
+
+_FAMILY_PREFIXES = (
+    "convert_", "stream_", "dedup_", "ann_", "text_", "corpus_",
+    "rank_", "etl_", "graph_", "embed_", "events_", "asof_",
+    "range_", "multimodal_", "sketch_", "window_", "unpivot_",
+    "lateral_", "fn_", "scale_", "stats_", "q1", "q2",
+)
+
+
+def _fam(name: str) -> str:
+    for fam in _FAMILY_PREFIXES:
+        if name.startswith(fam):
+            return fam
+    return "other"
+
+
 def test_driver_window_covers_every_family():
     """The driver's correctness gate records only the FIRST 50 queries()
-    entries; this guard keeps every operator family represented there so
-    a future module addition can't silently evict one (the round-3
-    failure mode)."""
+    entries. Evolved guard (round 7): a family may rotate fully OUT of
+    the window only when every member already has a driver-green row in
+    a committed CORRECTNESS artifact; a family that still has
+    never-witnessed members must hold >=1 slot, and that slot must be
+    spent on a never-witnessed member (never a repeat while backlog
+    remains). Keeps the original round-3 protection — no silent family
+    eviction — without forcing witnessed repeats that would delay the
+    evidence burn-down (VERDICT r6 #1)."""
     import __spark_entry__ as m
 
     names = list(m.queries())[:50]
     oracles = m.oracle_sql()
     assert names == list(m._PRIORITY), "priority block must lead iteration order"
     assert all(n in oracles for n in names), "window entries must be hash-checked"
-    families = {
-        "convert_": False, "stream_": False, "dedup_": False, "ann_": False,
-        "text_": False, "corpus_": False, "rank_": False, "etl_": False,
-        "graph_": False, "embed_": False, "events_": False, "asof_": False,
-        "range_": False, "multimodal_": False, "sketch_": False, "q1": False,
-        "q2": False, "fn_": False, "unpivot_": False, "lateral_": False,
-        "scale_": False, "stats_": False,
-    }
-    for n in names:
-        for fam in families:
-            if n.startswith(fam):
-                families[fam] = True
-    missing = [f for f, seen in families.items() if not seen]
-    assert not missing, f"families missing from the driver window: {missing}"
+
+    witnessed = _driver_witnessed()
+    backlog_by_fam: dict = {}
+    for q in m.queries():
+        if q not in witnessed:
+            backlog_by_fam.setdefault(_fam(q), []).append(q)
+    window = set(names)
+    for fam, members in backlog_by_fam.items():
+        assert window & set(members), (
+            f"family {fam!r} has never-witnessed members {members} but no "
+            f"window slot spent on any of them"
+        )
+
+
+def test_new_queries_witnessed_in_birth_round():
+    """Pinned invariant (VERDICT r6 #2): every queries() name not in the
+    previous round's committed registry snapshot must appear in the
+    driver's 50-entry gate window, so new operators are driver-witnessed
+    in the round that introduced them. tools/registry_prev_round.txt is
+    regenerated at each round close."""
+    import os
+
+    import __spark_entry__ as m
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = set(
+        open(os.path.join(repo, "tools", "registry_prev_round.txt"))
+        .read()
+        .split()
+    )
+    cur = set(m.queries())
+    newborn = cur - prev
+    window = set(list(m.queries())[:50])
+    stranded = sorted(newborn - window)
+    assert not stranded, (
+        f"new-this-round queries missing from the gate window: {stranded}"
+    )
 
 
 def test_minhash_keep_best_picks_longest(spark, sf_dir):

@@ -59,7 +59,30 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = get_spark("selfcheck")
+    # Sweep mode, recorded in the ledger (VERDICT r6 #5: the TZ-stress
+    # and vanilla-session practices existed but left no evidence).
+    # SELFCHECK_VANILLA=1 swaps the repo's session factory for a bare
+    # driver-style session (local[8], default 200 shuffle partitions,
+    # no UTC/Arrow/AQE conf) — queries must self-provision their conf.
+    if os.environ.get("SELFCHECK_VANILLA") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("selfcheck-vanilla")
+            .getOrCreate()
+        )
+        mode = "vanilla-session"
+    else:
+        spark = get_spark("selfcheck")
+        mode = "default"
+    tz = os.environ.get("TZ")
+    if tz and tz != "UTC":
+        mode = f"{mode}+tz={tz}" if mode != "default" else f"tz={tz}"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and mode == "default":
+        mode = f"cpus={cpus}"
+    mode = os.environ.get("SELFCHECK_MODE", mode)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -153,6 +176,7 @@ def main() -> int:
         # round of archaeology) and record the sweep's wall time.
         "fails": fails,
         "wall_s": round(time.time() - t_start, 1),
+        "mode": mode,
     }
     print("SELFCHECK_SUMMARY " + json.dumps(summary))
     if not only and os.environ.get("SELFCHECK_RECORD") == "1":
