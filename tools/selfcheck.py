@@ -179,7 +179,10 @@ def main() -> int:
         "mode": mode,
     }
     print("SELFCHECK_SUMMARY " + json.dumps(summary))
-    if not only and os.environ.get("SELFCHECK_RECORD") == "1":
+    # Subset sweeps record too when explicitly opted in (the `subset`
+    # field keeps them distinguishable from full sweeps; VERDICT r6 #8
+    # wants the beyond-driver-scale threshold probe IN the ledger).
+    if os.environ.get("SELFCHECK_RECORD") == "1":
         try:
             with open(os.path.join(os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))), "SELFCHECK_LOG.jsonl"), "a") as f:
