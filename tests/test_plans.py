@@ -555,3 +555,18 @@ def test_pagerank_users_rounds_are_equi_joins(spark, sf_dir):
     assert hash_joins >= 2 * PRU_ITERS
     # per-dst contribution sums keep map-side partial aggregation
     assert "partial_sum" in plan
+
+
+def test_theil_sen_median_avoids_global_window(spark, sf_dir):
+    """The ADVICE-r6 rewrite: the median must come from a pid-PARTITIONED
+    cumulative-sum window over the range-partitioned slope histogram —
+    no global row_number pushing every pairwise slope through one
+    partition."""
+    from catme_etl_j_spark.operators.stats import stats_theil_sen
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(stats_theil_sen(spark, sf_dir))
+    assert "row_number" not in plan
+    assert "hashpartitioning(pid" in plan
+    # the only SinglePartition exchange is the final 1-row aggregate
+    assert plan.count("SinglePartition") <= 1

@@ -41,6 +41,11 @@ AUDIT = [
     ("embed_e2e_pipeline", "bucket equi-join for candidates; no cartesian; single-row stat joins broadcast"),
     ("corpus_bpe_tokenize", "50-merge replace chain in ONE projection over the (source, word) aggregate"),
     ("sketch_ams_f2", "16-estimator explode combines map-side to 16 keys"),
+    # round-7 additions: the data-scaled iterative loops and the planner
+    ("graph_pagerank_users", "per-round ranks-onto-edges hash equi-joins; checkpointed edge list; no nested loop"),
+    ("graph_lpa_communities", "per-round label equi-join + node-partitioned argmax window; no nested loop"),
+    ("scale_compaction_plan", "single partial+final aggregate over the fact scan; 3-column ReadSchema"),
+    ("stats_theil_sen", "histogram range-partitioned; pid-partitioned cumsum window (no global single-partition sort)"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
