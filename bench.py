@@ -206,6 +206,7 @@ def _run_session() -> dict[str, float]:
         "corpus_bpe_tokenize",  # driver-side merge training in the builder
         "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
         "sketch_ams_f2",  # localCheckpoints the shingle counts
+        "graph_pagerank_users",  # localCheckpoints edges + per-round ranks
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

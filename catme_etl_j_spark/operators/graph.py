@@ -587,6 +587,12 @@ def _pagerank_users_ranks(
     if checkpoint_every:
         ew = ew.localCheckpoint()
     n = nodes.count()  # single aggregate scalar (not data-sized state)
+    if n == 0:
+        # degenerate corpus (conv. #9): no users, no ranks — the
+        # oracle's empty node CTE yields the same zero rows
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS r"
+        ).filter("false")
     base = (15 * PR_SCALE) // (100 * n)
     r0 = PR_SCALE // n
     ranks = nodes.select(

@@ -130,3 +130,29 @@ def test_lpa_communities_splits_bridged_clusters(spark, tmp_path):
     assert got == expect
     assert sorted(got.values(), reverse=True)[:2] == [3, 3]
     assert len(got) == 2
+
+
+def test_pagerank_users_empty_corpus(spark, tmp_path):
+    """Degenerate corpus (conv. #9): zero events must yield zero rows on
+    BOTH engines, not a ZeroDivisionError from the node-count scalar."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.graph import graph_pagerank_users
+
+    table = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    assert graph_pagerank_users(spark, str(tmp_path)).count() == 0
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    assert len(con.sql(entry_mod.oracle_sql()["graph_pagerank_users"]).fetchall()) == 0

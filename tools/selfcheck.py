@@ -75,14 +75,15 @@ def main() -> int:
         mode = "vanilla-session"
     else:
         spark = get_spark("selfcheck")
-        mode = "default"
+        mode = ""
+    parts = [p for p in (mode,) if p]
     tz = os.environ.get("TZ")
     if tz and tz != "UTC":
-        mode = f"{mode}+tz={tz}" if mode != "default" else f"tz={tz}"
+        parts.append(f"tz={tz}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and mode == "default":
-        mode = f"cpus={cpus}"
-    mode = os.environ.get("SELFCHECK_MODE", mode)
+    if cpus:
+        parts.append(f"cpus={cpus}")
+    mode = os.environ.get("SELFCHECK_MODE", "+".join(parts) or "default")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
