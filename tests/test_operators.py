@@ -1631,3 +1631,15 @@ def test_pagerank_users_matches_python_recurrence(spark, tmp_path):
     rel = con.sql(entry_mod.oracle_sql()["graph_pagerank_users"])
     orows = {r[0]: r[1] for r in rel.fetchall()}
     assert orows == rank
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must exist in queries() — a rename
+    would otherwise surface only as a KeyError in the driver's bench
+    run, producing an empty BENCH artifact for the whole round."""
+    import bench
+
+    import __spark_entry__ as m
+
+    missing = [n for n in bench.HEADLINE if n not in m.queries()]
+    assert not missing, f"bench names not in queries(): {missing}"
