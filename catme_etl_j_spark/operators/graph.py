@@ -654,16 +654,21 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     while alternating color classes converge. An updating node adopts
     the label with the greatest total incident edge weight among its
     neighbors, ties broken by SMALLEST label; isolated and off-color
-    nodes keep their label. Both engines pick the argmax with an
-    identical (node)-partitioned row_number window ordered
-    (weight DESC, label ASC) — exact integer weights, so no float can
-    drift. After LPA_ITERS rounds the output is the top-20 communities
-    by size (size DESC, community ASC).
+    nodes keep their label. The argmax is max(struct(tw, -lbl)) — a
+    HASH AGGREGATE with map-side partial aggregation, not a windowed
+    row_number sort (lexicographic struct max: greatest weight, then
+    greatest -lbl = smallest label; exact integers, so no float can
+    drift; user ids are non-negative so -lbl cannot overflow). The
+    DuckDB oracle keeps the naive QUALIFY row_number (tw DESC, lbl
+    ASC) formulation, so the gate itself proves aggregate-argmax ≡
+    rank-pick. After LPA_ITERS rounds the output is the top-20
+    communities by size (size DESC, community ASC).
 
-    Scale shape per round: labels-onto-edges equi-join, (node, label)
-    weight aggregate, per-node windowed argmax — all co-shuffled on
-    the node key; labels localCheckpoint every 2 rounds, exactly the
-    pagerank_users loop discipline.
+    Scale shape per round: labels-onto-edges equi-join + one (node,
+    label) partial-aggregated sum + one per-node partial-aggregated
+    max — all co-shuffled on the node key, no per-round sort; labels
+    localCheckpoint every 2 rounds, exactly the pagerank_users loop
+    discipline.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ed = _user_edges(spark, sf_dir)
@@ -680,7 +685,6 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    win = Window.partitionBy("node").orderBy(F.desc("tw"), F.asc("lbl"))
     for k in range(1, LPA_ITERS + 1):
         nbr_lbl = both.join(
             labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
@@ -689,9 +693,13 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             nbr_lbl.groupBy("node", F.col("nlbl").alias("lbl"))
             .agg(F.sum("w").cast("long").alias("tw"))
-            .withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
+            .groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("tw"), (-F.col("lbl")).alias("nl"))).alias(
+                    "m"
+                )
+            )
+            .select("node", (-F.col("m.nl")).alias("new_lbl"))
         )
         # double-mod parity: identical for negative ids on every engine
         labels = labels.join(best, "node", "left").select(

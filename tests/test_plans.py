@@ -570,3 +570,20 @@ def test_theil_sen_median_avoids_global_window(spark, sf_dir):
     assert "hashpartitioning(pid" in plan
     # the only SinglePartition exchange is the final 1-row aggregate
     assert plan.count("SinglePartition") <= 1
+
+
+def test_lpa_argmax_is_partial_aggregate_not_window(spark, sf_dir):
+    """Each LPA round's argmax must be a map-side-combinable struct-max
+    hash aggregate (partial_max), never a windowed row_number sort; the
+    per-round label joins stay hash equi-joins."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import graph_lpa_communities
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(graph_lpa_communities(spark, sf_dir))
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)

@@ -43,7 +43,7 @@ AUDIT = [
     ("sketch_ams_f2", "16-estimator explode combines map-side to 16 keys"),
     # round-7 additions: the data-scaled iterative loops and the planner
     ("graph_pagerank_users", "per-round ranks-onto-edges hash equi-joins; checkpointed edge list; no nested loop"),
-    ("graph_lpa_communities", "per-round label equi-join + node-partitioned argmax window; no nested loop"),
+    ("graph_lpa_communities", "per-round label equi-join + partial-aggregated struct-max argmax (no per-round sort); no nested loop"),
     ("scale_compaction_plan", "single partial+final aggregate over the fact scan; 3-column ReadSchema"),
     ("stats_theil_sen", "histogram range-partitioned; pid-partitioned cumsum window (no global single-partition sort)"),
 ]
