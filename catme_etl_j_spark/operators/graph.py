@@ -567,7 +567,10 @@ def _pagerank_users_ranks(
     arithmetic — (r*w) DIV outw then base + (85*s) DIV 100 — so
     aggregation order cannot move a bit and the DuckDB oracle
     hash-matches (same determinism scheme as graph_pagerank_nations;
-    r <= 1e9 and w <= outw keep every product far under 2^63).
+    mass conservation keeps r <= 1e9, so the r*w product stays inside
+    int64 while any single directed edge weight is < ~9.2e9 — beyond
+    every realistic corpus; a graph with a >9-billion-count single
+    edge would pre-bucket its weights before ranking).
     ``checkpoint_every`` is exposed so tests can pin the UNtruncated
     plan (proving the per-round joins) while the shipped query
     checkpoints every 2 rounds.
