@@ -61,26 +61,30 @@ def _modules():
 # module-iteration order after the priority block.
 # Round-7 rotation (VERDICT r6 #1/#2): the whole 50-slot window goes to
 # first-time witnesses — the 62-name backlog exceeds the window, so any
-# witnessed repeat would only delay convergence. 3 slots are reserved
-# for this round's OWN new operators (the pinned "new operator =>
-# witnessed in its birth round" invariant — tests/test_operators.py
-# diffs queries() against tools/registry_prev_round.txt and asserts
-# every newborn sits in the first 50). The 47 backlog slots COMPLETE
-# the events tail (19) and every never-witnessed family of <=4 members
-# (etl 4, fn/window/embed 3, multimodal/rank/corpus/stream 2,
-# sketch/text/dedup/asof 1), plus 3 of stats' 12. The family-coverage
+# witnessed repeat would only delay convergence. 6 slots go to this
+# round's OWN new operators (the pinned "new operator => witnessed in
+# its birth round" invariant — tests/test_operators.py diffs queries()
+# against tools/registry_prev_round.txt and asserts every newborn sits
+# in the first 50). The 44 backlog slots COMPLETE the events tail (19)
+# and every never-witnessed family of <=4 members (etl 4, fn 3,
+# window/embed 2 of 3, multimodal/rank/corpus/stream 2,
+# sketch/text/dedup/asof 1), plus 2 of stats' 12. The family-coverage
 # guard evolved with the rotation: a family may leave the window ONLY
 # when all its members are already driver-green in a committed
 # CORRECTNESS artifact (convert_/ann_/q1*/q2*/range_/unpivot_/lateral_
 # all are), and any family with backlog must be represented by a
 # never-witnessed member, never a repeat.
-# Leftover after r7 (if all green): stats 9, graph 3, scale 3 = 15 —
-# fully drainable in r8 with ~35 slots to spare for r8 newborns.
+# Leftover after r7 (if all green): stats 10, graph 3, scale 3,
+# window 1 (ewma_scatter), embed 1 (centroid_outliers) = 18 — fully
+# drainable in r8 with ~32 slots to spare for r8 newborns.
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 newborns (birth-round witnesses) ---
     "graph_pagerank_users",
     "graph_lpa_communities",
     "scale_compaction_plan",
+    "etl_bitemporal_asof",
+    "corpus_dsir_importance",
+    "embed_pca_outliers",
     # --- events backlog: the full 19-name tail ---
     "events_cusum_changepoint",
     "events_heatmap_hour_dow",
@@ -101,13 +105,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_new_vs_returning",
     "events_time_to_purchase",
     "events_attribution_touch",
-    # --- stats backlog: 3 of 12 — the two ops whose adversarial fixes
+    # --- stats backlog: 2 of 12 — the two ops whose adversarial fixes
     # this round/last round deserve a driver witness (theil_sen's
-    # distributed median rewrite, mannwhitney's divide-by-zero guard)
-    # plus the bench-headline corr matrix ---
+    # distributed median rewrite, mannwhitney's divide-by-zero guard) ---
     "stats_theil_sen",
     "stats_mannwhitney_u",
-    "stats_corr_matrix",
     # --- etl backlog: the full 4-name tail ---
     "etl_constraint_violations",
     "etl_k_anonymity",
@@ -117,14 +119,14 @@ _PRIORITY: tuple[str, ...] = (
     "fn_variant_props",
     "fn_pandas_udf_tokens",
     "fn_business_days",
-    # --- window backlog: the full 3-name tail ---
+    # --- window backlog: 2 of 3 (ewma_scatter ceded its slot to a
+    # round-7 newborn; drains in r8) ---
     "window_revenue_7dma",
     "window_seasonal_index",
-    "window_ewma_scatter",
-    # --- embed backlog: the full 3-name tail ---
+    # --- embed backlog: 2 of 3 (centroid_outliers ceded its slot to
+    # the embed newborn above; drains in r8) ---
     "embed_covariance",
     "embed_feature_hash",
-    "embed_centroid_outliers",
     # --- multimodal backlog (resize now oracle-gated, r6 #4) ---
     "multimodal_fake_features",
     "multimodal_resize",

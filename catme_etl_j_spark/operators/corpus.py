@@ -1712,7 +1712,121 @@ ORDER BY shard
 """
 
 
+# --- DSIR-style importance weighting --------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# candidate document by how much its hashed-unigram profile looks like a
+# TARGET distribution relative to the raw SOURCE pool, then keep the
+# top-scoring candidates. The published estimator uses a log likelihood
+# ratio over hashed n-gram buckets; this variant keeps the same
+# bucket-ratio structure but scores with an INTEGER fixed-point
+# likelihood ratio w_f = ((cnt_target_f + 1) * 1e6) DIV (cnt_source_f + 1)
+# (add-one smoothing; the global T/S normalizer is a constant factor
+# across buckets, so dropping it cannot change the ranking) — log-free so
+# the score is exact int64 and bit-identical across engines.
+#
+# Target proxy: documents from DSIR_TARGET_SOURCES (the "wiki-like"
+# slice); candidates = every other source. Headroom: w_f <= (target
+# words + 1) * 1e6 and per-doc counts are doc-bounded, so scores stay
+# far under 2^63 for any corpus whose largest single hash bucket holds
+# < ~9e9 target tokens (pre-bucket-split territory long before that).
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_TOPK = 50
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 candidate docs by hashed-unigram importance score.
+
+    Scale shape: ONE explode pass compresses to (doc_id, bucket)
+    counts (map-side combined — the shuffle carries per-doc feature
+    rows, not words); the 256-row bucket weight table aggregates from
+    that compressed frame and broadcast-joins back onto it. No second
+    scan of the corpus, no driver-side state beyond the top-k merge.
+    Empty/whitespace-only docs contribute no words on either engine
+    (split-of-empty guard, conv. #9)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    dfc = (
+        words.withColumn(
+            "f",
+            F.expr(
+                f"CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+            ),
+        )
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bucket = dfc.groupBy("f").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.expr(f"source IN ({tgt})"), F.col("c"))), F.lit(0)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("ct"),
+        (
+            F.coalesce(
+                F.sum(F.when(~F.expr(f"source IN ({tgt})"), F.col("c"))), F.lit(0)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("cs"),
+    )
+    w = bucket.select("f", F.expr(f"(ct * {DSIR_SCALE}) DIV cs").alias("wf"))
+    scored = (
+        dfc.filter(~F.expr(f"source IN ({tgt})"))
+        .join(F.broadcast(w), "f")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("wf")).cast("long").alias("score_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    ).limit(DSIR_TOPK)
+
+
+def _dsir_sql() -> str:
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+WITH wrd AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % {DSIR_BUCKETS} AS f,
+         COUNT(*)::BIGINT AS c
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        FROM documents) t
+  WHERE word <> ''
+  GROUP BY 1, 2, 3),
+b AS (
+  SELECT f,
+         (COALESCE(CAST(SUM(CASE WHEN source IN ({tgt}) THEN c END) AS BIGINT), 0) + 1) AS ct,
+         (COALESCE(CAST(SUM(CASE WHEN source NOT IN ({tgt}) THEN c END) AS BIGINT), 0) + 1) AS cs
+  FROM wrd GROUP BY f),
+w AS (SELECT f, (ct * {DSIR_SCALE}) // cs AS wf FROM b)
+SELECT doc_id, source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * wf) AS BIGINT) AS score_fp
+FROM wrd JOIN w USING (f)
+WHERE source NOT IN ({tgt})
+GROUP BY doc_id, source
+ORDER BY score_fp DESC, doc_id ASC
+LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
+    "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_shard_assignment": corpus_shard_assignment,
     "corpus_bpe_vocab": corpus_bpe_vocab,
@@ -1740,6 +1854,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dsir_importance": _dsir_sql(),
     "corpus_vocab_growth": _VOCAB_GROWTH_SQL,
     "corpus_mix_epochs": _MIX_EPOCHS_SQL,
     "corpus_bpe_pair_counts": _BPE_SQL,

@@ -441,6 +441,191 @@ ORDER BY c.i, c.j
 
 
 # ---------------------------------------------------------------------------
+# embed_pca_outliers — top principal component by fixed-point power
+# iteration, then outlier scoring along it.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 8
+PCA_VSCALE = 1_000_000  # eigenvector fixed-point scale per round
+PCA_TOPK = 20
+PCA_PROJ_DEN = float(int(COV_SCALE) * PCA_VSCALE)  # proj_fp units per 1.0
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero — the DuckDB ``//`` /
+    Spark ``DIV`` behavior (Python ``//`` floors; convention #7)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def embed_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 outlier vectors by |projection| onto the (approximate)
+    top principal axis — the PCA screening pass an embedding pipeline
+    runs before whitening / ANN indexing to surface mis-embedded or
+    out-of-distribution rows.
+
+    Two regimes, split exactly as graph.py splits PageRank:
+
+    * DATA-SCALED (distributed): the covariance accumulation — one
+      posexplode + upper-triangle self-join co-partitioned on vec_id,
+      map-side combined to 2,080 cells per task (embed_covariance's
+      proven shape) — and the final projection, a per-row
+      ``aggregate(zip_with(...))`` against the broadcast eigenvector
+      (map-only, whole-stage codegen, no shuffle).
+    * SF-INVARIANT (driver): the d x d eigensolve. d = 64 is fixed by
+      the embedding model, not the corpus, so the 2,080-cell collect
+      is bounded forever; real pipelines solve the d x d system on
+      the driver for the same reason.
+
+    Determinism: components quantize at 1e4 (COV_SCALE); the exact
+    integer covariance numerator n*S_ij - S_i*S_j feeds PCA_ITERS
+    power-iteration rounds in pure integer arithmetic — per round
+    v_i' = tdiv(raw_i * 1e6, max|raw|) (truncation toward zero on
+    both engines) — then the sign is canonicalized so the
+    largest-magnitude component (first index on ties) is positive.
+    Projections center via mq_i = tdiv(S_i, n), so
+    proj = sum_i q_i*v_i - sum_i mq_i*v_i stays n-independent int64
+    (< ~3e11 at any corpus size). The DuckDB oracle replays the
+    ENTIRE pipeline — covariance, all 8 rounds, sign fix, projection
+    — in unrolled CTEs over HUGEINT, so the gate proves the
+    driver-side iteration bit-for-bit (the corpus_bpe_vocab oracle
+    discipline)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id",
+        "i",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    cells = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias("s"))
+        .collect()  # bounded: d*(d+1)/2 = 2,080 rows, SF-invariant
+    )
+    marg = {
+        int(r["i"]): int(r["s"])
+        for r in comp.groupBy("i")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+        .collect()  # bounded: 64 rows
+    }
+    n = emb.count()
+    out_schema = (
+        "vec_id BIGINT, label INT, proj_fp BIGINT, proj DOUBLE"
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    d = COV_DIM
+    num = [[0] * d for _ in range(d)]
+    for r in cells:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        v = n * s - marg.get(i, 0) * marg.get(j, 0)
+        num[i][j] = v
+        num[j][i] = v
+    vec = [PCA_VSCALE] * d
+    for _ in range(PCA_ITERS):
+        raw = [sum(num[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in raw)
+        vec = [0] * d if mx == 0 else [_tdiv(x * PCA_VSCALE, mx) for x in raw]
+    lead = min(range(d), key=lambda i: (-abs(vec[i]), i))
+    if vec[lead] < 0:
+        vec = [-x for x in vec]
+    mq = [_tdiv(marg.get(i, 0), n) for i in range(d)]
+    c_const = sum(mq[i] * vec[i] for i in range(d))
+    varr = ", ".join(f"CAST({x} AS BIGINT)" for x in vec)
+    proj_fp = F.expr(
+        f"aggregate(zip_with(embedding, array({varr}), (x, v) -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT) * v), "
+        f"CAST(0 AS BIGINT), (acc, e) -> acc + e) - CAST({c_const} AS BIGINT)"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            proj_fp.alias("proj_fp"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "proj_fp",
+            (F.col("proj_fp").cast("double") / F.lit(PCA_PROJ_DEN)).alias("proj"),
+        )
+        .orderBy(F.abs(F.col("proj_fp")).desc(), F.asc("vec_id"))
+        .limit(PCA_TOPK)
+    )
+
+
+def _pca_sql() -> str:
+    """DuckDB twin: the full covariance + 8 power-iteration rounds +
+    sign canonicalization + centered projection, unrolled as CTEs."""
+    head = f"""
+WITH comp AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                    * {COV_SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+cells AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s_ij
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i),
+marg AS MATERIALIZED (SELECT i, SUM(q) AS s FROM comp GROUP BY i),
+nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+m AS MATERIALIZED (
+  SELECT c.i, c.j, n * c.s_ij - mi.s * mj.s AS num
+  FROM cells c JOIN marg mi ON c.i = mi.i JOIN marg mj ON c.j = mj.i
+  CROSS JOIN nv
+  UNION ALL
+  SELECT c.j, c.i, n * c.s_ij - mi.s * mj.s
+  FROM cells c JOIN marg mi ON c.i = mi.i JOIN marg mj ON c.j = mj.i
+  CROSS JOIN nv
+  WHERE c.i < c.j),
+v0 AS (
+  SELECT CAST(i - 1 AS BIGINT) AS i, CAST({PCA_VSCALE} AS HUGEINT) AS val
+  FROM unnest(generate_series(1, {COV_DIM})) t(i))"""
+    rounds = []
+    for k in range(1, PCA_ITERS + 1):
+        rounds.append(
+            f"""
+u{k} AS MATERIALIZED (
+  SELECT m.i, SUM(m.num * v.val) AS raw
+  FROM m JOIN v{k - 1} v ON m.j = v.i GROUP BY m.i),
+x{k} AS MATERIALIZED (SELECT MAX(ABS(raw)) AS mx FROM u{k}),
+v{k} AS MATERIALIZED (
+  SELECT u.i,
+         CASE WHEN x.mx = 0 THEN 0
+              ELSE (u.raw * {PCA_VSCALE}) // x.mx END AS val
+  FROM u{k} u CROSS JOIN x{k} x)"""
+        )
+    tail = f""",
+sg AS (
+  SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END AS s
+  FROM v{PCA_ITERS} ORDER BY ABS(val) DESC, i ASC LIMIT 1),
+vf AS MATERIALIZED (SELECT i, val * s AS val FROM v{PCA_ITERS} CROSS JOIN sg),
+mq AS (SELECT i, s // n AS mq FROM marg CROSS JOIN nv),
+cc AS (
+  SELECT COALESCE(SUM(mq.mq * vf.val), 0) AS c
+  FROM mq JOIN vf ON mq.i = vf.i),
+pr AS (
+  SELECT comp.vec_id, SUM(comp.q * vf.val) AS pr_raw
+  FROM comp JOIN vf ON comp.i = vf.i GROUP BY comp.vec_id)
+SELECT e.vec_id, e.label,
+       CAST(pr.pr_raw - cc.c AS BIGINT) AS proj_fp,
+       CAST(CAST(pr.pr_raw - cc.c AS BIGINT) AS DOUBLE) / {PCA_PROJ_DEN} AS proj
+FROM pr JOIN embeddings e ON pr.vec_id = e.vec_id
+CROSS JOIN cc
+ORDER BY ABS(CAST(pr.pr_raw - cc.c AS BIGINT)) DESC, e.vec_id ASC
+LIMIT {PCA_TOPK}"""
+    return head + "," + ",".join(rounds) + tail
+
+
+# ---------------------------------------------------------------------------
 # embed_e2e_pipeline — the embedding-side composite (VERDICT r5 #8):
 # chunk -> embed -> stats -> ANN index -> dedup-verify as ONE plan.
 # ---------------------------------------------------------------------------
@@ -632,6 +817,7 @@ FROM sd, sc, sv, sp, sdup
 
 
 QUERIES = {
+    "embed_pca_outliers": embed_pca_outliers,
     "embed_quantize_int8": embed_quantize_int8,
     "embed_e2e_pipeline": embed_e2e_pipeline,
     "embed_covariance": embed_covariance,
@@ -641,6 +827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embed_pca_outliers": _pca_sql(),
     "embed_covariance": _COV_SQL,
     "embed_e2e_pipeline": _E2E_PIPELINE_SQL,
     "embed_centroid_outliers": _centroid_sql(),

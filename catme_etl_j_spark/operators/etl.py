@@ -838,7 +838,126 @@ FROM u ORDER BY rule
 """
 
 
+# --- bitemporal as-of reconstruction -------------------------------------
+# Valid-time x transaction-time point-in-time query — the warehouse
+# archetype the SCD2 family (one time axis) cannot answer: "what did we
+# BELIEVE at transaction time T about the state valid at date V?"
+# (Snodgrass, *Developing Time-Oriented Database Applications in SQL*).
+# The reference converter has no temporal surface at all (SURVEY §2.4);
+# a pipeline that restates revenue needs exactly this reconstruction.
+#
+# The bitemporal version table is synthesized deterministically from
+# orders: every order books version 1 at its order date; orders with
+# o_orderkey % 7 == 0 receive a correction 45 days later that re-prices
+# the order to 95 % (integer-cents (cents*95) DIV 100 — truncation
+# toward zero matches DuckDB `//`, convention #7; both operands
+# positive). Validity is [order date, +90 days).
+BT_VALID_ASOF = "1997-06-15"
+BT_VALID_DAYS = 90
+BT_CORRECTION_LAG = 45
+BT_TX_SNAPSHOTS = (("early", "1997-07-01"), ("late", "1999-01-01"))
+
+
+def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue believed-at-T for the state valid-at-V, per priority,
+    at two transaction-time snapshots ('early' pre-dates most
+    corrections of the valid window; 'late' post-dates all of them).
+
+    Scale shape: the valid-window predicate is expressed directly on
+    o_orderdate, so it reaches the parquet scan as a pushed range
+    filter (a 90-day slice of a partitioned fact table — partition
+    pruning at 100 TB). The two snapshots come from ONE pass: a
+    2-row broadcast spine cross-joined onto the version rows, then a
+    single (snapshot, priority) partial-aggregated groupBy — no
+    per-snapshot rescan. Monetary math stays in integer cents end to
+    end (conv. #2 by way of exact int64; sums < 2^53 so the final
+    /100.0 double division is lossless and engine-identical)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .filter(
+            (F.col("d") > F.expr(f"DATE '{BT_VALID_ASOF}' - INTERVAL {BT_VALID_DAYS} DAY"))
+            & (F.col("d") <= F.expr(f"DATE '{BT_VALID_ASOF}'"))
+        )
+    )
+    corrected = F.expr("o_orderkey % 7 = 0")
+    v1 = base.select(
+        "o_orderpriority",
+        F.col("d").alias("tx_from"),
+        F.when(corrected, F.expr(f"d + INTERVAL {BT_CORRECTION_LAG} DAY")).alias(
+            "tx_to"
+        ),
+        F.col("cents").alias("p_cents"),
+    )
+    v2 = base.filter(corrected).select(
+        "o_orderpriority",
+        F.expr(f"d + INTERVAL {BT_CORRECTION_LAG} DAY").alias("tx_from"),
+        F.lit(None).cast("date").alias("tx_to"),
+        F.expr("(cents * 95) DIV 100").alias("p_cents"),
+    )
+    vers = v1.unionByName(v2)
+    spine = spark.createDataFrame(
+        [(label, t) for label, t in BT_TX_SNAPSHOTS], "snapshot string, t string"
+    ).select("snapshot", F.col("t").cast("date").alias("t"))
+    snap = vers.crossJoin(F.broadcast(spine)).filter(
+        (F.col("tx_from") <= F.col("t"))
+        & (F.col("tx_to").isNull() | (F.col("t") < F.col("tx_to")))
+    )
+    return (
+        snap.groupBy("snapshot", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("p_cents").cast("long").alias("sc"),
+        )
+        .select(
+            "snapshot",
+            "o_orderpriority",
+            "n_orders",
+            F.expr("CAST(sc AS DOUBLE) / 100.0").alias("believed_revenue"),
+        )
+        .orderBy("snapshot", "o_orderpriority")
+    )
+
+
+_BITEMPORAL_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) > DATE '{BT_VALID_ASOF}' - {BT_VALID_DAYS}
+    AND CAST(o_orderdate AS DATE) <= DATE '{BT_VALID_ASOF}'),
+vers AS (
+  SELECT o_orderpriority, d AS tx_from,
+         CASE WHEN o_orderkey % 7 = 0 THEN d + {BT_CORRECTION_LAG} END AS tx_to,
+         cents AS p_cents
+  FROM base
+  UNION ALL
+  SELECT o_orderpriority, d + {BT_CORRECTION_LAG}, NULL, (cents * 95) // 100
+  FROM base WHERE o_orderkey % 7 = 0),
+spine AS (
+  SELECT 'early' AS snapshot, DATE '{BT_TX_SNAPSHOTS[0][1]}' AS t
+  UNION ALL
+  SELECT 'late', DATE '{BT_TX_SNAPSHOTS[1][1]}')
+SELECT s.snapshot, v.o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(CAST(SUM(v.p_cents) AS BIGINT) AS DOUBLE) / 100.0 AS believed_revenue
+FROM vers v, spine s
+WHERE v.tx_from <= s.t AND (v.tx_to IS NULL OR s.t < v.tx_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "etl_bitemporal_asof": etl_bitemporal_asof,
     "etl_constraint_violations": etl_constraint_violations,
     "etl_k_anonymity": etl_k_anonymity,
     "etl_retraction_agg": etl_retraction_agg,
@@ -853,6 +972,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_bitemporal_asof": _BITEMPORAL_SQL,
     "etl_constraint_violations": _CONSTRAINT_SQL,
     "etl_k_anonymity": _k_anonymity_sql(),
     "etl_retraction_agg": _RETRACTION_SQL,

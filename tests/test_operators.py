@@ -1643,3 +1643,125 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in m.queries()]
     assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_bitemporal_snapshots_consistent(spark, sf_dir):
+    """Bitemporal invariants: exactly ONE version of every valid-window
+    order is visible at each transaction snapshot (so per-snapshot
+    order counts agree), and corrections can only LOWER believed
+    revenue, so early >= late."""
+    from catme_etl_j_spark.operators.etl import etl_bitemporal_asof
+
+    rows = etl_bitemporal_asof(spark, sf_dir).collect()
+    by_snap: dict = {}
+    for r in rows:
+        agg = by_snap.setdefault(r["snapshot"], [0, 0.0])
+        agg[0] += r["n_orders"]
+        agg[1] += r["believed_revenue"]
+    assert set(by_snap) == {"early", "late"}
+    assert by_snap["early"][0] == by_snap["late"][0]
+    assert by_snap["early"][1] >= by_snap["late"][1]
+
+
+def test_dsir_candidates_exclude_target(spark, sf_dir):
+    """DSIR importance scoring selects FROM the raw pool: no target-
+    source doc may appear, scores are positive (all-ones smoothing
+    keeps every bucket weight >= 1), and the top-k ordering is
+    score DESC with doc_id tie-break."""
+    from catme_etl_j_spark.operators.corpus import (
+        DSIR_TARGET_SOURCES,
+        DSIR_TOPK,
+        corpus_dsir_importance,
+    )
+
+    rows = corpus_dsir_importance(spark, sf_dir).collect()
+    assert 0 < len(rows) <= DSIR_TOPK
+    assert all(r["source"] not in DSIR_TARGET_SOURCES for r in rows)
+    assert all(r["score_fp"] > 0 for r in rows)
+    keys = [(-r["score_fp"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_pca_outliers_recovers_dominant_axis(spark, tmp_path):
+    """On a synthetic corpus whose variance is concentrated on ONE
+    dimension, the power iteration must recover that axis: the top
+    outliers are exactly the most extreme vectors along it, and the
+    DuckDB oracle replays the full iteration to the same rows."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.embed import COV_DIM, embed_pca_outliers
+
+    vecs = []
+    for k in range(40):
+        v = [0.0] * COV_DIM
+        # dominant axis: dim 3 swings +-(k/40); noise axis dim 10 tiny
+        v[3] = (k - 20) / 40.0
+        v[10] = 0.001 * (k % 3)
+        vecs.append(v)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([k % 4 for k in range(40)], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    sdf = embed_pca_outliers(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 20
+    # extremes along dim 3 (vec_id 0 and 39) must lead
+    assert {rows[0]["vec_id"], rows[1]["vec_id"]} == {0, 39}
+    # proj is the fixed-point value rescaled
+    for r in rows:
+        assert abs(r["proj"] - r["proj_fp"] / 1e10) < 1e-12
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["embed_pca_outliers"])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(scols, [tuple(r) for r in rows]) == _norm(ocols, rel.fetchall())
+
+
+def test_pca_outliers_zero_matrix_degenerate(spark, tmp_path):
+    """All-identical embeddings make the covariance matrix exactly zero:
+    the max|raw| == 0 guard must zero the vector on BOTH engines (not
+    divide by zero), leaving every projection 0 and the top-k ordered
+    purely by vec_id."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.embed import COV_DIM, embed_pca_outliers
+
+    vecs = [[0.25] * COV_DIM for _ in range(30)]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 30, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    sdf = embed_pca_outliers(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert [r["vec_id"] for r in rows] == list(range(20))
+    assert all(r["proj_fp"] == 0 for r in rows)
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["embed_pca_outliers"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
