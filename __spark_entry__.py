@@ -65,18 +65,19 @@ def _modules():
 # round's OWN new operators (the pinned "new operator => witnessed in
 # its birth round" invariant — tests/test_operators.py diffs queries()
 # against tools/registry_prev_round.txt and asserts every newborn sits
-# in the first 50). The 44 backlog slots COMPLETE the events tail (19)
-# and every never-witnessed family of <=4 members (etl 4, fn 3,
-# window/embed 2 of 3, multimodal/rank/corpus/stream 2,
-# sketch/text/dedup/asof 1), plus 2 of stats' 12. The family-coverage
+# in the first 50). The 42 backlog slots COMPLETE the events tail (19)
+# and cover every never-witnessed family (etl 4, fn 3, window 2 of 3,
+# multimodal/rank/corpus/stream + embed 1-2, sketch/text/dedup/asof 1),
+# plus 2 of stats' 12. The family-coverage
 # guard evolved with the rotation: a family may leave the window ONLY
 # when all its members are already driver-green in a committed
 # CORRECTNESS artifact (convert_/ann_/q1*/q2*/range_/unpivot_/lateral_
 # all are), and any family with backlog must be represented by a
 # never-witnessed member, never a repeat.
 # Leftover after r7 (if all green): stats 10, graph 3, scale 3,
-# window 1 (ewma_scatter), embed 1 (centroid_outliers) = 18 — fully
-# drainable in r8 with ~32 slots to spare for r8 newborns.
+# window 1 (ewma_scatter), embed 2 (centroid_outliers, feature_hash),
+# multimodal 1 (fake_features) = 20 — fully drainable in r8 with ~30
+# slots to spare for r8 newborns.
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 newborns (birth-round witnesses) ---
     "graph_pagerank_users",
@@ -85,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "etl_bitemporal_asof",
     "corpus_dsir_importance",
     "embed_pca_outliers",
+    "events_feature_asof",
+    "etl_late_arriving_dim",
     # --- events backlog: the full 19-name tail ---
     "events_cusum_changepoint",
     "events_heatmap_hour_dow",
@@ -123,12 +126,11 @@ _PRIORITY: tuple[str, ...] = (
     # round-7 newborn; drains in r8) ---
     "window_revenue_7dma",
     "window_seasonal_index",
-    # --- embed backlog: 2 of 3 (centroid_outliers ceded its slot to
-    # the embed newborn above; drains in r8) ---
+    # --- embed backlog: 1 of 3 (centroid_outliers + feature_hash ceded
+    # their slots to round-7 newborns; drain in r8) ---
     "embed_covariance",
-    "embed_feature_hash",
-    # --- multimodal backlog (resize now oracle-gated, r6 #4) ---
-    "multimodal_fake_features",
+    # --- multimodal backlog: 1 of 2 (fake_features ceded; resize is
+    # the newly oracle-gated one, r6 #4) ---
     "multimodal_resize",
     # --- rank backlog: the full 2-name tail ---
     "rank_postings",

@@ -956,7 +956,114 @@ ORDER BY 1, 2
 """
 
 
+# --- late-arriving dimension (inferred members) ---------------------------
+# The Kimball early-arriving-fact / late-arriving-dimension pattern: a
+# fact row can land before its dimension member does; the load keeps the
+# fact and books it under an inferred 'UNKNOWN' member, and a later dim
+# backfill re-homes it. Arrival is synthesized deterministically: each
+# customer's dim row "arrives" at their first order date, except
+# customers with c_custkey % LAD_LATE_MOD == 0 whose dim feed lags
+# LAD_LAG_DAYS days. At the LAD_CUTOFF snapshot those laggards' facts
+# are inferred members; the 'backfilled' state shows the reconciled
+# segment totals (order/revenue grand totals are invariant across the
+# two states — only the segment attribution moves; pinned by test).
+LAD_CUTOFF = "1995-09-30"
+LAD_LATE_MOD = 13
+LAD_LAG_DAYS = 180
+
+
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level order counts/revenue at the cutoff snapshot (late
+    dim members bucketed under 'UNKNOWN') vs after dim backfill.
+
+    Scale shape: fact scan filtered to d <= cutoff at the parquet scan
+    (partition-prunable range predicate); arrival derives from a
+    map-side-combined min() per custkey; the dim (customer ⋈ arrival)
+    is dimension-sized and broadcast onto the facts — at 100 TB with a
+    non-broadcastable dim this becomes the standard shuffle equi-join
+    on the surrogate key. Both snapshot states come from ONE pass over
+    the joined facts via a 2-row broadcast spine. Money stays integer
+    cents until the final lossless /100.0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    arr = o.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim = cust.join(arr, cust.c_custkey == arr.o_custkey).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % LAD_LATE_MOD == 0,
+            F.expr(f"first_d + INTERVAL {LAD_LAG_DAYS} DAY"),
+        )
+        .otherwise(F.col("first_d"))
+        .alias("arrival_d"),
+    )
+    facts = o.filter(F.col("d") <= F.expr(f"DATE '{LAD_CUTOFF}'"))
+    spine = spark.createDataFrame(
+        [("at_cutoff",), ("backfilled",)], "state string"
+    )
+    seg = F.when(
+        (F.col("state") == "at_cutoff")
+        & (F.col("arrival_d") > F.expr(f"DATE '{LAD_CUTOFF}'")),
+        F.lit("UNKNOWN"),
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        facts.join(F.broadcast(dim), facts.o_custkey == dim.c_custkey)
+        .crossJoin(F.broadcast(spine))
+        .groupBy("state", seg.alias("mktsegment"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sc"),
+        )
+        .select(
+            "state",
+            "mktsegment",
+            "n_customers",
+            "n_orders",
+            F.expr("CAST(sc AS DOUBLE) / 100.0").alias("revenue"),
+        )
+        .orderBy("state", "mktsegment")
+    )
+
+
+_LATE_DIM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+arr AS (SELECT o_custkey, MIN(d) AS first_d FROM o GROUP BY o_custkey),
+dim AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN c.c_custkey % {LAD_LATE_MOD} = 0
+              THEN a.first_d + {LAD_LAG_DAYS} ELSE a.first_d END AS arrival_d
+  FROM customer c JOIN arr a ON c.c_custkey = a.o_custkey),
+facts AS (SELECT * FROM o WHERE d <= DATE '{LAD_CUTOFF}'),
+spine AS (SELECT 'at_cutoff' AS state UNION ALL SELECT 'backfilled')
+SELECT s.state,
+       CASE WHEN s.state = 'at_cutoff' AND dim.arrival_d > DATE '{LAD_CUTOFF}'
+            THEN 'UNKNOWN' ELSE dim.c_mktsegment END AS mktsegment,
+       COUNT(DISTINCT f.o_custkey)::BIGINT AS n_customers,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(CAST(SUM(f.cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM facts f
+JOIN dim ON f.o_custkey = dim.c_custkey
+CROSS JOIN spine s
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "etl_late_arriving_dim": etl_late_arriving_dim,
     "etl_bitemporal_asof": etl_bitemporal_asof,
     "etl_constraint_violations": etl_constraint_violations,
     "etl_k_anonymity": etl_k_anonymity,
@@ -972,6 +1079,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_late_arriving_dim": _LATE_DIM_SQL,
     "etl_bitemporal_asof": _BITEMPORAL_SQL,
     "etl_constraint_violations": _CONSTRAINT_SQL,
     "etl_k_anonymity": _k_anonymity_sql(),

@@ -2100,7 +2100,122 @@ FROM calc ORDER BY user_id
 """
 
 
+# --- point-in-time training features (the feature-store archetype) --------
+# For every label event (purchase) compute leakage-free features "as of"
+# strictly BEFORE the label's timestamp: trailing-window behavioral
+# counts and prior spend. The classic ML-platform correctness trap this
+# encodes is temporal leakage — a feature computed over a window that
+# includes (or follows) the label observation. Strictly-before is
+# enforced with integer-microsecond RANGE frames ending at 1 µs
+# PRECEDING, so same-microsecond co-events (including the label row
+# itself) are excluded identically on both engines.
+FEATURE_W7_US = 7 * 86400 * 1_000_000
+FEATURE_W30_US = 30 * 86400 * 1_000_000
+
+
+def events_feature_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase point-in-time features: trailing-7d view/click/error
+    counts and trailing-30d prior purchase spend (cents), strictly
+    before the label timestamp.
+
+    Scale shape: ONE shuffle — both RANGE frames share the
+    (user_id, us) partitioning+ordering, so Catalyst plans a single
+    Exchange+Sort feeding two Window operators (no self-join; the
+    naive as-of formulation is an O(events x events-in-window) range
+    self-join). At 100 TB this is the standard feature-backfill plan:
+    co-partition by entity key, sort once, evaluate every trailing
+    window in the same pass. Labels with NULL value keep NULL
+    label_cents on both engines; empty frames coalesce to 0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w7 = (
+        W.partitionBy("user_id").orderBy("us").rangeBetween(-FEATURE_W7_US, -1)
+    )
+    w30 = (
+        W.partitionBy("user_id").orderBy("us").rangeBetween(-FEATURE_W30_US, -1)
+    )
+
+    def _cnt(t: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == t, F.lit(1))).over(w7),
+            F.lit(0),
+        ).cast("long")
+
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "cents",
+        _cnt("view").alias("n_view_7d"),
+        _cnt("click").alias("n_click_7d"),
+        _cnt("error").alias("n_error_7d"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+            ).over(w30),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("buy_cents_30d"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("label_ts"),
+            "n_view_7d",
+            "n_click_7d",
+            "n_error_7d",
+            "buy_cents_30d",
+            F.col("cents").alias("label_cents"),
+        )
+        .orderBy("event_id", "user_id")
+    )
+
+
+_FEATURE_ASOF_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         epoch_us(ts) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+f AS (
+  SELECT event_id, user_id, ts, event_type, cents,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                       OVER w7 AS BIGINT), 0) AS n_view_7d,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                       OVER w7 AS BIGINT), 0) AS n_click_7d,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+                       OVER w7 AS BIGINT), 0) AS n_error_7d,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents END)
+                       OVER w30 AS BIGINT), 0) AS buy_cents_30d
+  FROM e
+  WINDOW
+    w7 AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN {FEATURE_W7_US} PRECEDING AND 1 PRECEDING),
+    w30 AS (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN {FEATURE_W30_US} PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+       n_view_7d, n_click_7d, n_error_7d, buy_cents_30d,
+       cents AS label_cents
+FROM f
+WHERE event_type = 'purchase'
+ORDER BY event_id, user_id
+"""
+
+
 QUERIES = {
+    "events_feature_asof": events_feature_asof,
     "events_funnel": events_funnel,
     "events_bot_score": events_bot_score,
     "events_cusum_changepoint": events_cusum_changepoint,
@@ -2135,6 +2250,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_feature_asof": _FEATURE_ASOF_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_windowed_funnel": _WINDOWED_FUNNEL_SQL,
     "events_transition_matrix": _TRANSITION_SQL,

@@ -1765,3 +1765,91 @@ def test_pca_outliers_zero_matrix_degenerate(spark, tmp_path):
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_feature_asof_no_leakage(spark, tmp_path):
+    """The feature-store leakage pin: a view at the SAME microsecond as
+    the label must NOT count (frame ends at 1 us preceding), a view 1 us
+    before counts, a view outside 7 d does not, and a prior purchase
+    within 30 d lands in buy_cents_30d while the label itself never
+    does. The DuckDB oracle replays the same frames to the same rows."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.events import events_feature_asof
+
+    base = 1_600_000_000_000_000  # epoch us
+    day = 86_400_000_000
+    rows = [
+        # (event_id, us, user, type, value)
+        (1, base, 7, "purchase", 10.0),              # label
+        (2, base, 7, "view", None),                  # same us -> excluded
+        (3, base - 1, 7, "view", None),              # 1 us before -> counts
+        (4, base - 7 * day, 7, "view", None),        # exactly 7d -> counts
+        (5, base - 7 * day - 1, 7, "view", None),    # outside 7d -> no
+        (6, base - 2 * day, 7, "click", None),       # counts
+        (7, base - 29 * day, 7, "purchase", 2.5),    # prior spend 250c
+        (8, base - 31 * day, 7, "purchase", 99.0),   # outside 30d -> no
+        (9, base - 1 * day, 8, "view", None),        # other user
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    sdf = events_feature_asof(spark, str(tmp_path))
+    got = {r["event_id"]: r for r in sdf.collect()}
+    assert set(got) == {1, 7, 8}
+    lab = got[1]
+    assert lab["n_view_7d"] == 2          # events 3 and 4 only
+    assert lab["n_click_7d"] == 1
+    assert lab["n_error_7d"] == 0
+    assert lab["buy_cents_30d"] == 250    # event 7 only
+    assert lab["label_cents"] == 1000
+    # event 7's trailing 30d window spans (base-59d, base-29d); event 8
+    # at base-31d falls inside it, event 1 (the later label) does not:
+    assert got[7]["buy_cents_30d"] == 9900
+    assert got[8]["buy_cents_30d"] == 0
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["events_feature_asof"])
+    scols = [c.lower() for c in sdf.columns]
+    ocols = [c.lower() for c in rel.columns]
+    assert sorted(scols) == sorted(ocols)
+    assert _norm(scols, [tuple(r) for r in sdf.collect()]) == _norm(
+        ocols, rel.fetchall()
+    )
+
+
+def test_late_arriving_dim_reconciles(spark, sf_dir):
+    """Late-arriving-dim invariants: grand totals (orders, customers'
+    order rows, revenue) are identical across the two states — only the
+    segment attribution moves; the inferred UNKNOWN bucket exists at
+    the cutoff state and never after backfill."""
+    from catme_etl_j_spark.operators.etl import etl_late_arriving_dim
+
+    rows = etl_late_arriving_dim(spark, sf_dir).collect()
+    by_state: dict = {}
+    for r in rows:
+        st = by_state.setdefault(r["state"], {"orders": 0, "rev": 0.0, "segs": set()})
+        st["orders"] += r["n_orders"]
+        st["rev"] += r["revenue"]
+        st["segs"].add(r["mktsegment"])
+    assert set(by_state) == {"at_cutoff", "backfilled"}
+    a, b = by_state["at_cutoff"], by_state["backfilled"]
+    assert a["orders"] == b["orders"]
+    assert abs(a["rev"] - b["rev"]) < 1e-6
+    assert "UNKNOWN" in a["segs"]
+    assert "UNKNOWN" not in b["segs"]
