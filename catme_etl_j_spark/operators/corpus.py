@@ -1740,9 +1740,12 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode pass compresses to (doc_id, bucket)
     counts (map-side combined — the shuffle carries per-doc feature
-    rows, not words); the 256-row bucket weight table aggregates from
-    that compressed frame and broadcast-joins back onto it. No second
-    scan of the corpus, no driver-side state beyond the top-k merge.
+    rows, not words), lazily localCheckpoint'd so the weight
+    aggregation AND the scoring join both read the materialized
+    compressed frame instead of re-scanning the corpus (plan-audited:
+    exactly one parquet scan; the same single-pass discipline as the
+    BPE trainer). The 256-row weight table broadcast-joins back onto
+    it; no driver-side state beyond the top-k merge.
     Empty/whitespace-only docs contribute no words on either engine
     (split-of-empty guard, conv. #9)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1762,6 +1765,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "f")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     bucket = dfc.groupBy("f").agg(
         (

@@ -866,12 +866,14 @@ def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the valid-window predicate is expressed directly on
     o_orderdate, so it reaches the parquet scan as a pushed range
     filter (a 90-day slice of a partitioned fact table — partition
-    pruning at 100 TB). The two snapshots come from ONE pass: a
-    2-row broadcast spine cross-joined onto the version rows, then a
-    single (snapshot, priority) partial-aggregated groupBy — no
-    per-snapshot rescan. Monetary math stays in integer cents end to
-    end (conv. #2 by way of exact int64; sums < 2^53 so the final
-    /100.0 double division is lossless and engine-identical)."""
+    pruning at 100 TB). Version rows derive from ONE scan of that
+    slice — each order explodes its 1- or 2-element version array
+    inline (no v1/v2 union, which would scan the slice twice) — and
+    the two snapshots come from the same pass via a 2-row broadcast
+    spine cross-join, then a single (snapshot, priority)
+    partial-aggregated groupBy. Monetary math stays in integer cents
+    end to end (conv. #2 by way of exact int64; sums < 2^53 so the
+    final /100.0 double division is lossless and engine-identical)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = load_table(spark, sf_dir, "orders")
     base = (
@@ -888,22 +890,20 @@ def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("d") <= F.expr(f"DATE '{BT_VALID_ASOF}'"))
         )
     )
-    corrected = F.expr("o_orderkey % 7 = 0")
-    v1 = base.select(
+    lag = f"d + INTERVAL {BT_CORRECTION_LAG} DAY"
+    vers = base.select(
         "o_orderpriority",
-        F.col("d").alias("tx_from"),
-        F.when(corrected, F.expr(f"d + INTERVAL {BT_CORRECTION_LAG} DAY")).alias(
-            "tx_to"
-        ),
-        F.col("cents").alias("p_cents"),
-    )
-    v2 = base.filter(corrected).select(
-        "o_orderpriority",
-        F.expr(f"d + INTERVAL {BT_CORRECTION_LAG} DAY").alias("tx_from"),
-        F.lit(None).cast("date").alias("tx_to"),
-        F.expr("(cents * 95) DIV 100").alias("p_cents"),
-    )
-    vers = v1.unionByName(v2)
+        F.explode(
+            F.expr(
+                f"CASE WHEN o_orderkey % 7 = 0 THEN array("
+                f"named_struct('tx_from', d, 'tx_to', {lag}, 'p_cents', cents), "
+                f"named_struct('tx_from', {lag}, 'tx_to', CAST(NULL AS DATE),"
+                f" 'p_cents', (cents * 95) DIV 100)) "
+                f"ELSE array(named_struct('tx_from', d,"
+                f" 'tx_to', CAST(NULL AS DATE), 'p_cents', cents)) END"
+            )
+        ).alias("v"),
+    ).select("o_orderpriority", "v.tx_from", "v.tx_to", "v.p_cents")
     spine = spark.createDataFrame(
         [(label, t) for label, t in BT_TX_SNAPSHOTS], "snapshot string, t string"
     ).select("snapshot", F.col("t").cast("date").alias("t"))

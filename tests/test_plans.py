@@ -587,3 +587,73 @@ def test_lpa_argmax_is_partial_aggregate_not_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_feature_asof_single_fused_window(spark, sf_dir):
+    """All four trailing frames share (user_id, us) partitioning and
+    ordering, so Catalyst must fuse them into ONE Window operator —
+    a second Window (or exchange) means the frames stopped sharing
+    their sort and the single-shuffle claim is broken."""
+    import re
+
+    from catme_etl_j_spark.operators.events import events_feature_asof
+
+    plan = formatted_plan(events_feature_asof(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    # window hash exchange + final orderBy range exchange, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_bitemporal_one_pruned_scan(spark, sf_dir):
+    """The version rows explode from ONE scan of the 90-day slice, and
+    the valid-window predicate is pushed to the parquet reader as a
+    timestamp range (partition-prunable at scale)."""
+    from catme_etl_j_spark.operators.etl import etl_bitemporal_asof
+
+    plan = formatted_plan(etl_bitemporal_asof(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Generate" in tree  # the inline version-array explode
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderdate" in pushed
+
+
+def test_late_dim_pushdown_and_broadcast(spark, sf_dir):
+    """Cutoff filter reaches the fact scan; the (customer x arrival)
+    dim joins broadcast; the 2-row state spine is the only nested-loop
+    join."""
+    from catme_etl_j_spark.operators.etl import etl_late_arriving_dim
+
+    plan = formatted_plan(etl_late_arriving_dim(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "LessThan(o_orderdate" in plan  # pushed cutoff
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # the 2-row spine
+    assert "CartesianProduct" not in tree
+
+
+def test_dsir_checkpointed_single_pass(spark, sf_dir):
+    """The compressed (doc, bucket) frame is localCheckpoint'd: both
+    the weight aggregation and the scoring join must read the
+    materialized frame (Scan ExistingRDD), never re-scan the corpus;
+    the 256-row weight table joins broadcast."""
+    from catme_etl_j_spark.operators.corpus import corpus_dsir_importance
+
+    plan = formatted_plan(corpus_dsir_importance(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0  # checkpoint feeds both sides
+    assert "BroadcastHashJoin" in tree
+
+
+def test_pca_projection_is_map_only_topk(spark, sf_dir):
+    """The returned frame (after the bounded driver-side eigensolve) is
+    a map-only projection of the embeddings scan into a per-partition
+    top-k merge — no join, no full sort."""
+    from catme_etl_j_spark.operators.embed import embed_pca_outliers
+
+    plan = formatted_plan(embed_pca_outliers(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1

@@ -46,6 +46,12 @@ AUDIT = [
     ("graph_lpa_communities", "per-round label equi-join + partial-aggregated struct-max argmax (no per-round sort); no nested loop"),
     ("scale_compaction_plan", "single partial+final aggregate over the fact scan; 3-column ReadSchema"),
     ("stats_theil_sen", "histogram range-partitioned; pid-partitioned cumsum window (no global single-partition sort)"),
+    # round-7 second wave: warehouse/feature-store/LLM-curation archetypes
+    ("events_feature_asof", "ONE fused Window operator for all four trailing frames; single (user_id) exchange"),
+    ("etl_bitemporal_asof", "one pruned scan (pushed o_orderdate range); inline version-array explode; 2-row spine broadcast"),
+    ("etl_late_arriving_dim", "pushed cutoff filter; broadcast dim joins; spine is the only nested-loop join"),
+    ("corpus_dsir_importance", "checkpointed compressed frame feeds weights AND scoring (zero corpus re-scan); weight table broadcast"),
+    ("embed_pca_outliers", "map-only projection onto the solved axis; TakeOrderedAndProject, no join"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
