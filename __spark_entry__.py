@@ -76,8 +76,8 @@ def _modules():
 # never-witnessed member, never a repeat.
 # Leftover after r7 (if all green): stats 10, graph 3, scale 3,
 # window 1 (ewma_scatter), embed 2 (centroid_outliers, feature_hash),
-# multimodal 1 (fake_features) = 20 — fully drainable in r8 with ~30
-# slots to spare for r8 newborns.
+# multimodal 1 (fake_features), etl 1 (scd2_fact_join) = 21 — fully
+# drainable in r8 with ~29 slots to spare for r8 newborns.
 _PRIORITY: tuple[str, ...] = (
     # --- round-7 newborns (birth-round witnesses) ---
     "graph_pagerank_users",
@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "embed_pca_outliers",
     "events_feature_asof",
     "etl_late_arriving_dim",
+    "etl_deletion_propagation",
     # --- events backlog: the full 19-name tail ---
     "events_cusum_changepoint",
     "events_heatmap_hour_dow",
@@ -113,11 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     # distributed median rewrite, mannwhitney's divide-by-zero guard) ---
     "stats_theil_sen",
     "stats_mannwhitney_u",
-    # --- etl backlog: the full 4-name tail ---
+    # --- etl backlog: 3 of 4 (scd2_fact_join ceded its slot to the
+    # deletion-propagation newborn; drains in r8) ---
     "etl_constraint_violations",
     "etl_k_anonymity",
     "etl_scd2_asof_snapshot",
-    "etl_scd2_fact_join",
     # --- fn backlog: the full 3-name tail ---
     "fn_variant_props",
     "fn_pandas_udf_tokens",

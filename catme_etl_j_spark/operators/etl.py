@@ -1062,7 +1062,125 @@ ORDER BY 1, 2
 """
 
 
+# --- privacy-deletion propagation (right-to-be-forgotten cascade) ---------
+# The GDPR/CCPA erasure archetype: a tombstone set of subject keys must
+# cascade through every table that references the subject, directly
+# (orders.o_custkey) or transitively (lineitem -> orders -> customer),
+# and the job must account for exactly what it removed. Tombstones are
+# synthesized deterministically (c_custkey % DEL_MOD == 0, ~3.4 %).
+DEL_MOD = 29
+
+
+def etl_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table deletion accounting for a subject-erasure cascade:
+    rows before, rows deleted, rows after, and the monetary mass
+    removed (cents -> /100.0) for the fact tables.
+
+    Scale shape: customer and orders delete by a derivable predicate
+    (map-side filter, no join); lineitem has no subject key, so its
+    deletion is a LEFT SEMI shuffle join on l_orderkey against the
+    deleted-order keys — the honest plan at 100 TB where the deleted
+    set (~3 %) is far beyond broadcast size (with a small real
+    tombstone list, the same semi-join broadcasts). Counts partial-
+    aggregate map-side; each table contributes one row via unionByName
+    of three single-row aggregates — three pruned scans total, one per
+    audited table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c_del = (F.col("c_custkey") % DEL_MOD == 0).cast("int")
+    o_del = (F.col("o_custkey") % DEL_MOD == 0).cast("int")
+    c_row = cust.agg(
+        F.lit("customer").alias("tbl"),
+        F.count("*").cast("long").alias("n_before"),
+        F.sum(c_del).cast("long").alias("n_deleted"),
+        F.lit(None).cast("long").alias("sc"),
+    )
+    o_row = orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").cast("long").alias("n_before"),
+        F.sum(o_del).cast("long").alias("n_deleted"),
+        F.sum(F.when(o_del == 1, F.col("cents"))).cast("long").alias("sc"),
+    )
+    del_orders = orders.filter(o_del == 1).select("o_orderkey")
+    li_del = F.col("is_del").cast("int")
+    l_row = (
+        li.join(
+            del_orders.withColumn("is_del", F.lit(True)),
+            li.l_orderkey == del_orders.o_orderkey,
+            "left",
+        )
+        .select(F.coalesce("is_del", F.lit(False)).alias("is_del"), "cents")
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count("*").cast("long").alias("n_before"),
+            F.sum(li_del).cast("long").alias("n_deleted"),
+            F.sum(F.when(li_del == 1, F.col("cents"))).cast("long").alias("sc"),
+        )
+    )
+    return (
+        c_row.unionByName(o_row)
+        .unionByName(l_row)
+        .select(
+            "tbl",
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            F.expr("CAST(sc AS DOUBLE) / 100.0").alias("deleted_amount"),
+        )
+        .orderBy("tbl")
+    )
+
+
+_DELETION_SQL = f"""
+WITH del_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey % {DEL_MOD} = 0),
+c_row AS (
+  SELECT 'customer' AS tbl, COUNT(*)::BIGINT AS n_before,
+         CAST(SUM(CASE WHEN c_custkey % {DEL_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_deleted,
+         CAST(NULL AS BIGINT) AS sc
+  FROM customer),
+o_row AS (
+  SELECT 'orders', COUNT(*)::BIGINT,
+         CAST(SUM(CASE WHEN o_custkey % {DEL_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(SUM(CASE WHEN o_custkey % {DEL_MOD} = 0
+                       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  END) AS BIGINT)
+  FROM orders),
+l_row AS (
+  SELECT 'lineitem', COUNT(*)::BIGINT,
+         CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL
+                       THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  END) AS BIGINT)
+  FROM lineitem l LEFT JOIN del_orders d ON l.l_orderkey = d.o_orderkey),
+u AS (
+  SELECT * FROM c_row UNION ALL SELECT * FROM o_row
+  UNION ALL SELECT * FROM l_row)
+SELECT tbl, n_before, n_deleted,
+       n_before - n_deleted AS n_after,
+       CAST(sc AS DOUBLE) / 100.0 AS deleted_amount
+FROM u ORDER BY tbl
+"""
+
+
 QUERIES = {
+    "etl_deletion_propagation": etl_deletion_propagation,
     "etl_late_arriving_dim": etl_late_arriving_dim,
     "etl_bitemporal_asof": etl_bitemporal_asof,
     "etl_constraint_violations": etl_constraint_violations,
@@ -1079,6 +1197,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_deletion_propagation": _DELETION_SQL,
     "etl_late_arriving_dim": _LATE_DIM_SQL,
     "etl_bitemporal_asof": _BITEMPORAL_SQL,
     "etl_constraint_violations": _CONSTRAINT_SQL,

@@ -1853,3 +1853,32 @@ def test_late_arriving_dim_reconciles(spark, sf_dir):
     assert abs(a["rev"] - b["rev"]) < 1e-6
     assert "UNKNOWN" in a["segs"]
     assert "UNKNOWN" not in b["segs"]
+
+
+def test_deletion_propagation_referential(spark, sf_dir):
+    """Independent referential check (anti-join, a different plan than
+    the operator's left join): the surviving lineitem count equals the
+    anti-join of lineitem against deleted orders, and the cascade's
+    per-table arithmetic is consistent."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.etl import (
+        DEL_MOD,
+        etl_deletion_propagation,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = {r["tbl"]: r for r in etl_deletion_propagation(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["n_after"] == r["n_before"] - r["n_deleted"]
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_orders = orders.filter(F.col("o_custkey") % DEL_MOD == 0).select(
+        "o_orderkey"
+    )
+    survivors = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_anti"
+    ).count()
+    assert survivors == rows["lineitem"]["n_after"]
+    assert rows["customer"]["deleted_amount"] is None
