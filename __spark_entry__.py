@@ -89,9 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_feature_asof",
     "etl_late_arriving_dim",
     "etl_deletion_propagation",
-    # --- events backlog: the full 19-name tail ---
+    "scale_minmax_pruning",
+    # --- events backlog: 18 of the 19-name tail (heatmap_hour_dow
+    # ceded its slot to the minmax-pruning newborn; drains in r8) ---
     "events_cusum_changepoint",
-    "events_heatmap_hour_dow",
     "events_inter_arrival",
     "events_tumbling_window",
     "events_sliding_window",

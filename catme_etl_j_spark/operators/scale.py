@@ -477,8 +477,147 @@ ORDER BY day
 """
 
 
+# Zone-map pruning: synthetic "files" + per-file min/max stats + the
+# skip decision a reader makes from them. 64 files mirrors a row-group
+# count; the probe year is 1 of the ~7 shipped years so a date-clustered
+# layout can skip ~6/7 of the files while insertion order skips ~none.
+PRUNE_FILES = 64
+PRUNE_LO = "1997-01-01"
+PRUNE_HI_EXCL = "1998-01-01"
+# day index via the TZ-free DATE cast (l_shipdate is TIMESTAMP_NTZ —
+# not castable to DOUBLE, and NTZ->DATE ignores the session zone on
+# both engines, so this is deterministic under TZ stress too)
+_EPOCH_DAY = "CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01') AS BIGINT)"
+_EPOCH_DAY_DUCK = (
+    "CAST(date_diff('day', DATE '1970-01-01', CAST({c} AS DATE)) AS BIGINT)"
+)
+# epoch-day bounds of the probe window (1997-01-01 = day 9862,
+# 1998-01-01 = day 10227; fixed calendar arithmetic, engine-free)
+import datetime as _dt
+
+PRUNE_LO_DAY = (_dt.date(1997, 1, 1) - _dt.date(1970, 1, 1)).days
+PRUNE_HI_DAY = (_dt.date(1998, 1, 1) - _dt.date(1970, 1, 1)).days  # exclusive
+
+
+def scale_minmax_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning accounting — the
+    mechanism behind parquet row-group skipping and Delta/Iceberg data
+    skipping, made inspectable: which files WOULD a reader skip for a
+    one-year shipdate predicate, under two physical layouts of the
+    same rows?
+
+    * ``roworder`` — files cut by insertion order (l_orderkey ranges).
+      TPC-H-style data ships dates uncorrelated with order key, so
+      every file's [min,max] spans the whole calendar and nothing can
+      be skipped: the stats exist but prune 0%.
+    * ``datesorted`` — files cut by shipdate range (the layout a
+      nightly OPTIMIZE/sort job produces). Each file covers ~1/64 of
+      the calendar, so the 1-of-7-years predicate skips ~6/7 of files.
+
+    Per (strategy, file): row count, min/max shipdate (the zone map),
+    ``can_skip`` = the reader's decision (max < lo OR min >= hi on
+    epoch-day indexes), and ``n_match`` = rows actually satisfying the
+    predicate — so the gate also proves no skipped file ever contains
+    a matching row (asserted again in tests/test_scale.py).
+
+    Scale shape: one tiny bounds aggregate (broadcast, 1 row), then
+    ONE fact scan whose rows posexplode into their two (strategy,
+    file) assignments and map-side combine into 128 groups — cost is
+    one pass regardless of corpus size. File ids are pure non-negative
+    integer arithmetic (``DIV`` truncation identical on both engines,
+    convention #7); day indexes via epoch seconds under the UTC
+    session (convention #3).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    day = _EPOCH_DAY.format(c="l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("ok"),
+        F.expr(day).alias("d"),
+    )
+    bounds = li.agg(
+        (F.max("ok") + F.lit(1)).cast("long").alias("ok_hi"),
+        F.min("d").alias("d_lo"),
+        (F.max("d") + F.lit(1)).cast("long").alias("d_hi"),
+    )
+    tagged = li.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        F.expr(f"ok * {PRUNE_FILES} DIV ok_hi").alias("f_row"),
+        F.expr(f"(d - d_lo) * {PRUNE_FILES} DIV (d_hi - d_lo)").alias("f_date"),
+    )
+    ex = tagged.select(
+        "d", F.posexplode(F.array("f_row", "f_date")).alias("pos", "file_id")
+    ).select(
+        F.expr("CASE WHEN pos = 0 THEN 'roworder' ELSE 'datesorted' END").alias(
+            "strategy"
+        ),
+        "file_id",
+        "d",
+    )
+    per = ex.groupBy("strategy", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+        F.sum(
+            F.expr(
+                f"CAST(d >= {PRUNE_LO_DAY} AND d < {PRUNE_HI_DAY} AS INT)"
+            )
+        )
+        .cast("long")
+        .alias("n_match"),
+    )
+    return per.select(
+        "strategy",
+        F.col("file_id").cast("long").alias("file_id"),
+        "n_rows",
+        F.expr(
+            "date_format(date_add(DATE '1970-01-01', CAST(min_day AS INT)), 'yyyy-MM-dd')"
+        ).alias("min_ship"),
+        F.expr(
+            "date_format(date_add(DATE '1970-01-01', CAST(max_day AS INT)), 'yyyy-MM-dd')"
+        ).alias("max_ship"),
+        F.expr(
+            f"max_day < {PRUNE_LO_DAY} OR min_day >= {PRUNE_HI_DAY}"
+        ).alias("can_skip"),
+        "n_match",
+    ).orderBy("strategy", "file_id")
+
+
+_MINMAX_PRUNE_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+         {_EPOCH_DAY_DUCK.format(c="l_shipdate")} AS d
+  FROM lineitem),
+b AS (
+  SELECT CAST(MAX(ok) + 1 AS BIGINT) AS ok_hi,
+         MIN(d) AS d_lo, CAST(MAX(d) + 1 AS BIGINT) AS d_hi
+  FROM li),
+tagged AS (
+  SELECT d,
+         ok * {PRUNE_FILES} // ok_hi AS f_row,
+         (d - d_lo) * {PRUNE_FILES} // (d_hi - d_lo) AS f_date
+  FROM li, b),
+ex AS (
+  SELECT 'roworder' AS strategy, f_row AS file_id, d FROM tagged
+  UNION ALL
+  SELECT 'datesorted' AS strategy, f_date AS file_id, d FROM tagged),
+per AS (
+  SELECT strategy, file_id, COUNT(*) AS n_rows,
+         MIN(d) AS min_day, MAX(d) AS max_day,
+         CAST(SUM(CAST(d >= {PRUNE_LO_DAY} AND d < {PRUNE_HI_DAY} AS INT))
+              AS BIGINT) AS n_match
+  FROM ex GROUP BY 1, 2)
+SELECT strategy, CAST(file_id AS BIGINT) AS file_id, n_rows,
+       strftime(DATE '1970-01-01' + CAST(min_day AS INT), '%Y-%m-%d') AS min_ship,
+       strftime(DATE '1970-01-01' + CAST(max_day AS INT), '%Y-%m-%d') AS max_ship,
+       (max_day < {PRUNE_LO_DAY} OR min_day >= {PRUNE_HI_DAY}) AS can_skip,
+       n_match
+FROM per ORDER BY strategy, file_id
+"""
+
+
 QUERIES = {
     "scale_compaction_plan": scale_compaction_plan,
+    "scale_minmax_pruning": scale_minmax_pruning,
     "scale_salted_group_sum": scale_salted_group_sum,
     "scale_zorder_locality": scale_zorder_locality,
     "scale_bitmap_distinct": scale_bitmap_distinct,
@@ -489,6 +628,7 @@ QUERIES = {
 
 ORACLES = {
     "scale_compaction_plan": _COMPACTION_SQL,
+    "scale_minmax_pruning": _MINMAX_PRUNE_SQL,
     "scale_salted_group_sum": _SALTED_SQL,
     "scale_zorder_locality": _zorder_sql(),
     "scale_bitmap_distinct": _BITMAP_SQL,

@@ -177,3 +177,34 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
     assert n_comp == 4
     assert spark.read.parquet(comp).count() == ev.count()
+
+
+def test_minmax_pruning_contrast(spark, sf_dir):
+    """The zone-map accounting proves the layout thesis: a date-
+    clustered layout skips most files for a one-year predicate while
+    insertion order skips none — and no skipped file ever holds a
+    matching row (the skip decision is SAFE, never lossy). Both
+    strategies see the same total matches (layout can't change the
+    answer)."""
+    rows = scale.scale_minmax_pruning(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["strategy"], []).append(r)
+    assert set(by) == {"roworder", "datesorted"}
+    for members in by.values():
+        assert sum(r["n_rows"] for r in members) == sum(
+            x["n_rows"] for x in by["roworder"]
+        )
+    # safety: a file flagged skippable contains zero matching rows
+    assert all(r["n_match"] == 0 for r in rows if r["can_skip"])
+    # contrast: datesorted prunes most files, roworder none
+    ds_skip = sum(1 for r in by["datesorted"] if r["can_skip"])
+    ro_skip = sum(1 for r in by["roworder"] if r["can_skip"])
+    assert ds_skip >= len(by["datesorted"]) // 2, ds_skip
+    assert ro_skip == 0, ro_skip
+    # layout invariance: both strategies agree on total matches
+    assert sum(r["n_match"] for r in by["datesorted"]) == sum(
+        r["n_match"] for r in by["roworder"]
+    )
+    # zone maps are consistent: min <= max per file
+    assert all(r["min_ship"] <= r["max_ship"] for r in rows)
