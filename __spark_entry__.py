@@ -90,10 +90,10 @@ _PRIORITY: tuple[str, ...] = (
     "etl_late_arriving_dim",
     "etl_deletion_propagation",
     "scale_minmax_pruning",
-    # --- events backlog: 18 of the 19-name tail (heatmap_hour_dow
-    # ceded its slot to the minmax-pruning newborn; drains in r8) ---
+    "sketch_theta_setops",
+    # --- events backlog: 17 of the 19-name tail (heatmap_hour_dow and
+    # inter_arrival ceded their slots to wave-3 newborns; drain in r8) ---
     "events_cusum_changepoint",
-    "events_inter_arrival",
     "events_tumbling_window",
     "events_sliding_window",
     "events_dedup_earliest",

@@ -1040,8 +1040,251 @@ FROM exact, est
 """
 
 
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra (Dasgupta/Lang/Rhodes, "A framework for
+# estimating stream expression cardinalities", 2016; the Apache
+# DataSketches theta family — public). A KMV/theta sketch supports not
+# just distinct-count but UNION / INTERSECT / A-NOT-B **on the sketch
+# states alone**, which is what lets a 100 TB deployment answer
+# "how many user-days did BOTH click and purchase" from two ~256-entry
+# states instead of a cross-population shuffle.
+# ---------------------------------------------------------------------------
+
+THETA_K = 256
+_THETA_A = "click"
+_THETA_B = "purchase"
+
+
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over per-event-type user-day
+    populations: estimates of |A|, |B|, |A∪B|, |A∩B|, |A\\B| computed
+    ONLY from the two bottom-K hash states, each against the exact
+    answer.
+
+    Mechanics (theta framework): per set keep the K smallest distinct
+    32-bit item hashes; theta = the K-th minimum (or the full 2^32
+    domain while the set holds < K hashes — exact mode). Set ops pick
+    theta' = min(theta_A, theta_B), combine the states, drop entries
+    >= theta', and estimate |result| * 2^32 / theta'. The driver SFs
+    exercise both modes: sf0.001 user-day populations are < K (exact
+    mode, estimates equal exacts), sf0.01+ are > K (estimation mode).
+
+    Determinism: portable 32-bit md5 hash (convention #4), distinct
+    (set, hash) so ties cannot exist, all-integer estimator
+    (non-negative DIV, convention #7), day index from epoch seconds
+    under the UTC session. The ``rel_err_pct`` guard NULLs on
+    exact = 0 (degenerate corpus, convention #9) on both engines.
+
+    Scale shape: the only data-sized work is the distinct over
+    (set, user-day) — map-side combined; everything downstream
+    (states, thetas, the full-outer set-op join) is bounded by
+    2K = 512 rows. The exact counts exist for the gate; at 100 TB a
+    user keeps only the sketch half (mergeable: union of states is
+    bottom-K of their union).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    a, b = _THETA_A, _THETA_B
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(a, b)
+    )
+    items = ev.select(
+        F.col("event_type").alias("s"),
+        F.expr(
+            "concat(CAST(user_id AS STRING), ':', "
+            "CAST(CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT) AS STRING))"
+        ).alias("item"),
+    ).distinct()
+    hashed = items.select(
+        "s",
+        F.expr("CAST(conv(substr(md5(item), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+    ).distinct()
+    ranked = hashed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("s").orderBy("h"))
+    )
+    per_n = ranked.groupBy("s").agg(F.max("rn").alias("n_h"))
+    kth = ranked.filter(F.col("rn") == THETA_K).select("s", F.col("h").alias("h_k"))
+    thetas = per_n.join(kth, "s", "left").select(
+        "s",
+        F.expr(
+            f"CASE WHEN n_h >= {THETA_K} THEN h_k"
+            f" ELSE CAST({_POW32} AS BIGINT) END"
+        ).alias("theta"),
+    )
+    state = (
+        ranked.join(F.broadcast(thetas), "s")
+        .filter(F.col("h") < F.col("theta"))
+        .select("s", "h")
+    )
+    tpiv = thetas.agg(
+        F.expr(
+            f"coalesce(max(CASE WHEN s = '{a}' THEN theta END),"
+            f" CAST({_POW32} AS BIGINT))"
+        ).alias("theta_a"),
+        F.expr(
+            f"coalesce(max(CASE WHEN s = '{b}' THEN theta END),"
+            f" CAST({_POW32} AS BIGINT))"
+        ).alias("theta_b"),
+    )
+    npiv = state.agg(
+        F.expr(f"coalesce(sum(CASE WHEN s = '{a}' THEN 1 END), 0)").alias("n_a"),
+        F.expr(f"coalesce(sum(CASE WHEN s = '{b}' THEN 1 END), 0)").alias("n_b"),
+    )
+    sa = state.filter(F.col("s") == a).select(F.col("h").alias("ha"))
+    sb = state.filter(F.col("s") == b).select(F.col("h").alias("hb"))
+    fo = sa.join(sb, sa["ha"] == sb["hb"], "full_outer").select(
+        F.coalesce("ha", "hb").alias("h"),
+        F.expr("CAST(ha IS NOT NULL AS INT)").alias("in_a"),
+        F.expr("CAST(hb IS NOT NULL AS INT)").alias("in_b"),
+    )
+    setcnt = (
+        fo.crossJoin(F.broadcast(tpiv))
+        .filter(F.expr("h < least(theta_a, theta_b)"))
+        .agg(
+            F.count("*").cast("long").alias("n_union"),
+            F.expr("coalesce(sum(in_a * in_b), 0)").alias("n_int"),
+            F.expr("coalesce(sum(in_a * (1 - in_b)), 0)").alias("n_diff"),
+        )
+    )
+    ia = items.filter(F.col("s") == a).select("item")
+    ib = items.filter(F.col("s") == b).select("item")
+    exacts = (
+        ia.agg(F.count("*").cast("long").alias("exact_a"))
+        .crossJoin(ib.agg(F.count("*").cast("long").alias("exact_b")))
+        .crossJoin(ia.join(ib, "item").agg(F.count("*").cast("long").alias("exact_i")))
+    )
+    one = (
+        tpiv.crossJoin(F.broadcast(npiv))
+        .crossJoin(F.broadcast(setcnt))
+        .crossJoin(F.broadcast(exacts))
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"a_{a}").alias("op"),
+                    F.col("n_a").cast("long").alias("n_state"),
+                    F.col("theta_a").alias("theta"),
+                    F.col("exact_a").alias("exact"),
+                ),
+                F.struct(
+                    F.lit(f"b_{b}").alias("op"),
+                    F.col("n_b").cast("long").alias("n_state"),
+                    F.col("theta_b").alias("theta"),
+                    F.col("exact_b").alias("exact"),
+                ),
+                F.struct(
+                    F.lit("union").alias("op"),
+                    F.col("n_union").alias("n_state"),
+                    F.expr("least(theta_a, theta_b)").alias("theta"),
+                    F.expr("exact_a + exact_b - exact_i").alias("exact"),
+                ),
+                F.struct(
+                    F.lit("intersect").alias("op"),
+                    F.col("n_int").cast("long").alias("n_state"),
+                    F.expr("least(theta_a, theta_b)").alias("theta"),
+                    F.col("exact_i").alias("exact"),
+                ),
+                F.struct(
+                    F.lit("a_not_b").alias("op"),
+                    F.col("n_diff").cast("long").alias("n_state"),
+                    F.expr("least(theta_a, theta_b)").alias("theta"),
+                    F.expr("exact_a - exact_i").alias("exact"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    est = f"n_state * CAST({_POW32} AS BIGINT) DIV theta"
+    return rows.select(
+        "op",
+        "n_state",
+        "theta",
+        F.expr(est).alias("theta_estimate"),
+        "exact",
+        F.expr(
+            f"CASE WHEN exact = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE floor((CAST({est} AS DOUBLE) - exact)"
+            f" / CAST(exact AS DOUBLE) * 100.0 * 100.0 + 0.5) / 100.0 END"
+        ).alias("rel_err_pct"),
+    ).orderBy("op")
+
+
+_THETA_EST_DUCK = f"n_state * CAST({_POW32} AS BIGINT) // theta"
+
+_THETA_SQL = f"""
+WITH ev AS (
+  SELECT event_type AS s,
+         CAST(user_id AS VARCHAR) || ':' ||
+           CAST(CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS VARCHAR) AS item
+  FROM events WHERE event_type IN ('{_THETA_A}', '{_THETA_B}')),
+items AS (SELECT DISTINCT s, item FROM ev),
+hashed AS (
+  SELECT DISTINCT s, ('0x' || substr(md5(item), 1, 8))::BIGINT AS h FROM items),
+ranked AS (
+  SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed),
+pern AS (SELECT s, MAX(rn) AS n_h FROM ranked GROUP BY s),
+kth AS (SELECT s, h AS h_k FROM ranked WHERE rn = {THETA_K}),
+thetas AS (
+  SELECT p.s,
+         CASE WHEN p.n_h >= {THETA_K} THEN k.h_k
+              ELSE CAST({_POW32} AS BIGINT) END AS theta
+  FROM pern p LEFT JOIN kth k USING (s)),
+state AS (
+  SELECT r.s, r.h FROM ranked r JOIN thetas t USING (s) WHERE r.h < t.theta),
+tpiv AS (
+  SELECT COALESCE(MAX(CASE WHEN s = '{_THETA_A}' THEN theta END),
+                  CAST({_POW32} AS BIGINT)) AS theta_a,
+         COALESCE(MAX(CASE WHEN s = '{_THETA_B}' THEN theta END),
+                  CAST({_POW32} AS BIGINT)) AS theta_b
+  FROM thetas),
+npiv AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN s = '{_THETA_A}' THEN 1 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN s = '{_THETA_B}' THEN 1 END), 0) AS BIGINT) AS n_b
+  FROM state),
+fo AS (
+  SELECT COALESCE(sa.h, sb.h) AS h,
+         CAST(sa.h IS NOT NULL AS INT) AS in_a,
+         CAST(sb.h IS NOT NULL AS INT) AS in_b
+  FROM (SELECT h FROM state WHERE s = '{_THETA_A}') sa
+  FULL OUTER JOIN (SELECT h FROM state WHERE s = '{_THETA_B}') sb
+    ON sa.h = sb.h),
+setcnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_int,
+         CAST(COALESCE(SUM(in_a * (1 - in_b)), 0) AS BIGINT) AS n_diff
+  FROM fo, tpiv WHERE h < least(theta_a, theta_b)),
+exacts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM items WHERE s = '{_THETA_A}') AS exact_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM items WHERE s = '{_THETA_B}') AS exact_b,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT item FROM items WHERE s = '{_THETA_A}') x
+          JOIN (SELECT item FROM items WHERE s = '{_THETA_B}') y USING (item)) AS exact_i),
+one AS (SELECT * FROM tpiv, npiv, setcnt, exacts),
+rows5 AS (
+  SELECT 'a_{_THETA_A}' AS op, n_a AS n_state, theta_a AS theta, exact_a AS exact FROM one
+  UNION ALL
+  SELECT 'b_{_THETA_B}', n_b, theta_b, exact_b FROM one
+  UNION ALL
+  SELECT 'union', n_union, least(theta_a, theta_b), exact_a + exact_b - exact_i FROM one
+  UNION ALL
+  SELECT 'intersect', n_int, least(theta_a, theta_b), exact_i FROM one
+  UNION ALL
+  SELECT 'a_not_b', n_diff, least(theta_a, theta_b), exact_a - exact_i FROM one)
+SELECT op, n_state, theta,
+       {_THETA_EST_DUCK} AS theta_estimate,
+       exact,
+       CASE WHEN exact = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor((CAST({_THETA_EST_DUCK} AS DOUBLE) - exact)
+                 / CAST(exact AS DOUBLE) * 100.0 * 100.0 + 0.5) / 100.0 END
+         AS rel_err_pct
+FROM rows5 ORDER BY op
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_theta_setops": sketch_theta_setops,
     "sketch_ams_f2": sketch_ams_f2,
     "sketch_ams_join_size": sketch_ams_join_size,
     "sketch_hll_merge_groups": sketch_hll_merge_groups,
@@ -1053,6 +1296,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_theta_setops": _THETA_SQL,
     "sketch_ams_f2": _AMS_SQL,
     "sketch_ams_join_size": _AMS_JOIN_SQL,
     "sketch_hll_merge_groups": _HLL_MERGE_SQL,

@@ -271,3 +271,39 @@ def test_filtered_topk_recall_audit(spark, sf_dir):
     for r in rows:
         if r["found_by_postfilter"]:
             assert r["post_rank"] is not None
+
+
+def test_theta_setops_identities(spark, sf_dir):
+    """Sketch set-algebra sanity: the five estimates respect exact set
+    identities on the STATE side (|union| = |A|+|B|-|intersect| within
+    the common-theta filter, A\\B + intersect = A's surviving state),
+    estimates are exact while sketches are in exact mode (theta =
+    2^32), and estimation-mode error stays inside ~5/sqrt(K) of truth
+    for every op."""
+    from catme_etl_j_spark.operators.sketch import THETA_K, _POW32
+    from catme_etl_j_spark.operators.sketch import sketch_theta_setops
+
+    rows = {r["op"]: r for r in sketch_theta_setops(spark, sf_dir).collect()}
+    assert set(rows) == {"a_click", "b_purchase", "union", "intersect", "a_not_b"}
+    th = rows["union"]["theta"]
+    assert th == min(rows["a_click"]["theta"], rows["b_purchase"]["theta"])
+    # a_not_b + intersect partitions A's state surviving theta', so
+    # together they can never exceed A's full state
+    assert (
+        rows["a_not_b"]["n_state"] + rows["intersect"]["n_state"]
+        <= rows["a_click"]["n_state"]
+    )
+    # exact-side identities hold by construction; check them anyway
+    assert (
+        rows["union"]["exact"]
+        == rows["a_click"]["exact"] + rows["b_purchase"]["exact"] - rows["intersect"]["exact"]
+    )
+    assert rows["a_not_b"]["exact"] == rows["a_click"]["exact"] - rows["intersect"]["exact"]
+    for r in rows.values():
+        if r["theta"] == _POW32:  # exact mode
+            assert r["theta_estimate"] == r["exact"], r
+        elif r["exact"] > 0:  # estimation mode: generous 5/sqrt(K) bound
+            bound = 5.0 / (THETA_K ** 0.5)
+            assert abs(r["theta_estimate"] - r["exact"]) <= max(
+                bound * r["exact"], 3
+            ), r
