@@ -91,10 +91,12 @@ _PRIORITY: tuple[str, ...] = (
     "etl_deletion_propagation",
     "scale_minmax_pruning",
     "sketch_theta_setops",
-    # --- events backlog: 17 of the 19-name tail (heatmap_hour_dow and
-    # inter_arrival ceded their slots to wave-3 newborns; drain in r8) ---
+    "corpus_token_budget_mix",
+    # --- events backlog: 16 of the 19-name tail (heatmap_hour_dow,
+    # inter_arrival, tumbling_window ceded their slots to wave-3
+    # newborns; drain in r8 — the stream_/events_ twins of tumbling
+    # are already witnessed) ---
     "events_cusum_changepoint",
-    "events_tumbling_window",
     "events_sliding_window",
     "events_dedup_earliest",
     "events_json_extract",

@@ -1829,8 +1829,132 @@ LIMIT {DSIR_TOPK}
 """
 
 
+# Token-budget mixing: rank sources by a quality score and fill a fixed
+# training-token budget greedily — the "data mixing" allocation step of
+# an LLM pre-training pipeline (sources ordered by curated quality; the
+# budget cut decides which sources enter in full, partially, or not at
+# all). Budget = 60% of the total corpus tokens so the cut always lands
+# mid-ranking at every SF; quality = per-mille of docs meeting a length
+# floor (pure integers: SF-invariant semantics, engine-identical DIV).
+MIX_BUDGET_PCT = 60
+MIX_QUALITY_MIN_CHARS = 300
+
+
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget allocation across sources, quality-first.
+
+    Per source: token supply (whitespace tokens, the corpus counting
+    convention) and a quality score in ppm (docs with >=
+    MIX_QUALITY_MIN_CHARS chars per million docs). Sources are ranked
+    by (quality DESC, source ASC — deterministic tie-break,
+    convention #6) and a budget of MIX_BUDGET_PCT% of total tokens is
+    filled in rank order: full take while the budget lasts, one
+    partial take at the boundary, excluded after. ``tokens_taken`` is
+    clamp(budget - cum_before, 0, supply) — all non-negative int64
+    (convention #7).
+
+    Scale shape: ONE corpus scan map-side combines to |sources| rows;
+    every window (rank, running total) runs over that bounded
+    aggregate, never over data — the allocation itself costs nothing
+    at 100 TB. The budget scalar derives from the same aggregate via
+    an unpartitioned window over |sources| rows (documented bounded
+    domain).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.expr("size(split(trim(text), ' +'))").cast("long").alias("n_tok"),
+            F.expr(
+                f"CAST(n_chars >= {MIX_QUALITY_MIN_CHARS} AS INT)"
+            ).alias("passes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens_available"),
+            F.sum("passes").alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_available",
+            F.expr("n_pass * 1000000 DIV n_docs").alias("quality_ppm"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("quality_ppm").desc(), F.col("source").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "source",
+        "n_docs",
+        "quality_ppm",
+        "tokens_available",
+        F.row_number().over(w_rank).alias("mix_rank"),
+        F.coalesce(F.sum("tokens_available").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.expr(
+            f"sum(tokens_available) OVER () * {MIX_BUDGET_PCT} DIV 100"
+        ).alias("budget"),
+    )
+    return ranked.select(
+        "source",
+        "mix_rank",
+        "quality_ppm",
+        "n_docs",
+        "tokens_available",
+        F.expr(
+            "greatest(CAST(0 AS BIGINT),"
+            " least(tokens_available, budget - cum_before))"
+        ).alias("tokens_taken"),
+        F.expr(
+            "CASE WHEN least(tokens_available, greatest(CAST(0 AS BIGINT),"
+            " budget - cum_before)) = tokens_available THEN 'full'"
+            " WHEN budget - cum_before > 0 THEN 'partial'"
+            " ELSE 'excluded' END"
+        ).alias("status"),
+    ).orderBy("mix_rank")
+
+
+_MIX_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+           AS tokens_available,
+         CAST(SUM(CAST(n_chars >= {MIX_QUALITY_MIN_CHARS} AS INT)) AS BIGINT)
+           AS n_pass
+  FROM documents GROUP BY source),
+scored AS (
+  SELECT source, n_docs, tokens_available,
+         n_pass * 1000000 // n_docs AS quality_ppm
+  FROM per),
+ranked AS (
+  SELECT source, n_docs, quality_ppm, tokens_available,
+         ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, source ASC) AS mix_rank,
+         CAST(COALESCE(SUM(tokens_available) OVER (
+           ORDER BY quality_ppm DESC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(SUM(tokens_available) OVER () AS BIGINT) * {MIX_BUDGET_PCT} // 100
+           AS budget
+  FROM scored)
+SELECT source, CAST(mix_rank AS INT) AS mix_rank, quality_ppm, n_docs,
+       tokens_available,
+       greatest(CAST(0 AS BIGINT),
+                least(tokens_available, budget - cum_before)) AS tokens_taken,
+       CASE WHEN least(tokens_available, greatest(CAST(0 AS BIGINT),
+                 budget - cum_before)) = tokens_available THEN 'full'
+            WHEN budget - cum_before > 0 THEN 'partial'
+            ELSE 'excluded' END AS status
+FROM ranked ORDER BY mix_rank
+"""
+
+
 QUERIES = {
     "corpus_dsir_importance": corpus_dsir_importance,
+    "corpus_token_budget_mix": corpus_token_budget_mix,
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_shard_assignment": corpus_shard_assignment,
     "corpus_bpe_vocab": corpus_bpe_vocab,
@@ -1859,6 +1983,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_dsir_importance": _dsir_sql(),
+    "corpus_token_budget_mix": _MIX_SQL,
     "corpus_vocab_growth": _VOCAB_GROWTH_SQL,
     "corpus_mix_epochs": _MIX_EPOCHS_SQL,
     "corpus_bpe_pair_counts": _BPE_SQL,

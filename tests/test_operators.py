@@ -1882,3 +1882,43 @@ def test_deletion_propagation_referential(spark, sf_dir):
     ).count()
     assert survivors == rows["lineitem"]["n_after"]
     assert rows["customer"]["deleted_amount"] is None
+
+
+def test_token_budget_mix_greedy_invariants(spark, sf_dir):
+    """The allocation is a proper greedy prefix: in rank order the
+    statuses are full* partial? excluded*, every take is bounded by
+    supply, and the takes sum exactly to the budget (60% of total
+    tokens, integer DIV) whenever anything was excluded."""
+    from catme_etl_j_spark.operators.corpus import (
+        MIX_BUDGET_PCT,
+        corpus_token_budget_mix,
+    )
+
+    rows = sorted(
+        corpus_token_budget_mix(spark, sf_dir).collect(),
+        key=lambda r: r["mix_rank"],
+    )
+    assert [r["mix_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # quality non-increasing in rank order
+    q = [r["quality_ppm"] for r in rows]
+    assert q == sorted(q, reverse=True)
+    # status shape: full* partial? excluded*
+    statuses = [r["status"] for r in rows]
+    import re
+
+    assert re.fullmatch(r"(full,)*(partial,)?(excluded,)*", ",".join(statuses) + ","), statuses
+    for r in rows:
+        assert 0 <= r["tokens_taken"] <= r["tokens_available"]
+        if r["status"] == "full":
+            assert r["tokens_taken"] == r["tokens_available"]
+        elif r["status"] == "excluded":
+            assert r["tokens_taken"] == 0
+        else:
+            assert 0 < r["tokens_taken"] < r["tokens_available"]
+    total = sum(r["tokens_available"] for r in rows)
+    budget = total * MIX_BUDGET_PCT // 100
+    taken = sum(r["tokens_taken"] for r in rows)
+    if any(s != "full" for s in statuses):
+        assert taken == budget, (taken, budget)
+    else:
+        assert taken == total
