@@ -92,12 +92,12 @@ _PRIORITY: tuple[str, ...] = (
     "scale_minmax_pruning",
     "sketch_theta_setops",
     "corpus_token_budget_mix",
-    # --- events backlog: 16 of the 19-name tail (heatmap_hour_dow,
-    # inter_arrival, tumbling_window ceded their slots to wave-3
-    # newborns; drain in r8 — the stream_/events_ twins of tumbling
-    # are already witnessed) ---
+    "etl_schema_evolution",
+    # --- events backlog: 15 of the 19-name tail (heatmap_hour_dow,
+    # inter_arrival, tumbling_window, sliding_window ceded their slots
+    # to wave-3 newborns; drain in r8 — the tumbling/sliding stream_
+    # twins are already witnessed) ---
     "events_cusum_changepoint",
-    "events_sliding_window",
     "events_dedup_earliest",
     "events_json_extract",
     "events_power_users",

@@ -1179,7 +1179,93 @@ FROM u ORDER BY tbl
 """
 
 
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift reconciliation with per-version accounting — the
+    long-lived-table problem: files written before a column existed
+    must union with files written after one was dropped, and the
+    reader has to null-fill both directions without losing rows or
+    money.
+
+    Simulated drift from one orders extract: the v1 slice (even order
+    keys) carries ``o_totalprice`` but predates ``o_orderpriority``;
+    the v2 slice (odd keys) added priority and dropped totalprice.
+    The reconciliation is Spark's real mechanism —
+    ``unionByName(allowMissingColumns=True)`` (what
+    ``spark.read.option("mergeSchema", ...)`` does for parquet file
+    footers) — and the report is a ROLLUP over the evolved table:
+    per version and overall, row counts, how many rows were
+    null-filled per drifted column, distinct priorities seen, and the
+    exact DECIMAL totalprice sum (convention #2) proving the merge
+    dropped no money.
+
+    Scale shape: one scan per version slice (same file here; disjoint
+    files in production), a union that is a zero-shuffle narrow op,
+    and ONE rollup aggregate that map-side combines to
+    |versions|+1 rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.expr("o_orderkey % 2 = 0")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.expr("o_orderkey % 2 = 1")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    evolved = v1.withColumn("schema_version", F.lit("v1")).unionByName(
+        v2.withColumn("schema_version", F.lit("v2")), allowMissingColumns=True
+    )
+    return (
+        evolved.rollup("schema_version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr("CAST(o_totalprice IS NULL AS INT)"))
+            .cast("long")
+            .alias("n_null_totalprice"),
+            F.sum(F.expr("CAST(o_orderpriority IS NULL AS INT)"))
+            .cast("long")
+            .alias("n_null_priority"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            money2(F.sum(dec2("o_totalprice"))).alias("sum_totalprice"),
+        )
+        .select(
+            F.coalesce("schema_version", F.lit("__ALL__")).alias("schema_version"),
+            "n_rows",
+            "n_null_totalprice",
+            "n_null_priority",
+            "n_priorities",
+            "sum_totalprice",
+        )
+        .orderBy("schema_version")
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS schema_version
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         o_orderpriority, 'v2' AS schema_version
+  FROM orders WHERE o_orderkey % 2 = 1),
+evolved AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COALESCE(schema_version, '__ALL__') AS schema_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice IS NULL AS INT)) AS BIGINT)
+         AS n_null_totalprice,
+       CAST(SUM(CAST(o_orderpriority IS NULL AS INT)) AS BIGINT)
+         AS n_null_priority,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_totalprice
+FROM evolved
+GROUP BY ROLLUP(schema_version)
+ORDER BY schema_version
+"""
+
+
 QUERIES = {
+    "etl_schema_evolution": etl_schema_evolution,
     "etl_deletion_propagation": etl_deletion_propagation,
     "etl_late_arriving_dim": etl_late_arriving_dim,
     "etl_bitemporal_asof": etl_bitemporal_asof,
@@ -1197,6 +1283,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "etl_deletion_propagation": _DELETION_SQL,
     "etl_late_arriving_dim": _LATE_DIM_SQL,
     "etl_bitemporal_asof": _BITEMPORAL_SQL,

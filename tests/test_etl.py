@@ -102,3 +102,37 @@ def test_constraint_violations_all_pass_on_fixtures(spark, sf_dir):
     assert rows["orders.o_orderkey NOT NULL"]["n_checked"] == n_orders
     assert rows["lineitem.l_orderkey REFERENCES orders"]["n_checked"] == n_lines
     assert all(r["n_violations"] == 0 for r in rows.values())
+
+
+def test_schema_evolution_conservation(spark, sf_dir):
+    """The union loses nothing: per-version null-fills are exactly the
+    other version's row count for the drifted columns, the __ALL__ row
+    is the sum of the versions, and the merged totalprice sum equals a
+    direct sum over the v1 slice (v2 carries no totalprice)."""
+    from catme_etl_j_spark.operators.etl import etl_schema_evolution
+    from catme_etl_j_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["schema_version"]: r for r in etl_schema_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {"v1", "v2", "__ALL__"}
+    v1, v2, al = rows["v1"], rows["v2"], rows["__ALL__"]
+    # v1 predates priority: every v1 row null-fills it, no totalprice nulls
+    assert v1["n_null_priority"] == v1["n_rows"]
+    assert v1["n_null_totalprice"] == 0
+    assert v1["n_priorities"] == 0
+    # v2 dropped totalprice: mirror image
+    assert v2["n_null_totalprice"] == v2["n_rows"]
+    assert v2["n_null_priority"] == 0
+    assert v2["n_priorities"] > 0
+    # rollup total = sum of parts
+    assert al["n_rows"] == v1["n_rows"] + v2["n_rows"]
+    assert al["n_null_totalprice"] == v2["n_rows"]
+    assert al["n_null_priority"] == v1["n_rows"]
+    # conservation of money through the union (exact DECIMAL path)
+    direct = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderkey % 2 = 0"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert al["sum_totalprice"] == direct == v1["sum_totalprice"]
