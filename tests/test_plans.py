@@ -657,3 +657,70 @@ def test_pca_projection_is_map_only_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in tree
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_minmax_pruning_single_fact_scan_plus_bounds(spark, sf_dir):
+    """The zone-map accounting reads lineitem exactly twice — the tiny
+    2-column bounds aggregate (broadcast) and the ONE posexploded fact
+    pass — and both scans are pruned to the two needed columns; the
+    128-group aggregate partial-combines before its single exchange."""
+    from catme_etl_j_spark.operators.scale import scale_minmax_pruning
+
+    plan = formatted_plan(scale_minmax_pruning(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastExchange" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "Generate" in tree  # the posexplode into both layouts
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>" in plan
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+
+
+def test_theta_setops_bounded_downstream(spark, sf_dir):
+    """Everything after the distinct is bounded: the set-op combine and
+    every scalar pivot joins broadcast; no sort-merge join of data-
+    sized sides anywhere."""
+    from catme_etl_j_spark.operators.sketch import sketch_theta_setops
+
+    plan = formatted_plan(sketch_theta_setops(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "Generate" in tree  # the 5-op explode of the scalar row
+
+
+def test_token_budget_mix_windows_over_aggregate(spark, sf_dir):
+    """The corpus scan partial-aggregates to |sources| keys before any
+    window runs; the single unpartitioned window therefore sees only
+    the bounded aggregate (documented), never document rows."""
+    from catme_etl_j_spark.operators.corpus import corpus_token_budget_mix
+
+    plan = formatted_plan(corpus_token_budget_mix(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # the Window operators sit ABOVE the final HashAggregate in the tree
+    # (tree prints top-down: Window lines precede the aggregate lines)
+    win = min(i for i, l in enumerate(tree.splitlines()) if "Window" in l)
+    agg = max(i for i, l in enumerate(tree.splitlines()) if "HashAggregate" in l)
+    assert win < agg
+
+
+def test_schema_evolution_union_is_narrow(spark, sf_dir):
+    """The drift union adds no exchange of its own: the only shuffle is
+    the rollup aggregate's, and both version slices scan pruned
+    4-column projections."""
+    from catme_etl_j_spark.operators.etl import etl_schema_evolution
+
+    plan = formatted_plan(etl_schema_evolution(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Union" in tree
+    assert "Join" not in tree
+    # the union sits directly on the scans — no exchange below it; the
+    # only shuffles are the aggregate's own (two-phase because of the
+    # distinct-priority count: Expand + partial/final) plus the output
+    # sort's range exchange
+    lines = tree.splitlines()
+    union_at = next(i for i, l in enumerate(lines) if "Union" in l)
+    assert not any("Exchange" in l for l in lines[union_at:])
+    import re
+
+    n_ex = len(re.findall(r"\bExchange\b", tree))
+    assert n_ex <= 3, tree

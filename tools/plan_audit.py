@@ -52,6 +52,11 @@ AUDIT = [
     ("etl_late_arriving_dim", "pushed cutoff filter; broadcast dim joins; spine is the only nested-loop join"),
     ("corpus_dsir_importance", "checkpointed compressed frame feeds weights AND scoring (zero corpus re-scan); weight table broadcast"),
     ("embed_pca_outliers", "map-only projection onto the solved axis; TakeOrderedAndProject, no join"),
+    # round-7 third wave: zone maps, sketch set algebra, data mixing, drift
+    ("scale_minmax_pruning", "ONE fact scan posexploded into both layouts; broadcast 1-row bounds; 2-column ReadSchema"),
+    ("sketch_theta_setops", "data-sized work is one distinct; all set ops over broadcast/bounded <=2K-row states"),
+    ("corpus_token_budget_mix", "one corpus scan combines to |sources| rows; allocation windows over the bounded aggregate"),
+    ("etl_schema_evolution", "zero-shuffle union; single rollup aggregate; 4-column ReadSchema per slice"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
