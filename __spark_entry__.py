@@ -93,15 +93,16 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_theta_setops",
     "corpus_token_budget_mix",
     "etl_schema_evolution",
-    # --- events backlog: 15 of the 19-name tail (heatmap_hour_dow,
-    # inter_arrival, tumbling_window, sliding_window ceded their slots
-    # to wave-3 newborns; drain in r8 — the tumbling/sliding stream_
-    # twins are already witnessed) ---
+    "ann_matryoshka_recall",
+    "graph_s_core_peeling",
+    "etl_scd3_previous_value",
+    # --- events backlog: 12 of the 19-name tail (heatmap_hour_dow,
+    # inter_arrival, tumbling_window, sliding_window, dedup_earliest,
+    # json_extract, twap ceded their slots to wave-3/4 newborns; drain
+    # in r8 — the tumbling/sliding/dedup stream_ twins are already
+    # witnessed) ---
     "events_cusum_changepoint",
-    "events_dedup_earliest",
-    "events_json_extract",
     "events_power_users",
-    "events_twap",
     "events_ab_test",
     "events_peak_concurrency",
     "events_attribution_linear",

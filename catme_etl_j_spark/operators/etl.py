@@ -1264,7 +1264,77 @@ ORDER BY schema_version
 """
 
 
+def etl_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-3 snapshot: per customer, the CURRENT and PREVIOUS
+    value of the tracked attribute (order priority, by order
+    recency) plus a change flag — the "one column of history"
+    warehouse pattern that completes the SCD coverage next to the
+    type-2 interval/snapshot operators.
+
+    Derivation is one window pass over orders per customer ordered by
+    (o_orderdate DESC, o_orderkey DESC — unique tie-break, convention
+    #6): row 1 is current, its ``lead`` is previous; a count over the
+    same partition gives n_orders without a second aggregate.
+
+    Scale shape: ONE (o_custkey) exchange + sort serves the rank, the
+    lead, and the count — a single Window operator; no self-join. At
+    100 TB this is the standard co-partitioned per-entity pass.
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("current_priority"),
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderpriority").over(w).alias("previous_priority"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "current_priority",
+            "previous_priority",
+            F.expr(
+                "CASE WHEN previous_priority IS NULL THEN 0"
+                " WHEN current_priority <> previous_priority THEN 1"
+                " ELSE 0 END"
+            ).alias("changed"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_SCD3_SQL = """
+WITH ranked AS (
+  SELECT o_custkey,
+         o_orderpriority AS current_priority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         LEAD(o_orderpriority) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS previous_priority,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+  FROM orders)
+SELECT o_custkey, n_orders, current_priority, previous_priority,
+       CASE WHEN previous_priority IS NULL THEN 0
+            WHEN current_priority <> previous_priority THEN 1
+            ELSE 0 END AS changed
+FROM ranked WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
+    "etl_scd3_previous_value": etl_scd3_previous_value,
     "etl_schema_evolution": etl_schema_evolution,
     "etl_deletion_propagation": etl_deletion_propagation,
     "etl_late_arriving_dim": etl_late_arriving_dim,
@@ -1283,6 +1353,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_scd3_previous_value": _SCD3_SQL,
     "etl_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "etl_deletion_propagation": _DELETION_SQL,
     "etl_late_arriving_dim": _LATE_DIM_SQL,

@@ -826,7 +826,177 @@ LIMIT {PRU_TOPK}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Weighted s-core peeling (Eidsaa & Almaas, "s-core network decomposition",
+# Phys. Rev. E 2013 — public; the strength-weighted generalization of
+# k-core). Iteratively remove nodes whose incident-edge-weight sum falls
+# below a threshold; removals weaken neighbors, so peeling CASCADES —
+# the avalanche dynamic this operator makes visible per round.
+# ---------------------------------------------------------------------------
+
+SCORE_ITERS = 5  # fixed unrolled rounds (oracle unrolls the same 5 CTEs)
+SCORE_PCT = 90  # s = 90% of the initial lower-median strength + 1
+
+
+def _sym_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (e1 < e2, summed weight) form of the temporal-
+    adjacency user graph (`_user_edges`)."""
+    e = _user_edges(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("least(src, dst)").alias("e1"),
+            F.expr("greatest(src, dst)").alias("e2"),
+            "w",
+        )
+        .groupBy("e1", "e2")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round trajectory of weighted s-core peeling over the user
+    graph: alive-node count, surviving-edge count, and surviving total
+    weight after each of SCORE_ITERS rounds of removing nodes with
+    strength < s.
+
+    s is data-derived (scale-portable): SCORE_PCT% of the initial
+    lower-median node strength, +1 — high enough that removals
+    actually cascade. At the driver SFs the trajectory shows the
+    avalanche property of s-cores (sf0.01: 150 -> 119 -> 48 -> 0): a
+    strength threshold, unlike a degree threshold, keeps biting as
+    removals drain the survivors' strengths. Rounds after the
+    fixpoint (including a collapse to the empty core) repeat it —
+    fixed SCORE_ITERS rows on both engines.
+
+    Scale shape: the edge list localCheckpoints once; each round is
+    two LEFT SEMI hash equi-joins (alive onto edges) + one map-side-
+    combined strength aggregate — the Pregel discipline of
+    pagerank_users/LPA, alive set re-checkpointed every 2 rounds. The
+    two driver-side scalars (node count, lower median via the
+    value-walk over per-strength counts — no global row_number over
+    nodes, the theil_sen remedy) are bounded aggregates; distinct
+    strength values cluster far below |nodes| (histogram-bucket the
+    walk if that ever fails to hold).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges = _sym_user_edges(spark, sf_dir).localCheckpoint()
+    st0 = (
+        edges.select(F.col("e1").alias("node"), "w")
+        .unionByName(edges.select(F.col("e2").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("s"))
+    )
+    n_nodes = st0.count()
+    if n_nodes == 0:
+        s_thr = 1  # oracle's NULL threshold also yields all-empty rounds
+    else:
+        rank = (n_nodes + 1) // 2
+        wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        med_row = (
+            st0.groupBy("s")
+            .agg(F.count("*").alias("c"))
+            .withColumn("cum", F.sum("c").over(wcum))
+            .filter(F.col("cum") >= rank)
+            .agg(F.min("s").alias("med"))
+            .first()
+        )
+        s_thr = int(med_row["med"]) * SCORE_PCT // 100 + 1
+    alive = st0.select("node")
+    rows = []
+    for r in range(1, SCORE_ITERS + 1):
+        ea = edges.join(
+            alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
+        ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
+        st = (
+            ea.select(F.col("e1").alias("node"), "w")
+            .unionByName(ea.select(F.col("e2").alias("node"), "w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("s"))
+        )
+        alive = st.filter(F.col("s") >= s_thr).select("node")
+        if r % 2 == 0:
+            alive = alive.localCheckpoint()
+        ee = edges.join(
+            alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
+        ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
+        rows.append(
+            alive.agg(F.count("*").cast("long").alias("n_alive"))
+            .crossJoin(
+                ee.agg(
+                    F.count("*").cast("long").alias("n_edges"),
+                    F.expr("CAST(coalesce(sum(w), 0) AS BIGINT)").alias("total_w"),
+                )
+            )
+            .withColumn("round", F.lit(r))
+        )
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), rows)
+    return out.select("round", "n_alive", "n_edges", "total_w").orderBy("round")
+
+
+def _s_core_sql() -> str:
+    head = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         ts, event_id, user_id
+  FROM events WHERE user_id IS NOT NULL),
+adj AS (
+  SELECT user_id AS dst,
+         lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
+  FROM ev),
+dedges AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w
+  FROM adj WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst),
+e AS MATERIALIZED (
+  SELECT least(src, dst) AS e1, greatest(src, dst) AS e2,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM dedges GROUP BY 1, 2),
+st0 AS MATERIALIZED (
+  SELECT node, CAST(SUM(w) AS BIGINT) AS s
+  FROM (SELECT e1 AS node, w FROM e UNION ALL SELECT e2, w FROM e) u
+  GROUP BY node),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM st0),
+medv AS (
+  SELECT MIN(s) AS med FROM (
+    SELECT s, SUM(c) OVER (ORDER BY s) AS cum
+    FROM (SELECT s, COUNT(*)::BIGINT AS c FROM st0 GROUP BY s) g) cw, nn
+  WHERE cum >= (nn.n + 1) // 2),
+thr AS MATERIALIZED (SELECT med * {SCORE_PCT} // 100 + 1 AS s_thr FROM medv),
+a0 AS MATERIALIZED (SELECT node FROM st0)"""
+    parts = [head]
+    for r in range(1, SCORE_ITERS + 1):
+        p = r - 1
+        parts.append(
+            f"""
+e{r} AS MATERIALIZED (
+  SELECT e.e1, e.e2, e.w FROM e
+  JOIN a{p} x ON e.e1 = x.node JOIN a{p} y ON e.e2 = y.node),
+st{r} AS (
+  SELECT node, CAST(SUM(w) AS BIGINT) AS s
+  FROM (SELECT e1 AS node, w FROM e{r} UNION ALL SELECT e2, w FROM e{r}) u
+  GROUP BY node),
+a{r} AS MATERIALIZED (SELECT node FROM st{r}, thr WHERE s >= s_thr),
+ee{r} AS MATERIALIZED (
+  SELECT e.e1, e.e2, e.w FROM e{r} e
+  JOIN a{r} x ON e.e1 = x.node JOIN a{r} y ON e.e2 = y.node),
+row{r} AS (
+  SELECT {r} AS round,
+         (SELECT COUNT(*)::BIGINT FROM a{r}) AS n_alive,
+         (SELECT COUNT(*)::BIGINT FROM ee{r}) AS n_edges,
+         (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM ee{r}) AS total_w)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row{r}" for r in range(1, SCORE_ITERS + 1)
+    )
+    return ",".join(parts) + f"\n{union}\nORDER BY round"
+
+
 QUERIES = {
+    "graph_s_core_peeling": graph_s_core_peeling,
     "graph_pagerank_users": graph_pagerank_users,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_adamic_adar": graph_adamic_adar,
@@ -838,6 +1008,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_s_core_peeling": _s_core_sql(),
     "graph_pagerank_users": _pagerank_users_sql(),
     "graph_lpa_communities": _lpa_sql(),
     "graph_adamic_adar": _ADAMIC_ADAR_SQL,

@@ -1305,8 +1305,144 @@ FROM firsts
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (Kusupati et al., "Matryoshka Representation
+# Learning", NeurIPS 2022 — public): MRL-trained embeddings keep most of
+# their retrieval quality when truncated to a prefix of the dimensions,
+# so an index can store d=16 prefixes and rerank with full vectors. The
+# question a 100 TB deployment asks before committing to that layout is
+# exactly this operator: recall@k of prefix-truncated search vs the
+# full-dimension exact top-k.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32, 64)
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of dimension-truncated cosine search against the
+    full-dimension exact top-k, per truncation prefix (16/32/64 of the
+    64-dim embeddings; d=64 is the self-recall sanity row = 100%).
+
+    ONE pass over the prescaled embeddings computes all three
+    truncated cosines (prefix slices of the SAME fxp array — the
+    Matryoshka property that prefixes are themselves embeddings);
+    the frame is localCheckpoint'd so the per-dim top-k pulls
+    (TakeOrderedAndProject — per-partition top-k merges, no global
+    sort) read the materialized frame instead of rescanning parquet.
+    Recall joins each truncated top-k against the full-dim top-k ids.
+    (The synthetic embeddings are random, not MRL-trained, so small
+    prefixes score LOW — 10%@16 / 50%@32 at sf0.01 — which is exactly
+    what this eval exists to reveal before committing to a truncated
+    index layout.)
+
+    Determinism: fixed-point int64 dots (convention #4), rdet-1e6
+    cosines, (cos DESC, vec_id ASC) tie-breaks (convention #6). A
+    zero-norm prefix NULLs its cosine on BOTH engines (convention #9;
+    Spark ANSI would throw on /0) and sorts last (explicit NULLS LAST
+    in the oracle — DuckDB DESC defaults NULLS FIRST).
+    """
+    from functools import reduce
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    qfx, _ = _query_fx(spark, sf_dir)
+    emb = _prescaled(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID)
+    sel = [F.col("vec_id")]
+    for d in MRL_DIMS:
+        q_d = _fx_literal(qfx[:d])
+        qn_d = _fx_norm(qfx[:d])
+        fx_d = f"slice(fx, 1, {d})"
+        if qn_d == 0.0:
+            sel.append(F.lit(None).cast("double").alias(f"cos_{d}"))
+            continue
+        cos = rdet(
+            F.expr(f"CAST({_dot_fx(fx_d, q_d)} AS DOUBLE)")
+            / (F.expr(_norm_fx(fx_d)) * F.lit(qn_d)),
+            6,
+        )
+        sel.append(
+            F.when(F.expr(f"{_dot_fx(fx_d, fx_d)} = 0"), F.lit(None).cast("double"))
+            .otherwise(cos)
+            .alias(f"cos_{d}")
+        )
+    scored = emb.select(*sel).localCheckpoint()
+    full = (
+        scored.orderBy(F.desc(f"cos_{MRL_DIMS[-1]}"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(F.col("vec_id").alias("f_id"))
+    )
+    frames = []
+    for d in MRL_DIMS:
+        topd = (
+            scored.orderBy(F.desc(f"cos_{d}"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select(F.col("vec_id").alias("d_id"))
+        )
+        hits = topd.join(full, topd["d_id"] == full["f_id"], "left")
+        frames.append(
+            hits.agg(
+                F.count("*").cast("long").alias("n_topk"),
+                F.expr("coalesce(sum(CAST(f_id IS NOT NULL AS INT)), 0)")
+                .cast("long")
+                .alias("n_hits"),
+            ).withColumn("dim", F.lit(d))
+        )
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    return out.select(
+        "dim",
+        "n_topk",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_topk = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE floor(CAST(n_hits AS DOUBLE) * 100.0 / n_topk * 100.0 + 0.5)"
+            " / 100.0 END"
+        ).alias("recall_pct"),
+    ).orderBy("dim")
+
+
+def _mrl_sql() -> str:
+    cos_cols = []
+    for d in MRL_DIMS:
+        a, q = f"(embedding[1:{d}])", f"(qe[1:{d}])"
+        core = rdet_sql(
+            f"CAST({_dot_duck(a, q)} AS DOUBLE)"
+            f" / ({_norm_duck(a)} * {_norm_duck(q)})",
+            6,
+        )
+        cos_cols.append(
+            f"CASE WHEN {_dot_duck(a, a)} = 0 OR {_dot_duck(q, q)} = 0"
+            f" THEN CAST(NULL AS DOUBLE) ELSE {core} END AS cos_{d}"
+        )
+    tops = ",\n".join(
+        f"t{d} AS (SELECT vec_id FROM scored"
+        f" ORDER BY cos_{d} DESC NULLS LAST, vec_id ASC LIMIT {TOP_K})"
+        for d in MRL_DIMS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS dim, CAST(COUNT(*) AS BIGINT) AS n_topk,"
+        f" CAST(COALESCE(SUM(CAST(f.vec_id IS NOT NULL AS INT)), 0) AS BIGINT)"
+        f" AS n_hits"
+        f" FROM t{d} d LEFT JOIN t{MRL_DIMS[-1]} f ON d.vec_id = f.vec_id"
+        for d in MRL_DIMS
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, {", ".join(cos_cols)}
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+{tops},
+rows3 AS (
+{rows})
+SELECT dim, n_topk, n_hits,
+       CASE WHEN n_topk = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE floor(CAST(n_hits AS DOUBLE) * 100.0 / n_topk * 100.0 + 0.5)
+              / 100.0 END AS recall_pct
+FROM rows3 ORDER BY dim
+"""
+
+
 QUERIES = {
     "rank_mrr_eval": rank_mrr_eval,
+    "ann_matryoshka_recall": ann_matryoshka_recall,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_batch_topk": ann_batch_topk,
@@ -1323,6 +1459,7 @@ QUERIES = {
 
 ORACLES = {
     "rank_mrr_eval": _mrr_sql(),
+    "ann_matryoshka_recall": _mrl_sql(),
     "ann_topk_bruteforce": _topk_sql(),
     "ann_filtered_topk": _filtered_topk_sql(),
     "ann_batch_topk": _batch_topk_sql(),

@@ -307,3 +307,24 @@ def test_theta_setops_identities(spark, sf_dir):
             assert abs(r["theta_estimate"] - r["exact"]) <= max(
                 bound * r["exact"], 3
             ), r
+
+
+def test_matryoshka_recall_sanity(spark, sf_dir):
+    """The full-dimension row is the self-recall control (exactly
+    100%), every truncated recall is a valid percentage over a full
+    top-k, and the frame has one row per configured prefix."""
+    from catme_etl_j_spark.operators.similarity import (
+        MRL_DIMS,
+        TOP_K,
+        ann_matryoshka_recall,
+    )
+
+    rows = {r["dim"]: r for r in ann_matryoshka_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(MRL_DIMS)
+    full = rows[MRL_DIMS[-1]]
+    assert full["n_hits"] == full["n_topk"] == TOP_K
+    assert full["recall_pct"] == 100.0
+    for r in rows.values():
+        assert r["n_topk"] == TOP_K
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert 0.0 <= r["recall_pct"] <= 100.0

@@ -136,3 +136,31 @@ def test_schema_evolution_conservation(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert al["sum_totalprice"] == direct == v1["sum_totalprice"]
+
+
+def test_scd3_matches_direct_latest_two(spark, sf_dir):
+    """Current/previous equal the two most recent orders' priorities
+    under the (date DESC, orderkey DESC) order; changed is the exact
+    inequality flag; n_orders matches the group size."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.etl import etl_scd3_previous_value
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = {r["o_custkey"]: r for r in etl_scd3_previous_value(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(o)
+    assert set(rows) == set(by_cust)
+    for ck, os_ in by_cust.items():
+        os_.sort(key=lambda o: (o["o_orderdate"], o["o_orderkey"]), reverse=True)
+        r = rows[ck]
+        assert r["n_orders"] == len(os_)
+        assert r["current_priority"] == os_[0]["o_orderpriority"]
+        want_prev = os_[1]["o_orderpriority"] if len(os_) > 1 else None
+        assert r["previous_priority"] == want_prev
+        want_changed = int(want_prev is not None and want_prev != os_[0]["o_orderpriority"])
+        assert r["changed"] == want_changed

@@ -156,3 +156,26 @@ def test_pagerank_users_empty_corpus(spark, tmp_path):
     con = ddb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
     assert len(con.sql(entry_mod.oracle_sql()["graph_pagerank_users"]).fetchall()) == 0
+
+
+def test_s_core_peeling_monotone(spark, sf_dir):
+    """Peeling can only shrink: alive nodes, surviving edges, and
+    surviving weight are non-increasing across rounds; once the core
+    empties it stays empty; zero edges implies zero weight."""
+    from catme_etl_j_spark.operators.graph import SCORE_ITERS, graph_s_core_peeling
+
+    rows = sorted(
+        graph_s_core_peeling(spark, sf_dir).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, SCORE_ITERS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_alive"] <= a["n_alive"]
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["total_w"] <= a["total_w"]
+        if a["n_alive"] == 0:
+            assert b["n_alive"] == 0
+    for r in rows:
+        assert (r["n_edges"] == 0) == (r["total_w"] == 0)
+        # an alive node needs strength >= s >= 1, hence >= 1 incident edge
+        if r["n_alive"] > 0:
+            assert r["n_edges"] > 0
