@@ -1294,7 +1294,14 @@ def etl_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("current_priority"),
         F.row_number().over(w).alias("rn"),
         F.lead("o_orderpriority").over(w).alias("previous_priority"),
-        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        # full frame over the SAME ordered spec so rank/lead/count fuse
+        # into one Window operator (an unordered count spec would plan a
+        # second Window behind the same exchange)
+        F.count("*")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n_orders"),
     )
     return (
         ranked.filter(F.col("rn") == 1)

@@ -724,3 +724,39 @@ def test_schema_evolution_union_is_narrow(spark, sf_dir):
 
     n_ex = len(re.findall(r"\bExchange\b", tree))
     assert n_ex <= 3, tree
+
+
+def test_matryoshka_no_parquet_rescans(spark, sf_dir):
+    """After the localCheckpoint of the scored frame, the three
+    per-dim top-k pulls and the recall joins read the materialized
+    frame — zero parquet scans reach the returned plan."""
+    from catme_etl_j_spark.operators.similarity import ann_matryoshka_recall
+
+    plan = formatted_plan(ann_matryoshka_recall(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_s_core_rounds_are_semi_joins(spark, sf_dir):
+    """Every peeling round is alive-set LEFT SEMI equi-joins onto the
+    checkpointed edge list plus a partial-combined strength aggregate —
+    no nested-loop join, no parquet rescan inside the loop."""
+    from catme_etl_j_spark.operators.graph import graph_s_core_peeling
+
+    plan = formatted_plan(graph_s_core_peeling(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree.replace("BroadcastNestedLoopJoin Cross", "")
+    assert "LeftSemi" in plan
+    assert tree.count("Scan parquet") == 0  # edges checkpointed before the loop
+
+
+def test_scd3_single_window_operator(spark, sf_dir):
+    """rank, lead, and the per-customer count all evaluate in ONE
+    Window operator behind a single hash exchange on o_custkey."""
+    from catme_etl_j_spark.operators.etl import etl_scd3_previous_value
+
+    plan = formatted_plan(etl_scd3_previous_value(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert sum(1 for l in tree.splitlines() if "Window" in l and "Sort" not in l) == 1
+    assert "Join" not in tree

@@ -57,6 +57,10 @@ AUDIT = [
     ("sketch_theta_setops", "data-sized work is one distinct; all set ops over broadcast/bounded <=2K-row states"),
     ("corpus_token_budget_mix", "one corpus scan combines to |sources| rows; allocation windows over the bounded aggregate"),
     ("etl_schema_evolution", "zero-shuffle union; single rollup aggregate; 4-column ReadSchema per slice"),
+    # round-7 fourth wave
+    ("ann_matryoshka_recall", "one checkpointed scored frame; per-dim TakeOrdered pulls read Scan ExistingRDD, no parquet rescans"),
+    ("graph_s_core_peeling", "per-round LEFT SEMI hash equi-joins + partial strength aggregate; checkpointed edge list"),
+    ("etl_scd3_previous_value", "rank + lead + count in ONE Window operator behind a single (o_custkey) exchange"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
