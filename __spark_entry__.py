@@ -96,14 +96,14 @@ _PRIORITY: tuple[str, ...] = (
     "ann_matryoshka_recall",
     "graph_s_core_peeling",
     "etl_scd3_previous_value",
-    # --- events backlog: 12 of the 19-name tail (heatmap_hour_dow,
+    "multimodal_chunk_manifest",
+    # --- events backlog: 11 of the 19-name tail (heatmap_hour_dow,
     # inter_arrival, tumbling_window, sliding_window, dedup_earliest,
-    # json_extract, twap ceded their slots to wave-3/4 newborns; drain
-    # in r8 — the tumbling/sliding/dedup stream_ twins are already
-    # witnessed) ---
+    # json_extract, twap, ab_test ceded their slots to wave-3/4/5
+    # newborns; drain in r8 — the tumbling/sliding/dedup stream_ twins
+    # are already witnessed) ---
     "events_cusum_changepoint",
     "events_power_users",
-    "events_ab_test",
     "events_peak_concurrency",
     "events_attribution_linear",
     "events_wow_growth",

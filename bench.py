@@ -91,6 +91,11 @@ HEADLINE = [
     "events_attribution_touch",
     # round-7: the data-scaled Pregel-shape iterative join loop
     "graph_pagerank_users",
+    # round-7 waves 3/4: the zone-map double-layout scan and the
+    # 5-round s-core peeling loop (the two new shapes whose cost could
+    # drift — the other wave ops are bounded-aggregate plans)
+    "scale_minmax_pruning",
+    "graph_s_core_peeling",
 ]
 
 
@@ -207,6 +212,7 @@ def _run_session() -> dict[str, float]:
         "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
         "sketch_ams_f2",  # localCheckpoints the shingle counts
         "graph_pagerank_users",  # localCheckpoints edges + per-round ranks
+        "graph_s_core_peeling",  # checkpoints edges/alive + median collect
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -357,7 +357,90 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Chunked-blob manifest: the byte-range split plan a pipeline computes
+# before moving/scanning large multimodal payloads (multipart upload,
+# range reads, per-chunk checksums). Small chunk size so the driver
+# fixtures produce multi-chunk blobs.
+CHUNK_BLOB_BYTES = 100
+
+
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk manifest for opaque blob payloads: per (doc,
+    chunk) the 0-based byte offset, chunk length, last-chunk flag, and
+    a hex preview of the chunk head — the plan a chunked-upload /
+    range-scan job executes, derivable without ever decoding the blob.
+
+    Pure JVM arithmetic: n_chunks = ceil(n_bytes / C) via integer DIV
+    (non-negative, convention #7); chunk indexes from a GUARDED
+    sequence (empty payload -> zero chunk rows; an unguarded
+    sequence(0, -1) DESCENDS, convention #9). The head preview is
+    char-indexed into the source text on BOTH engines (equal to the
+    byte slice for the ASCII fixtures; DuckDB has no BLOB substring —
+    a production byte slice would use Spark's binary substring and a
+    blob-native oracle).
+
+    Scale shape: scan -> generate -> project, zero shuffles except the
+    output sort; at 100 TB the manifest job is embarrassingly parallel
+    and its output (not the blobs) is what the mover shuffles.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    c = CHUNK_BLOB_BYTES
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("nb"),
+    )
+    ex = base.select(
+        "doc_id",
+        "nb",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN nb = 0 THEN array()"
+                f" ELSE sequence(CAST(0 AS BIGINT), (nb - 1) DIV {c}) END"
+            )
+        ).alias("chunk_idx"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(f"chunk_idx * {c}").alias("offset"),
+        F.expr(f"least(CAST({c} AS BIGINT), nb - chunk_idx * {c})").alias(
+            "chunk_bytes"
+        ),
+        F.expr(f"chunk_idx = (nb - 1) DIV {c}").alias("is_last"),
+        F.expr(
+            f"hex(encode(substring(text, CAST(chunk_idx * {c} + 1 AS INT), 8),"
+            f" 'UTF-8'))"
+        ).alias("head_hex"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_MANIFEST_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents),
+ex AS (
+  SELECT doc_id, nb, text,
+         unnest(CASE WHEN nb = 0 THEN []::BIGINT[]
+                ELSE range(0, (nb - 1) // {CHUNK_BLOB_BYTES} + 1) END)
+           AS chunk_idx
+  FROM b)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       chunk_idx * {CHUNK_BLOB_BYTES} AS offset,
+       least(CAST({CHUNK_BLOB_BYTES} AS BIGINT),
+             nb - chunk_idx * {CHUNK_BLOB_BYTES}) AS chunk_bytes,
+       chunk_idx = (nb - 1) // {CHUNK_BLOB_BYTES} AS is_last,
+       hex(encode(substring(text, CAST(chunk_idx * {CHUNK_BLOB_BYTES} + 1 AS INT), 8)))
+         AS head_hex
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
+    "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_meta": multimodal_meta,
     "multimodal_ahash_candidates": multimodal_ahash_candidates,
     "multimodal_fake_features": multimodal_fake_features,
@@ -381,6 +464,7 @@ FROM b
 """
 
 ORACLES = {
+    "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_meta": _META_SQL,
     "multimodal_ahash_candidates": _AHASH_SQL,
     "multimodal_frame_sample": _FRAME_SQL,

@@ -102,3 +102,44 @@ def test_ahash_pigeonhole_and_python_recompute(spark, sf_dir):
             for s in (0, 16)
         )
         assert shares
+
+
+def test_chunk_manifest_reassembles(spark, sf_dir):
+    """The manifest is a proper partition of every payload: offsets
+    are contiguous multiples of the chunk size, lengths sum to the
+    blob's byte count, exactly one last chunk per doc, and only the
+    last chunk may be short."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.multimodal import (
+        CHUNK_BLOB_BYTES,
+        multimodal_chunk_manifest,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = multimodal_chunk_manifest(spark, sf_dir).collect()
+    sizes = {
+        r["doc_id"]: r["nb"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length(F.encode("text", "UTF-8")).alias("nb"))
+        .collect()
+    }
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    # every non-empty payload has a manifest; empty payloads have none
+    assert set(by_doc) == {d for d, n in sizes.items() if n > 0}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert [c["offset"] for c in chunks] == [
+            i * CHUNK_BLOB_BYTES for i in range(len(chunks))
+        ]
+        assert sum(c["chunk_bytes"] for c in chunks) == sizes[doc]
+        assert [c["is_last"] for c in chunks].count(True) == 1
+        assert chunks[-1]["is_last"]
+        for c in chunks[:-1]:
+            assert c["chunk_bytes"] == CHUNK_BLOB_BYTES
+        assert 1 <= chunks[-1]["chunk_bytes"] <= CHUNK_BLOB_BYTES

@@ -760,3 +760,18 @@ def test_scd3_single_window_operator(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert sum(1 for l in tree.splitlines() if "Window" in l and "Sort" not in l) == 1
     assert "Join" not in tree
+
+
+def test_chunk_manifest_map_only(spark, sf_dir):
+    """The manifest derives per-row: one pruned scan, one Generate, no
+    join, and the only exchange is the output sort's."""
+    import re
+
+    from catme_etl_j_spark.operators.multimodal import multimodal_chunk_manifest
+
+    plan = formatted_plan(multimodal_chunk_manifest(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Generate" in tree
+    assert "Join" not in tree
+    assert len(re.findall(r"\bExchange\b", tree)) == 1

@@ -61,6 +61,7 @@ AUDIT = [
     ("ann_matryoshka_recall", "one checkpointed scored frame; per-dim TakeOrdered pulls read Scan ExistingRDD, no parquet rescans"),
     ("graph_s_core_peeling", "per-round LEFT SEMI hash equi-joins + partial strength aggregate; checkpointed edge list"),
     ("etl_scd3_previous_value", "rank + lead + count in ONE Window operator behind a single (o_custkey) exchange"),
+    ("multimodal_chunk_manifest", "scan -> generate -> project; the only exchange is the output sort"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
