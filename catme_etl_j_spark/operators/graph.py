@@ -869,9 +869,11 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed SCORE_ITERS rows on both engines.
 
     Scale shape: the edge list localCheckpoints once; each round is
-    two LEFT SEMI hash equi-joins (alive onto edges) + one map-side-
-    combined strength aggregate — the Pregel discipline of
-    pagerank_users/LPA, alive set re-checkpointed every 2 rounds. The
+    two LEFT SEMI hash equi-joins (alive onto the SURVIVING edges —
+    round r's survivors are round r+1's input, so the frames shrink)
+    + one map-side-combined strength aggregate — the Pregel
+    discipline of pagerank_users/LPA, survivor set re-checkpointed
+    every 2 rounds. The
     two driver-side scalars (node count, lower median via the
     value-walk over per-strength counts — no global row_number over
     nodes, the theil_sen remedy) are bounded aggregates; distinct
@@ -888,27 +890,33 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.sum("w").alias("s"))
     )
-    n_nodes = st0.count()
-    if n_nodes == 0:
-        s_thr = 1  # oracle's NULL threshold also yields all-empty rounds
-    else:
-        rank = (n_nodes + 1) // 2
-        wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-        med_row = (
-            st0.groupBy("s")
-            .agg(F.count("*").alias("c"))
-            .withColumn("cum", F.sum("c").over(wcum))
-            .filter(F.col("cum") >= rank)
-            .agg(F.min("s").alias("med"))
-            .first()
+    # ONE driver action: the cum-walk carries the total alongside, so
+    # the lower-median rank (n+1)//2 resolves in the same 1-row fetch.
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    med_row = (
+        st0.groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "s",
+            F.sum("c").over(wcum).alias("cum"),
+            F.expr("sum(c) OVER ()").alias("n"),
         )
+        .filter(F.expr("cum >= (n + 1) DIV 2"))
+        .agg(F.min("s").alias("med"))
+        .first()
+    )
+    if med_row["med"] is None:  # empty graph: oracle's NULL threshold
+        s_thr = 1  # also yields all-empty rounds
+    else:
         s_thr = int(med_row["med"]) * SCORE_PCT // 100 + 1
-    alive = st0.select("node")
+    # Round r's surviving-edge set IS round r+1's input (alive sets
+    # shrink monotonically, so filtering the previous survivors equals
+    # re-filtering the full edge list — the oracle does the latter):
+    # carry `ea` forward for 2 semi-joins per round instead of 4, each
+    # round over a shrinking frame.
+    ea = edges
     rows = []
     for r in range(1, SCORE_ITERS + 1):
-        ea = edges.join(
-            alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
-        ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
         st = (
             ea.select(F.col("e1").alias("node"), "w")
             .unionByName(ea.select(F.col("e2").alias("node"), "w"))
@@ -916,15 +924,15 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("w").alias("s"))
         )
         alive = st.filter(F.col("s") >= s_thr).select("node")
-        if r % 2 == 0:
-            alive = alive.localCheckpoint()
-        ee = edges.join(
+        ea = ea.join(
             alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
         ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
+        if r % 2 == 0:
+            ea = ea.localCheckpoint()
         rows.append(
             alive.agg(F.count("*").cast("long").alias("n_alive"))
             .crossJoin(
-                ee.agg(
+                ea.agg(
                     F.count("*").cast("long").alias("n_edges"),
                     F.expr("CAST(coalesce(sum(w), 0) AS BIGINT)").alias("total_w"),
                 )
