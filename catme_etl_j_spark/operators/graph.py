@@ -109,7 +109,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_sql() -> str:
     """DuckDB twin: the same 10 integer rounds unrolled as CTEs."""
     base_cte = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -198,7 +198,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                   greatest(c.c_nationkey, s.s_nationkey) AS b
   FROM lineitem l
@@ -253,7 +253,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMMON_NBR_SQL = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -318,7 +318,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ADAMIC_ADAR_SQL = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -381,7 +381,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEGREE_SQL = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*)::BIGINT AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -737,7 +737,7 @@ adj AS (
   SELECT user_id AS dst,
          lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
   FROM ev),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::BIGINT AS w
   FROM adj WHERE src IS NOT NULL AND src <> dst
   GROUP BY src, dst),
@@ -789,7 +789,7 @@ adj AS (
   SELECT user_id AS dst,
          lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
   FROM ev),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::BIGINT AS w
   FROM adj WHERE src IS NOT NULL AND src <> dst
   GROUP BY src, dst),
@@ -955,7 +955,7 @@ adj AS (
   SELECT user_id AS dst,
          lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
   FROM ev),
-dedges AS (
+dedges AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::BIGINT AS w
   FROM adj WHERE src IS NOT NULL AND src <> dst
   GROUP BY src, dst),
