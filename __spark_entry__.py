@@ -59,98 +59,68 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-7 rotation (VERDICT r6 #1/#2): the whole 50-slot window goes to
-# first-time witnesses — the 62-name backlog exceeds the window, so any
-# witnessed repeat would only delay convergence. 6 slots go to this
-# round's OWN new operators (the pinned "new operator => witnessed in
-# its birth round" invariant — tests/test_operators.py diffs queries()
-# against tools/registry_prev_round.txt and asserts every newborn sits
-# in the first 50). The 42 backlog slots COMPLETE the events tail (19)
-# and cover every never-witnessed family (etl 4, fn 3, window 2 of 3,
-# multimodal/rank/corpus/stream + embed 1-2, sketch/text/dedup/asof 1),
-# plus 2 of stats' 12. The family-coverage
-# guard evolved with the rotation: a family may leave the window ONLY
-# when all its members are already driver-green in a committed
-# CORRECTNESS artifact (convert_/ann_/q1*/q2*/range_/unpivot_/lateral_
-# all are), and any family with backlog must be represented by a
-# never-witnessed member, never a repeat.
-# Leftover after r7 (if all green): stats 10, graph 3, scale 3,
-# window 1 (ewma_scatter), embed 2 (centroid_outliers, feature_hash),
-# multimodal 1 (fake_features), etl 1 (scd2_fact_join) = 21 — fully
-# drainable in r8 with ~29 slots to spare for r8 newborns.
+# Round-8 rotation (VERDICT r7 #2): 30 slots drain the ENTIRE
+# never-green tail — all 29 names tools/witness.py listed after r7 plus
+# rank_postings (whose r7 window attempt errored on the array-typed
+# column, now fixed to a scalar string) — so after a green r8 gate the
+# never-green backlog reaches ZERO. The remaining 20 slots are this
+# round's newborns (the pinned "new operator => witnessed in its birth
+# round" invariant); until newborns land they are held by
+# already-green r7 operators so the suite stays green at round start.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 newborns (birth-round witnesses) ---
+    # --- the full never-green tail (30) ---
+    "rank_postings",
+    "window_ewma_scatter",
+    "etl_scd2_fact_join",
+    "embed_feature_hash",
+    "embed_centroid_outliers",
+    "graph_adamic_adar",
+    "graph_common_neighbors",
+    "graph_degree_stats",
+    "events_heatmap_hour_dow",
+    "events_inter_arrival",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_dedup_earliest",
+    "events_json_extract",
+    "events_twap",
+    "events_ab_test",
+    "multimodal_fake_features",
+    "scale_zorder_locality",
+    "scale_bitmap_distinct",
+    "scale_skew_report",
+    "stats_mode_quantity",
+    "stats_basket_lift",
+    "stats_psi_drift",
+    "stats_anova_oneway",
+    "stats_benford_first_digit",
+    "stats_gini_doc_length",
+    "stats_welch_ttest",
+    "stats_corr_matrix",
+    "stats_mad_outliers",
+    "stats_chi2_cells",
+    # --- round-8 newborns (birth-round witnesses; green-r7 fillers
+    # hold any slot not yet claimed by a newborn) ---
     "graph_pagerank_users",
     "graph_lpa_communities",
+    "graph_s_core_peeling",
     "scale_compaction_plan",
+    "scale_minmax_pruning",
     "etl_bitemporal_asof",
-    "corpus_dsir_importance",
-    "embed_pca_outliers",
-    "events_feature_asof",
     "etl_late_arriving_dim",
     "etl_deletion_propagation",
-    "scale_minmax_pruning",
-    "sketch_theta_setops",
-    "corpus_token_budget_mix",
     "etl_schema_evolution",
-    "ann_matryoshka_recall",
-    "graph_s_core_peeling",
     "etl_scd3_previous_value",
-    "multimodal_chunk_manifest",
-    # --- events backlog: 11 of the 19-name tail (heatmap_hour_dow,
-    # inter_arrival, tumbling_window, sliding_window, dedup_earliest,
-    # json_extract, twap, ab_test ceded their slots to wave-3/4/5
-    # newborns; drain in r8 — the tumbling/sliding/dedup stream_ twins
-    # are already witnessed) ---
-    "events_cusum_changepoint",
-    "events_power_users",
+    "corpus_dsir_importance",
+    "corpus_token_budget_mix",
+    "embed_pca_outliers",
+    "events_feature_asof",
     "events_peak_concurrency",
-    "events_attribution_linear",
-    "events_wow_growth",
-    "events_dau_wau_mau",
-    "events_streaks",
-    "events_bounce_rate",
-    "events_new_vs_returning",
-    "events_time_to_purchase",
-    "events_attribution_touch",
-    # --- stats backlog: 2 of 12 — the two ops whose adversarial fixes
-    # this round/last round deserve a driver witness (theil_sen's
-    # distributed median rewrite, mannwhitney's divide-by-zero guard) ---
+    "sketch_theta_setops",
+    "ann_matryoshka_recall",
+    "multimodal_chunk_manifest",
     "stats_theil_sen",
-    "stats_mannwhitney_u",
-    # --- etl backlog: 3 of 4 (scd2_fact_join ceded its slot to the
-    # deletion-propagation newborn; drains in r8) ---
-    "etl_constraint_violations",
-    "etl_k_anonymity",
-    "etl_scd2_asof_snapshot",
-    # --- fn backlog: the full 3-name tail ---
-    "fn_variant_props",
-    "fn_pandas_udf_tokens",
-    "fn_business_days",
-    # --- window backlog: 2 of 3 (ewma_scatter ceded its slot to a
-    # round-7 newborn; drains in r8) ---
-    "window_revenue_7dma",
-    "window_seasonal_index",
-    # --- embed backlog: 1 of 3 (centroid_outliers + feature_hash ceded
-    # their slots to round-7 newborns; drain in r8) ---
-    "embed_covariance",
-    # --- multimodal backlog: 1 of 2 (fake_features ceded; resize is
-    # the newly oracle-gated one, r6 #4) ---
-    "multimodal_resize",
-    # --- rank backlog: the full 2-name tail ---
-    "rank_postings",
-    "rank_mrr_eval",
-    # --- corpus backlog: the full 2-name tail ---
-    "corpus_shard_assignment",
-    "corpus_bpe_vocab",
-    # --- stream backlog: the full 2-name tail ---
-    "stream_rocksdb_daily_totals",
-    "stream_static_enrich",
-    # --- single-member tails: sketch, text, dedup, asof ---
-    "sketch_ams_join_size",
-    "text_pmi_bigrams",
-    "dedup_substring_mass",
-    "asof_next_view",
+    "events_cusum_changepoint",
 )
 
 

@@ -749,6 +749,10 @@ l0 AS (
   SELECT DISTINCT user_id AS node, user_id AS lbl
   FROM events WHERE user_id IS NOT NULL)"""
     iters = []
+    # Convention #11: each l{k} is referenced twice per round (b{k+1}
+    # and l{k+1}) — without MATERIALIZED the plan re-expands the chain
+    # ~2^LPA_ITERS times (ADVICE r7; same failure mode as the s-core
+    # fd-limit blowup).
     for k in range(1, LPA_ITERS + 1):
         iters.append(
             f"""
@@ -758,7 +762,7 @@ b{k} AS (
     FROM nb e JOIN l{k - 1} p ON e.nbr = p.node
     GROUP BY e.node, p.lbl)
   QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY tw DESC, lbl ASC) = 1),
-l{k} AS (
+l{k} AS MATERIALIZED (
   SELECT p.node,
          CASE WHEN ((p.node % 2) + 2) % 2 = {k % 2}
               THEN COALESCE(b.new_lbl, p.lbl) ELSE p.lbl END AS lbl

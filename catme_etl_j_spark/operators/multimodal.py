@@ -409,9 +409,14 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_bytes"
         ),
         F.expr(f"chunk_idx = (nb - 1) DIV {c}").alias("is_last"),
+        # BYTE-indexed preview (ADVICE r7): slicing `text` by character
+        # desyncs head_hex from `offset` for multi-byte payloads. Hex
+        # the UTF-8 bytes FIRST (hex is pure ASCII, so char index ==
+        # 2x byte index on both engines), then slice 8 bytes = 16 hex
+        # chars at offset*2+1.
         F.expr(
-            f"hex(encode(substring(text, CAST(chunk_idx * {c} + 1 AS INT), 8),"
-            f" 'UTF-8'))"
+            f"substring(hex(encode(text, 'UTF-8')),"
+            f" CAST(chunk_idx * {c} * 2 + 1 AS INT), 16)"
         ).alias("head_hex"),
     ).orderBy("doc_id", "chunk_idx")
 
@@ -433,7 +438,7 @@ SELECT doc_id,
        least(CAST({CHUNK_BLOB_BYTES} AS BIGINT),
              nb - chunk_idx * {CHUNK_BLOB_BYTES}) AS chunk_bytes,
        chunk_idx = (nb - 1) // {CHUNK_BLOB_BYTES} AS is_last,
-       hex(encode(substring(text, CAST(chunk_idx * {CHUNK_BLOB_BYTES} + 1 AS INT), 8)))
+       substr(hex(encode(text)), CAST(chunk_idx * {CHUNK_BLOB_BYTES} * 2 + 1 AS BIGINT), 16)
          AS head_hex
 FROM ex ORDER BY doc_id, chunk_idx
 """

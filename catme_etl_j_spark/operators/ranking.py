@@ -240,8 +240,25 @@ def rank_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     term key, so the shuffle is on the term and each task materializes
     only its own terms' lists. (At web scale, cap or shard giant
     stopword postings — here the top-k selection itself bounds output.)
-    Arrays hash-compare: DuckDB builds the same list with
-    ``list(... ORDER BY ...)``.
+
+    Gate representation (VERDICT r7 #1): the driver's pandas
+    canonicalizer cannot sort an ``array<bigint>`` cell, so the GATED
+    output serializes the list as a space-joined string — a scalar,
+    deterministic because both engines sort the ids first. The
+    array-typed form stays available via :func:`rank_postings_array`
+    for library callers.
+    """
+    return rank_postings_array(spark, sf_dir).select(
+        "term",
+        "df",
+        F.array_join("postings", " ").alias("postings"),
+    )
+
+
+def rank_postings_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: the posting lists as a true ``array<bigint>``
+    column (not registered in ``queries()`` — non-scalar outputs are
+    banned from the gate by tests/test_operators.py's schema policy).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
@@ -264,7 +281,7 @@ WITH pairs AS (
   FROM documents),
 clean AS (SELECT * FROM pairs WHERE term <> '')
 SELECT term, COUNT(*) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
 FROM clean GROUP BY term
 ORDER BY df DESC, term ASC
 LIMIT {POSTINGS_TOP}

@@ -437,6 +437,65 @@ def test_driver_window_covers_every_family():
         )
 
 
+def test_no_structural_output_columns(spark):
+    """Schema policy (VERDICT r7 #1): the driver's pandas canonicalizer
+    (sort_values) cannot sort array/map/struct cells — r7's
+    rank_postings was the registry's only non-scalar output and errored
+    at the gate despite passing the repr()-based local check. Build
+    every registered query's DataFrame at sf0.001 and assert its output
+    schema is all-scalar, so the next structural output is caught
+    before the driver sees it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as m
+
+    offenders = []
+    for name, fn in m.queries().items():
+        try:
+            schema = fn(spark, "/root/testdata/sf0.001").schema
+        except Exception as e:  # build errors are other tests' business
+            offenders.append(f"{name}: build error {e!r:.120}")
+            continue
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "queries() entries with non-scalar (driver-unsortable) output "
+        f"columns or build errors: {offenders}"
+    )
+
+
+def test_selfcheck_rejects_array_column(spark):
+    """Regression fixture for the local-gate hardening (VERDICT r7 #4):
+    tools/selfcheck.py's driver-canon parity check must flag the
+    array-typed library variant of rank_postings — exactly the shape
+    that passed the old repr()-based local gate and then errored at the
+    driver — while passing the gated scalar form."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck_mod", os.path.join(repo, "tools", "selfcheck.py")
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    from catme_etl_j_spark.operators.ranking import (
+        rank_postings,
+        rank_postings_array,
+    )
+
+    arr = rank_postings_array(spark, "/root/testdata/sf0.001").schema
+    assert sc.nonscalar_cols(arr) == ["postings:array<bigint>"]
+    gated = rank_postings(spark, "/root/testdata/sf0.001").schema
+    assert sc.nonscalar_cols(gated) == []
+
+
 def test_new_queries_witnessed_in_birth_round():
     """Pinned invariant (VERDICT r6 #2): every queries() name not in the
     previous round's committed registry snapshot must appear in the
@@ -1762,6 +1821,57 @@ def test_pca_outliers_zero_matrix_degenerate(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
     )
     rel = con.sql(entry_mod.oracle_sql()["embed_pca_outliers"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_chunk_manifest_multibyte_payload(spark, tmp_path):
+    """ADVICE r7: offsets/chunk_bytes are UTF-8 BYTE quantities, so the
+    head_hex preview must be byte-indexed too — a character-indexed
+    slice desyncs from `offset` on any multi-byte payload. Fixture: a
+    doc of 2-byte chars ('é'*120 = 240 bytes at CHUNK_BLOB_BYTES=100)
+    whose second chunk starts MID-CHARACTER; head_hex must equal the
+    8 raw bytes at the byte offset, engine-agreed."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.multimodal import (
+        CHUNK_BLOB_BYTES,
+        multimodal_chunk_manifest,
+    )
+
+    texts = ["é" * 120, "abc", ""]
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["fr", "en", "en"], pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    sdf = multimodal_chunk_manifest(spark, str(tmp_path))
+    rows = sdf.collect()
+    by_key = {(r["doc_id"], r["chunk_idx"]): r for r in rows}
+    blob = ("é" * 120).encode("utf-8")  # 240 bytes
+    assert by_key[(1, 0)]["chunk_bytes"] == CHUNK_BLOB_BYTES
+    assert by_key[(1, 2)]["chunk_bytes"] == 240 - 2 * CHUNK_BLOB_BYTES
+    for idx in (0, 1, 2):
+        off = idx * CHUNK_BLOB_BYTES
+        want = blob[off:off + 8].hex().upper()
+        assert by_key[(1, idx)]["head_hex"] == want, (idx, off)
+    assert by_key[(2, 0)]["head_hex"] == b"abc".hex().upper()
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["multimodal_chunk_manifest"])
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())

@@ -39,6 +39,19 @@ from catme_etl_j_spark.session import get_spark  # noqa: E402
 from catme_etl_j_spark.sources.tables import TABLES  # noqa: E402
 
 
+def nonscalar_cols(schema) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot
+    sort (array/map/struct) — VERDICT r7 #4. Shared with the pytest
+    regression test."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -102,6 +115,20 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # Driver-canon parity (VERDICT r7 #4): the driver
+            # canonicalizes via pandas sort_values, which cannot sort
+            # array/map/struct cells — r7's rank_postings passed this
+            # repr()-based local gate and then errored at the driver.
+            # Reject structural output types outright so the divergence
+            # fails HERE first.
+            nonscalar = nonscalar_cols(sdf.schema)
+            if nonscalar:
+                print(f"FAIL {name}: non-scalar output column(s) {nonscalar} "
+                      f"— driver pandas canonicalizer cannot sort these; "
+                      f"serialize to a scalar (e.g. array_join)")
+                n_fail += 1
+                fails.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except QueryTimeout as e:
             print(f"FAIL {name}: TIMEOUT: {e}")
@@ -140,6 +167,13 @@ def main() -> int:
             problems.append(
                 f"oracle emits HUGEINT column(s) {bad_types} — cast to "
                 f"BIGINT in the oracle SQL (convention #5)")
+        struct_types = [f"{c}:{t}" for c, t in zip(ocols, otypes)
+                        if "[]" in t or "STRUCT" in t or "MAP" in t]
+        if struct_types:
+            problems.append(
+                f"oracle emits non-scalar column(s) {struct_types} — the "
+                f"driver's pandas canonicalizer cannot sort these "
+                f"(VERDICT r7 #4); serialize with array_to_string")
         if sorted(c.lower() for c in scols) != sorted(ocols):
             problems.append(f"columns spark={scols} oracle={ocols}")
         elif len(srows) != len(orows):

@@ -52,9 +52,17 @@ def main() -> int:
             )
             witnessed[name].append((rnd, ok))
 
+    # VERDICT r7 #3: "witnessed" means a GREEN driver row, not a mere
+    # appearance — a failed attempt (rank_postings r7) must stay in the
+    # never-witnessed pool. Mirrors tests/test_operators.py's
+    # _driver_witnessed ok-predicate.
+    green_ever = {
+        name for name, rows in witnessed.items()
+        if any(ok for _, ok in rows)
+    }
     queries = list(entry_mod.queries())
     window = queries[:50]
-    never = [q for q in queries if q not in witnessed]
+    never = [q for q in queries if q not in green_ever]
     green2 = [
         q for q in window
         if sum(1 for _, ok in witnessed.get(q, []) if ok) >= 2
@@ -64,8 +72,8 @@ def main() -> int:
     by_fam: dict[str, int] = defaultdict(int)
     for q in never:
         by_fam[_family(q)] += 1
-    print(f"queries: {len(queries)}  witnessed-ever: {len(witnessed)}  "
-          f"never-witnessed: {len(never)}")
+    print(f"queries: {len(queries)}  green-ever: {len(green_ever)}  "
+          f"never-green: {len(never)}")
     print("never-witnessed by family:",
           dict(sorted(by_fam.items(), key=lambda kv: -kv[1])))
     print(f"\nwindow members green in >=2 rounds (swap-out candidates, "
