@@ -101,13 +101,13 @@ _PRIORITY: tuple[str, ...] = (
     "stats_chi2_cells",
     # --- round-8 newborns (birth-round witnesses; green-r7 fillers
     # hold any slot not yet claimed by a newborn) ---
-    "graph_pagerank_users",
-    "graph_lpa_communities",
-    "graph_s_core_peeling",
-    "scale_compaction_plan",
-    "scale_minmax_pruning",
-    "etl_bitemporal_asof",
-    "etl_late_arriving_dim",
+    "graph_connected_components",
+    "stats_spearman_corr",
+    "stats_cramers_v",
+    "stats_jensen_shannon_drift",
+    "rank_query_likelihood",
+    "text_zipf_slope",
+    "corpus_tokenizer_fertility",
     "etl_deletion_propagation",
     "etl_schema_evolution",
     "etl_scd3_previous_value",

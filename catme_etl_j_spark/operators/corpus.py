@@ -1952,7 +1952,89 @@ FROM ranked ORDER BY mix_rank
 """
 
 
+_FERT_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # text_token_count's regex
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (source, lang): subword tokens per
+    whitespace word and bytes per subword — the tokenizer-efficiency
+    numbers a data-mixing plan needs (high fertility = the tokenizer
+    fragments that slice of the corpus; bytes/token drives compute
+    cost per document). Subwords use text_token_count's BPE-ish regex
+    (letter runs, digit runs, single punctuation).
+
+    Determinism: all three accumulators are exact int64 sums (counts
+    and byte lengths); the two ratios are single double divisions of
+    exact integers under rdet(4). Zero-word groups CASE to NULL
+    (convention #9 — degenerate all-empty-text slices divide by zero).
+
+    Scale: one map-side-combined groupBy on (source, lang) — output
+    rows bounded by slice cardinality, not corpus size; no joins, no
+    windows, no explode (regexp_count avoids materializing tokens).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.expr("size(filter(split(trim(text), ' +'), w -> w <> ''))")
+        .cast("long")
+        .alias("nw"),
+        F.regexp_count("text", F.lit(_FERT_BPE_RE)).cast("long").alias("nt"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("nb"),
+    )
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_subwords"),
+        F.sum("nb").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            rdet(F.expr("CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subwords") > 0,
+            rdet(F.expr("CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE)"), 4),
+        ).alias("bytes_per_subword"),
+    ).orderBy("source", "lang")
+
+
+_FERTILITY_SQL = f"""
+WITH per AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                         w -> w <> '')) AS nw,
+         len(regexp_extract_all(text, '{_FERT_BPE_RE}')) AS nt,
+         octet_length(encode(text)) AS nb
+  FROM documents),
+agg AS (
+  SELECT source, lang,
+         COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS n_words,
+         CAST(SUM(nt) AS BIGINT) AS n_subwords,
+         CAST(SUM(nb) AS BIGINT) AS n_bytes
+  FROM per GROUP BY source, lang)
+SELECT source, lang, n_docs, n_words, n_subwords, n_bytes,
+       CASE WHEN n_words > 0 THEN
+         {rdet_sql("CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)}
+       END AS fertility,
+       CASE WHEN n_subwords > 0 THEN
+         {rdet_sql("CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 4)}
+       END AS bytes_per_subword
+FROM agg ORDER BY source, lang
+"""
+
+
 QUERIES = {
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_token_budget_mix": corpus_token_budget_mix,
     "corpus_vocab_growth": corpus_vocab_growth,
@@ -1982,7 +2064,8 @@ QUERIES = {
 }
 
 ORACLES = {
-    "corpus_dsir_importance": _dsir_sql(),
+    "corpus_tokenizer_fertility": _FERTILITY_SQL,
+    "corpus_dsir_importance":_dsir_sql(),
     "corpus_token_budget_mix": _MIX_SQL,
     "corpus_vocab_growth": _VOCAB_GROWTH_SQL,
     "corpus_mix_epochs": _MIX_EPOCHS_SQL,

@@ -1007,7 +1007,120 @@ row{r} AS (
     return ",".join(parts) + f"\n{union}\nORDER BY round"
 
 
+CC_ITERS = 5  # fixed unrolled min-label rounds (oracle matches)
+CC_TOPK = 20
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the undirected user-interaction graph by
+    CC_ITERS rounds of MIN-LABEL propagation — the fourth Pregel-shape
+    witness, with per-round state keyed on min() (monotone, so unlike
+    LPA the fully-synchronous schedule cannot oscillate: labels only
+    decrease and the fixpoint is the true component minimum).
+
+    Labels start as the node's own user_id; each round every node takes
+    ``least(own, min neighbor label)`` (both engines' least() ignores a
+    NULL neighbor-min, so isolated nodes keep their label). After
+    CC_ITERS rounds — exact components wherever the in-component hop
+    distance to the minimum-id node is <= CC_ITERS, and a deterministic
+    lower-bound labelling regardless — the output is the top-20
+    components by size (size DESC, component ASC).
+
+    Scale shape per round: labels-onto-edges equi-join + one per-node
+    partial-aggregated MIN — co-shuffled on the node key, no sort, no
+    windows; labels localCheckpoint every 2 rounds (the
+    pagerank_users/LPA loop discipline). At 100 TB the production form
+    is large-star/small-star (Kiveris et al. 2014) for O(log n)
+    convergence; plain propagation keeps the oracle exactly unrollable.
+
+    Reference (waldfalke/catme-etl-j) has no graph surface (SURVEY.md
+    §2.4); public algorithm: label propagation CC (Pregel canonical).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ed = _user_edges(spark, sf_dir)
+    both = ed.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(
+        ed.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).distinct().localCheckpoint()
+    labels = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for k in range(1, CC_ITERS + 1):
+        nbr_min = (
+            both.join(
+                labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node", F.least(F.col("lbl"), F.col("nmin")).alias("lbl")
+        )
+        if k % 2 == 0 and k < CC_ITERS:
+            labels = labels.localCheckpoint()
+    return (
+        labels.groupBy(F.col("lbl").alias("component"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(CC_TOPK)
+    )
+
+
+def _cc_sql() -> str:
+    """DuckDB twin: the same CC_ITERS min-label rounds unrolled as
+    MATERIALIZED CTEs (convention #11: every l{k} is referenced by the
+    next round's join AND carry-through)."""
+    head = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         ts, event_id, user_id
+  FROM events WHERE user_id IS NOT NULL),
+adj AS (
+  SELECT user_id AS dst,
+         lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
+  FROM ev),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst
+  FROM adj WHERE src IS NOT NULL AND src <> dst),
+nb AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges),
+l0 AS (
+  SELECT DISTINCT user_id AS node, user_id AS lbl
+  FROM events WHERE user_id IS NOT NULL)"""
+    iters = []
+    for k in range(1, CC_ITERS + 1):
+        iters.append(
+            f"""
+l{k} AS MATERIALIZED (
+  SELECT p.node, least(p.lbl, m.nmin) AS lbl
+  FROM l{k - 1} p LEFT JOIN (
+    SELECT e.node, MIN(q.lbl) AS nmin
+    FROM nb e JOIN l{k - 1} q ON e.nbr = q.node
+    GROUP BY e.node) m ON p.node = m.node)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"""
+SELECT lbl AS component, COUNT(*)::BIGINT AS size
+FROM l{CC_ITERS}
+GROUP BY lbl
+ORDER BY size DESC, component ASC
+LIMIT {CC_TOPK}"""
+    )
+
+
 QUERIES = {
+    "graph_connected_components": graph_connected_components,
     "graph_s_core_peeling": graph_s_core_peeling,
     "graph_pagerank_users": graph_pagerank_users,
     "graph_lpa_communities": graph_lpa_communities,
@@ -1020,6 +1133,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_connected_components": _cc_sql(),
     "graph_s_core_peeling": _s_core_sql(),
     "graph_pagerank_users": _pagerank_users_sql(),
     "graph_lpa_communities": _lpa_sql(),

@@ -523,7 +523,156 @@ ORDER BY rank
 """
 
 
+QL_MU = 2000  # Dirichlet prior (Zhai & Lafferty 2001's standard mu)
+QL_TOP = 20
+
+
+def rank_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) for the BM25_QUERY_TERMS query — the language-modeling
+    baseline that completes the lexical triple (TF-IDF, BM25, QL).
+
+    score(d) = sum_t ln((tf_td + mu*P(t|C)) / (dl_d + mu)), rearranged
+    so the expensive part is CANDIDATE-ONLY:
+
+        score = sum_t ln(mu*P_t)  - |q| * ln(dl_d + mu)
+                + sum_{t: tf>0} [ln(tf + mu*P_t) - ln(mu*P_t)]
+
+    The first term is a query-constant scalar, the second needs only
+    each doc's length, and the delta sum touches only (doc, term) pairs
+    that actually match — so at 100 TB the exploded stream is pruned to
+    query terms immediately (the BM25 shape) while still scoring EVERY
+    document exactly, including those with zero matches.
+
+    Collection model P_t = (ctf_t + 1) / (|C| + V) (add-one over the
+    vocabulary so an unseen query term cannot ln(0)). Determinism:
+    every ln(...) term fixed-points to 1e9 BEFORE any cross-term sum
+    (the PSI convention) — the scalar part sums <=|q| integers, the
+    delta part sums per-doc integers — so score_e9 is exact int64 and
+    ranks (score_e9 DESC, doc_id ASC) cannot flip between engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term"))
+        .filter("term <> ''")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # |C| (total tokens) and V (vocabulary) in one bounded aggregate
+    cv = toks.agg(
+        F.count("*").cast("long").alias("c_tot"),
+        F.countDistinct("term").cast("long").alias("v"),
+    )
+    terms_df = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term STRING"
+    )
+    ctf = (
+        terms_df.join(
+            toks.groupBy("term").agg(F.count("*").alias("ctf")), "term", "left"
+        )
+        .select("term", F.coalesce("ctf", F.lit(0)).cast("long").alias("ctf"))
+    )
+    # mu * P_t as a per-term double; its ln fixed-points per term
+    mp = f"({QL_MU}.0 * (CAST(ctf + 1 AS DOUBLE) / CAST(c_tot + v AS DOUBLE)))"
+    term_stats = ctf.crossJoin(F.broadcast(cv)).select(
+        "term",
+        F.expr(mp).alias("mu_p"),
+        F.expr(f"CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT)").alias(
+            "ln_mp_e9"
+        ),
+    )
+    base = term_stats.agg(F.sum("ln_mp_e9").cast("long").alias("base_e9"))
+    # matched (doc, term) deltas: prune the exploded stream FIRST
+    qtf = (
+        toks.join(F.broadcast(terms_df), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    delta = (
+        qtf.join(F.broadcast(term_stats), "term")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor((ln(tf + mu_p) - ln(mu_p)) * 1000000000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("d_e9"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("d_e9").cast("long").alias("delta_e9"))
+    )
+    nq = len(BM25_QUERY_TERMS)
+    scored = (
+        docs.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .join(delta, "doc_id", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "doc_id",
+            F.expr(
+                f"base_e9 + COALESCE(delta_e9, 0)"
+                f" - CAST(floor({nq}.0 * ln(COALESCE(dl, 0) + {QL_MU}.0)"
+                f" * 1000000000.0 + 0.5) AS BIGINT)"
+            ).alias("score_e9"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+        .limit(QL_TOP)
+        .select(
+            "doc_id",
+            "score_e9",
+            F.expr("CAST(score_e9 AS DOUBLE) / 1000000000.0").alias("ql_score"),
+        )
+    )
+
+
+def _ql_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    mp = f"({QL_MU}.0 * (CAST(ctf + 1 AS DOUBLE) / CAST(c_tot + v AS DOUBLE)))"
+    nq = len(BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+  FROM documents),
+clean AS MATERIALIZED (SELECT * FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM clean GROUP BY doc_id),
+cv AS (SELECT COUNT(*)::BIGINT AS c_tot, COUNT(DISTINCT term)::BIGINT AS v
+       FROM clean),
+qterms(term) AS (VALUES {terms}),
+ctf AS (
+  SELECT q.term, CAST(COALESCE(c.ctf, 0) AS BIGINT) AS ctf
+  FROM qterms q LEFT JOIN (
+    SELECT term, COUNT(*)::BIGINT AS ctf FROM clean GROUP BY term) c
+    ON q.term = c.term),
+ts AS MATERIALIZED (
+  SELECT term, {mp} AS mu_p,
+         CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT) AS ln_mp_e9
+  FROM ctf, cv),
+base AS (SELECT CAST(SUM(ln_mp_e9) AS BIGINT) AS base_e9 FROM ts),
+qtf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM clean
+  WHERE term IN ({in_list}) GROUP BY doc_id, term),
+delta AS (
+  SELECT doc_id, CAST(SUM(CAST(floor((ln(tf + mu_p) - ln(mu_p))
+         * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS delta_e9
+  FROM qtf JOIN ts USING (term) GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(b.base_e9 + COALESCE(dd.delta_e9, 0)
+              - CAST(floor({nq}.0 * ln(COALESCE(l.dl, 0) + {QL_MU}.0)
+                     * 1000000000.0 + 0.5) AS BIGINT) AS BIGINT) AS score_e9
+  FROM documents d
+  LEFT JOIN dl l ON d.doc_id = l.doc_id
+  LEFT JOIN delta dd ON d.doc_id = dd.doc_id, base b)
+SELECT doc_id, score_e9,
+       CAST(score_e9 AS DOUBLE) / 1000000000.0 AS ql_score
+FROM scored ORDER BY score_e9 DESC, doc_id ASC LIMIT {QL_TOP}
+"""
+
+
 QUERIES = {
+    "rank_query_likelihood": rank_query_likelihood,
     "rank_tfidf_topterms": rank_tfidf_topterms,
     "rank_ndcg_eval": rank_ndcg_eval,
     "rank_bm25_search": rank_bm25_search,
@@ -532,6 +681,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rank_query_likelihood": _ql_sql(),
     "rank_tfidf_topterms": _TFIDF_SQL,
     "rank_ndcg_eval": _ndcg_sql(),
     "rank_bm25_search": _BM25_SQL,

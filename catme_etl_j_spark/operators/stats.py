@@ -1310,7 +1310,299 @@ FROM med
 """
 
 
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice — the robust (monotone-association) sibling of
+    stats_corr_matrix's Pearson, with exact tie-averaged ranks.
+
+    Exact-rank plumbing (the mannwhitney pattern): values fix-point to
+    cents, collapse to per-DISTINCT-value counts (one map-side-combined
+    aggregation each — the only corpus-sized passes), tie-averaged
+    ranks come from a cumulative window over the |distinct values| rows
+    (bounded by the value domain, not the row count), kept DOUBLED so
+    .5 averages stay exact int64: 2*rank(v) = 2*C(v) + t(v) + 1. The
+    doubled ranks join back to rows on the value key (two co-shuffled
+    equi-joins), and rho is Pearson over the doubled ranks (the factor
+    2 cancels) from exact DECIMAL(38,0) moments — so the only float
+    arithmetic is the final closed-form expression, identical IEEE on
+    both engines. Zero rank variance (all x or all y tied) CASEs rho
+    to NULL (convention #9).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _fx("l_quantity", 100.0).alias("x"),
+        _fx("l_extendedprice", 100.0).alias("y"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        per = li.groupBy(col).agg(F.count("*").alias("t"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1)
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+
+    joined = li.join(ranks("x"), "x").join(ranks("y"), "y")
+    m = joined.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        _dsum(F.col("r_x")).alias("sx"),
+        _dsum(F.col("r_y")).alias("sy"),
+        _dsum(F.col("r_x") * F.col("r_y")).alias("sxy"),
+        _dsum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+        _dsum(F.col("r_y") * F.col("r_y")).alias("syy"),
+    )
+    n = "CAST(n_rows AS DOUBLE)"
+    vx = f"({n} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vy = f"({n} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    cov = f"({n} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return m.select(
+        "n_rows",
+        F.when(
+            (F.expr(vx) > 0) & (F.expr(vy) > 0),
+            rdet(F.expr(f"{cov} / (sqrt({vx}) * sqrt({vy}))"), 6),
+        ).alias("spearman_rho"),
+    )
+
+
+def _spearman_sql() -> str:
+    n = "CAST(n_rows AS DOUBLE)"
+    vx = f"({n} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vy = f"({n} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    cov = f"({n} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return f"""
+WITH li AS (
+  SELECT {_fx_sql("l_quantity", 100.0)} AS x,
+         {_fx_sql("l_extendedprice", 100.0)} AS y
+  FROM lineitem),
+rx AS (
+  SELECT x, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS BIGINT) AS r_x
+  FROM (SELECT x, COUNT(*) AS t FROM li GROUP BY x)),
+ry AS (
+  SELECT y, CAST(2 * COALESCE(SUM(t) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS BIGINT) AS r_y
+  FROM (SELECT y, COUNT(*) AS t FROM li GROUP BY y)),
+m AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(r_x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(r_y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(r_x AS DECIMAL(38,0)) * r_y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(r_x AS DECIMAL(38,0)) * r_x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(r_y AS DECIMAL(38,0)) * r_y) AS DECIMAL(38,0)) AS syy
+  FROM li JOIN rx USING (x) JOIN ry USING (y))
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CASE WHEN {vx} > 0 AND {vy} > 0 THEN
+         {rdet_sql(f"{cov} / (sqrt({vx}) * sqrt({vy}))", 6)}
+       END AS spearman_rho
+FROM m
+"""
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for o_orderstatus x
+    o_orderpriority — the normalized effect size the chi-square test
+    (stats_chi2_cells, a different table/pair) lacks: V in [0, 1]
+    comparable across tables of any shape.
+
+    chi2 accumulates as PER-CELL fixed-point e9 integers before the
+    total sum (the PSI convention — the per-cell term is one IEEE
+    expression from exact counts, the cross-cell total is exact int64),
+    so no float ever sums across cells. V = sqrt(chi2 / (n * (min(r,c)
+    - 1))) guarded on min(r,c) > 1 (a single-level factor has no
+    association to measure; convention #9).
+
+    Scale: one map-side-combined groupBy to an r x c contingency table
+    (size bounded by level cardinality, not rows); marginals are window
+    sums over that tiny frame.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("obs")
+    )
+    row_t = F.sum("obs").over(W.partitionBy("o_orderstatus"))
+    col_t = F.sum("obs").over(W.partitionBy("o_orderpriority"))
+    grand = F.sum("obs").over(W.partitionBy())
+    exp = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(g AS DOUBLE))"
+    term = (
+        f"CAST(floor((CAST(obs AS DOUBLE) - {exp}) * (CAST(obs AS DOUBLE)"
+        f" - {exp}) / {exp} * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    terms = cells.select(
+        "obs",
+        row_t.alias("rt"),
+        col_t.alias("ct"),
+        grand.alias("g"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).select("obs", "g", "s", "p", F.expr(term).alias("chi2_e9"))
+    agg = terms.agg(
+        F.max("g").cast("long").alias("n_rows"),
+        F.countDistinct("s").cast("long").alias("n_status"),
+        F.countDistinct("p").cast("long").alias("n_priority"),
+        F.sum("chi2_e9").cast("long").alias("chi2_e9"),
+    )
+    v = (
+        "sqrt(CAST(chi2_e9 AS DOUBLE) / 1000000000.0"
+        " / (CAST(n_rows AS DOUBLE) * (least(n_status, n_priority) - 1)))"
+    )
+    return agg.select(
+        "n_rows",
+        "n_status",
+        "n_priority",
+        "chi2_e9",
+        F.when(F.expr("least(n_status, n_priority)") > 1, rdet(F.expr(v), 6)).alias(
+            "cramers_v"
+        ),
+    )
+
+
+def _cramers_sql() -> str:
+    exp = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(g AS DOUBLE))"
+    term = (
+        f"CAST(floor((CAST(obs AS DOUBLE) - {exp}) * (CAST(obs AS DOUBLE)"
+        f" - {exp}) / {exp} * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    v = (
+        "sqrt(CAST(chi2_e9 AS DOUBLE) / 1000000000.0"
+        " / (CAST(n_rows AS DOUBLE) * (least(n_status, n_priority) - 1)))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT obs, s, p,
+         SUM(obs) OVER (PARTITION BY s) AS rt,
+         SUM(obs) OVER (PARTITION BY p) AS ct,
+         SUM(obs) OVER () AS g
+  FROM cells),
+terms AS (SELECT obs, g, s, p, {term} AS chi2_e9 FROM m),
+agg AS (
+  SELECT CAST(MAX(g) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_status,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_priority,
+         CAST(SUM(chi2_e9) AS BIGINT) AS chi2_e9
+  FROM terms)
+SELECT n_rows, n_status, n_priority, chi2_e9,
+       CASE WHEN least(n_status, n_priority) > 1 THEN {rdet_sql(v, 6)} END
+         AS cramers_v
+FROM agg
+"""
+
+
+JS_SPLIT_NS = "1998-01-01"  # baseline < split <= current (PSI's split)
+
+
+def stats_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the baseline (< 1998) and
+    current (>= 1998) order-PRIORITY mixes — the bounded, symmetric
+    drift metric (JS in [0, ln 2]) complementing stats_psi_drift's
+    unbounded PSI over a different marginal (priority, not price).
+
+    Laplace +1 on every (half, priority) count kills ln(0) identically
+    on both engines; each category's 0.5*(p*ln(p/m) + q*ln(q/m)) term
+    (m = (p+q)/2) fixed-points to 1e9 BEFORE the total sum (the PSI
+    convention), so total JS is an exact int64 sum of per-category
+    integers. Output: one row per priority with both shares and the
+    term, plus the same total_js_e9 on every row.
+
+    Scale: one map-side-combined groupBy to |priorities| rows; all
+    windows/crossJoins run over that bounded frame.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(f"CAST(o_orderdate >= TIMESTAMP'{JS_SPLIT_NS}' AS INT)").alias(
+                "cur"
+            ),
+        )
+        .groupBy("priority")
+        .agg(
+            F.sum(F.expr("1 - cur")).cast("long").alias("n_base"),
+            F.sum("cur").cast("long").alias("n_cur"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_cur").cast("long").alias("tc"),
+        F.count("*").cast("long").alias("k"),
+    )
+    p = "(CAST(n_base + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))"
+    q = "(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    term = (
+        f"CAST(floor(0.5 * ({p} * ln({p} / {m}) + {q} * ln({q} / {m}))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n_base",
+        "n_cur",
+        rdet(F.expr(p), 6).alias("share_base"),
+        rdet(F.expr(q), 6).alias("share_cur"),
+        F.expr(term).alias("js_term_e9"),
+    )
+    total = terms.agg(F.sum("js_term_e9").cast("long").alias("total_js_e9"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "priority",
+            "n_base",
+            "n_cur",
+            "share_base",
+            "share_cur",
+            "js_term_e9",
+            "total_js_e9",
+        )
+        .orderBy("priority")
+    )
+
+
+def _js_sql() -> str:
+    p = "(CAST(n_base + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))"
+    q = "(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    term = (
+        f"CAST(floor(0.5 * ({p} * ln({p} / {m}) + {q} * ln({q} / {m}))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT o_orderpriority AS priority,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{JS_SPLIT_NS}'
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{JS_SPLIT_NS}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_cur) AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per),
+terms AS (
+  SELECT priority, n_base, n_cur,
+         {rdet_sql(p, 6)} AS share_base,
+         {rdet_sql(q, 6)} AS share_cur,
+         {term} AS js_term_e9
+  FROM per, tot),
+total AS (SELECT CAST(SUM(js_term_e9) AS BIGINT) AS total_js_e9 FROM terms)
+SELECT priority, n_base, n_cur, share_base, share_cur, js_term_e9, total_js_e9
+FROM terms, total
+ORDER BY priority
+"""
+
+
 QUERIES = {
+    "stats_spearman_corr": stats_spearman_corr,
+    "stats_cramers_v": stats_cramers_v,
+    "stats_jensen_shannon_drift": stats_jensen_shannon_drift,
     "stats_theil_sen": stats_theil_sen,
     "stats_mannwhitney_u": stats_mannwhitney_u,
     "stats_mode_quantity": stats_mode_quantity,
@@ -1328,6 +1620,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_spearman_corr": _spearman_sql(),
+    "stats_cramers_v": _cramers_sql(),
+    "stats_jensen_shannon_drift": _js_sql(),
     "stats_theil_sen": _THEIL_SQL,
     "stats_mannwhitney_u": _MWU_SQL,
     "stats_mode_quantity": _MODE_SQL,

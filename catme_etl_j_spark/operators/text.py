@@ -14,7 +14,7 @@ engines at half-boundaries.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
@@ -1302,7 +1302,102 @@ LIMIT {PMI_TOP_K}
 """
 
 
+ZIPF_TOP_K = 100  # head terms used for the log-log fit
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: OLS
+    slope of ln(freq) on ln(rank) over the top-100 terms — natural
+    language sits near -1; templated/boilerplate corpora flatten
+    toward 0, so the slope is a corpus-health number for training-data
+    QA (Piantadosi 2014).
+
+    Rank is row_number over (freq DESC, word ASC) — the deterministic
+    tie-break, identical on both engines. Each point's x = ln(rank),
+    y = ln(freq) fixed-points to 1e9 BEFORE the regression sums (the
+    PSI convention); sums of x*y products use DECIMAL(38,0)
+    accumulators (e9 x e9 products overflow int64), so the closed-form
+    slope/intercept divide exact integers in one deterministic IEEE
+    expression.
+
+    Scale: the corpus-sized work is ONE map-side-combined word count;
+    the fit runs over the 100-row head (a bounded single-partition
+    window — bounded by ZIPF_TOP_K, never by corpus size).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    head = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_K
+    )
+    pts = head.select(
+        F.expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5)"
+               " AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000000.0 + 0.5)"
+               " AS BIGINT)").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+    )
+    kd = "CAST(k AS DOUBLE)"
+    den = f"({kd} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    num = f"({kd} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    slope = f"({num} / {den})"
+    intercept = f"((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / {kd} / 1000000000.0)"
+    return m.select(
+        F.col("k").alias("n_terms"),
+        F.when(F.expr(den) > 0, rdet(F.expr(slope), 6)).alias("zipf_slope"),
+        F.when(F.expr(den) > 0, rdet(F.expr(intercept), 6)).alias("zipf_intercept"),
+    )
+
+
+def _zipf_sql() -> str:
+    kd = "CAST(k AS DOUBLE)"
+    den = f"({kd} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    num = f"({kd} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    slope = f"({num} / {den})"
+    intercept = (
+        f"((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / {kd}"
+        " / 1000000000.0)"
+    )
+    return f"""
+WITH freq AS (
+  SELECT word, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+    FROM documents) WHERE word <> '' GROUP BY word),
+head AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank
+  FROM freq QUALIFY rank <= {ZIPF_TOP_K}),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS y
+  FROM head),
+m AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM pts)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       CASE WHEN {den} > 0 THEN {rdet_sql(slope, 6)} END AS zipf_slope,
+       CASE WHEN {den} > 0 THEN {rdet_sql(intercept, 6)} END AS zipf_intercept
+FROM m
+"""
+
+
 QUERIES = {
+    "text_zipf_slope": text_zipf_slope,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_readability": text_readability,
     "text_lm_heldout_ppl": text_lm_heldout_ppl,
@@ -1323,6 +1418,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_zipf_slope": _zipf_sql(),
     "text_pmi_bigrams": _PMI_SQL,
     "text_rake_keywords": _rake_sql(),
     "text_lm_heldout_ppl": _lm_heldout_sql(),
