@@ -108,12 +108,12 @@ _PRIORITY: tuple[str, ...] = (
     "rank_query_likelihood",
     "text_zipf_slope",
     "corpus_tokenizer_fertility",
-    "etl_deletion_propagation",
-    "etl_schema_evolution",
-    "etl_scd3_previous_value",
-    "corpus_dsir_importance",
-    "corpus_token_budget_mix",
-    "embed_pca_outliers",
+    "embed_kmeans_sse",
+    "embed_nearest_centroid_purity",
+    "events_periodicity_autocorr",
+    "etl_changelog_compaction",
+    "scale_clustering_depth",
+    "sketch_kmv_jaccard",
     "events_feature_asof",
     "events_peak_concurrency",
     "sketch_theta_setops",

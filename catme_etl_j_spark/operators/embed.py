@@ -22,7 +22,7 @@ order-independent (the similarity module's cosine convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catme_etl_j_spark.functions.numeric import rdet, rdet_sql
@@ -816,7 +816,221 @@ FROM sd, sc, sv, sp, sdup
 """
 
 
+KM_K = 4  # Lloyd clusters
+KM_ITERS = 3  # fixed unrolled assignment rounds (oracle matches)
+
+
+def _km_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, i, q): 1e4 fixed-point components (the COV_SCALE
+    convention) — the shared explode for the k-means/purity family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id",
+        "i",
+        F.expr(
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+
+
+def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ITERS Lloyd k-means rounds over the embedding corpus (K=4,
+    seeded with the K smallest vec_ids — deterministic, no RNG), ending
+    in per-cluster sizes and the exact within-cluster SSE — the
+    clustering-quality loop a corpus-curation pipeline runs before
+    stratified sampling (MacQueen 1967 / Lloyd 1982).
+
+    Determinism: components quantize at 1e4 (COV_SCALE); every
+    distance is an exact int64 sum of squared integer differences;
+    centroid updates are integer mean via DIV (both engines' integer
+    division truncates toward zero — convention #7); argmin ties break
+    on smallest cluster id. No float exists anywhere in the loop, so
+    the unrolled DuckDB twin hash-matches bit-for-bit. Clusters that
+    lose all members drop out on both engines identically.
+
+    Scale shape per round: posexplode (64 rows/vector) joined to the
+    BROADCAST K x 64 centroid table, one (vec, cluster) partial-
+    aggregated distance sum, one per-vec struct-min argmax, one
+    (cluster, dim) partial-aggregated mean — shuffles carry vec-keyed
+    rows only; centroid state is K x 64 cells at any corpus size.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    comp = _km_comp(spark, sf_dir).localCheckpoint()
+    seeds = (
+        comp.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .withColumn(
+            "cluster",
+            F.row_number().over(Window.orderBy("vec_id")).cast("long") - 1,
+        )
+    )
+    cent = comp.join(seeds, "vec_id").select("cluster", "i", F.col("q").alias("c"))
+    assign = None
+    for _ in range(KM_ITERS):
+        dist = (
+            comp.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
+        )
+        cent = (
+            comp.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.expr("CAST(SUM(q) AS BIGINT) DIV COUNT(*)").alias("c"))
+        )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("d").cast("long").alias("sse_fp"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "sse_fp",
+            F.expr(f"CAST(sse_fp AS DOUBLE) / ({COV_SCALE} * {COV_SCALE})").alias(
+                "sse"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_sql() -> str:
+    """DuckDB twin: the same KM_ITERS Lloyd rounds unrolled as
+    MATERIALIZED CTEs (convention #11 — comp and every c{k} feed
+    multiple references)."""
+    head = f"""
+WITH comp AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})),
+c0 AS MATERIALIZED (
+  SELECT s.cluster, comp.i, comp.q AS c FROM comp JOIN seeds s USING (vec_id))"""
+    parts = [head]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(
+            f"""
+d{k} AS (
+  SELECT comp.vec_id, c.cluster,
+         CAST(SUM((comp.q - c.c) * (comp.q - c.c)) AS BIGINT) AS d
+  FROM comp JOIN c{k - 1} c USING (i)
+  GROUP BY 1, 2),
+a{k} AS MATERIALIZED (
+  SELECT vec_id, cluster, d FROM d{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+c{k} AS MATERIALIZED (
+  SELECT a.cluster, comp.i, CAST(SUM(comp.q) AS BIGINT) // COUNT(*) AS c
+  FROM comp JOIN a{k} a USING (vec_id)
+  GROUP BY 1, 2)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+SELECT cluster, COUNT(*)::BIGINT AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS sse_fp,
+       CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE) / ({COV_SCALE} * {COV_SCALE}) AS sse
+FROM a{KM_ITERS}
+GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def embed_nearest_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label purity: build each LABEL's centroid, snap
+    every vector to its nearest centroid, and report the per-label
+    confusion diagonal — the embedding-space QA check that labels are
+    separable (a label whose members mostly snap elsewhere is noisy or
+    duplicated training data).
+
+    Same integer regime as embed_kmeans_sse: 1e4 components, truncating
+    integer centroid means (convention #7), exact int64 distances,
+    argmin ties to the smallest label. purity = n_correct / n under
+    rdet(6) is the only float.
+
+    Scale: one posexplode pass for centroids (|labels| x 64 cells,
+    map-side combined), one broadcast-join assignment pass; the
+    confusion matrix is |labels|^2 at most.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _km_comp(spark, sf_dir)
+    lbl = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    cent = (
+        comp.join(lbl, "vec_id")
+        .groupBy("label", "i")
+        .agg(F.expr("CAST(SUM(q) AS BIGINT) DIV COUNT(*)").alias("c"))
+        .select(F.col("label").alias("cl"), "i", "c")
+    )
+    dist = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+    )
+    snap = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cl")).alias("m"))
+        .select("vec_id", F.col("m.cl").alias("assigned"))
+    )
+    per = (
+        lbl.join(snap, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum((F.col("assigned") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return per.select(
+        "label",
+        "n_vecs",
+        "n_correct",
+        rdet(F.expr("CAST(n_correct AS DOUBLE) / CAST(n_vecs AS DOUBLE)"), 6).alias(
+            "purity"
+        ),
+    ).orderBy("label")
+
+
+def _purity_sql() -> str:
+    return f"""
+WITH comp AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT l.label AS cl, comp.i, CAST(SUM(comp.q) AS BIGINT) // COUNT(*) AS c
+  FROM comp JOIN lbl l USING (vec_id) GROUP BY 1, 2),
+dist AS (
+  SELECT comp.vec_id, cent.cl,
+         CAST(SUM((comp.q - cent.c) * (comp.q - cent.c)) AS BIGINT) AS d
+  FROM comp JOIN cent USING (i) GROUP BY 1, 2),
+snap AS (
+  SELECT vec_id, cl AS assigned FROM dist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+per AS (
+  SELECT l.label, COUNT(*)::BIGINT AS n_vecs,
+         CAST(SUM(CASE WHEN s.assigned = l.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM lbl l JOIN snap s USING (vec_id) GROUP BY 1)
+SELECT label, n_vecs, n_correct,
+       {rdet_sql("CAST(n_correct AS DOUBLE) / CAST(n_vecs AS DOUBLE)", 6)} AS purity
+FROM per ORDER BY label
+"""
+
+
 QUERIES = {
+    "embed_kmeans_sse": embed_kmeans_sse,
+    "embed_nearest_centroid_purity": embed_nearest_centroid_purity,
     "embed_pca_outliers": embed_pca_outliers,
     "embed_quantize_int8": embed_quantize_int8,
     "embed_e2e_pipeline": embed_e2e_pipeline,
@@ -827,6 +1041,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embed_kmeans_sse": _kmeans_sql(),
+    "embed_nearest_centroid_purity": _purity_sql(),
     "embed_pca_outliers": _pca_sql(),
     "embed_covariance": _COV_SQL,
     "embed_e2e_pipeline": _E2E_PIPELINE_SQL,

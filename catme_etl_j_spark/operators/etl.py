@@ -1340,7 +1340,80 @@ ORDER BY o_custkey
 """
 
 
+def etl_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-changelog compaction: replay an insert/update/delete stream
+    to latest-state-per-key — the nightly job behind every Hudi/Delta
+    CDC merge and Kafka compacted topic. The changelog is synthesized
+    deterministically from lineitem: key = l_partkey (a part's
+    "current listing"), change order = (l_shipdate, l_orderkey,
+    l_linenumber), op = DELETE when l_returnflag = 'R' else UPSERT
+    carrying l_extendedprice.
+
+    Last-writer-wins via ONE ordered-window row_number per key (no
+    self-join against a max-timestamp subquery — the naive anti-shape
+    scans twice); a key whose final op is DELETE compacts to a
+    tombstone. Output: live/tombstone key counts, total changelog
+    depth, and the exact DECIMAL sum of surviving values (convention
+    #2) as the state checksum.
+
+    Scale: one shuffle on the key, one window sort within key groups —
+    the canonical log-structured-merge shape; the aggregate is
+    map-side combined. Cites Hudi COPY_ON_WRITE compaction semantics
+    (public docs); reference has no relational surface (SURVEY §2.4).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_del"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    latest = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("depth", F.count("*").over(Window.partitionBy("k")))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.expr("1 - is_del")).cast("long").alias("n_live"),
+        F.sum("is_del").cast("long").alias("n_tombstoned"),
+        F.sum("depth").cast("long").alias("n_changes"),
+        money2(F.sum(F.when(F.col("is_del") == 0, dec2("v")))).alias(
+            "live_value_total"
+        ),
+    )
+
+
+_CHANGELOG_SQL = """
+WITH log AS (
+  SELECT l_partkey AS k, l_shipdate, l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_del,
+         l_extendedprice AS v
+  FROM lineitem),
+latest AS (
+  SELECT k, is_del, v,
+         COUNT(*) OVER (PARTITION BY k) AS depth
+  FROM log
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(1 - is_del) AS BIGINT) AS n_live,
+       CAST(SUM(is_del) AS BIGINT) AS n_tombstoned,
+       CAST(SUM(depth) AS BIGINT) AS n_changes,
+       CAST(round(SUM(CASE WHEN is_del = 0
+                 THEN CAST(v AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         AS live_value_total
+FROM latest
+"""
+
+
 QUERIES = {
+    "etl_changelog_compaction": etl_changelog_compaction,
     "etl_scd3_previous_value": etl_scd3_previous_value,
     "etl_schema_evolution": etl_schema_evolution,
     "etl_deletion_propagation": etl_deletion_propagation,
@@ -1360,6 +1433,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_changelog_compaction": _CHANGELOG_SQL,
     "etl_scd3_previous_value": _SCD3_SQL,
     "etl_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "etl_deletion_propagation": _DELETION_SQL,

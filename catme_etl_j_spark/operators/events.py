@@ -2214,7 +2214,104 @@ ORDER BY event_id, user_id
 """
 
 
+AUTOCORR_LAGS = (1, 7)  # daily + weekly seasonality probes
+
+
+def events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1 and 7
+    — the seasonality detector (a strong lag-7 says weekly traffic
+    structure; flat says the load is memoryless) a capacity planner or
+    anomaly model runs before choosing its baseline window.
+
+    The series is DENSE: every day between the global min and max is a
+    point, absent days count 0 (skipping gaps would silently shift
+    lags). Day indexes are TZ-free integer epoch days; counts are
+    exact int64; the lag-k Pearson over (x_t, x_{t+k}) pairs uses
+    DECIMAL(38,0) moments, so the only float is the final closed-form
+    expression under rdet(6). Zero variance on either side (constant
+    series) CASEs to NULL (convention #9).
+
+    Scale: ONE map-side-combined groupBy to |days| rows; the dense
+    calendar spine, the self-join on day+lag, and the tiny lag frame
+    are all bounded by the calendar, not the event count.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)").alias("d")
+    )
+    per_day = ev.groupBy("d").agg(F.count("*").alias("n"))
+    bounds = per_day.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("d")
+    )
+    dense = spine.join(per_day, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    lags = spark.createDataFrame([(lag,) for lag in AUTOCORR_LAGS], "lag BIGINT")
+    a = dense.select(F.col("d").alias("da"), F.col("n").alias("x"))
+    b = dense.select(F.col("d").alias("db"), F.col("n").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = "CAST(n_pairs AS DOUBLE)"
+    vx = f"({n} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vy = f"({n} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    cov = f"({n} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.expr(vx) > 0) & (F.expr(vy) > 0),
+            rdet(F.expr(f"{cov} / (sqrt({vx}) * sqrt({vy}))"), 6),
+        ).alias("autocorr"),
+    ).orderBy("lag")
+
+
+def _autocorr_sql() -> str:
+    n = "CAST(n_pairs AS DOUBLE)"
+    vx = f"({n} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vy = f"({n} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    cov = f"({n} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    lags = ", ".join(f"({lag})" for lag in AUTOCORR_LAGS)
+    return f"""
+WITH per_day AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM per_day),
+dense AS MATERIALIZED (
+  SELECT s.d, CAST(COALESCE(p.n, 0) AS BIGINT) AS n
+  FROM (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds) s
+  LEFT JOIN per_day p ON s.d = p.d),
+lags(lag) AS (VALUES {lags}),
+m AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(a.n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(b.n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * b.n) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * a.n) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(b.n AS DECIMAL(38,0)) * b.n) AS DECIMAL(38,0)) AS syy
+  FROM lags, dense a JOIN dense b ON b.d = a.d + lag
+  GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN {vx} > 0 AND {vy} > 0 THEN
+         {rdet_sql(f"{cov} / (sqrt({vx}) * sqrt({vy}))", 6)}
+       END AS autocorr
+FROM m ORDER BY lag
+"""
+
+
 QUERIES = {
+    "events_periodicity_autocorr": events_periodicity_autocorr,
     "events_feature_asof": events_feature_asof,
     "events_funnel": events_funnel,
     "events_bot_score": events_bot_score,
@@ -2250,6 +2347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_periodicity_autocorr": _autocorr_sql(),
     "events_feature_asof": _FEATURE_ASOF_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_windowed_funnel": _WINDOWED_FUNNEL_SQL,

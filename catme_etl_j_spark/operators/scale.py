@@ -615,7 +615,123 @@ FROM per ORDER BY strategy, file_id
 """
 
 
+def scale_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth metric over the same two physical layouts as
+    scale_minmax_pruning: for each strategy, how many files' [min,max]
+    shipdate zone maps OVERLAP each file's min point — the
+    Snowflake-style SYSTEM$CLUSTERING_DEPTH number that tells an
+    OPTIMIZE scheduler whether re-clustering would pay (depth ~ 1 =
+    perfectly clustered, depth ~ n_files = every scan touches
+    everything).
+
+    depth(file) = |{f' : min_{f'} <= min_f <= max_{f'}}|, evaluated at
+    every file's min point; reported per strategy as n_files,
+    max_depth, and avg_depth (rdet 4). Pure integer day indexes
+    (convention #10's TZ-free datediff); the probe self-join runs on
+    the <= 2 x 64-row zone-map frame, never on the fact table.
+
+    Scale: identical single-fact-scan shape as minmax_pruning (one
+    posexplode to (strategy, file) groups); everything after the first
+    aggregate is bounded by PRUNE_FILES.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    day = _EPOCH_DAY.format(c="l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("ok"),
+        F.expr(day).alias("d"),
+    )
+    bounds = li.agg(
+        (F.max("ok") + F.lit(1)).cast("long").alias("ok_hi"),
+        F.min("d").alias("d_lo"),
+        (F.max("d") + F.lit(1)).cast("long").alias("d_hi"),
+    )
+    tagged = li.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        F.expr(f"ok * {PRUNE_FILES} DIV ok_hi").alias("f_row"),
+        F.expr(f"(d - d_lo) * {PRUNE_FILES} DIV (d_hi - d_lo)").alias("f_date"),
+    )
+    ex = tagged.select(
+        "d", F.posexplode(F.array("f_row", "f_date")).alias("pos", "file_id")
+    ).select(
+        F.expr("CASE WHEN pos = 0 THEN 'roworder' ELSE 'datesorted' END").alias(
+            "strategy"
+        ),
+        "file_id",
+        "d",
+    )
+    zones = ex.groupBy("strategy", "file_id").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    a = zones.select("strategy", F.col("file_id").alias("fa"), F.col("mn").alias("p"))
+    b = zones.select(
+        F.col("strategy").alias("sb"), F.col("mn").alias("mn_b"), F.col("mx").alias("mx_b")
+    )
+    depth = (
+        a.join(
+            b,
+            (F.col("strategy") == F.col("sb"))
+            & (F.col("mn_b") <= F.col("p"))
+            & (F.col("mx_b") >= F.col("p")),
+        )
+        .groupBy("strategy", "fa")
+        .agg(F.count("*").cast("long").alias("depth"))
+    )
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    return (
+        depth.groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("depth").cast("long").alias("sum_depth"),
+        )
+        .select(
+            "strategy",
+            "n_files",
+            "max_depth",
+            rdet(
+                F.expr("CAST(sum_depth AS DOUBLE) / CAST(n_files AS DOUBLE)"), 4
+            ).alias("avg_depth"),
+        )
+        .orderBy("strategy")
+    )
+
+
+_CLUSTER_DEPTH_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+         {{duck_day}} AS d
+  FROM lineitem),
+b AS (
+  SELECT CAST(MAX(ok) + 1 AS BIGINT) AS ok_hi,
+         MIN(d) AS d_lo, CAST(MAX(d) + 1 AS BIGINT) AS d_hi
+  FROM li),
+tagged AS (
+  SELECT d,
+         ok * {PRUNE_FILES} // ok_hi AS f_row,
+         (d - d_lo) * {PRUNE_FILES} // (d_hi - d_lo) AS f_date
+  FROM li, b),
+ex AS (
+  SELECT 'roworder' AS strategy, f_row AS file_id, d FROM tagged
+  UNION ALL
+  SELECT 'datesorted' AS strategy, f_date AS file_id, d FROM tagged),
+zones AS MATERIALIZED (
+  SELECT strategy, file_id, MIN(d) AS mn, MAX(d) AS mx
+  FROM ex GROUP BY 1, 2),
+depth AS (
+  SELECT a.strategy, a.file_id, COUNT(*)::BIGINT AS depth
+  FROM zones a JOIN zones o
+    ON a.strategy = o.strategy AND o.mn <= a.mn AND o.mx >= a.mn
+  GROUP BY 1, 2)
+SELECT strategy, COUNT(*)::BIGINT AS n_files,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       {{avg_expr}} AS avg_depth
+FROM depth GROUP BY strategy ORDER BY strategy
+"""
+
+
 QUERIES = {
+    "scale_clustering_depth": scale_clustering_depth,
     "scale_compaction_plan": scale_compaction_plan,
     "scale_minmax_pruning": scale_minmax_pruning,
     "scale_salted_group_sum": scale_salted_group_sum,
@@ -626,7 +742,15 @@ QUERIES = {
     "scale_skew_report": scale_skew_report,
 }
 
+from catme_etl_j_spark.functions.numeric import rdet_sql as _rdet_sql
+
 ORACLES = {
+    "scale_clustering_depth": _CLUSTER_DEPTH_SQL.format(
+        duck_day=_EPOCH_DAY_DUCK.format(c="l_shipdate"),
+        avg_expr=_rdet_sql(
+            "CAST(SUM(depth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4
+        ),
+    ),
     "scale_compaction_plan": _COMPACTION_SQL,
     "scale_minmax_pruning": _MINMAX_PRUNE_SQL,
     "scale_salted_group_sum": _SALTED_SQL,

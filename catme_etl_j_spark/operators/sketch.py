@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from catme_etl_j_spark.functions.numeric import rdet as _rdet
 from catme_etl_j_spark.functions.numeric import rdet_sql
 from catme_etl_j_spark.sources.tables import load_table
 
@@ -1282,7 +1283,199 @@ FROM rows5 ORDER BY op
 """
 
 
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-similarity from MERGED bottom-k sketches: for
+    every source pair, the KMV Jaccard estimate |bottom_k(A∪B) ∩ S_A ∩
+    S_B| / k_eff next to the exact Jaccard over the same hashed shingle
+    space — the sketch that lets a 1000-executor dedup triage WHICH
+    corpus slices overlap before paying for pairwise document
+    comparison (Beyer et al. 2007). The estimate is computed ONLY from
+    the per-source sketches (mergeability — the data is never re-read
+    per pair); the exact twin both gates the estimator arithmetic and
+    measures its error.
+
+    Pure integer plumbing end-to-end (32-bit md5-prefix hashes, exact
+    counts); the two Jaccard ratios are single double divisions under
+    rdet(6). Sources absent from the shingle stream (all-empty-text
+    slices) drop out of the pair grid identically on both engines.
+
+    Scale: the corpus-sized passes are the distinct-(source, hash)
+    aggregation and one hash-keyed self-join for the exact twin (at
+    100 TB you keep only the sketch pass and the tau prefilter of
+    sketch_kmv_distinct); everything pair-wise runs on |sources|^2/2
+    x KMV_K bounded frames.
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("ws", F.split(F.trim("text"), " +"))
+        .withColumn(
+            "sh",
+            F.expr(
+                "CASE WHEN size(ws) >= 3"
+                " THEN transform(sequence(1, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                " ELSE array() END"
+            ),
+        )
+        .select("source", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    hashed = sh.select(
+        "source",
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    sizes = hashed.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        sizes.select(F.col("source").alias("sa"))
+        .join(
+            sizes.select(F.col("source").alias("sb")),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    pa = pairs.join(sk.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    pb = pairs.join(sk.withColumnRenamed("source", "sb"), "sb").select(
+        "sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    u = (
+        pa.unionByName(pb)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("long").alias("k_eff"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("shared"),
+        )
+    )
+    inter = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    res = (
+        pairs.join(sizes.select(F.col("source").alias("sa"), F.col("n").alias("n_a")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n").alias("n_b")), "sb")
+        .join(est, ["sa", "sb"], "left")
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            F.coalesce("k_eff", F.lit(0)).cast("long").alias("k_eff"),
+            F.coalesce("shared", F.lit(0)).cast("long").alias("shared"),
+        )
+    )
+    return res.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        "k_eff",
+        "shared",
+        F.when(
+            F.col("k_eff") > 0,
+            _rdet(
+                F.expr("CAST(shared AS DOUBLE) / CAST(k_eff AS DOUBLE)"), 6
+            ),
+        ).alias("j_est"),
+        _rdet(
+            F.expr(
+                "CAST(n_inter AS DOUBLE)"
+                " / CAST(n_a + n_b - n_inter AS DOUBLE)"
+            ),
+            6,
+        ).alias("j_exact"),
+    ).orderBy("src_a", "src_b")
+
+
+_KMV_JACCARD_SQL = f"""
+WITH ws AS (
+  SELECT source, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+sh0 AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+  FROM ws),
+sh AS (SELECT source, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashed AS MATERIALIZED (
+  SELECT DISTINCT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {KMV_K}),
+sizes AS MATERIALIZED (
+  SELECT source, COUNT(*)::BIGINT AS n FROM hashed GROUP BY source),
+pairs AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb
+  FROM sizes a JOIN sizes b ON a.source < b.source),
+u AS (
+  SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT p.sa, p.sb, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.source = p.sb)
+  GROUP BY 1, 2, 3),
+est AS (
+  SELECT sa, sb, COUNT(*)::BIGINT AS k_eff,
+         CAST(SUM(ia * ib) AS BIGINT) AS shared
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM u) WHERE rn <= {KMV_K}
+  GROUP BY 1, 2),
+inter AS (
+  SELECT x.source AS sa, y.source AS sb, COUNT(*)::BIGINT AS n_inter
+  FROM hashed x JOIN hashed y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2),
+res AS (
+  SELECT p.sa AS src_a, p.sb AS src_b, na.n AS n_a, nb.n AS n_b,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         CAST(COALESCE(e.k_eff, 0) AS BIGINT) AS k_eff,
+         CAST(COALESCE(e.shared, 0) AS BIGINT) AS shared
+  FROM pairs p
+  JOIN sizes na ON na.source = p.sa
+  JOIN sizes nb ON nb.source = p.sb
+  LEFT JOIN est e ON e.sa = p.sa AND e.sb = p.sb
+  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
+SELECT src_a, src_b, n_a, n_b, n_inter, k_eff, shared,
+       CASE WHEN k_eff > 0 THEN
+         {rdet_sql("CAST(shared AS DOUBLE) / CAST(k_eff AS DOUBLE)", 6)}
+       END AS j_est,
+       {rdet_sql(
+           "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)", 6)}
+         AS j_exact
+FROM res ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
+    "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_theta_setops": sketch_theta_setops,
     "sketch_ams_f2": sketch_ams_f2,
@@ -1295,6 +1488,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_kmv_jaccard": _KMV_JACCARD_SQL,
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_theta_setops": _THETA_SQL,
     "sketch_ams_f2": _AMS_SQL,
