@@ -116,10 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_kmv_jaccard",
     "events_feature_asof",
     "events_peak_concurrency",
-    "sketch_theta_setops",
-    "ann_matryoshka_recall",
-    "multimodal_chunk_manifest",
-    "stats_theil_sen",
+    "multimodal_payload_entropy",
+    "window_max_drawdown",
+    "stats_runs_test",
+    "etl_watermark_freshness",
     "events_cusum_changepoint",
 )
 

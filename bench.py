@@ -96,6 +96,16 @@ HEADLINE = [
     # drift — the other wave ops are bounded-aggregate plans)
     "scale_minmax_pruning",
     "graph_s_core_peeling",
+    # round-8 additions (VERDICT r7 #6): the two remaining untimed
+    # iterative/multi-pass shapes from r7 (6-round LPA, multi-prefix
+    # matryoshka rescoring) plus this round's new loops — the 5-round
+    # min-label CC, the 3-round integer Lloyd k-means, and the
+    # bottom-k pair grid with its exact hash-space twin
+    "graph_lpa_communities",
+    "ann_matryoshka_recall",
+    "graph_connected_components",
+    "embed_kmeans_sse",
+    "sketch_kmv_jaccard",
 ]
 
 

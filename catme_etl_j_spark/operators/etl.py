@@ -1412,7 +1412,65 @@ FROM latest
 """
 
 
+STALE_AFTER_S = 86_400  # one day behind the freshest stream = stale
+
+
+def etl_watermark_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness audit: per event stream (event_type), the
+    high-watermark timestamp, its lag behind the freshest stream, and
+    a staleness flag — the first dashboard an on-call engineer checks
+    when a pipeline silently stops delivering one topic while others
+    flow.
+
+    Lags are exact integer epoch seconds (floored on both engines);
+    the watermark renders as a formatted UTC string (conventions #3/
+    #10 — events.ts IS castable). One map-side-combined groupBy to
+    |event types| rows; the global max is a broadcast of that tiny
+    aggregate, not a second scan.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT)").alias("es"),
+        "ts",
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("es").alias("wm_s"),
+        F.max("ts").alias("wm_ts"),
+    )
+    glob = per.agg(F.max("wm_s").alias("g"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_events",
+            F.date_format("wm_ts", "yyyy-MM-dd HH:mm:ss").alias("watermark"),
+            F.expr("g - wm_s").cast("long").alias("lag_s"),
+            F.expr(f"g - wm_s > {STALE_AFTER_S}").alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WATERMARK_SQL = f"""
+WITH per AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS wm_s,
+         MAX(ts) AS wm_ts
+  FROM events GROUP BY 1),
+g AS (SELECT MAX(wm_s) AS g FROM per)
+SELECT event_type, n_events,
+       strftime(wm_ts, '%Y-%m-%d %H:%M:%S') AS watermark,
+       CAST(g - wm_s AS BIGINT) AS lag_s,
+       g - wm_s > {STALE_AFTER_S} AS is_stale
+FROM per, g
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "etl_watermark_freshness": etl_watermark_freshness,
     "etl_changelog_compaction": etl_changelog_compaction,
     "etl_scd3_previous_value": etl_scd3_previous_value,
     "etl_schema_evolution": etl_schema_evolution,
@@ -1433,6 +1491,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_watermark_freshness": _WATERMARK_SQL,
     "etl_changelog_compaction": _CHANGELOG_SQL,
     "etl_scd3_previous_value": _SCD3_SQL,
     "etl_schema_evolution": _SCHEMA_EVOLUTION_SQL,

@@ -444,7 +444,103 @@ FROM ex ORDER BY doc_id, chunk_idx
 """
 
 
+_ENT_SCALE = 1_000_000  # fixed-point for per-byte n*log2(n) terms
+
+
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy of each binary payload — the codec /
+    corruption QA signal for opaque media columns: already-compressed
+    media sits near 8 bits/byte, text near 4-5, zero-padded or
+    truncated payloads collapse toward 0 (no decode needed, so it runs
+    on ANY codec, not just the stubbed fake).
+
+    Bytes are enumerated ENGINE-SAFELY via the hex rendering (2 hex
+    chars = 1 byte; hex is ASCII on both engines, so no multi-byte
+    character trap — the chunk-manifest lesson). Determinism is the
+    text_char_entropy regime: each byte-count's n*log2(n) term
+    fixed-points to 1e6 before the exact int64 sum, then one closed-
+    form double under rdet(4). Empty payloads emit NULL entropy
+    (convention #9).
+
+    Scale: explode to (doc, byte) -> count map-side combines to at
+    most 256 rows per doc per task; everything after is bounded by
+    |docs| x 256.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = _payloads(spark, sf_dir)
+    # ONE regex pass chunks the hex string into bytes. The obvious
+    # transform(sequence(...), i -> substring(hx, i*2-1, 2)) is
+    # O(len^2) per row — Spark's UTF8String.substring walks from the
+    # start for every element (measured 7.5 s -> 1.3 s at sf0.1).
+    b = p.select(
+        "doc_id", F.hex("payload").alias("hx")
+    ).select(
+        "doc_id",
+        F.explode_outer(F.expr("regexp_extract_all(hx, '..', 0)")).alias("byte"),
+    )
+    counts = (
+        b.filter(F.col("byte").isNotNull())
+        .groupBy("doc_id", "byte")
+        .agg(F.count("*").alias("n_c"))
+    )
+    term = F.expr(
+        f"CAST(floor(n_c * log2(CAST(n_c AS DOUBLE)) * {_ENT_SCALE} + 0.5)"
+        " AS BIGINT)"
+    )
+    per = counts.groupBy("doc_id").agg(
+        F.sum("n_c").cast("long").alias("n_bytes"),
+        F.count("*").cast("long").alias("n_distinct_bytes"),
+        F.sum(term).alias("sum_fx"),
+    )
+    ent = F.expr(
+        f"log2(CAST(n_bytes AS DOUBLE))"
+        f" - (CAST(sum_fx AS DOUBLE) / {_ENT_SCALE}) / CAST(n_bytes AS DOUBLE)"
+    )
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    all_docs = p.select("doc_id")
+    return (
+        all_docs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
+            F.coalesce("n_distinct_bytes", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_bytes"),
+            F.when(F.col("n_bytes").isNotNull(), rdet(ent, 4)).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PAYLOAD_ENTROPY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, unnest(regexp_extract_all(hex(encode(text)), '..')) AS byte
+  FROM documents),
+counts AS (
+  SELECT doc_id, byte, COUNT(*) AS n_c FROM b GROUP BY doc_id, byte),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_bytes,
+         COUNT(*)::BIGINT AS n_distinct_bytes,
+         CAST(SUM(CAST(floor(n_c * log2(CAST(n_c AS DOUBLE)) * {_ENT_SCALE}
+              + 0.5) AS BIGINT)) AS BIGINT) AS sum_fx
+  FROM counts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bytes, 0) AS BIGINT) AS n_bytes,
+       CAST(COALESCE(p.n_distinct_bytes, 0) AS BIGINT) AS n_distinct_bytes,
+       CASE WHEN p.n_bytes IS NOT NULL THEN
+         {{ent}}
+       END AS entropy_bits
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_payload_entropy": multimodal_payload_entropy,
     "multimodal_chunk_manifest": multimodal_chunk_manifest,
     "multimodal_meta": multimodal_meta,
     "multimodal_ahash_candidates": multimodal_ahash_candidates,
@@ -468,7 +564,17 @@ SELECT doc_id,
 FROM b
 """
 
+from catme_etl_j_spark.functions.numeric import rdet_sql as _rdet_sql
+
 ORACLES = {
+    "multimodal_payload_entropy": _PAYLOAD_ENTROPY_SQL.format(
+        ent=_rdet_sql(
+            f"log2(CAST(p.n_bytes AS DOUBLE))"
+            f" - (CAST(p.sum_fx AS DOUBLE) / {_ENT_SCALE})"
+            f" / CAST(p.n_bytes AS DOUBLE)",
+            4,
+        )
+    ),
     "multimodal_chunk_manifest": _CHUNK_MANIFEST_SQL,
     "multimodal_meta": _META_SQL,
     "multimodal_ahash_candidates": _AHASH_SQL,

@@ -845,7 +845,89 @@ def lateral_top3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_PARTS_SQL.format(part="part_lv"))
 
 
+DRAWDOWN_TOP = 20
+_DD_SCALE = 1_000_000  # integer drawdown fixed-point (ppm)
+
+
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of daily order revenue: for each day, the
+    all-time-high daily revenue so far and the fractional drop from it
+    — the resilience metric (worst demand collapse) a forecast/alert
+    system tracks; output is the 20 deepest drawdown days.
+
+    Pure integer end-to-end: daily revenue is an exact DECIMAL->cents
+    int64, the running peak is an integer window MAX, and the drawdown
+    fraction is ``(peak - rev) * 1e6 DIV peak`` — non-negative
+    operands, so DuckDB ``//`` truncation == Spark DIV (convention
+    #7). Ties rank by day ASC; day renders as a formatted string
+    (convention #3); day keys via TZ-free datediff (convention #10 —
+    o_orderdate is TIMESTAMP_NTZ).
+
+    Scale: the fact table collapses to |days| rows first; the running
+    MAX and the top-k are single bounded-partition passes over the
+    calendar, never the fact stream.
+    """
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("long").alias("rev_cents")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dd = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        F.max("rev_cents").over(w).cast("long").alias("peak_cents"),
+    ).select(
+        "day",
+        "rev_cents",
+        "peak_cents",
+        F.expr(f"(peak_cents - rev_cents) * {_DD_SCALE} DIV peak_cents").alias(
+            "drawdown_ppm"
+        ),
+    )
+    return (
+        dd.orderBy(F.desc("drawdown_ppm"), F.asc("day"))
+        .limit(DRAWDOWN_TOP)
+        .select(
+            "day",
+            "rev_cents",
+            "peak_cents",
+            "drawdown_ppm",
+            F.expr(f"CAST(drawdown_ppm AS DOUBLE) / {_DD_SCALE}.0").alias(
+                "drawdown"
+            ),
+        )
+    )
+
+
+_MAX_DRAWDOWN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+dd AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+         CAST(MAX(rev_cents) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS peak_cents
+  FROM daily)
+SELECT day, rev_cents, peak_cents,
+       (peak_cents - rev_cents) * {_DD_SCALE} // peak_cents AS drawdown_ppm,
+       CAST((peak_cents - rev_cents) * {_DD_SCALE} // peak_cents AS DOUBLE)
+         / {_DD_SCALE}.0 AS drawdown
+FROM dd
+ORDER BY drawdown_ppm DESC, day ASC
+LIMIT {DRAWDOWN_TOP}
+"""
+
+
 QUERIES = {
+    "window_max_drawdown": window_max_drawdown,
     "window_revenue_7dma": window_revenue_7dma,
     "window_seasonal_index": window_seasonal_index,
     "fn_business_days": fn_business_days,
@@ -866,6 +948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_max_drawdown": _MAX_DRAWDOWN_SQL,
     "window_revenue_7dma": _REV_7DMA_SQL,
     "fn_business_days": _bday_sql(),
     "window_seasonal_index": _SEASONAL_SQL,

@@ -1599,7 +1599,148 @@ ORDER BY priority
 """
 
 
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily order revenue vs its median:
+    is the above/below-median sign sequence random, or does revenue
+    trend/mean-revert? The standard nonparametric randomness check a
+    monitoring system applies before trusting iid-based alert
+    thresholds.
+
+    Exact plumbing: daily revenue is int64 cents; the median is kept
+    DOUBLED (sum of the two middle order statistics — no .5 float);
+    days equal to the median are excluded (the standard treatment);
+    runs count via one lag over the calendar-ordered sign sequence.
+    n1, n2, R are exact ints, so the z closed form (mu = 2*n1*n2/N +
+    1, sigma^2 = 2*n1*n2*(2*n1*n2 - N) / (N^2*(N-1))) is one
+    deterministic IEEE expression under rdet(4); degenerate cases
+    (all one sign, N <= 1, sigma = 0) CASE to NULL (convention #9).
+
+    Scale: the fact table collapses to |days| rows first; every window
+    after that is bounded by the calendar.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    ranked = daily.select(
+        "day",
+        "v",
+        F.row_number().over(W.orderBy("v", "day")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        F.sum(
+            F.when(
+                F.expr("rn = (n + 1) DIV 2 OR rn = n DIV 2 + 1"),
+                F.col("v"),
+            )
+        ).cast("long").alias("m_sum"),
+        F.sum(
+            F.when(
+                F.expr("rn = (n + 1) DIV 2 OR rn = n DIV 2 + 1"),
+                F.lit(1),
+            )
+        ).cast("long").alias("m_cnt"),
+    ).select(
+        # doubled median: sum of the two middle order stats (or 2x the
+        # single middle when n is odd and the two ranks coincide)
+        F.expr("m_sum * 2 DIV m_cnt").alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            F.when(F.expr("2 * v > med2"), F.lit(1))
+            .when(F.expr("2 * v < med2"), F.lit(-1))
+            .alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(W.orderBy("day")).isNull()
+            | (F.lag("s").over(W.orderBy("day")) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.expr("CAST(s = 1 AS INT)")).cast("long").alias("n_above"),
+        F.sum(F.expr("CAST(s = -1 AS INT)")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    nn = "CAST(n_above + n_below AS DOUBLE)"
+    p2 = "(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))"
+    mu = f"({p2} / {nn} + 1.0)"
+    sig2 = f"({p2} * ({p2} - {nn}) / ({nn} * {nn} * ({nn} - 1.0)))"
+    return agg.select(
+        F.expr("n_above + n_below").alias("n_days"),
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(
+            (F.col("n_above") > 0)
+            & (F.col("n_below") > 0)
+            & (F.expr("n_above + n_below") > 1)
+            & (F.expr(sig2) > 0),
+            rdet(
+                F.expr(f"(CAST(n_runs AS DOUBLE) - {mu}) / sqrt({sig2})"), 4
+            ),
+        ).alias("z"),
+    )
+
+
+def _runs_sql() -> str:
+    nn = "CAST(n_above + n_below AS DOUBLE)"
+    p2 = "(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))"
+    mu = f"({p2} / {nn} + 1.0)"
+    sig2 = f"({p2} * ({p2} - {nn}) / ({nn} * {nn} * ({nn} - 1.0)))"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT day, v, ROW_NUMBER() OVER (ORDER BY v, day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily),
+med AS (
+  SELECT CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+                  THEN v END) * 2
+          // SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+                 THEN 1 END) AS BIGINT) AS med2
+  FROM ranked),
+signs0 AS (
+  SELECT day, CASE WHEN 2 * v > med2 THEN 1
+                   WHEN 2 * v < med2 THEN -1 END AS s
+  FROM daily, med),
+signs AS (SELECT * FROM signs0 WHERE s IS NOT NULL),
+runs AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR lag(s) OVER (ORDER BY day) <> s
+            THEN 1 ELSE 0 END AS new_run
+  FROM signs),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs)
+SELECT CAST(n_above + n_below AS BIGINT) AS n_days, n_above, n_below, n_runs,
+       CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+                 AND {sig2} > 0 THEN
+         {rdet_sql(f"(CAST(n_runs AS DOUBLE) - {mu}) / sqrt({sig2})", 4)}
+       END AS z
+FROM agg
+"""
+
+
 QUERIES = {
+    "stats_runs_test": stats_runs_test,
     "stats_spearman_corr": stats_spearman_corr,
     "stats_cramers_v": stats_cramers_v,
     "stats_jensen_shannon_drift": stats_jensen_shannon_drift,
@@ -1620,6 +1761,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_runs_test": _runs_sql(),
     "stats_spearman_corr": _spearman_sql(),
     "stats_cramers_v": _cramers_sql(),
     "stats_jensen_shannon_drift": _js_sql(),
