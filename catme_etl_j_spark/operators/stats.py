@@ -1669,10 +1669,16 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("new_run"),
     )
+    # COALESCE: an all-excluded (constant) series leaves an EMPTY frame
+    # whose SUMs are NULL on both engines — report exact zeros instead
     agg = runs.agg(
-        F.sum(F.expr("CAST(s = 1 AS INT)")).cast("long").alias("n_above"),
-        F.sum(F.expr("CAST(s = -1 AS INT)")).cast("long").alias("n_below"),
-        F.sum("new_run").cast("long").alias("n_runs"),
+        F.coalesce(F.sum(F.expr("CAST(s = 1 AS INT)")), F.lit(0))
+        .cast("long")
+        .alias("n_above"),
+        F.coalesce(F.sum(F.expr("CAST(s = -1 AS INT)")), F.lit(0))
+        .cast("long")
+        .alias("n_below"),
+        F.coalesce(F.sum("new_run"), F.lit(0)).cast("long").alias("n_runs"),
     )
     nn = "CAST(n_above + n_below AS DOUBLE)"
     p2 = "(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))"
@@ -1726,9 +1732,11 @@ runs AS (
             THEN 1 ELSE 0 END AS new_run
   FROM signs),
 agg AS (
-  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  SELECT CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_above,
+         CAST(COALESCE(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_below,
+         CAST(COALESCE(SUM(new_run), 0) AS BIGINT) AS n_runs
   FROM runs)
 SELECT CAST(n_above + n_below AS BIGINT) AS n_days, n_above, n_below, n_runs,
        CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1

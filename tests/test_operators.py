@@ -1877,6 +1877,152 @@ def test_chunk_manifest_multibyte_payload(spark, tmp_path):
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
 
 
+def _doc_fixture(tmp_path, texts, langs=None, sources=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["t"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    return con
+
+
+def test_payload_entropy_degenerate_docs(spark, tmp_path):
+    """Convention #9 fixtures for the byte-entropy op: empty payload
+    (NULL entropy, 0 bytes), single byte (entropy exactly 0), uniform
+    repeats (entropy 0), and a two-byte alternation (exactly 1 bit) —
+    engine-compared on each."""
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.multimodal import multimodal_payload_entropy
+
+    con = _doc_fixture(tmp_path, ["", "a", "aaaaaaaa", "ababab", "abcd"])
+    sdf = multimodal_payload_entropy(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    assert rows[1]["n_bytes"] == 0 and rows[1]["entropy_bits"] is None
+    assert rows[2]["entropy_bits"] == 0.0
+    assert rows[3]["entropy_bits"] == 0.0
+    assert rows[4]["entropy_bits"] == 1.0
+    assert rows[5]["entropy_bits"] == 2.0
+    rel = con.sql(entry_mod.oracle_sql()["multimodal_payload_entropy"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_tokenizer_fertility_degenerate_docs(spark, tmp_path):
+    """Convention #9: an all-empty-text slice must yield NULL fertility
+    (0 words) on BOTH engines, not a division error; punctuation-only
+    text has subwords but zero whitespace words."""
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.corpus import corpus_tokenizer_fertility
+
+    con = _doc_fixture(
+        tmp_path,
+        ["", "   ", "!!!", "hello world"],
+        sources=["empty", "empty", "punct", "ok"],
+    )
+    sdf = corpus_tokenizer_fertility(spark, str(tmp_path))
+    rows = {r["source"]: r for r in sdf.collect()}
+    assert rows["empty"]["n_words"] == 0 and rows["empty"]["fertility"] is None
+    # '!!!' is ONE whitespace word but three BPE-ish subword tokens
+    assert rows["punct"]["n_words"] == 1 and rows["punct"]["n_subwords"] == 3
+    assert rows["punct"]["fertility"] == 3.0
+    assert rows["ok"]["fertility"] == 1.0
+    rel = con.sql(entry_mod.oracle_sql()["corpus_tokenizer_fertility"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_kmeans_identical_vectors_degenerate(spark, tmp_path):
+    """All-identical embeddings: every distance ties at 0, the argmin
+    tie-break sends every vector to cluster 0, empty clusters drop on
+    both engines, and SSE is exactly 0."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.embed import COV_DIM, embed_kmeans_sse
+
+    vecs = [[0.5] * COV_DIM for _ in range(12)]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 12, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    sdf = embed_kmeans_sse(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster"] == 0 and rows[0]["n_vecs"] == 12
+    assert rows[0]["sse_fp"] == 0
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["embed_kmeans_sse"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_runs_test_constant_revenue_degenerate(spark, tmp_path):
+    """Convention #9: a constant daily revenue series makes every day
+    equal the median — all days excluded, zero runs, NULL z — with no
+    division error on either engine."""
+    import datetime
+
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.stats import stats_runs_test
+
+    days = [datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i) for i in range(10)]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(10), pa.int64()),
+            "o_custkey": pa.array([1] * 10, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 10, pa.string()),
+            "o_totalprice": pa.array([100.0] * 10, pa.float64()),
+            "o_orderdate": pa.array(days, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 10, pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    sdf = stats_runs_test(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 0 and r["n_runs"] == 0 and r["z"] is None
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["stats_runs_test"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
 def test_feature_asof_no_leakage(spark, tmp_path):
     """The feature-store leakage pin: a view at the SAME microsecond as
     the label must NOT count (frame ends at 1 us preceding), a view 1 us
