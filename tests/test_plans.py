@@ -775,3 +775,140 @@ def test_chunk_manifest_map_only(spark, sf_dir):
     assert "Generate" in tree
     assert "Join" not in tree
     assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+# ---------- round-8 operators ----------
+
+
+def test_cc_rounds_are_hash_joins_no_rescans(spark, sf_dir):
+    """Every min-label round is an equi hash join of labels onto the
+    checkpointed symmetric edge list plus a partial-combined MIN
+    aggregate — no nested-loop join, no parquet rescan inside the
+    loop (the pagerank_users/LPA loop discipline)."""
+    from catme_etl_j_spark.operators.graph import graph_connected_components
+
+    plan = formatted_plan(graph_connected_components(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree
+    assert "CartesianProduct" not in tree
+    assert "partial_min" in plan
+    # the edge list is localCheckpoint'd before the loop; label state
+    # re-derives from one events scan at most (round 5 is pre-checkpoint)
+    assert tree.count("Scan parquet") <= 1
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """The K x 64 centroid table broadcast-joins onto the exploded
+    component stream every round — never a shuffled join against the
+    corpus side — and the distance sums partial-aggregate map-side."""
+    from catme_etl_j_spark.operators.embed import embed_kmeans_sse
+
+    plan = formatted_plan(embed_kmeans_sse(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "partial_sum" in plan
+
+
+def test_purity_centroids_broadcast(spark, sf_dir):
+    """Same regime as k-means: label centroids broadcast; the only
+    corpus-sized shuffles are the (vec, label) aggregates."""
+    from catme_etl_j_spark.operators.embed import embed_nearest_centroid_purity
+
+    plan = formatted_plan(embed_nearest_centroid_purity(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_kmv_jaccard_exact_twin_is_equi_join(spark, sf_dir):
+    """The exact-intersection pass self-joins the distinct (source,
+    hash) frame on the HASH key (equi hash join); the only
+    nested-loop joins are against the bounded |sources|-row pair grid,
+    never corpus-sized frames."""
+    from catme_etl_j_spark.operators.sketch import sketch_kmv_jaccard
+
+    plan = formatted_plan(sketch_kmv_jaccard(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # the h-keyed self-join must be a hash join, not BNL
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\bh\b", tree) or (
+        "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or "BroadcastHashJoin" in tree
+    )
+
+
+def test_query_likelihood_prunes_then_broadcasts(spark, sf_dir):
+    """The matched-delta stream filters to query terms via a BROADCAST
+    join before any aggregation, and every term-stat frame (<= |q|
+    rows) broadcasts; the per-document length table joins shuffled
+    (it scales with the corpus, broadcast would be wrong)."""
+    from catme_etl_j_spark.operators.ranking import rank_query_likelihood
+
+    plan = formatted_plan(rank_query_likelihood(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "TakeOrderedAndProject" in tree  # top-k, not a global sort
+
+
+def test_spearman_ranks_join_on_value_key(spark, sf_dir):
+    """Both rank tables join back to rows on the fixed-point value key
+    as hash joins; the moment aggregate partial-combines; no
+    nested-loop anywhere."""
+    from catme_etl_j_spark.operators.stats import stats_spearman_corr
+
+    plan = formatted_plan(stats_spearman_corr(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree
+    assert "CartesianProduct" not in tree
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_changelog_compaction_single_key_shuffle(spark, sf_dir):
+    """Last-writer-wins compacts behind ONE hash exchange on the key:
+    the row_number and per-key depth share the partitioning, and no
+    join exists in the plan (the naive max-timestamp self-join shape
+    is exactly what this pin forbids)."""
+    import re
+
+    from catme_etl_j_spark.operators.etl import etl_changelog_compaction
+
+    plan = formatted_plan(etl_changelog_compaction(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    # the key partitioning appears in the plan details, not the tree
+    assert "hashpartitioning(k" in plan
+    # one key shuffle + the final single-partition aggregate at most
+    assert len(re.findall(r"\bExchange\b", tree)) <= 2
+    # both Windows (row_number + per-key depth) reuse that one exchange
+    assert sum(1 for l in tree.splitlines() if "Window" in l and "Sort" not in l) == 2
+
+
+def test_payload_entropy_map_side_combine(spark, sf_dir):
+    """The (doc, byte) count partial-aggregates map-side (<= 256 rows
+    per doc per task reach the shuffle) over a single pruned scan of
+    the payload column."""
+    from catme_etl_j_spark.operators.multimodal import multimodal_payload_entropy
+
+    plan = formatted_plan(multimodal_payload_entropy(spark, sf_dir))
+    assert "partial_count" in plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+
+
+def test_drawdown_collapses_before_window(spark, sf_dir):
+    """The fact table collapses to |days| rows BEFORE the running-peak
+    window: the plan's aggregate sits below the Window, and the top-k
+    is TakeOrderedAndProject."""
+    from catme_etl_j_spark.operators.relational3 import window_max_drawdown
+
+    plan = formatted_plan(window_max_drawdown(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    lines = tree.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l and "Sort" not in l)
+    agg = max(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    # top-down tree: the Window consumes the aggregate's output
+    assert win < agg

@@ -62,6 +62,15 @@ AUDIT = [
     ("graph_s_core_peeling", "per-round LEFT SEMI hash equi-joins + partial strength aggregate; checkpointed edge list"),
     ("etl_scd3_previous_value", "rank + lead + count in ONE Window operator behind a single (o_custkey) exchange"),
     ("multimodal_chunk_manifest", "scan -> generate -> project; the only exchange is the output sort"),
+    # round-8 additions: the new iterative loops and heavy shapes
+    ("graph_connected_components", "per-round min-label hash equi-joins + partial_min combine; checkpointed symmetric edges; no nested loop"),
+    ("embed_kmeans_sse", "K x 64 centroid table broadcast every round; partial-combined distance sums; no cartesian"),
+    ("sketch_kmv_jaccard", "hash-keyed exact-intersection equi-join; nested loops only against the bounded pair grid"),
+    ("rank_query_likelihood", "query-term broadcast prune before aggregation; TakeOrderedAndProject top-k"),
+    ("stats_spearman_corr", "two value-keyed hash joins back to rows; DECIMAL moment aggregate partial-combines"),
+    ("etl_changelog_compaction", "row_number + per-key depth fused behind ONE key exchange; no self-join"),
+    ("multimodal_payload_entropy", "one-pass hex chunking (no O(len^2) substring); (doc, byte) partial_count combine"),
+    ("window_max_drawdown", "fact collapses to |days| before the running-peak window; TakeOrderedAndProject"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
