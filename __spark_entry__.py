@@ -63,10 +63,9 @@ def _modules():
 # never-green tail — all 29 names tools/witness.py listed after r7 plus
 # rank_postings (whose r7 window attempt errored on the array-typed
 # column, now fixed to a scalar string) — so after a green r8 gate the
-# never-green backlog reaches ZERO. The remaining 20 slots are this
-# round's newborns (the pinned "new operator => witnessed in its birth
-# round" invariant); until newborns land they are held by
-# already-green r7 operators so the suite stays green at round start.
+# never-green backlog reaches ZERO. The remaining 20 slots hold ALL 20
+# of this round's newborns (the pinned "new operator => witnessed in
+# its birth round" invariant): no repeats anywhere in the window.
 _PRIORITY: tuple[str, ...] = (
     # --- the full never-green tail (30) ---
     "rank_postings",
@@ -99,8 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_corr_matrix",
     "stats_mad_outliers",
     "stats_chi2_cells",
-    # --- round-8 newborns (birth-round witnesses; green-r7 fillers
-    # hold any slot not yet claimed by a newborn) ---
+    # --- round-8 newborns (all 20; birth-round witnesses) ---
     "graph_connected_components",
     "stats_spearman_corr",
     "stats_cramers_v",
@@ -114,13 +112,13 @@ _PRIORITY: tuple[str, ...] = (
     "etl_changelog_compaction",
     "scale_clustering_depth",
     "sketch_kmv_jaccard",
-    "events_feature_asof",
-    "events_peak_concurrency",
+    "events_burstiness",
+    "text_simpson_diversity",
     "multimodal_payload_entropy",
     "window_max_drawdown",
     "stats_runs_test",
     "etl_watermark_freshness",
-    "events_cusum_changepoint",
+    "agg_weighted_median",
 )
 
 

@@ -2310,7 +2310,107 @@ FROM m ORDER BY lag
 """
 
 
+BURST_MIN_GAPS = 5
+BURST_TOP = 20
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness coefficient B = (sigma - mu)/(sigma + mu)
+    over inter-event gaps (Goh & Barabasi 2008): B -> 1 for bursty
+    humans, ~0 for Poisson traffic, -1 for metronomic bots — the
+    behavioral fingerprint complementing events_bot_score. Output: the
+    20 burstiest users with >= 5 gaps.
+
+    Exact plumbing: gaps are integer microseconds from one
+    user-partitioned lag window; per-user moments (n, sum, sum-of-
+    squares) accumulate exactly (DECIMAL(38,0) for the squares — a
+    2-year gap squares to ~6e27); sigma and B are ONE closed-form
+    IEEE expression from those exact sums, and the ranking key is the
+    FIXED-POINT b_e6 integer with a user_id tie-break (convention #6),
+    so rank order cannot flip between engines. sigma + mu = 0 (a user
+    whose gaps are all zero) CASEs to NULL and sorts NULLS LAST
+    behind the b_e6 ranking.
+
+    Scale: one user-co-partitioned window + one map-side-combined
+    per-user aggregate; the top-k is TakeOrdered over |users| rows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", F.expr("unix_micros(ts)").alias("us"), "ts", "event_id")
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", F.expr("us - prev").alias("g"))
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("ss"),
+    ).filter(F.col("n_gaps") >= BURST_MIN_GAPS)
+    mu = "(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+    sig = (
+        "sqrt((CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))"
+    )
+    b = f"(({sig} - {mu}) / ({sig} + {mu}))"
+    scored = per.select(
+        "user_id",
+        "n_gaps",
+        F.when(
+            F.expr(f"{sig} + {mu}") > 0,
+            F.expr(f"CAST(floor({b} * 1000000.0 + 0.5) AS BIGINT)"),
+        ).alias("b_e6"),
+    )
+    return (
+        scored.orderBy(F.desc_nulls_last("b_e6"), F.asc("user_id"))
+        .limit(BURST_TOP)
+        .select(
+            "user_id",
+            "n_gaps",
+            "b_e6",
+            F.expr("CAST(b_e6 AS DOUBLE) / 1000000.0").alias("burstiness"),
+        )
+    )
+
+
+def _burstiness_sql() -> str:
+    mu = "(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))"
+    sig = (
+        "sqrt((CAST(n_gaps AS DOUBLE) * CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))"
+    )
+    b = f"(({sig} - {mu}) / ({sig} + {mu}))"
+    return f"""
+WITH gaps AS (
+  SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS g
+  FROM (SELECT user_id, epoch_us(ts) AS us, ts, event_id
+        FROM events WHERE user_id IS NOT NULL)),
+per AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS ss
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {BURST_MIN_GAPS}),
+scored AS (
+  SELECT user_id, n_gaps,
+         CASE WHEN {sig} + {mu} > 0 THEN
+           CAST(floor({b} * 1000000.0 + 0.5) AS BIGINT)
+         END AS b_e6
+  FROM per)
+SELECT user_id, n_gaps, b_e6,
+       CAST(b_e6 AS DOUBLE) / 1000000.0 AS burstiness
+FROM scored
+ORDER BY b_e6 DESC NULLS LAST, user_id ASC
+LIMIT {BURST_TOP}
+"""
+
+
 QUERIES = {
+    "events_burstiness": events_burstiness,
     "events_periodicity_autocorr": events_periodicity_autocorr,
     "events_feature_asof": events_feature_asof,
     "events_funnel": events_funnel,
@@ -2347,6 +2447,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_burstiness": _burstiness_sql(),
     "events_periodicity_autocorr": _autocorr_sql(),
     "events_feature_asof": _FEATURE_ASOF_SQL,
     "events_funnel": _FUNNEL_SQL,

@@ -838,7 +838,79 @@ FROM t
 
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact revenue-weighted median quantity per return flag: the
+    smallest quantity v where the cumulative extendedprice weight of
+    lines with quantity <= v reaches half the group's total — "half
+    the revenue ships in lines of <= v units", the inventory-planning
+    cut an unweighted median misstates when big lines carry the money.
+
+    Exact plumbing: quantities and weights fix-point to cents int64;
+    the cumulative runs over DISTINCT quantity values per flag
+    (bounded by the value domain, not rows — the mannwhitney/spearman
+    rank regime); the threshold test is ``2 * cum >= total`` in pure
+    integers (no halves, no floats anywhere until the display cast).
+
+    Scale: one map-side-combined (flag, qty) aggregate; per-flag
+    cumulative windows over |distinct quantities| rows; the answer is
+    a MIN over qualifying values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").alias("q"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("wc"),
+    )
+    per = li.groupBy("l_returnflag", "q").agg(F.sum("wc").cast("long").alias("w"))
+    win = W.partitionBy("l_returnflag").orderBy("q")
+    cum = per.select(
+        "l_returnflag",
+        "q",
+        F.sum("w").over(win.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    hit = cum.filter(F.expr("2 * cw >= tw"))
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.min("q").alias("med_q_fp"),
+            F.max("tw").cast("long").alias("total_weight_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "total_weight_cents",
+            F.expr("CAST(med_q_fp AS DOUBLE) / 100.0").alias("weighted_median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WMEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wc
+  FROM lineitem),
+per AS (
+  SELECT l_returnflag, q, CAST(SUM(wc) AS BIGINT) AS w
+  FROM li GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, q,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM per)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight_cents,
+       CAST(MIN(q) AS DOUBLE) / 100.0 AS weighted_median_qty
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_weighted_median": agg_weighted_median,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_nation_profit": q09_nation_profit,
     "q07_nation_trade": q07_nation_trade,
@@ -865,6 +937,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_weighted_median": _WMEDIAN_SQL,
     "q02_min_cost_supplier": _Q02_SQL,
     "q09_nation_profit": _Q09_SQL,
     "q07_nation_trade": _Q07_SQL,

@@ -1396,7 +1396,75 @@ FROM m
 """
 
 
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson (Herfindahl) vocabulary concentration
+    lambda = sum((n_i/N)^2) and its diversity complement 1 - lambda —
+    the corpus-slice health number that flags template farms (a few
+    words dominate -> lambda high) where per-doc TTR
+    (text_lexical_diversity) cannot, because it averages away
+    cross-document repetition.
+
+    Exact plumbing: word counts n_i and the squared sum accumulate as
+    exact integers (DECIMAL(38,0) for sum(n_i^2)); lambda is ONE
+    double division of exact sums under rdet(9) — at lambda ~ 1e-3
+    the 9-decimal rendering keeps ~6 significant digits.
+
+    Scale: one explode -> (source, word) map-side-combined count, one
+    per-source aggregate; output rows = |sources|.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words()).alias("word"))
+        .filter("word <> ''")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    per = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+    )
+    lam = (
+        "(CAST(ss AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))"
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.when(F.col("n_tokens") > 0, rdet(F.expr(lam), 9)).alias("simpson"),
+        F.when(F.col("n_tokens") > 0, rdet(F.expr(f"1.0 - {lam}"), 9)).alias(
+            "diversity"
+        ),
+    ).orderBy("source")
+
+
+def _simpson_sql() -> str:
+    lam = (
+        "(CAST(ss AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, word, COUNT(*)::BIGINT AS n FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+    FROM documents) WHERE word <> '' GROUP BY source, word),
+per AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         COUNT(*)::BIGINT AS vocab,
+         CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS ss
+  FROM counts GROUP BY source)
+SELECT source, n_tokens, vocab,
+       CASE WHEN n_tokens > 0 THEN {rdet_sql(lam, 9)} END AS simpson,
+       CASE WHEN n_tokens > 0 THEN {rdet_sql(f"1.0 - {lam}", 9)} END
+         AS diversity
+FROM per ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_simpson_diversity": text_simpson_diversity,
     "text_zipf_slope": text_zipf_slope,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_readability": text_readability,
@@ -1418,6 +1486,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_simpson_diversity": _simpson_sql(),
     "text_zipf_slope": _zipf_sql(),
     "text_pmi_bigrams": _PMI_SQL,
     "text_rake_keywords": _rake_sql(),
