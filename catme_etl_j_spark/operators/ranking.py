@@ -566,9 +566,17 @@ def rank_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms_df = spark.createDataFrame(
         [(t,) for t in BM25_QUERY_TERMS], "term STRING"
     )
+    # filter BEFORE the aggregate: a full-vocab groupBy just to keep
+    # |q| rows would be a second corpus-keyed shuffle (self-review r8);
+    # the only full-vocab aggregate left is cv's countDistinct, which
+    # V genuinely requires
     ctf = (
         terms_df.join(
-            toks.groupBy("term").agg(F.count("*").alias("ctf")), "term", "left"
+            toks.join(F.broadcast(terms_df), "term")
+            .groupBy("term")
+            .agg(F.count("*").alias("ctf")),
+            "term",
+            "left",
         )
         .select("term", F.coalesce("ctf", F.lit(0)).cast("long").alias("ctf"))
     )
