@@ -843,15 +843,25 @@ def test_asof_next_view_strictly_after(spark, sf_dir):
 
 
 def test_postings_sorted_and_sized(spark, sf_dir):
-    from catme_etl_j_spark.operators.ranking import POSTINGS_TOP, rank_postings
+    """The array-typed library API keeps full posting-list semantics;
+    the GATED query serializes exactly that list space-joined (the
+    r7 driver-canonicalizer fix)."""
+    from catme_etl_j_spark.operators.ranking import (
+        POSTINGS_TOP,
+        rank_postings,
+        rank_postings_array,
+    )
 
-    rows = rank_postings(spark, sf_dir).collect()
+    rows = rank_postings_array(spark, sf_dir).collect()
     assert len(rows) == POSTINGS_TOP
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)
     for r in rows:
         p = r["postings"]
         assert len(p) == r["df"] and p == sorted(p) and len(set(p)) == len(p)
+    gated = {r["term"]: r["postings"] for r in rank_postings(spark, sf_dir).collect()}
+    for r in rows:
+        assert gated[r["term"]] == " ".join(str(x) for x in r["postings"])
 
 
 def test_feature_hash_bounds(spark, sf_dir):
