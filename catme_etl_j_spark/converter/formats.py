@@ -28,7 +28,7 @@ import calendar
 import math
 import re
 from datetime import date, timedelta
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import ROUND_HALF_UP, Decimal, localcontext
 from fractions import Fraction
 from xml.etree.ElementTree import iterparse
 
@@ -479,7 +479,14 @@ def _round_half_up(x: float, n_dec: int) -> str:
     Java DecimalFormat (which POI's DataFormatter delegates to): 1.005d
     prints as "1.005" and rounds to "1.01", even though the binary value
     is slightly below the half-boundary."""
-    q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-n_dec), rounding=ROUND_HALF_UP)
+    # Context wide enough for any double (<= 309 integer digits) plus the
+    # asked decimals: the default 28-digit context raises InvalidOperation
+    # on ~1e100 magnitudes, where Java's unlimited BigDecimal just prints.
+    with localcontext() as ctx:
+        ctx.prec = 350 + max(n_dec, 0)
+        q = Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-n_dec), rounding=ROUND_HALF_UP
+        )
     return f"{q:.{n_dec}f}"
 
 
@@ -487,6 +494,10 @@ def _render_number(value: float, sec: _NumberSection, *, force_sign: bool) -> st
     x = abs(value)
     x *= 100.0**sec.percents
     x /= 1000.0**sec.scale_commas
+    if not math.isfinite(x):
+        # percent scaling can overflow a near-DBL_MAX cell to inf;
+        # degrade like the date paths instead of crashing quantize
+        return format_general(repr(value))
 
     has_frac = any(k == "slash" for k, _ in sec.tokens)
     has_exp = any(k == "exp" for k, _ in sec.tokens)
@@ -558,13 +569,18 @@ def compile_format(code: str, *, date1904: bool = False):
         return format_general
     if is_date_format(code):
         toks = _resolve_months(_tokenize_date(code))
+        # Serial for 10000-01-01: dates render only up to 9999-12-31
+        # (POI DateUtil.isValidExcelDate's upper bound). Beyond it Excel
+        # shows #### — degrade to General exactly like the negative
+        # path, instead of overflowing timedelta on corrupt cells.
+        max_serial = 2957004 if date1904 else 2958466
 
         def render_date(raw: str) -> str:
             try:
                 serial = float(raw)
             except ValueError:
                 return raw
-            if serial < 0:
+            if serial < 0 or serial >= max_serial:
                 return format_general(raw)  # Excel shows #### ; degrade
             return _render_date(serial, toks, date1904)
 

@@ -234,3 +234,50 @@ def test_accounting_builtin_ids_41_44():
     r41 = compile_format(BUILTIN_FORMATS[41])
     assert r41("1234.567") == " 1,235 "
     assert r41("-1234.567") == " (1,235)"
+
+
+# ---------------------------------------------------------------------------
+# Totality: compile_format(code)(raw) must return a string for ANY code and
+# cell value — a corrupt or hostile workbook must degrade, never crash the
+# converter. The fuzz found (and the guards below now pin) three real
+# crashes: date serials past 9999-12-31 overflowed timedelta, ~1e100
+# magnitudes overflowed the default 28-digit Decimal context, and percent
+# scaling of near-DBL_MAX cells overflowed to inf inside quantize.
+# ---------------------------------------------------------------------------
+
+_fmt_chars = st.sampled_from(list('0#?.,%$-+/():;"@ ymdhsaAMPE[]<>=*_\\eghk'))
+_raws = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64).map(repr),
+    st.integers(min_value=-(10**15), max_value=10**15).map(str),
+    st.text(max_size=12),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    code=st.text(alphabet=_fmt_chars, min_size=0, max_size=24),
+    raw=_raws,
+    d1904=st.booleans(),
+)
+def test_compile_format_is_total(code, raw, d1904):
+    from catme_etl_j_spark.converter.formats import compile_format
+
+    assert isinstance(compile_format(code, date1904=d1904)(raw), str)
+
+
+def test_degenerate_cells_degrade_not_crash():
+    """Regressions for the three fuzz-found crashes, plus the boundary
+    days that must still render as dates."""
+    from catme_etl_j_spark.converter.formats import compile_format
+
+    ymd = compile_format("yyyy-mm-dd")
+    assert ymd("2958465") == "9999-12-31"  # last renderable day (1900)
+    assert ymd("2958466") == "2958466"  # first invalid -> General
+    assert ymd("4.31722339101158e+16") == "4.31722339101158e+16"
+    ymd4 = compile_format("yyyy-mm-dd", date1904=True)
+    assert ymd4("2957003") == "9999-12-31"  # last renderable day (1904)
+    assert ymd4("2957004") == "2957004"
+    # huge magnitudes print their full digit string (Java BigDecimal parity)
+    assert compile_format("0.00")("1e101") == "1" + "0" * 101 + ".00"
+    # percent scaling that overflows to inf degrades to General
+    assert isinstance(compile_format("0%")("1.7976931348623157e308"), str)
