@@ -35,11 +35,13 @@ ReadOnlySharedStringsTable output.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import re
 import zipfile
+import zlib
 from collections.abc import Iterator
-from xml.etree.ElementTree import iterparse
+from xml.etree.ElementTree import ParseError, iterparse
 from xml.parsers import expat as _expat
 
 from catme_etl_j_spark.converter.errors import (
@@ -48,6 +50,37 @@ from catme_etl_j_spark.converter.errors import (
     ZipBombDetectedError,
 )
 from catme_etl_j_spark.converter.formats import compile_format, format_general, parse_styles
+
+# Archive corruption surfaces LAZILY in the zipfile module (CRC checks,
+# zlib inflation, truncated streams, unsupported compression, seeks on
+# mangled offsets) and in ElementTree (ParseError, a SyntaxError — NOT an
+# ExpatError) — a byte-flip fuzz showed all of these escaping the typed
+# ConversionError contract of §2.6 when only construction-time BadZipFile
+# was wrapped. Every archive/metadata read goes through _typed below.
+_CORRUPT_ARCHIVE_ERRORS = (
+    zipfile.BadZipFile,
+    zlib.error,
+    EOFError,
+    OSError,
+    NotImplementedError,  # zipfile: unsupported version / compression
+    UnicodeDecodeError,  # zipfile: mangled entry names in local headers
+    ParseError,
+)
+
+
+@contextlib.contextmanager
+def _typed(name: str, what: str):
+    """Convert lazy archive/XML corruption into the typed error surface."""
+    try:
+        yield
+    except ConversionError:
+        raise
+    except _CORRUPT_ARCHIVE_ERRORS as e:
+        raise ConversionError(f"corrupt xlsx ({what}): {name}: {e}") from e
+    except RuntimeError as e:
+        # zipfile raises bare RuntimeError for encrypted entries
+        raise ConversionError(f"unreadable xlsx ({what}): {name}: {e}") from e
+
 
 # Compiled format renderers are pure functions of (code, date-system);
 # cache them process-wide so repeated workbooks (one per task) share.
@@ -242,7 +275,7 @@ class XlsxWorkbook:
             self._zf = zipfile.ZipFile(
                 source if isinstance(source, str) else io.BytesIO(source)
             )
-        except zipfile.BadZipFile as e:
+        except (zipfile.BadZipFile, NotImplementedError, EOFError, ValueError) as e:
             raise ConversionError(f"not a valid xlsx (zip) file: {self._name}: {e}") from e
         self._check_zip_bomb(min_inflate_ratio, max_entry_size)
         self._sheets = self._read_sheet_map()
@@ -269,7 +302,9 @@ class XlsxWorkbook:
         """[(sheet_name, archive_path)] in workbook order."""
         rels: dict[str, str] = {}
         try:
-            with self._zf.open("xl/_rels/workbook.xml.rels") as f:
+            with _typed(self._name, "workbook relationships"), self._zf.open(
+                "xl/_rels/workbook.xml.rels"
+            ) as f:
                 for _, el in iterparse(f, events=("end",)):
                     if el.tag == f"{_NS_PKGREL}Relationship":
                         target = el.get("Target", "")
@@ -284,7 +319,9 @@ class XlsxWorkbook:
         sheets: list[tuple[str, str]] = []
         self._date1904 = False
         try:
-            with self._zf.open("xl/workbook.xml") as f:
+            with _typed(self._name, "workbook.xml"), self._zf.open(
+                "xl/workbook.xml"
+            ) as f:
                 for _, el in iterparse(f, events=("end",)):
                     if el.tag == f"{_NS_MAIN}sheet":
                         rid = el.get(f"{_NS_REL}id", "")
@@ -312,11 +349,12 @@ class XlsxWorkbook:
         variant is dead code there (SURVEY.md §2.1 S5) and an
         O(rescan-per-miss) anti-pattern not worth reproducing."""
         try:
-            f = self._zf.open("xl/sharedStrings.xml")
+            with _typed(self._name, "shared strings"):
+                f = self._zf.open("xl/sharedStrings.xml")
         except KeyError:
             return []
         strings: list[str] = []
-        with f:
+        with _typed(self._name, "shared strings"), f:
             parts: list[str] = []
             in_rph = 0
             for event, el in iterparse(f, events=("start", "end")):
@@ -342,11 +380,12 @@ class XlsxWorkbook:
         compiled once per workbook from ``xl/styles.xml``."""
         if self._renderers is None:
             try:
-                f = self._zf.open("xl/styles.xml")
+                with _typed(self._name, "styles"):
+                    f = self._zf.open("xl/styles.xml")
             except KeyError:
                 self._renderers = []
             else:
-                with f:
+                with _typed(self._name, "styles"), f:
                     codes = parse_styles(f)
                 self._renderers = [_renderer_for(c, self._date1904) for c in codes]
         return self._renderers
@@ -400,7 +439,8 @@ class XlsxWorkbook:
         path = self.resolve_sheet(sheet_name, sheet_index)
         shared = self._shared_strings()
         try:
-            f = self._zf.open(path)
+            with _typed(self._name, f"sheet part {path}"):
+                f = self._zf.open(path)
         except KeyError as e:
             raise ConversionError(f"sheet part {path} missing in archive") from e
         # expat SAX (~2x faster than iterparse on wide sheets); push
@@ -414,7 +454,7 @@ class XlsxWorkbook:
         parser.StartElementHandler = handler.start
         parser.EndElementHandler = handler.end
         parser.CharacterDataHandler = handler.chars
-        with f:
+        with _typed(self._name, f"sheet part {path}"), f:
             while True:
                 chunk = f.read(1 << 16)
                 if not chunk:
@@ -443,17 +483,23 @@ class XlsxWorkbook:
             f = self._zf.open(path)
         except KeyError:
             return None
-        with f:
-            for event, el in iterparse(f, events=("start",)):
-                if el.tag == _DIM_TAG:
-                    ref = el.get("ref", "")
-                    if ":" in ref:
-                        m = _CELL_REF_RE.match(ref.split(":")[1])
-                        if m:
-                            return int(m.group(2)), _col_letters_to_index(m.group(1)) + 1
-                    return None
-                if el.tag == _SHEETDATA_TAG:
-                    return None
+        # Contract is "None if absent/unparseable": a corrupt dimension
+        # probe degrades to a full-scan schema sizing; iter_rows will
+        # still raise the typed error when the sheet is actually read.
+        try:
+            with f:
+                for event, el in iterparse(f, events=("start",)):
+                    if el.tag == _DIM_TAG:
+                        ref = el.get("ref", "")
+                        if ":" in ref:
+                            m = _CELL_REF_RE.match(ref.split(":")[1])
+                            if m:
+                                return int(m.group(2)), _col_letters_to_index(m.group(1)) + 1
+                        return None
+                    if el.tag == _SHEETDATA_TAG:
+                        return None
+        except (RuntimeError, *_CORRUPT_ARCHIVE_ERRORS):
+            return None
         return None
 
     def close(self) -> None:

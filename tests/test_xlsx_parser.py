@@ -139,3 +139,62 @@ def test_continue_on_error_skips_bad_cell(tmp_path):
         _rows(p2)
     rows = _rows(p2, continue_on_error=True)
     assert rows[-1] == (2, {1: "keep"})  # bad cell dropped, good cell kept
+
+
+def test_corrupt_archives_raise_typed_errors(tmp_path):
+    """Totality of the §2.6 error contract: ANY corruption of a valid
+    workbook must surface as ConversionError (or parse successfully),
+    never as a raw zipfile/zlib/ElementTree/Unicode exception. A 7k-case
+    byte-flip + XML-mutation fuzz originally found six raw escape
+    classes (lazy CRC checks, zlib inflation, truncated streams,
+    encrypted/unsupported entries, mangled header names, ET.ParseError);
+    this deterministic slice of it pins the wrap."""
+    import io
+    import random
+
+    from catme_etl_j_spark.converter.xlsx_writer import Styled
+
+    base_path = str(tmp_path / "base.xlsx")
+    write_xlsx(
+        base_path,
+        {"s1": [["a", "b", "c"], [1, "x", Styled(45000, "yyyy-mm-dd")], [2.5, "", True]]},
+    )
+    base = open(base_path, "rb").read()
+    rng = random.Random(42)
+    mut_path = str(tmp_path / "mut.xlsx")
+
+    def trial(data):
+        with open(mut_path, "wb") as f:
+            f.write(data)
+        try:
+            with XlsxWorkbook(mut_path) as wb:
+                for _ in wb.iter_rows():
+                    pass
+        except ConversionError:
+            pass  # typed: the contract
+
+    for _ in range(400):  # byte flips anywhere in the archive
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        trial(bytes(data))
+
+    # structured corruption: valid zip, broken XML inside
+    for mutate in (
+        lambda t: t.replace("<v>", "<v><v>", 1),
+        lambda t: t[: len(t) // 2],
+        lambda t: t.replace('s="0"', 's="999"', 1),
+        lambda t: t.replace("count=", 'count="x" junk=', 1),
+    ):
+        zin = zipfile.ZipFile(io.BytesIO(base))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zout:
+            for item in zin.infolist():
+                payload = zin.read(item.filename)
+                if item.filename.endswith(".xml"):
+                    payload = mutate(payload.decode()).encode()
+                zout.writestr(item, payload)
+        trial(buf.getvalue())
+
+    # and the pristine bytes still parse (the fuzz guard changed nothing)
+    assert len(_rows(base_path)) == 3
