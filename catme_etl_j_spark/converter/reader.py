@@ -58,15 +58,19 @@ def _as_local_path(uri: str) -> str | None:
 
 
 def _dedupe(names: list[str]) -> list[str]:
-    seen: dict[str, int] = {}
+    """Greedy header dedup: second ``a`` becomes ``a_2``, probing past
+    names already taken — ``[a, a, a_2]`` must NOT emit ``a_2`` twice
+    (the naive counter did, yielding a schema with duplicate columns
+    and silently colliding NDJSON keys)."""
+    taken: set[str] = set()
     out = []
     for n in names:
-        if n in seen:
-            seen[n] += 1
-            out.append(f"{n}_{seen[n]}")
-        else:
-            seen[n] = 1
-            out.append(n)
+        cand, k = n, 1
+        while cand in taken:
+            k += 1
+            cand = f"{n}_{k}"
+        taken.add(cand)
+        out.append(cand)
     return out
 
 

@@ -71,3 +71,31 @@ def test_number_roundtrip_general(tmp_path_factory, x):
     got = cells[0]
     # parse back: General formatting must preserve the numeric value
     assert math.isclose(float(got), x, rel_tol=1e-15, abs_tol=1e-300)
+
+
+# Header dedup must be collision-free even when literal "_N" names
+# coexist with duplicates — the naive per-name counter emitted [a, a_2,
+# a_2] for headers [a, a, a_2], a schema with duplicate columns whose
+# NDJSON keys silently collide.
+_name = st.text(alphabet=st.sampled_from(list("ab_123")), max_size=5)
+
+
+@given(st.lists(_name, max_size=10))
+@settings(max_examples=500, deadline=None)
+def test_dedupe_headers_unique(names):
+    from catme_etl_j_spark.converter.reader import _dedupe
+
+    out = _dedupe(names)
+    assert len(out) == len(names)
+    assert len(set(out)) == len(out), (names, out)
+    # an already-unique header list passes through untouched
+    if len(set(names)) == len(names):
+        assert out == names
+
+
+def test_dedupe_collision_with_literal_suffix():
+    from catme_etl_j_spark.converter.reader import _dedupe
+
+    assert _dedupe(["a", "a", "a_2"]) == ["a", "a_2", "a_2_2"]
+    assert _dedupe(["x", "x_2", "x", "x_2"]) == ["x", "x_2", "x_3", "x_2_2"]
+    assert _dedupe(["a", "a", "a"]) == ["a", "a_2", "a_3"]
