@@ -270,6 +270,12 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .collect()
     )
+    if not sums:
+        # corpus holds only zero-norm vectors: _prescaled's index
+        # boundary leaves nothing to score (oracle: 0 rows identically)
+        return emb.select(
+            "vec_id", "label", F.lit(None).cast("double").alias("centroid_cos")
+        ).limit(0)
     n_vec = int(sums[0]["n"])
 
     def _trunc_div(a: int, b: int) -> int:
@@ -288,50 +294,59 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     clit = _fx_literal(cvec)
     from catme_etl_j_spark.operators.similarity import _dot_fx
 
-    cos = rdet(
-        F.expr(f"CAST({_dot_fx('fx', clit)} AS DOUBLE)")
-        / (F.col("norm") * F.lit(cnorm)),
-        6,
-    )
+    if cnorm == 0.0:
+        # the component sums cancelled exactly: the centroid is the
+        # zero vector and cosine-to-centroid is undefined for everyone
+        # (degenerate-probe guard; the oracle's CASE produces the same
+        # all-NULL column, ordered NULLS LAST on both engines)
+        cos = F.lit(None).cast("double")
+    else:
+        cos = rdet(
+            F.expr(f"CAST({_dot_fx('fx', clit)} AS DOUBLE)")
+            / (F.col("norm") * F.lit(cnorm)),
+            6,
+        )
     return (
         emb.select("vec_id", "label", cos.alias("centroid_cos"))
-        .orderBy(F.desc("centroid_cos"), F.asc("vec_id"))
+        .orderBy(F.desc_nulls_last("centroid_cos"), F.asc("vec_id"))
         .limit(CENTROID_BOTTOM_K)
     )
 
 
 def _centroid_sql() -> str:
     from catme_etl_j_spark.functions.numeric import rdet_sql
-    from catme_etl_j_spark.operators.similarity import _FXP
+    from catme_etl_j_spark.operators.similarity import _EMB_NZ, _EMB_NZ_BARE, _FXP
 
     fxd = (
         f"CAST(floor((embedding[u.i])::DOUBLE * {_FXP} + 0.5) AS BIGINT)"
     )
+    core = rdet_sql(
+        "CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
+        " * cv.c[i])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
+        " * CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT))) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(cv.c, x -> x * x)) AS DOUBLE)))", 6)
     return f"""
 WITH comp AS (
   SELECT CAST(u.i AS INTEGER) AS pos,
          CAST(SUM({fxd}) AS BIGINT) AS s,
          COUNT(*) AS n
-  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+  FROM {_EMB_NZ}, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
   GROUP BY u.i
 ),
 cvec AS (SELECT list(s // n ORDER BY pos) AS c FROM comp),
 scored AS (
   SELECT e.vec_id, e.label,
-         {rdet_sql(
-             "CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
-             "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
-             " * cv.c[i])) AS DOUBLE)"
-             " / (sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), "
-             "i -> CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT)"
-             " * CAST(floor((e.embedding[i])::DOUBLE * " + _FXP + " + 0.5) AS BIGINT))) AS DOUBLE))"
-             " * sqrt(CAST(list_sum(list_transform(cv.c, x -> x * x)) AS DOUBLE)))", 6)}
+         CASE WHEN list_sum(list_transform(cv.c, x -> x * x)) = 0
+              THEN CAST(NULL AS DOUBLE) ELSE {core} END
            AS centroid_cos
-  FROM embeddings e, cvec cv
+  FROM {_EMB_NZ_BARE} e, cvec cv
 )
 SELECT vec_id, label, centroid_cos
 FROM scored
-ORDER BY centroid_cos DESC, vec_id ASC
+ORDER BY centroid_cos DESC NULLS LAST, vec_id ASC
 LIMIT {CENTROID_BOTTOM_K}
 """
 

@@ -112,13 +112,25 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> tuple[str, float, int]:
 def _prescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with the fxp int64 array and norm computed ONCE per
     vector (the pairwise stages below reuse them — at 500k vectors this
-    is the difference between O(pairs*dim) and O(pairs*dim*3))."""
+    is the difference between O(pairs*dim) and O(pairs*dim*3)).
+
+    Zero-norm vectors are EXCLUDED at this index boundary: a zero
+    vector has no direction, so cosine against it is undefined —
+    under ANSI it is a DIVIDE_BY_ZERO crash (found by the degenerate
+    full-sweep probe; production vector stores reject such rows at
+    ingest). The fxp norm makes sub-1e-8 components identical to zero
+    on both engines, so the oracle twin (_EMB_NZ) agrees bit-for-bit
+    on what is "zero"."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
-        F.expr(_fxp_expr("embedding")).alias("fx"),
-    ).withColumn("norm", F.expr(_norm_fx("fx")))
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr(_fxp_expr("embedding")).alias("fx"),
+        )
+        .withColumn("norm", F.expr(_norm_fx("fx")))
+        .filter(F.col("norm") > F.lit(0.0))
+    )
 
 
 def _dot_fx(a: str, b: str) -> str:
@@ -131,6 +143,17 @@ def _dot_fx(a: str, b: str) -> str:
 
 def _norm_fx(a: str) -> str:
     return f"sqrt(CAST({_dot_fx(a, a)} AS DOUBLE))"
+
+
+# DuckDB twin of _prescaled's index boundary: every CORPUS-side
+# embeddings scan in the oracles below reads this relation, so both
+# engines exclude exactly the same zero-norm rows. Query-vector
+# lookups by QUERY_VEC_ID stay on the raw table (the query vector is
+# contracted nonzero; _query_fx reads it raw too). _EMB_NZ carries its
+# own "embeddings" alias for unaliased FROM sites; _EMB_NZ_BARE is for
+# sites that alias the relation themselves (a, b, e).
+_EMB_NZ_BARE = "(SELECT * FROM embeddings WHERE " + _norm_duck("embedding") + " > 0)"
+_EMB_NZ = _EMB_NZ_BARE + " embeddings"
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +175,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOPK_CORE = """
 WITH q AS (SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = {qid})
 SELECT vec_id, label, {cos} AS cos_sim
-FROM embeddings, q
+FROM {nz}, q
 WHERE vec_id <> {qid}{extra_where}
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
@@ -164,7 +187,9 @@ def _topk_sql(extra_where: str = "") -> str:
         f"CAST({_dot_duck('embedding', 'qe')} AS DOUBLE) / ({_norm_duck('embedding')} * {_norm_duck('qe')})",
         6,
     )
-    return _TOPK_CORE.format(qid=QUERY_VEC_ID, cos=cos, extra_where=extra_where, k=TOP_K)
+    return _TOPK_CORE.format(
+        qid=QUERY_VEC_ID, cos=cos, extra_where=extra_where, k=TOP_K, nz=_EMB_NZ
+    )
 
 
 ANN_FILTER_MOD = 2  # metadata predicate: label % 2 == 0
@@ -239,7 +264,7 @@ def _filtered_topk_sql() -> str:
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
   SELECT vec_id, label, {cos} AS cos_sim
-  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+  FROM {_EMB_NZ}, q WHERE vec_id <> {QUERY_VEC_ID}),
 pre_topk AS (
   SELECT vec_id, label, cos_sim FROM scored WHERE label % {ANN_FILTER_MOD} = 0
   ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}),
@@ -316,10 +341,10 @@ def _batch_topk_sql() -> str:
     )
     return f"""
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {BATCH_Q}),
+  SELECT vec_id AS qid, embedding AS qe FROM {_EMB_NZ} WHERE vec_id < {BATCH_Q}),
 scored AS (
   SELECT q.qid, e.vec_id, e.label, {cos} AS cos_sim
-  FROM embeddings e CROSS JOIN q
+  FROM {_EMB_NZ_BARE} e CROSS JOIN q
   WHERE e.vec_id <> q.qid),
 ranked AS (
   SELECT qid, vec_id, label, cos_sim,
@@ -422,7 +447,7 @@ def _nn_within_label_sql() -> str:
     return f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id, {cos} AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM {_EMB_NZ_BARE} a JOIN {_EMB_NZ_BARE} b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT vec_id, label, nn_id, cos_sim,
@@ -533,7 +558,7 @@ def _lsh_sql() -> str:
 WITH fxe AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx
-  FROM embeddings),
+  FROM {_EMB_NZ}),
 fxn AS (
   SELECT vec_id, fx,
          sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> fx[i] * fx[i])) AS BIGINT) AS DOUBLE)) AS norm
@@ -729,7 +754,7 @@ def _ivf_kmeans_sql() -> str:
     return f"""
 WITH {joined}
 SELECT e.vec_id, e.label, {cos} AS cos_sim
-FROM embeddings e
+FROM {_EMB_NZ_BARE} e
 JOIN finalasg f ON e.vec_id = f.vec_id
 JOIN probed p ON f.cid = p.cid
 CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
@@ -1041,7 +1066,7 @@ def _lsh_rerank_sql() -> str:
 WITH fxe AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx
-  FROM embeddings),
+  FROM {_EMB_NZ}),
 fxn AS (
   SELECT vec_id, fx,
          sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> fx[i] * fx[i])) AS BIGINT) AS DOUBLE)) AS norm
@@ -1203,7 +1228,7 @@ def _mmr_sql() -> str:
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 cand AS (
   SELECT vec_id, embedding, {rel} AS rel_e6
-  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+  FROM {_EMB_NZ}, q WHERE vec_id <> {QUERY_VEC_ID}
   ORDER BY rel_e6 DESC, vec_id LIMIT {_MMR_N}
 ),
 sims AS (
@@ -1289,7 +1314,7 @@ def _mrr_sql() -> str:
 WITH scored AS (
   SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id, e.label,
          {cos} AS cos_sim
-  FROM embeddings e, embeddings q
+  FROM {_EMB_NZ_BARE} e, {_EMB_NZ_BARE} q
   WHERE q.vec_id < {MRR_Q} AND e.vec_id <> q.vec_id),
 ranked AS (
   SELECT qid, qlabel, label,
@@ -1428,7 +1453,7 @@ def _mrl_sql() -> str:
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
   SELECT vec_id, {", ".join(cos_cols)}
-  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}),
+  FROM {_EMB_NZ}, q WHERE vec_id <> {QUERY_VEC_ID}),
 {tops},
 rows3 AS (
 {rows})
