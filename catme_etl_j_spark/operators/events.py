@@ -182,12 +182,20 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Malformed/empty props: Spark's get_json_object returns NULL while
+# DuckDB's ->> THROWS (degenerate-probe find) — gate extraction behind
+# json_valid so both engines treat broken payloads as NULL.
 _JSON_SQL = """
+WITH kv AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(props->>'$.k' AS BIGINT) END AS k
+  FROM events)
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM kv
 GROUP BY event_type
 """
 

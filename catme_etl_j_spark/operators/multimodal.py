@@ -209,15 +209,20 @@ def multimodal_resize_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# reps = ceil(64/len): repeat() then cut to 64 chars; empty text -> 64
-# zero bytes (hex '00' * 64), mirroring resize_image's empty branch.
+# Tile in BYTE space: repeat the payload's hex to >= 128 chars and cut
+# at 128 (= 64 bytes), exactly resize_image's (payload * reps)[:64].
+# The old char-space version (repeat text, cut 64 chars, THEN encode)
+# overshot on multi-byte text — degenerate-probe find. Empty text ->
+# 64 zero bytes, mirroring resize_image's empty branch.
 _RESIZE_HEX_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents)
 SELECT doc_id,
-       CASE WHEN len(text) = 0 THEN repeat('00', 64)
-            ELSE hex(encode(substr(repeat(text, CAST(ceil(64.0 / len(text)) AS INTEGER)), 1, 64)))
+       CASE WHEN length(hx) = 0 THEN repeat('00', 64)
+            ELSE substr(repeat(hx, CAST(ceil(128.0 / length(hx)) AS INTEGER)), 1, 128)
        END AS thumb_hex,
        CAST(64 AS BIGINT) AS thumb_bytes
-FROM documents
+FROM h
 """
 
 
@@ -551,10 +556,15 @@ QUERIES = {
 
 # Oracle for the fake-codec features: valid because the fixture text
 # is pure ASCII (bytes == codepoints); the UDF itself handles any bytes.
+# BYTE-true, not codepoint-true: each UTF-8 byte comes from its hex
+# pair, so multi-byte text scores identically to the Python-side
+# decode_media byte stats (degenerate-probe find — the old ord()-per-
+# character version silently diverged on any non-ASCII payload).
 _FAKE_FEATURES_SQL = """
 WITH b AS (
   SELECT doc_id,
-         list_transform(range(1, len(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+         list_transform(range(1, octet_length(encode(text)) + 1),
+                        i -> CAST(concat('0x', substr(hex(encode(text)), 2*i - 1, 2)) AS INTEGER)) AS bs
   FROM documents)
 SELECT doc_id,
        CAST(len(bs) AS BIGINT) AS n_bytes,

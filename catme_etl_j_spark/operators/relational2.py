@@ -711,11 +711,14 @@ def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _lt(spark, sf_dir, "events")
+    # try_parse_json: malformed payloads become NULL variants (plain
+    # parse_json FAILFASTs — degenerate-probe find); the DuckDB twin
+    # gates on json_valid for the same NULL-on-broken semantics.
     v = ev.select(
         "event_type",
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'long')").alias("k"),
         F.expr(
-            "try_variant_get(parse_json(props), '$.absent', 'long')"
+            "try_variant_get(try_parse_json(props), '$.absent', 'long')"
         ).alias("missing"),
     )
     return (
@@ -736,8 +739,10 @@ def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_SQL = """
 WITH v AS (
   SELECT event_type,
-         CAST(props::JSON ->> '$.k' AS BIGINT) AS k,
-         CAST(props::JSON ->> '$.absent' AS BIGINT) AS missing
+         CASE WHEN json_valid(props)
+              THEN CAST(props::JSON ->> '$.k' AS BIGINT) END AS k,
+         CASE WHEN json_valid(props)
+              THEN CAST(props::JSON ->> '$.absent' AS BIGINT) END AS missing
   FROM events)
 SELECT event_type,
        COUNT(*) AS n,
@@ -786,7 +791,9 @@ def fn_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PANDAS_UDF_SQL = """
 WITH t AS (
   SELECT source,
-         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+         CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+         END AS n_tok
   FROM documents)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,

@@ -69,7 +69,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text").cast("long")
     punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("long")
     stop_hits = _stop_hits(words, LANG_STOPWORDS["en"])
-    punct_ratio = rdet(punct.cast("double") / n_chars, 4)
+    # Empty text: n_chars = 0 makes punct_ratio a 0/0 — NULL it on both
+    # engines (degenerate-probe guard; ANSI threw here) and let the
+    # composite score NULL-propagate. n_words is never 0 (split of ''
+    # yields [''] identically on both engines).
+    punct_ratio = F.when(
+        n_chars > 0, rdet(punct.cast("double") / n_chars, 4)
+    ).otherwise(F.lit(None).cast("double"))
     stop_ratio = rdet(stop_hits.cast("double") / n_words, 4)
     len_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
     score = rdet(0.5 * len_score + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4)
@@ -83,7 +89,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PUNCT_R = rdet_sql("CAST(punct AS DOUBLE) / n_chars_obs", 4)
+_PUNCT_R = (
+    "CASE WHEN n_chars_obs = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+    + rdet_sql("CAST(punct AS DOUBLE) / n_chars_obs", 4)
+    + " END"
+)
 _STOP_R = rdet_sql("CAST(stop_hits AS DOUBLE) / n_words", 4)
 _TEXT_QUALITY_SQL = f"""
 WITH t AS (
