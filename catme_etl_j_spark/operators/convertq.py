@@ -188,7 +188,13 @@ def convert_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         overwrite=True,
         spark=spark,
     )
-    assert len(result.outputs) == 3, f"expected 3 chunks, got {result.outputs}"
+    # chunk count derives from the data, not a hardcoded 3 (the driver
+    # fixture's 2000 rows / 800 = 3; a smaller corpus rotates less)
+    expected = max(1, -(-result.rows_written // 800))
+    assert len(result.outputs) == expected, (
+        f"expected {expected} chunks for {result.rows_written} rows,"
+        f" got {result.outputs}"
+    )
     return (
         spark.read.schema(_SCHEMA)
         .option("header", True)

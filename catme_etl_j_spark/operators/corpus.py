@@ -1161,8 +1161,8 @@ top1 AS (
         ORDER BY pc DESC, a ASC, b ASC LIMIT 1) s),
 spaced AS (
   SELECT n_word,
-         array_to_string(list_transform(range(1, length(word) + 1),
-             i -> substr(word, CAST(i AS INTEGER), 1)), ' ') AS sp
+         COALESCE(array_to_string(list_transform(range(1, length(word) + 1),
+             i -> substr(word, CAST(i AS INTEGER), 1)), ' '), '') AS sp
   FROM wf),
 merged AS (
   SELECT n_word, mrg, string_split(replace(sp, pat, mrg), ' ') AS syms
@@ -1307,6 +1307,10 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB: DuckDB's array_to_string([], ' ') is NULL, not '' — every spaced
+# form below is COALESCE'd so the EMPTY word ('' from blank docs)
+# tokenizes to 1 like Spark/Python instead of NULL-ing out of the sums
+# (degenerate-probe find: src-level bpe_tokens silently undercounted).
 _BPE_TOKENIZE_SQL = f"""
 WITH RECURSIVE wpd AS (
   SELECT source, unnest(regexp_split_to_array(trim(text), ' +')) AS word
@@ -1318,8 +1322,8 @@ vtop AS (
 tr(step, vocab, merges) AS (
   SELECT 0,
          (SELECT list(struct_pack(
-              sp := array_to_string(list_transform(range(1, length(word) + 1),
-                                                   i -> word[i]), ' '),
+              sp := COALESCE(array_to_string(list_transform(range(1, length(word) + 1),
+                                                   i -> word[i]), ' '), ''),
               n := n)) FROM vtop),
          []::VARCHAR[]
   UNION ALL
@@ -1342,8 +1346,8 @@ m AS (SELECT merges FROM tr ORDER BY step DESC LIMIT 1),
 tok AS (
   SELECT source, n_occ,
          CAST(len(string_split(list_reduce(
-             list_prepend(array_to_string(list_transform(
-                 range(1, length(word) + 1), i -> word[i]), ' '), merges),
+             list_prepend(COALESCE(array_to_string(list_transform(
+                 range(1, length(word) + 1), i -> word[i]), ' '), ''), merges),
              (acc, pat) -> replace(acc, pat, replace(pat, ' ', ''))), ' '))
            AS BIGINT) * n_occ AS tok,
          CAST(length(word) AS BIGINT) * n_occ AS chars
@@ -1622,8 +1626,8 @@ WITH RECURSIVE w AS (
 tr(step, vocab, pats, cs) AS (
   SELECT 0,
          (SELECT list(struct_pack(
-              sp := array_to_string(list_transform(range(1, length(word) + 1),
-                                                   i -> word[i]), ' '),
+              sp := COALESCE(array_to_string(list_transform(range(1, length(word) + 1),
+                                                   i -> word[i]), ' '), ''),
               n := n)) FROM w),
          []::VARCHAR[], []::BIGINT[]
   UNION ALL

@@ -364,6 +364,7 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rrf_sql() -> str:
     from catme_etl_j_spark.operators.similarity import (
+        _EMB_NZ,
         QUERY_VEC_ID,
         _dot_duck,
         _norm_duck,
@@ -384,7 +385,7 @@ qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 cos AS (
   SELECT vec_id,
          CAST(row_number() OVER (ORDER BY {rel} DESC, vec_id ASC) AS BIGINT) AS r_cos
-  FROM embeddings, qv WHERE vec_id <> {QUERY_VEC_ID}),
+  FROM {_EMB_NZ}, qv WHERE vec_id <> {QUERY_VEC_ID}),
 fused AS (
   SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id, b.r_bm25, c.r_cos,
          COALESCE({RRF_SCALE} // ({RRF_K} + b.r_bm25), 0)

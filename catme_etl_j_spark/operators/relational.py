@@ -540,7 +540,9 @@ SELECT p_partkey,
        CAST(ceil(p_retailprice) AS DOUBLE) AS price_ceil,
        CAST(floor(p_retailprice) AS DOUBLE) AS price_floor,
        floor(sqrt(p_retailprice) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
-       floor(ln(p_retailprice) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
+       CASE WHEN p_retailprice > 0  -- Spark log(<=0) is NULL; DuckDB ln(0) THROWS
+            THEN floor(ln(p_retailprice) * 1000000.0 + 0.5) / 1000000.0
+       END AS price_ln,
        CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
        p_partkey % 7 AS key_mod7
 FROM part

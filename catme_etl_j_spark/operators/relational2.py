@@ -261,12 +261,15 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq_d = F.col("sq_dec").cast("double")
     n = F.col("n")
     var = (sq_d - s_d * (s_d / n)) / (n - 1)
+    # sample variance needs n >= 2: singleton segments yield NULL on
+    # both engines, not an ANSI /0 crash (degenerate-probe guard)
+    nul = F.lit(None).cast("double")
     return sums.select(
         "c_mktsegment",
         "n",
         rdet(s_d / n, 4).alias("mean_bal"),
-        rdet(var, 4).alias("var_bal"),
-        rdet(F.sqrt(var), 4).alias("std_bal"),
+        F.when(n >= 2, rdet(var, 4)).otherwise(nul).alias("var_bal"),
+        F.when(n >= 2, rdet(F.sqrt(var), 4)).otherwise(nul).alias("std_bal"),
     )
 
 
@@ -278,8 +281,8 @@ WITH s AS (
   FROM customer GROUP BY c_mktsegment)
 SELECT c_mktsegment, n,
        {rdet_sql("s_d / n", 4)} AS mean_bal,
-       {rdet_sql("(sq_d - s_d * (s_d / n)) / (n - 1)", 4)} AS var_bal,
-       {rdet_sql("sqrt((sq_d - s_d * (s_d / n)) / (n - 1))", 4)} AS std_bal
+       CASE WHEN n >= 2 THEN {rdet_sql("(sq_d - s_d * (s_d / n)) / (n - 1)", 4)} END AS var_bal,
+       CASE WHEN n >= 2 THEN {rdet_sql("sqrt((sq_d - s_d * (s_d / n)) / (n - 1))", 4)} END AS std_bal
 FROM s
 """
 

@@ -741,7 +741,11 @@ def window_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         money2(F.col("rev")).alias("revenue"),
         rdet(trend, 2).alias("trend"),
-        rdet(F.col("rev").cast("double") / trend, 4).alias("seasonal_index"),
+        # a zero trend (all-zero revenue window) leaves the index
+        # undefined: NULL on both engines, not an ANSI 0/0 crash
+        F.when(trend != 0, rdet(F.col("rev").cast("double") / trend, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("seasonal_index"),
         F.count("*").over(w).cast("long").alias("n_months_in_window"),
     ).orderBy("month")
 
@@ -757,8 +761,9 @@ SELECT concat(CAST(1970 + month_n // 12 AS VARCHAR), '-',
        n_orders,
        CAST(round(rev, 2) AS DOUBLE) AS revenue,
        {rdet_sql("CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w", 2)} AS trend,
-       {rdet_sql("CAST(rev AS DOUBLE) / (CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w)", 4)}
-         AS seasonal_index,
+       CASE WHEN CAST(SUM(rev) OVER w AS DOUBLE) <> 0
+            THEN {rdet_sql("CAST(rev AS DOUBLE) / (CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w)", 4)}
+       END AS seasonal_index,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_months_in_window
 FROM monthly
 WINDOW w AS (ORDER BY month_n RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)

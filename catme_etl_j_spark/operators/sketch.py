@@ -399,10 +399,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_totalprice").cast("double")).alias("mx"),
         F.count("*").alias("n"),
     )
+    # mx = mn (constant column) puts every row in bin 0 — the CASE
+    # avoids the ANSI 0/0 the probe hit; err_pct below NULLs when the
+    # exact quantile is 0 for the same reason
     binned = orders.crossJoin(F.broadcast(mm)).select(
         F.expr(
-            f"least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)"
-            f" / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}L)"
+            f"CASE WHEN mx = mn THEN 0L ELSE"
+            f" least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)"
+            f" / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}L) END"
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
@@ -451,12 +455,17 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "exact_val",
             rdet(F.col("hist_est"), 2).alias("hist_est"),
-            rdet(
-                (F.col("hist_est") - F.col("exact_val"))
-                / F.col("exact_val")
-                * 100.0,
-                3,
-            ).alias("err_pct"),
+            F.when(
+                F.col("exact_val") != 0,
+                rdet(
+                    (F.col("hist_est") - F.col("exact_val"))
+                    / F.col("exact_val")
+                    * 100.0,
+                    3,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("err_pct"),
         )
         .orderBy("q")
     )
@@ -469,8 +478,9 @@ WITH mm AS (
          COUNT(*) AS n
   FROM orders),
 binned AS (
-  SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)
-           / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}) AS bin
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)
+                / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}) END AS bin
   FROM orders, mm),
 hist AS (SELECT bin, COUNT(*)::BIGINT AS cnt FROM binned GROUP BY bin),
 cum AS (
@@ -493,7 +503,9 @@ exact AS (
   WHERE rn = CAST(ceil(q * n) AS BIGINT))
 SELECT e.q, e.n, x.exact_val,
        {rdet_sql("e.hist_est", 2)} AS hist_est,
-       {rdet_sql("(e.hist_est - x.exact_val) / x.exact_val * 100.0", 3)} AS err_pct
+       CASE WHEN x.exact_val <> 0
+            THEN {rdet_sql("(e.hist_est - x.exact_val) / x.exact_val * 100.0", 3)}
+       END AS err_pct
 FROM est e JOIN exact x ON e.q = x.q
 ORDER BY e.q
 """

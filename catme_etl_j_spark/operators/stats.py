@@ -55,6 +55,14 @@ def _dsum(c: F.Column) -> F.Column:
     return F.sum(c.cast("decimal(38,0)"))
 
 
+def _dsum_sq(c: F.Column) -> F.Column:
+    """Exact sum of squares: the SQUARE runs in DECIMAL too, so an
+    int64 input near 1e11 (value*100 cents of a 1e9 reading) can't
+    overflow the long multiply before the accumulator sees it."""
+    d = c.cast("decimal(19,0)")
+    return F.sum((d * d).cast("decimal(38,0)"))
+
+
 def stats_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag OLS of extendedprice on quantity: slope,
     intercept, r2 from the five classic sums — one scan, one shuffle
@@ -86,12 +94,15 @@ def stats_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intercept in ORIGINAL price units: (sy - slope*sx) / (n*scale)
     intercept = (sy - slope * sx) / (n * F.lit(_OLS_SCALE))
     r2 = (cov_n * cov_n) / (var_x * var_y)
+    # constant-x groups have no regression line, constant-y groups no
+    # r2 — NULL on both engines instead of an ANSI 0/0 (degenerate-probe)
+    nul = F.lit(None).cast("double")
     return agg.select(
         "l_returnflag",
         "n_rows",
-        rdet(slope, 6).alias("slope"),
-        rdet(intercept, 4).alias("intercept"),
-        rdet(r2, 6).alias("r2"),
+        F.when(var_x > 0, rdet(slope, 6)).otherwise(nul).alias("slope"),
+        F.when(var_x > 0, rdet(intercept, 4)).otherwise(nul).alias("intercept"),
+        F.when((var_x > 0) & (var_y > 0), rdet(r2, 6)).otherwise(nul).alias("r2"),
     ).orderBy("l_returnflag")
 
 
@@ -117,9 +128,9 @@ WITH s AS (
   FROM s
 )
 SELECT l_returnflag, n_rows,
-       {rdet_sql("cov_n / var_x", 6)} AS slope,
-       {rdet_sql("(sy - (cov_n / var_x) * sx) / (n * " + str(_OLS_SCALE) + ")", 4)} AS intercept,
-       {rdet_sql("(cov_n * cov_n) / (var_x * var_y)", 6)} AS r2
+       CASE WHEN var_x > 0 THEN {rdet_sql("cov_n / var_x", 6)} END AS slope,
+       CASE WHEN var_x > 0 THEN {rdet_sql("(sy - (cov_n / var_x) * sx) / (n * " + str(_OLS_SCALE) + ")", 4)} END AS intercept,
+       CASE WHEN var_x > 0 AND var_y > 0 THEN {rdet_sql("(cov_n * cov_n) / (var_x * var_y)", 6)} END AS r2
 FROM f
 ORDER BY l_returnflag
 """
@@ -156,11 +167,14 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
         sab = F.col(f"sp_{a}_{b}").cast("double")
         ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
-        return rdet(
-            (n * sab - sa * sb)
-            / (F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)),
-            6,
-        )
+        da, db = n * ssa - sa * sa, n * ssb - sb * sb
+        # Pearson r is undefined for a zero-variance column (a constant
+        # l_tax, say) — NULL on both engines, not an ANSI 0/0 crash
+        # (degenerate-probe guard)
+        return F.when(
+            (da > 0) & (db > 0),
+            rdet((n * sab - sa * sb) / (F.sqrt(da) * F.sqrt(db)), 6),
+        ).otherwise(F.lit(None).cast("double"))
 
     pairs = F.array(
         *[
@@ -192,13 +206,18 @@ def _corr_sql() -> str:
         )
     arms = []
     for a, b in _CORR_PAIRS:
+        da = f"(CAST(n_rows AS DOUBLE) * ss_{a} - s_{a} * s_{a})"
+        db = f"(CAST(n_rows AS DOUBLE) * ss_{b} - s_{b} * s_{b})"
         r = (
             f"(CAST(n_rows AS DOUBLE) * sp_{a}_{b} - s_{a} * s_{b}) / "
-            f"(sqrt(CAST(n_rows AS DOUBLE) * ss_{a} - s_{a} * s_{a}) * "
-            f"sqrt(CAST(n_rows AS DOUBLE) * ss_{b} - s_{b} * s_{b}))"
+            f"(sqrt({da}) * sqrt({db}))"
+        )
+        guarded = (
+            f"CASE WHEN {da} > 0 AND {db} > 0 THEN {rdet_sql(r, 6)}"
+            f" ELSE CAST(NULL AS DOUBLE) END"
         )
         arms.append(
-            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {rdet_sql(r, 6)} AS pearson_r FROM m"
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {guarded} AS pearson_r FROM m"
         )
     body = "\nUNION ALL\n".join(arms)
     return f"WITH m AS (\n  SELECT {', '.join(sel)} FROM lineitem\n)\n{body}\nORDER BY col_x, col_y"
@@ -479,8 +498,10 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
         _dsum(F.when(F.col("g") == 1, F.col("c")).otherwise(0)).alias("s1"),
         _dsum(F.when(F.col("g") == 2, F.col("c")).otherwise(0)).alias("s2"),
-        _dsum(F.when(F.col("g") == 1, F.col("c") * F.col("c")).otherwise(0)).alias("ss1"),
-        _dsum(F.when(F.col("g") == 2, F.col("c") * F.col("c")).otherwise(0)).alias("ss2"),
+        # square in DECIMAL, not int64: |value| >= ~1e9 makes cents^2
+        # overflow the long multiply on BOTH engines (degenerate-probe)
+        _dsum_sq(F.when(F.col("g") == 1, F.col("c")).otherwise(0)).alias("ss1"),
+        _dsum_sq(F.when(F.col("g") == 2, F.col("c")).otherwise(0)).alias("ss2"),
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
@@ -493,12 +514,18 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dof = (se2 * se2) / (
         (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
     )
+    # singleton groups (v undefined) or identical-value groups (se2=0)
+    # leave t/dof undefined: NULL on both engines, never an ANSI crash
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2) & (se2 > 0)
+    has_both = (F.col("n1") >= 1) & (F.col("n2") >= 1)
     return one.select(
         "n1",
         "n2",
-        rdet((m1 - m2) / F.lit(100.0), 4).alias("mean_diff"),
-        rdet(t, 6).alias("t_stat"),
-        rdet(dof, 2).alias("welch_dof"),
+        F.when(has_both, rdet((m1 - m2) / F.lit(100.0), 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_diff"),
+        F.when(ok, rdet(t, 6)).otherwise(F.lit(None).cast("double")).alias("t_stat"),
+        F.when(ok, rdet(dof, 2)).otherwise(F.lit(None).cast("double")).alias("welch_dof"),
     )
 
 
@@ -514,8 +541,10 @@ m AS (
          CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
          CAST(SUM(CAST(CASE WHEN g = 1 THEN c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s1,
          CAST(SUM(CAST(CASE WHEN g = 2 THEN c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(CASE WHEN g = 1 THEN c * c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS ss1,
-         CAST(SUM(CAST(CASE WHEN g = 2 THEN c * c ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS ss2
+         CAST(SUM(CAST(CAST(CASE WHEN g = 1 THEN c ELSE 0 END AS DECIMAL(19,0))
+                       * CAST(CASE WHEN g = 1 THEN c ELSE 0 END AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) AS ss1,
+         CAST(SUM(CAST(CAST(CASE WHEN g = 2 THEN c ELSE 0 END AS DECIMAL(19,0))
+                       * CAST(CASE WHEN g = 2 THEN c ELSE 0 END AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) AS ss2
   FROM a
 ),
 f AS (
@@ -526,11 +555,14 @@ f AS (
   FROM m
 )
 SELECT n1, n2,
-       {rdet_sql("(m1 - m2) / 100.0", 4)} AS mean_diff,
-       {rdet_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 6)} AS t_stat,
-       {rdet_sql(
+       CASE WHEN n1 >= 1 AND n2 >= 1
+            THEN {rdet_sql("(m1 - m2) / 100.0", 4)} END AS mean_diff,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 / n1 + v2 / n2 > 0
+            THEN {rdet_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 6)} END AS t_stat,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND v1 / n1 + v2 / n2 > 0
+            THEN {rdet_sql(
            "((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
-           "((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))", 2)} AS welch_dof
+           "((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))", 2)} END AS welch_dof
 FROM f
 """
 
