@@ -208,3 +208,66 @@ def test_minmax_pruning_contrast(spark, sf_dir):
     )
     # zone maps are consistent: min <= max per file
     assert all(r["min_ship"] <= r["max_ship"] for r in rows)
+
+
+def test_degenerate_fixture_stays_in_contract(tmp_path):
+    """The degenerate-probe fixture (tools/gen_degenerate.py) is only
+    useful if it stays IN CONTRACT — every sweep failure on it must be
+    a real engine bug, never a broken precondition. Pin the documented
+    structural invariants: regeneration is deterministic, keys unique,
+    FKs valid, n_chars == length(text) in characters, the query vector
+    present and nonzero, vectors 64-dim, and the degenerate axes that
+    make the probe bite (a zero-norm vector, an all-same-second user,
+    a singleton label) actually present."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    dst = str(tmp_path / "degen")
+    gen = ["/root/repo/tools/gen_degenerate.py", dst]
+    subprocess.run([sys.executable, *gen], check=True, capture_output=True)
+    con = duckdb.connect()
+    q = lambda s: con.sql(s.replace("DIR", dst)).fetchone()  # noqa: E731
+
+    # keys unique, every table non-empty
+    for t, k in [
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        n, nk = q(f"SELECT COUNT(*), COUNT(DISTINCT {k}) FROM 'DIR/{t}.parquet'")
+        assert n >= 1 and n == nk, (t, n, nk)
+    # FKs valid
+    assert q("SELECT COUNT(*) FROM 'DIR/lineitem.parquet' l "
+             "LEFT JOIN 'DIR/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+             "WHERE o.o_orderkey IS NULL")[0] == 0
+    assert q("SELECT COUNT(*) FROM 'DIR/orders.parquet' o "
+             "LEFT JOIN 'DIR/customer.parquet' c ON o.o_custkey = c.c_custkey "
+             "WHERE c.c_custkey IS NULL")[0] == 0
+    # documents contract + degenerate axes
+    assert q("SELECT COUNT(*) FROM 'DIR/documents.parquet' "
+             "WHERE n_chars <> length(text)")[0] == 0
+    assert q("SELECT COUNT(*) FROM 'DIR/documents.parquet' WHERE text = ''")[0] >= 1
+    assert q("SELECT COUNT(*) FROM 'DIR/documents.parquet' "
+             "WHERE octet_length(encode(text)) > length(text)")[0] >= 1  # multibyte
+    # embeddings contract + degenerate axes
+    assert q("SELECT COUNT(*) FROM 'DIR/embeddings.parquet' "
+             "WHERE len(embedding) <> 64")[0] == 0
+    assert q("SELECT COUNT(*) FROM 'DIR/embeddings.parquet' "
+             "WHERE vec_id = 0 AND list_sum(list_transform(embedding, x -> abs(x))) > 0")[0] == 1
+    assert q("SELECT COUNT(*) FROM 'DIR/embeddings.parquet' "
+             "WHERE list_sum(list_transform(embedding, x -> abs(x))) = 0")[0] >= 1
+    assert q("SELECT COUNT(*) FROM (SELECT label FROM 'DIR/embeddings.parquet' "
+             "GROUP BY label HAVING COUNT(*) = 1)")[0] >= 1  # singleton label
+    # events degenerate axes: one user entirely within one second
+    assert q("SELECT COUNT(*) FROM (SELECT user_id FROM 'DIR/events.parquet' "
+             "GROUP BY user_id HAVING COUNT(*) > 1 AND MIN(ts) = MAX(ts))")[0] >= 1
+    # deterministic regeneration: byte-identical row content
+    dst2 = str(tmp_path / "degen2")
+    subprocess.run([sys.executable, gen[0], dst2], check=True, capture_output=True)
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        a = con.sql(f"SELECT * FROM '{dst}/{t}.parquet' ORDER BY ALL").fetchall()
+        b = con.sql(f"SELECT * FROM '{dst2}/{t}.parquet' ORDER BY ALL").fetchall()
+        assert a == b, t
