@@ -59,66 +59,71 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-8 rotation (VERDICT r7 #2): 30 slots drain the ENTIRE
-# never-green tail — all 29 names tools/witness.py listed after r7 plus
-# rank_postings (whose r7 window attempt errored on the array-typed
-# column, now fixed to a scalar string) — so after a green r8 gate the
-# never-green backlog reaches ZERO. The remaining 20 slots hold ALL 20
-# of this round's newborns (the pinned "new operator => witnessed in
-# its birth round" invariant): no repeats anywhere in the window.
+# Round-9 rotation (VERDICT r8 #1): the r8 post-close hardening wave
+# (commits 95e89f0..780ddb3 — degenerate-probe guards, _prescaled /
+# _EMB_NZ zero-norm boundary, welch DECIMAL squaring, converter fuzz
+# closure) changed the implementations of 35 registry queries AFTER
+# their last driver-green CORRECTNESS rows; the 30 of them NOT in the
+# r8 window (CORRECTNESS_r08 re-proved the other 5 at final HEAD) get
+# re-witness slots. 9 more slots hold queries this round deliberately
+# changes (VERDICT asks #2/#4/#7 + all three ADVICE guards). The
+# remaining slots hold round-9 newborns (birth-round invariant) and —
+# only where slots are left over — oldest-green rotation picks.
 _PRIORITY: tuple[str, ...] = (
-    # --- the full never-green tail (30) ---
-    "rank_postings",
-    "window_ewma_scatter",
-    "etl_scd2_fact_join",
-    "embed_feature_hash",
-    "embed_centroid_outliers",
-    "graph_adamic_adar",
-    "graph_common_neighbors",
-    "graph_degree_stats",
-    "events_heatmap_hour_dow",
-    "events_inter_arrival",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_dedup_earliest",
-    "events_json_extract",
-    "events_twap",
-    "events_ab_test",
-    "multimodal_fake_features",
-    "scale_zorder_locality",
-    "scale_bitmap_distinct",
-    "scale_skew_report",
-    "stats_mode_quantity",
-    "stats_basket_lift",
-    "stats_psi_drift",
-    "stats_anova_oneway",
-    "stats_benford_first_digit",
-    "stats_gini_doc_length",
-    "stats_welch_ttest",
-    "stats_corr_matrix",
-    "stats_mad_outliers",
-    "stats_chi2_cells",
-    # --- round-8 newborns (all 20; birth-round witnesses) ---
+    # --- changed THIS round (VERDICT #2/#4/#7, ADVICE r8) ---
+    "dedup_embedding_cosine",
     "graph_connected_components",
-    "stats_spearman_corr",
-    "stats_cramers_v",
-    "stats_jensen_shannon_drift",
-    "rank_query_likelihood",
-    "text_zipf_slope",
-    "corpus_tokenizer_fertility",
-    "embed_kmeans_sse",
-    "embed_nearest_centroid_purity",
-    "events_periodicity_autocorr",
+    "graph_lpa_communities",
+    "graph_pagerank_users",
+    "graph_s_core_peeling",
     "etl_changelog_compaction",
-    "scale_clustering_depth",
-    "sketch_kmv_jaccard",
-    "events_burstiness",
-    "text_simpson_diversity",
-    "multimodal_payload_entropy",
     "window_max_drawdown",
-    "stats_runs_test",
-    "etl_watermark_freshness",
-    "agg_weighted_median",
+    "rank_query_likelihood",
+    "embed_kmeans_sse",
+    # --- r8 hardening-wave re-witnesses (implementation changed after
+    # --- last driver-green row; VERDICT r8 "what's wrong" #3) ---
+    "agg_stats_exact",
+    "ann_batch_topk",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "ann_lsh_hyperplane_pairs",
+    "ann_lsh_rerank_topk",
+    "ann_matryoshka_recall",
+    "ann_mmr_rerank",
+    "ann_nn_within_label",
+    "ann_pq_topk",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "convert_roundtrip_csv",
+    "convert_roundtrip_json",
+    "convert_roundtrip_multisheet",
+    "convert_roundtrip_ndjson",
+    "convert_stream_ndjson",
+    "corpus_bpe_tokenize",
+    "fn_pandas_udf_tokens",
+    "fn_string_math",
+    "fn_variant_props",
+    "multimodal_resize",
+    "rank_mrr_eval",
+    "rank_rrf_fusion",
+    "sketch_histogram_quantiles",
+    "stats_ols_regression",
+    "text_quality",
+    "window_seasonal_index",
+    # --- round-9 newborns (added as born) + rotation fill ---
+    "embed_nearest_centroid_purity",
+    "graph_triangle_count",
+    "dedup_substring_mass",
+    "graph_bfs_backbone",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "dedup_minhash_lsh",
+    "text_gopher_quality",
+    "corpus_clean_pipeline",
+    "events_sessionize",
+    "sketch_hll_distinct",
+    "etl_merge_upsert",
 )
 
 

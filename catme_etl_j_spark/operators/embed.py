@@ -436,7 +436,10 @@ WITH comp AS (
   SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
          CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                     * {COV_SCALE} + 0.5) AS BIGINT) AS q
-  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)
+  -- i <= len() makes this relation EQUIVALENT to Spark's posexplode
+  -- (an empty/short array yields fewer rows, not NULL-q rows; ADVICE r8)
+  WHERE i <= len(embedding)),
 cells AS (
   SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s_ij
   FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
@@ -585,7 +588,10 @@ WITH comp AS MATERIALIZED (
   SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
          CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                     * {COV_SCALE} + 0.5) AS BIGINT) AS q
-  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)
+  -- i <= len() makes this relation EQUIVALENT to Spark's posexplode
+  -- (an empty/short array yields fewer rows, not NULL-q rows; ADVICE r8)
+  WHERE i <= len(embedding)),
 cells AS MATERIALIZED (
   SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s_ij
   FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
@@ -925,10 +931,17 @@ def _kmeans_sql() -> str:
 WITH comp AS MATERIALIZED (
   SELECT vec_id, i,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT) AS q
-  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)
+  -- i <= len() makes this relation EQUIVALENT to Spark's posexplode
+  -- (an empty/short array yields fewer rows, not NULL-q rows; ADVICE r8)
+  WHERE i <= len(embedding)),
 seeds AS (
+  -- seed from the SAME relation as Spark (comp, i.e. post-explode):
+  -- a vec_id with an empty embedding array exists in `embeddings`
+  -- but produces no comp rows, and must not seed on either engine
+  -- (ADVICE r8 — the 64-dim contract must not be load-bearing)
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})),
+  FROM (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT {KM_K})),
 c0 AS MATERIALIZED (
   SELECT s.cluster, comp.i, comp.q AS c FROM comp JOIN seeds s USING (vec_id))"""
     parts = [head]
@@ -1020,7 +1033,10 @@ def _purity_sql() -> str:
 WITH comp AS MATERIALIZED (
   SELECT vec_id, i,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT) AS q
-  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)),
+  FROM embeddings, unnest(generate_series(1, {COV_DIM})) t(i)
+  -- i <= len() makes this relation EQUIVALENT to Spark's posexplode
+  -- (an empty/short array yields fewer rows, not NULL-q rows; ADVICE r8)
+  WHERE i <= len(embedding)),
 lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
 cent AS MATERIALIZED (
   SELECT l.label AS cl, comp.i, CAST(SUM(comp.q) AS BIGINT) // COUNT(*) AS c

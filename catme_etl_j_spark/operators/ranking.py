@@ -551,6 +551,13 @@ def rank_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the PSI convention) — the scalar part sums <=|q| integers, the
     delta part sums per-doc integers — so score_e9 is exact int64 and
     ranks (score_e9 DESC, doc_id ASC) cannot flip between engines.
+
+    Degenerate guard (convention #9; ADVICE r8): an ALL-empty-text
+    corpus has c_tot + v = 0, making mu_p infinite — ln/floor/CAST
+    then throws on both engines. The collection-model terms are gated
+    on c_tot + v > 0 and degrade to NULL identically on both sides
+    (every score_e9 NULL-propagates; the doc_id ASC tie-break alone
+    then orders the top-k the same way on both engines).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
@@ -581,14 +588,20 @@ def rank_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", F.coalesce("ctf", F.lit(0)).cast("long").alias("ctf"))
     )
-    # mu * P_t as a per-term double; its ln fixed-points per term
+    # mu * P_t as a per-term double; its ln fixed-points per term.
+    # Both exprs gate on c_tot + v > 0 (all-empty corpus => NULL, not
+    # an Inf->BIGINT crash; convention #9)
     mp = f"({QL_MU}.0 * (CAST(ctf + 1 AS DOUBLE) / CAST(c_tot + v AS DOUBLE)))"
     term_stats = ctf.crossJoin(F.broadcast(cv)).select(
         "term",
-        F.expr(mp).alias("mu_p"),
-        F.expr(f"CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT)").alias(
-            "ln_mp_e9"
-        ),
+        F.expr(
+            f"CASE WHEN c_tot + v > 0 THEN {mp} ELSE NULL END"
+        ).alias("mu_p"),
+        F.expr(
+            f"CASE WHEN c_tot + v > 0 THEN "
+            f"CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT) "
+            f"ELSE NULL END"
+        ).alias("ln_mp_e9"),
     )
     base = term_stats.agg(F.sum("ln_mp_e9").cast("long").alias("base_e9"))
     # matched (doc, term) deltas: prune the exploded stream FIRST
@@ -655,8 +668,11 @@ ctf AS (
     SELECT term, COUNT(*)::BIGINT AS ctf FROM clean GROUP BY term) c
     ON q.term = c.term),
 ts AS MATERIALIZED (
-  SELECT term, {mp} AS mu_p,
-         CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT) AS ln_mp_e9
+  SELECT term,
+         CASE WHEN c_tot + v > 0 THEN {mp} ELSE NULL END AS mu_p,
+         CASE WHEN c_tot + v > 0 THEN
+           CAST(floor(ln({mp}) * 1000000000.0 + 0.5) AS BIGINT)
+         ELSE NULL END AS ln_mp_e9
   FROM ctf, cv),
 base AS (SELECT CAST(SUM(ln_mp_e9) AS BIGINT) AS base_e9 FROM ts),
 qtf AS (

@@ -866,7 +866,12 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands, so DuckDB ``//`` truncation == Spark DIV (convention
     #7). Ties rank by day ASC; day renders as a formatted string
     (convention #3); day keys via TZ-free datediff (convention #10 —
-    o_orderdate is TIMESTAMP_NTZ).
+    o_orderdate is TIMESTAMP_NTZ). A zero running peak (every day so
+    far summed to exactly 0.00 — in-contract: the degenerate fixture
+    uses o_totalprice = 0.0) has no defined drawdown: 0/0 throws under
+    ANSI Spark and errors in DuckDB, so the ratio is NULL on both
+    engines with NULLS LAST pinned in the ORDER BY (convention #9/#10;
+    ADVICE r8).
 
     Scale: the fact table collapses to |days| rows first; the running
     MAX and the top-k are single bounded-partition passes over the
@@ -890,12 +895,14 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "rev_cents",
         "peak_cents",
-        F.expr(f"(peak_cents - rev_cents) * {_DD_SCALE} DIV peak_cents").alias(
-            "drawdown_ppm"
-        ),
+        F.expr(
+            f"CASE WHEN peak_cents > 0 THEN "
+            f"(peak_cents - rev_cents) * {_DD_SCALE} DIV peak_cents "
+            f"ELSE NULL END"
+        ).alias("drawdown_ppm"),
     )
     return (
-        dd.orderBy(F.desc("drawdown_ppm"), F.asc("day"))
+        dd.orderBy(F.desc_nulls_last("drawdown_ppm"), F.asc("day"))
         .limit(DRAWDOWN_TOP)
         .select(
             "day",
@@ -922,11 +929,15 @@ dd AS (
            AS peak_cents
   FROM daily)
 SELECT day, rev_cents, peak_cents,
-       (peak_cents - rev_cents) * {_DD_SCALE} // peak_cents AS drawdown_ppm,
-       CAST((peak_cents - rev_cents) * {_DD_SCALE} // peak_cents AS DOUBLE)
+       CASE WHEN peak_cents > 0
+            THEN (peak_cents - rev_cents) * {_DD_SCALE} // peak_cents
+            ELSE NULL END AS drawdown_ppm,
+       CAST(CASE WHEN peak_cents > 0
+                 THEN (peak_cents - rev_cents) * {_DD_SCALE} // peak_cents
+                 ELSE NULL END AS DOUBLE)
          / {_DD_SCALE}.0 AS drawdown
 FROM dd
-ORDER BY drawdown_ppm DESC, day ASC
+ORDER BY drawdown_ppm DESC NULLS LAST, day ASC
 LIMIT {DRAWDOWN_TOP}
 """
 

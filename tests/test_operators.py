@@ -2188,3 +2188,126 @@ def test_token_budget_mix_greedy_invariants(spark, sf_dir):
         assert taken == budget, (taken, budget)
     else:
         assert taken == total
+
+
+def test_drawdown_zero_peak_degenerate(spark, tmp_path):
+    """ADVICE r8 #1: days whose running revenue peak is exactly zero
+    (o_totalprice = 0.0 is in-contract) have no defined drawdown —
+    the ratio must be NULL on both engines (not an ANSI 0/0 crash),
+    with NULLS LAST pinned so positive-drawdown days still lead."""
+    import datetime
+
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.relational3 import window_max_drawdown
+
+    days = [datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i) for i in range(6)]
+    # first two days sum to 0.00 -> running peak 0 there; then a real
+    # peak (300) and a collapse (30) -> drawdown 0.9 leads the top-k
+    prices = [0.0, 0.0, 300.0, 30.0, 150.0, 300.0]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(6), pa.int64()),
+            "o_custkey": pa.array([1] * 6, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 6, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(days, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 6, pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    sdf = window_max_drawdown(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 6
+    by_day = {r["day"]: r for r in rows}
+    assert by_day["1995-01-01"]["drawdown_ppm"] is None
+    assert by_day["1995-01-02"]["drawdown_ppm"] is None
+    assert rows[0]["day"] == "1995-01-04" and rows[0]["drawdown_ppm"] == 900000
+    # NULLS LAST: the two zero-peak days close the ranking on BOTH engines
+    assert [r["day"] for r in rows[-2:]] == ["1995-01-01", "1995-01-02"]
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["window_max_drawdown"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_query_likelihood_all_empty_corpus(spark, tmp_path):
+    """ADVICE r8 #2: an ALL-empty-text corpus makes c_tot + v = 0 and
+    mu_p infinite — ln/floor/CAST must not crash; every score degrades
+    to NULL identically on both engines and the doc_id tie-break alone
+    orders the top-k."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.ranking import rank_query_likelihood
+
+    n = 5
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(["", "   ", "", " ", ""]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["web"] * n),
+            "n_chars": pa.array([0, 3, 0, 1, 0], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sdf = rank_query_likelihood(spark, str(tmp_path))
+    rows = sdf.collect()  # must not crash
+    assert [r["doc_id"] for r in rows] == list(range(1, n + 1))
+    assert all(r["score_e9"] is None and r["ql_score"] is None for r in rows)
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["rank_query_likelihood"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_kmeans_seeds_skip_empty_embedding(spark, tmp_path):
+    """ADVICE r8 #3: a vec_id with an EMPTY embedding array exists in
+    the embeddings table but yields no posexploded components — it must
+    not seed (or be scored by) k-means on either engine. Pre-fix the
+    DuckDB twin seeded from the raw table and generated NULL-component
+    rows, so the smallest vec_id being empty flipped every seed."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.embed import COV_DIM, embed_kmeans_sse
+
+    vecs = [[]]  # vec_id 0: empty array -> must NOT seed
+    for k in range(1, 12):
+        v = [0.0] * COV_DIM
+        v[0] = float(k)
+        v[5] = (k % 4) / 2.0
+        vecs.append(v)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([k % 4 for k in range(12)], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    sdf = embed_kmeans_sse(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert sum(r["n_vecs"] for r in rows) == 11  # empty vector never assigned
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["embed_kmeans_sse"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
