@@ -1373,9 +1373,18 @@ def etl_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("k").orderBy(
         F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
     )
+    # depth rides the SAME ordered spec with an explicit full frame, so
+    # Catalyst fuses it and row_number into ONE Window operator over one
+    # exchange (the SCD3 precedent, 78675da; VERDICT r8 #7 — a separate
+    # unordered COUNT spec planned a second Window over the same key)
     latest = (
         li.withColumn("rn", F.row_number().over(w))
-        .withColumn("depth", F.count("*").over(Window.partitionBy("k")))
+        .withColumn(
+            "depth",
+            F.count("*").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .filter(F.col("rn") == 1)
     )
     return latest.agg(

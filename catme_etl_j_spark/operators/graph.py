@@ -594,13 +594,15 @@ def _pagerank_users_ranks(
         # degenerate corpus (conv. #9): no users, no ranks — the
         # oracle's empty node CTE yields the same zero rows
         return spark.sql(
-            "SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS r"
+            "SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS r, "
+            "CAST(NULL AS BIGINT) AS delta_e9_final"
         ).filter("false")
     base = (15 * PR_SCALE) // (100 * n)
     r0 = PR_SCALE // n
     ranks = nodes.select(
         F.col("user_id").alias("node"), F.lit(r0).cast("long").alias("r")
     )
+    prev = None
     for k in range(1, PRU_ITERS + 1):
         s = (
             ew.join(ranks, ew.src == ranks.node)
@@ -608,6 +610,8 @@ def _pagerank_users_ranks(
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("s"))
         )
+        if k == PRU_ITERS:
+            prev = ranks
         ranks = nodes.join(s, nodes.user_id == s.dst, "left").select(
             F.col("user_id").alias("node"),
             (
@@ -617,7 +621,19 @@ def _pagerank_users_ranks(
         )
         if checkpoint_every and k % checkpoint_every == 0 and k < PRU_ITERS:
             ranks = ranks.localCheckpoint()
-    return ranks
+    # Convergence audit (VERDICT r8 #4): total absolute rank movement
+    # in the final round, exact int64 — 0 means the power iteration
+    # reached its integer fixpoint inside PRU_ITERS rounds; a nonzero
+    # residual makes the fixed-round cut visible in the result.
+    audit = (
+        ranks.join(prev.select("node", F.col("r").alias("pr")), "node")
+        .agg(
+            F.coalesce(F.sum(F.abs(F.col("r") - F.col("pr"))), F.lit(0))
+            .cast("long")
+            .alias("delta_e9_final")
+        )
+    )
+    return ranks.crossJoin(F.broadcast(audit))
 
 
 def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,6 +649,7 @@ def graph_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("user_id"),
             F.col("r").alias("rank_e9"),
             F.expr(f"CAST(r AS DOUBLE) / {float(PR_SCALE)}").alias("rank"),
+            "delta_e9_final",
         )
         .orderBy(F.desc("rank_e9"), F.asc("user_id"))
         .limit(PRU_TOPK)
@@ -667,6 +684,13 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-pick. After LPA_ITERS rounds the output is the top-20
     communities by size (size DESC, community ASC).
 
+    Convergence audit (VERDICT r8 #4): ``n_changed_final`` counts the
+    labels that still moved in round LPA_ITERS. Unlike CC's monotone
+    propagation LPA may legitimately keep oscillating on some graphs —
+    the audit does not promise 0, it makes the fixed-round cut
+    VISIBLE in the result so a reader can tell a settled community
+    structure from a truncated one.
+
     Scale shape per round: labels-onto-edges equi-join + one (node,
     label) partial-aggregated sum + one per-node partial-aggregated
     max — all co-shuffled on the node key, no per-round sort; labels
@@ -688,6 +712,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    prev = None
     for k in range(1, LPA_ITERS + 1):
         nbr_lbl = both.join(
             labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
@@ -705,6 +730,8 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (-F.col("m.nl")).alias("new_lbl"))
         )
         # double-mod parity: identical for negative ids on every engine
+        if k == LPA_ITERS:
+            prev = labels
         labels = labels.join(best, "node", "left").select(
             "node",
             F.when(
@@ -716,9 +743,18 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if k % 2 == 0 and k < LPA_ITERS:
             labels = labels.localCheckpoint()
+    audit = (
+        labels.join(prev.select("node", F.col("lbl").alias("plbl")), "node")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("lbl") != F.col("plbl")).cast("long")), F.lit(0)
+            ).cast("long").alias("n_changed_final")
+        )
+    )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").cast("long").alias("size"))
+        .crossJoin(F.broadcast(audit))
         .orderBy(F.desc("size"), F.asc("community"))
         .limit(LPA_TOPK)
     )
@@ -772,10 +808,14 @@ l{k} AS MATERIALIZED (
         head
         + ","
         + ",".join(iters)
-        + f"""
-SELECT lbl AS community, COUNT(*)::BIGINT AS size
-FROM l{LPA_ITERS}
-GROUP BY lbl
+        + f""",
+chg AS (
+  SELECT COUNT(*)::BIGINT AS n_changed_final
+  FROM l{LPA_ITERS} a JOIN l{LPA_ITERS - 1} b ON a.node = b.node
+  WHERE a.lbl <> b.lbl)
+SELECT lbl AS community, COUNT(*)::BIGINT AS size, chg.n_changed_final
+FROM l{LPA_ITERS}, chg
+GROUP BY lbl, chg.n_changed_final
 ORDER BY size DESC, community ASC
 LIMIT {LPA_TOPK}"""
     )
@@ -806,9 +846,12 @@ nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
 r0 AS (SELECT node, ({PR_SCALE}::BIGINT // nn.n) AS r FROM nodes, nn)"""
     iters = []
     for k in range(1, PRU_ITERS + 1):
+        # MATERIALIZED (convention #11): the audit CTE gives r{K} and
+        # r{K-1} a second reference each — unmaterialized, the chain
+        # would re-expand multiplicatively
         iters.append(
             f"""
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT nodes.node,
          CAST((15::BIGINT * {PR_SCALE} // (100 * nn.n))
            + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
@@ -821,10 +864,14 @@ r{k} AS (
         head
         + ","
         + ",".join(iters)
-        + f"""
+        + f""",
+chg AS (
+  SELECT CAST(COALESCE(SUM(ABS(a.r - b.r)), 0) AS BIGINT) AS delta_e9_final
+  FROM r{PRU_ITERS} a JOIN r{PRU_ITERS - 1} b ON a.node = b.node)
 SELECT node AS user_id, r AS rank_e9,
-       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS rank
-FROM r{PRU_ITERS}
+       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS rank,
+       chg.delta_e9_final
+FROM r{PRU_ITERS}, chg
 ORDER BY rank_e9 DESC, user_id ASC
 LIMIT {PRU_TOPK}"""
     )
@@ -871,6 +918,12 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     removals drain the survivors' strengths. Rounds after the
     fixpoint (including a collapse to the empty core) repeat it —
     fixed SCORE_ITERS rows on both engines.
+
+    Convergence audit (VERDICT r8 #4): each row carries ``n_removed``
+    — nodes peeled in that round (round 1 relative to the full node
+    set). 0 in the final row means the peeling reached its stable
+    s-core inside SCORE_ITERS rounds; nonzero makes the fixed-round
+    cut visible in the result.
 
     Scale shape: the edge list localCheckpoints once; each round is
     two LEFT SEMI hash equi-joins (alive onto the SURVIVING edges —
@@ -946,7 +999,24 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     out = reduce(lambda a, b: a.unionByName(b), rows)
-    return out.select("round", "n_alive", "n_edges", "total_w").orderBy("round")
+    # n_removed via lag over the SCORE_ITERS-row trajectory (bounded
+    # frame, not data-sized); round 1's baseline is the full node set
+    n0 = st0.agg(F.count("*").cast("long").alias("n0"))
+    wr = Window.orderBy("round")
+    return (
+        out.crossJoin(F.broadcast(n0))
+        .select(
+            "round",
+            "n_alive",
+            "n_edges",
+            "total_w",
+            (
+                F.coalesce(F.lag("n_alive").over(wr), F.col("n0"))
+                - F.col("n_alive")
+            ).cast("long").alias("n_removed"),
+        )
+        .orderBy("round")
+    )
 
 
 def _s_core_sql() -> str:
@@ -1004,7 +1074,17 @@ row{r} AS (
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM row{r}" for r in range(1, SCORE_ITERS + 1)
     )
-    return ",".join(parts) + f"\n{union}\nORDER BY round"
+    return (
+        ",".join(parts)
+        + f""",
+traj AS ({union})
+SELECT round, n_alive, n_edges, total_w,
+       CAST(COALESCE(LAG(n_alive) OVER (ORDER BY round),
+                     (SELECT COUNT(*)::BIGINT FROM a0))
+            - n_alive AS BIGINT) AS n_removed
+FROM traj
+ORDER BY round"""
+    )
 
 
 CC_ITERS = 5  # fixed unrolled min-label rounds (oracle matches)
@@ -1025,6 +1105,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance to the minimum-id node is <= CC_ITERS, and a deterministic
     lower-bound labelling regardless — the output is the top-20
     components by size (size DESC, component ASC).
+
+    Convergence audit (VERDICT r8 #4): every output row carries
+    ``n_changed_final`` — how many labels still moved in round
+    CC_ITERS. 0 means the labelling IS the true component fixpoint;
+    a nonzero value makes fixed-round truncation visible in the
+    RESULT, not just this docstring (a deeper-diameter graph can no
+    longer silently pass as "connected components"). The audit is one
+    extra co-partitioned self-join + scalar agg on the final two label
+    frames — O(|V|) work, no new shuffle key.
 
     Scale shape per round: labels-onto-edges equi-join + one per-node
     partial-aggregated MIN — co-shuffled on the node key, no sort, no
@@ -1050,6 +1139,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    prev = None
     for k in range(1, CC_ITERS + 1):
         nbr_min = (
             both.join(
@@ -1059,14 +1149,27 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("nlbl").alias("nmin"))
         )
+        if k == CC_ITERS:
+            prev = labels
         labels = labels.join(nbr_min, "node", "left").select(
             "node", F.least(F.col("lbl"), F.col("nmin")).alias("lbl")
         )
         if k % 2 == 0 and k < CC_ITERS:
             labels = labels.localCheckpoint()
+    audit = (
+        labels.join(
+            prev.select("node", F.col("lbl").alias("plbl")), "node"
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("lbl") != F.col("plbl")).cast("long")), F.lit(0)
+            ).cast("long").alias("n_changed_final")
+        )
+    )
     return (
         labels.groupBy(F.col("lbl").alias("component"))
         .agg(F.count("*").cast("long").alias("size"))
+        .crossJoin(F.broadcast(audit))
         .orderBy(F.desc("size"), F.asc("component"))
         .limit(CC_TOPK)
     )
@@ -1110,10 +1213,14 @@ l{k} AS MATERIALIZED (
         head
         + ","
         + ",".join(iters)
-        + f"""
-SELECT lbl AS component, COUNT(*)::BIGINT AS size
-FROM l{CC_ITERS}
-GROUP BY lbl
+        + f""",
+chg AS (
+  SELECT COUNT(*)::BIGINT AS n_changed_final
+  FROM l{CC_ITERS} a JOIN l{CC_ITERS - 1} b ON a.node = b.node
+  WHERE a.lbl <> b.lbl)
+SELECT lbl AS component, COUNT(*)::BIGINT AS size, chg.n_changed_final
+FROM l{CC_ITERS}, chg
+GROUP BY lbl, chg.n_changed_final
 ORDER BY size DESC, component ASC
 LIMIT {CC_TOPK}"""
     )

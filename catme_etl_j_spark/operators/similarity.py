@@ -973,26 +973,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_CC_ROUNDS = 10  # unrolled label-prop rounds; path-halving makes
+# the reachable diameter ~2^K (~1000). Measured on the sf1.0 replica
+# fixture: 5 rounds left 1516 components vs the 1515 fixpoint, 6
+# converged; the rounds are ~free (the oracle's 4 min is all in the
+# LSH pairs CTE), so 10 buys a 2^10 margin for deeper chains.
+
+
 def _emb_keep_sql() -> str:
-    """Oracle: same LSH pairs wrapped as a CTE, closure via a recursive
-    CTE (min reachable vec_id == the propagation fixpoint)."""
+    """Oracle: same LSH pairs wrapped as a CTE, closure via a BOUNDED
+    unrolled min-label propagation with path halving instead of the
+    old ``WITH RECURSIVE`` min-reachability closure (VERDICT r8 #2:
+    that closure materialized O(|component|^2) reach rows and re-
+    expanded the LSH chain on the sf1.0 replica fixture — 35+ min of
+    un-interruptible DuckDB while the Spark side finished in 184 s).
+
+    Each round k: m_{k+1}(v) = least(m_k(v), min over in-neighbors of
+    m_k(u), m_k(m_k(v))). The rep-of-rep shortcut halves label paths,
+    so {_EMB_CC_ROUNDS} rounds reach the fixpoint for any component of
+    diameter <= ~2^{_EMB_CC_ROUNDS} — and the Spark side's fixpoint
+    loop computes the identical min-in-component labelling, so the
+    hash gate compares two independently-converged results. Every
+    round is AS MATERIALIZED (convention #11: each references the
+    previous round three times)."""
     base = _lsh_sql()
     head, tail = base.split("SELECT vec_a, vec_b,", 1)
     cte = head.strip()[len("WITH"):].strip()
+    rounds = []
+    for k in range(_EMB_CC_ROUNDS):
+        rounds.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT r.node,
+         LEAST(r.m,
+               COALESCE(nb.nm, r.m),
+               COALESCE(pp.m, r.m)) AS m
+  FROM r{k} r
+  LEFT JOIN (SELECT bi.b AS node, MIN(r2.m) AS nm
+             FROM bi JOIN r{k} r2 ON bi.a = r2.node
+             GROUP BY bi.b) nb ON nb.node = r.node
+  LEFT JOIN r{k} pp ON pp.node = r.m)""")
     return f"""
-WITH RECURSIVE {cte},
-pairs AS (SELECT vec_a, vec_b,{tail}),
-bi AS (
+WITH {cte},
+pairs AS MATERIALIZED (SELECT vec_a, vec_b,{tail}),
+bi AS MATERIALIZED (
   SELECT vec_a AS a, vec_b AS b FROM pairs
   UNION ALL
   SELECT vec_b, vec_a FROM pairs),
-reach(node, m) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT r.node, bi.b FROM reach r JOIN bi ON bi.a = r.m)
-SELECT node AS vec_id, MIN(m) AS rep_id,
-       CAST(CASE WHEN node = MIN(m) THEN 1 ELSE 0 END AS INT) AS kept
-FROM reach GROUP BY node
+r0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS m FROM embeddings),
+{",".join(rounds)}
+SELECT node AS vec_id, m AS rep_id,
+       CAST(CASE WHEN node = m THEN 1 ELSE 0 END AS INT) AS kept
+FROM r{_EMB_CC_ROUNDS}
 """
 
 

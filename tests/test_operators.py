@@ -2311,3 +2311,42 @@ def test_kmeans_seeds_skip_empty_embedding(spark, tmp_path):
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_selfcheck_skip_governance():
+    """VERDICT r8 #3: SELFCHECK_SKIP is reserved for explicit
+    scale/stress probe modes. Every evidence-bearing mode — default,
+    vanilla-session, TZ/cpus stress, degenerate-probe — must REFUSE a
+    skip set loudly (exit 2 before any query runs), so a red query can
+    never be silently truncated out of a contract sweep."""
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck_mod2", os.path.join(repo, "tools", "selfcheck.py")
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    # policy pin: the allowed set is exactly the scale-probe prefix
+    assert sc.SKIP_ALLOWED_MODE_PREFIXES == ("scale-probe",)
+    for mode in ("default", "vanilla-session", "tz=America/New_York",
+                 "cpus=7", "degenerate-probe", "vanilla-session+cpus=7"):
+        assert not sc.skip_allowed(mode), mode
+    for mode in ("scale-probe-sf1.0-full", "scale-probe-sf0.3-graphs"):
+        assert sc.skip_allowed(mode), mode
+
+    # end-to-end: a default-mode sweep with SELFCHECK_SKIP set fails
+    # loudly before spinning up a session
+    env = {**os.environ, "SELFCHECK_SKIP": "q01_pricing_summary"}
+    env.pop("SELFCHECK_MODE", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "selfcheck.py"),
+         "/root/testdata/sf0.001", "q01_pricing_summary"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stdout[-500:])
+    assert "not allowed" in proc.stdout

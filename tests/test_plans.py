@@ -547,7 +547,11 @@ def test_pagerank_users_rounds_are_equi_joins(spark, sf_dir):
 
     plan = formatted_plan(_pagerank_users_ranks(spark, sf_dir, checkpoint_every=0))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE BroadcastNestedLoopJoin: the 1-row convergence-audit
+    # scalar (VERDICT r8 #4) crossJoined onto the ranks — any second
+    # one means a real non-equi join crept into the loop (count in the
+    # tree section; the formatted details repeat each node name)
+    assert plan.split("\n\n")[0].count("BroadcastNestedLoopJoin") == 1
     # one ranks-onto-edges join + one node left-join per round
     hash_joins = len(
         re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
@@ -585,7 +589,8 @@ def test_lpa_argmax_is_partial_aggregate_not_window(spark, sf_dir):
     assert "partial_max" in plan
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # one 1-row audit-scalar crossJoin only (VERDICT r8 #4)
+    assert plan.split("\n\n")[0].count("BroadcastNestedLoopJoin") == 1
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
 
@@ -789,7 +794,8 @@ def test_cc_rounds_are_hash_joins_no_rescans(spark, sf_dir):
 
     plan = formatted_plan(graph_connected_components(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert "NestedLoop" not in tree
+    # one 1-row audit-scalar crossJoin only (VERDICT r8 #4)
+    assert tree.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in tree
     assert "partial_min" in plan
     # the edge list is localCheckpoint'd before the loop; label state
@@ -882,8 +888,9 @@ def test_changelog_compaction_single_key_shuffle(spark, sf_dir):
     assert "hashpartitioning(k" in plan
     # one key shuffle + the final single-partition aggregate at most
     assert len(re.findall(r"\bExchange\b", tree)) <= 2
-    # both Windows (row_number + per-key depth) reuse that one exchange
-    assert sum(1 for l in tree.splitlines() if "Window" in l and "Sort" not in l) == 2
+    # row_number + full-frame depth FUSE into ONE Window operator on
+    # the shared ordered spec (VERDICT r8 #7; the SCD3 precedent)
+    assert sum(1 for l in tree.splitlines() if "Window" in l and "Sort" not in l) == 1
 
 
 def test_payload_entropy_map_side_combine(spark, sf_dir):

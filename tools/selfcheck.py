@@ -37,6 +37,23 @@ class QueryTimeout(Exception):
 def _alarm(_sig, _frm):
     raise QueryTimeout(f"exceeded {QUERY_TIMEOUT_S}s budget")
 
+
+# SELFCHECK_SKIP governance (VERDICT r8 #3). Skips exist for exactly one
+# class of run: beyond-gate-scale stress probes where a known
+# oracle-pathological (query, fixture) combination would wedge the sweep
+# in un-interruptible DuckDB C code (the only recorded case:
+# dedup_embedding_cosine's recursive closure on the sf1.0 replica
+# fixture — since retired by the bounded-round MATERIALIZED unroll).
+# Every evidence-bearing mode — default, gate-window subsets, vanilla-
+# session, TZ stress, cpus stress, degenerate-probe — must refuse them,
+# so a future red query can never be silently "skipped" out of a sweep
+# the round-close contract counts.
+SKIP_ALLOWED_MODE_PREFIXES = ("scale-probe",)
+
+
+def skip_allowed(mode: str) -> bool:
+    return mode.startswith(SKIP_ALLOWED_MODE_PREFIXES)
+
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -83,19 +100,8 @@ def main() -> int:
     # SELFCHECK_VANILLA=1 swaps the repo's session factory for a bare
     # driver-style session (local[8], default 200 shuffle partitions,
     # no UTC/Arrow/AQE conf) — queries must self-provision their conf.
-    if os.environ.get("SELFCHECK_VANILLA") == "1":
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("selfcheck-vanilla")
-            .getOrCreate()
-        )
-        mode = "vanilla-session"
-    else:
-        spark = get_spark("selfcheck")
-        mode = ""
-    parts = [p for p in (mode,) if p]
+    vanilla = os.environ.get("SELFCHECK_VANILLA") == "1"
+    parts = ["vanilla-session"] if vanilla else []
     tz = os.environ.get("TZ")
     if tz and tz != "UTC":
         parts.append(f"tz={tz}")
@@ -103,6 +109,28 @@ def main() -> int:
     if cpus:
         parts.append(f"cpus={cpus}")
     mode = os.environ.get("SELFCHECK_MODE", "+".join(parts) or "default")
+    # Governance gate BEFORE the (expensive) session spin-up so the
+    # refusal is loud, immediate, and cheap to regression-test.
+    if skip and not skip_allowed(mode):
+        print(
+            f"ERROR: SELFCHECK_SKIP={','.join(sorted(skip))} is not allowed "
+            f"in mode {mode!r} — skips are reserved for explicit scale/"
+            f"stress probes (SELFCHECK_MODE=scale-probe-*), never for "
+            f"default, gate-window, vanilla, TZ, or degenerate sweeps "
+            f"(VERDICT r8 #3: an ungoverned escape hatch is exactly the "
+            f"silent truncation the round-close contract exists to prevent)"
+        )
+        return 2
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("selfcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
