@@ -112,6 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality",
     "window_seasonal_index",
     # --- round-9 newborns (added as born) + rotation fill ---
+    "text_quality_classifier",
+    "corpus_dedup_paragraphs",
     "embed_nearest_centroid_purity",
     "graph_triangle_count",
     "dedup_substring_mass",
@@ -122,8 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_gopher_quality",
     "corpus_clean_pipeline",
     "events_sessionize",
-    "sketch_hll_distinct",
-    "etl_merge_upsert",
 )
 
 

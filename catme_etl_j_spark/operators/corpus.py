@@ -2037,7 +2037,136 @@ FROM agg ORDER BY source, lang
 """
 
 
+# --- paragraph-level exact dedup (keep first occurrence) -------------
+# C4 removed any three-sentence span seen before; RefinedWeb exact-
+# dedups paragraphs keeping the first occurrence (Raffel 2020 §2.2,
+# Penedo 2023 §3.3 — public). The synthetic docs have no newlines or
+# sentence punctuation, so the "paragraph" unit is a PARA_W-word
+# non-overlapping segment — a larger span than corpus_dedup_lines'
+# BLOCK_W=5 boilerplate blocks, and with DIFFERENT semantics: keep-
+# FIRST-occurrence ordered by (doc_id, pos) rather than cut-everywhere
+# at a document-frequency threshold.
+PARA_W = 25  # words per paragraph segment
+
+
+def corpus_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document paragraph-dedup accounting: segment every doc into
+    PARA_W-word paragraphs, mark each occurrence a duplicate when an
+    identical segment exists at a strictly smaller (doc_id, pos), and
+    report n_paras / n_dup_paras / dup word mass / surviving fraction.
+
+    Determinism: the first-occurrence pick is min(struct(doc_id, pos))
+    per exact segment string — a total order, so the duplicate flag is
+    bit-stable on both engines; kept_frac guards n_paras = 0 (empty
+    docs segment to nothing) with NULL per convention #9.
+
+    Scale shape: ONE explode, ONE hash shuffle on the segment string
+    feeding a partition-only min-struct window (no ORDER BY sort
+    semantics beyond the partition key; segment groups are tiny), then
+    a per-doc re-agg — a single pass over the exploded stream, vs the
+    agg+self-join alternative that re-computes the explode on both
+    join sides. At 100 TB the segment key is high-cardinality; a
+    boilerplate-heavy corpus (one paragraph in millions of docs) would
+    salt the hot segments before this window.
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id", F.expr("split(trim(text), ' +')").alias("w")
+    )
+    segs = (
+        staged.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(size(w) / {PARA_W}.0) AS INT)),"
+                    f" i -> array_join(slice(w, (i - 1) * {PARA_W} + 1, {PARA_W}), ' '))"
+                )
+            ).alias("pos", "seg"),
+        )
+        .filter(F.col("seg") != "")
+    )
+    wseg = Window.partitionBy("seg")
+    tagged = segs.withColumn(
+        "f", F.min(F.struct("doc_id", "pos")).over(wseg)
+    ).select(
+        "doc_id",
+        "seg",
+        (
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("pos") != F.col("f.pos"))
+        ).cast("long").alias("is_dup"),
+    )
+    perdoc = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("is_dup").cast("long").alias("n_dup_paras"),
+        F.sum(
+            F.when(F.col("is_dup") == 1, F.expr("size(split(seg, ' '))"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).cast("long").alias("dup_words"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.expr(
+                "CASE WHEN coalesce(n_paras, 0) > 0 THEN "
+                + _KEEP_FRAC_SPARK
+                + " ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("kept_frac"),
+        )
+    )
+
+
+_KEEP_FRAC_SPARK = rdet_sql(
+    "CAST(n_paras - n_dup_paras AS DOUBLE) / n_paras", 6
+)
+
+_DEDUP_PARA_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+         array_to_string(ws[((t.i - 1) * {PARA_W} + 1):(t.i * {PARA_W})], ' ')
+           AS seg
+  FROM w, UNNEST(range(1, CAST(ceil(len(ws) / {PARA_W}.0) AS BIGINT) + 1)) AS t(i)),
+clean AS (SELECT * FROM segs WHERE seg <> ''),
+firsts AS (
+  SELECT seg, MIN(struct_pack(d := doc_id, p := pos)) AS f
+  FROM clean GROUP BY seg),
+tagged AS (
+  SELECT c.doc_id, c.seg,
+         CASE WHEN c.doc_id <> (f.f).d OR c.pos <> (f.f).p
+              THEN 1 ELSE 0 END AS is_dup
+  FROM clean c JOIN firsts f USING (seg)),
+perdoc AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_paras,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dup_paras,
+         CAST(SUM(CASE WHEN is_dup = 1
+                       THEN len(string_split(seg, ' ')) ELSE 0 END)
+              AS BIGINT) AS dup_words
+  FROM tagged GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(p.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+       CASE WHEN COALESCE(p.n_paras, 0) > 0 THEN
+         {rdet_sql("CAST(p.n_paras - p.n_dup_paras AS DOUBLE) / p.n_paras", 6)}
+       ELSE CAST(NULL AS DOUBLE) END AS kept_frac
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 QUERIES = {
+    "corpus_dedup_paragraphs": corpus_dedup_paragraphs,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_token_budget_mix": corpus_token_budget_mix,
@@ -2068,6 +2197,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dedup_paragraphs": _DEDUP_PARA_SQL,
     "corpus_tokenizer_fertility": _FERTILITY_SQL,
     "corpus_dsir_importance":_dsir_sql(),
     "corpus_token_budget_mix": _MIX_SQL,

@@ -1473,7 +1473,127 @@ FROM per ORDER BY source
 """
 
 
+# --- deterministic quality classifier (the curation "model" stage) ---
+# Fixed integer-rational weights over the engine's own heuristic
+# features — a frozen logistic scorer in the spirit of the fastText /
+# logistic quality classifiers C4, CCNet and Gopher pair with their
+# rule filters (Raffel 2020 §2.2, Wenzek 2020, Rae 2021 — public).
+# Everything up to the final sigmoid is EXACT int64 fixed-point (e6),
+# so the logit hash-matches bit-for-bit; only the display score is a
+# float (rdet 6). Weights are integer rationals applied with DIV on
+# non-negative operands (convention #7 never bites).
+QC_BIAS_E6 = -4_000_000            # intercept
+QC_MWL_PEAK_E6 = 4_500_000         # mean-word-length sweet spot (chars)
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality score per document:
+
+    logit = -4.0 + 0.9*ln(1+n_words) + 2.0*stop_ratio
+            - 1.5*dup_word_frac + 1.0*alpha_word_ratio
+            - 0.5*|mean_word_len - 4.5|
+
+    combining the length, stopword (text_quality), repetition
+    (text_repetition) and Gopher word-shape (text_gopher_quality)
+    features into one calibrated-looking score — the classifier stage
+    a curation pipeline runs between rule filtering and mixing.
+    ``kept`` is the logit>=0 decision. All features are exact integer
+    fixed-point at 1e6; the logit is an exact int64 combination of
+    them (integer-rational weights via DIV on non-negative operands),
+    so ordering and the keep decision cannot drift between engines;
+    the sigmoid is display-only.
+
+    Scale shape: ONE map-only projection over documents — no shuffle,
+    no join, no window; whole-stage-codegen end to end. Empty text
+    needs no guard: split('') = [''] gives n_words = 1 on both engines
+    and every ratio stays defined.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.expr("split(trim(text), ' +')").alias("w")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(size(array_distinct(w)) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(w, x -> CAST(length(x) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("word_chars"),
+        _stop_hits(F.col("w"), LANG_STOPWORDS["en"]).alias("stop_hits"),
+        F.expr("CAST(size(filter(w, x -> x rlike '[A-Za-z]')) AS BIGINT)").alias(
+            "alpha"
+        ),
+    )
+    feats = staged.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "CAST(floor(ln(1.0 + n_words) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("f_len_e6"),
+        F.expr("stop_hits * 1000000 DIV n_words").alias("f_stop_e6"),
+        F.expr("(n_words - n_distinct) * 1000000 DIV n_words").alias("f_dupw_e6"),
+        F.expr("alpha * 1000000 DIV n_words").alias("f_alpha_e6"),
+        F.expr("word_chars * 1000000 DIV n_words").alias("f_mwl_e6"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            f"CAST({QC_BIAS_E6} + (9 * f_len_e6) DIV 10 + 2 * f_stop_e6"
+            f" - (3 * f_dupw_e6) DIV 2 + f_alpha_e6"
+            f" - abs(f_mwl_e6 - {QC_MWL_PEAK_E6}) DIV 2 AS BIGINT)"
+        ).alias("logit_e6"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "logit_e6",
+        rdet(
+            F.expr("1.0 / (1.0 + exp(-CAST(logit_e6 AS DOUBLE) / 1000000.0))"), 6
+        ).alias("quality_prob"),
+        F.expr("CAST(logit_e6 >= 0 AS INT)").alias("kept"),
+    )
+
+
+_QC_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_filter(w, x -> x IN {LANG_STOPWORDS["en"]!r}))
+              AS BIGINT) AS stop_hits,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha
+  FROM w),
+feats AS (
+  SELECT doc_id, n_words,
+         CAST(floor(ln(1.0 + n_words) * 1000000.0 + 0.5) AS BIGINT) AS f_len_e6,
+         stop_hits * 1000000 // n_words AS f_stop_e6,
+         (n_words - n_distinct) * 1000000 // n_words AS f_dupw_e6,
+         alpha * 1000000 // n_words AS f_alpha_e6,
+         word_chars * 1000000 // n_words AS f_mwl_e6
+  FROM base),
+scored AS (
+  SELECT doc_id, n_words,
+         CAST({QC_BIAS_E6} + (9 * f_len_e6) // 10 + 2 * f_stop_e6
+              - (3 * f_dupw_e6) // 2 + f_alpha_e6
+              - abs(f_mwl_e6 - {QC_MWL_PEAK_E6}) // 2 AS BIGINT) AS logit_e6
+  FROM feats)
+SELECT doc_id, n_words, logit_e6,
+       {rdet_sql("1.0 / (1.0 + exp(-CAST(logit_e6 AS DOUBLE) / 1000000.0))", 6)}
+         AS quality_prob,
+       CAST(logit_e6 >= 0 AS INT) AS kept
+FROM scored
+"""
+
+
 QUERIES = {
+    "text_quality_classifier": text_quality_classifier,
     "text_simpson_diversity": text_simpson_diversity,
     "text_zipf_slope": text_zipf_slope,
     "text_pmi_bigrams": text_pmi_bigrams,
@@ -1496,6 +1616,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_quality_classifier": _QC_SQL,
     "text_simpson_diversity": _simpson_sql(),
     "text_zipf_slope": _zipf_sql(),
     "text_pmi_bigrams": _PMI_SQL,

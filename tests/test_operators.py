@@ -2350,3 +2350,98 @@ def test_selfcheck_skip_governance():
     )
     assert proc.returncode == 2, (proc.returncode, proc.stdout[-500:])
     assert "not allowed" in proc.stdout
+
+
+def test_dedup_paragraphs_hand_fixture(spark, tmp_path):
+    """Keep-first paragraph dedup on a constructed corpus: doc 1 owns
+    paragraphs A+B; doc 2 repeats A (duplicate) and adds C; doc 3 is
+    A+B wholesale (all duplicate); doc 4 is empty (0 paragraphs, NULL
+    kept_frac). First occurrence is (doc_id, pos)-minimal."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.corpus import PARA_W, corpus_dedup_paragraphs
+
+    para_a = " ".join(f"a{i}" for i in range(PARA_W))
+    para_b = " ".join(f"b{i}" for i in range(PARA_W))
+    para_c = " ".join(f"c{i}" for i in range(PARA_W))
+    texts = [
+        f"{para_a} {para_b}",
+        f"{para_a} {para_c}",
+        f"{para_a} {para_b}",
+        "",
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sdf = corpus_dedup_paragraphs(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_dup_paras"] == 0
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_dup_paras"] == 1
+    assert rows[2]["dup_words"] == PARA_W
+    assert rows[3]["n_paras"] == 2 and rows[3]["n_dup_paras"] == 2
+    assert rows[3]["kept_frac"] == 0.0
+    assert rows[4]["n_paras"] == 0 and rows[4]["kept_frac"] is None
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["corpus_dedup_paragraphs"])
+    assert _norm(
+        [c.lower() for c in sdf.columns],
+        [tuple(r) for r in sdf.collect()],
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_quality_classifier_orders_sensibly(spark, tmp_path):
+    """The frozen-weight logit must rank an English-looking, stopword-
+    bearing, non-repetitive doc above a one-word and an empty doc, and
+    the kept flag must equal logit_e6 >= 0 — with the DuckDB twin
+    hash-matching on the same corpus."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.text import text_quality_classifier
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs far"] * 12
+    )
+    texts = [good, "word", "", "zzzz " * 40]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": pa.array([t.strip() for t in texts]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([len(t.strip()) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sdf = text_quality_classifier(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    assert rows[1]["logit_e6"] > rows[2]["logit_e6"]
+    assert rows[1]["logit_e6"] > rows[3]["logit_e6"]
+    assert rows[1]["logit_e6"] > rows[4]["logit_e6"]  # pure repetition
+    for r in rows.values():
+        assert r["kept"] == int(r["logit_e6"] >= 0)
+        assert 0.0 <= r["quality_prob"] <= 1.0
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["text_quality_classifier"])
+    assert _norm(
+        [c.lower() for c in sdf.columns],
+        [tuple(r) for r in sdf.collect()],
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())

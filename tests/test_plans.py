@@ -919,3 +919,35 @@ def test_drawdown_collapses_before_window(spark, sf_dir):
     agg = max(i for i, l in enumerate(lines) if "HashAggregate" in l)
     # top-down tree: the Window consumes the aggregate's output
     assert win < agg
+
+
+def test_quality_classifier_map_only(spark, sf_dir):
+    """The frozen-weight logistic scorer must be ONE map-only
+    whole-stage-codegen projection — no shuffle, no join, no window
+    anywhere in the plan (the logit is per-row arithmetic)."""
+    from catme_etl_j_spark.operators.text import text_quality_classifier
+
+    df = text_quality_classifier(spark, sf_dir)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "Window" not in tree
+    assert "WholeStageCodegen" in formatted_plan(df, mode="codegen")
+
+
+def test_dedup_paragraphs_one_seg_shuffle(spark, sf_dir):
+    """Paragraph dedup: ONE posexplode, one seg-keyed exchange feeding
+    a partition-only min-struct Window (single pass over the exploded
+    stream — the agg+self-join alternative recomputes the explode on
+    both join sides), no nested-loop join anywhere."""
+    from catme_etl_j_spark.operators.corpus import corpus_dedup_paragraphs
+
+    plan = formatted_plan(corpus_dedup_paragraphs(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("Generate") == 1  # one posexplode only
+    assert sum(1 for l in tree.splitlines()
+               if "Window" in l and "Sort" not in l) == 1
+    assert "hashpartitioning(seg" in plan
