@@ -114,13 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-9 newborns (added as born) + rotation fill ---
     "text_quality_classifier",
     "corpus_dedup_paragraphs",
+    "stats_bootstrap_ci",
+    "scale_compaction_planner",
     "embed_nearest_centroid_purity",
     "graph_triangle_count",
     "dedup_substring_mass",
     "graph_bfs_backbone",
     "q01_pricing_summary",
-    "q03_shipping_priority",
-    "dedup_minhash_lsh",
     "text_gopher_quality",
     "corpus_clean_pipeline",
     "events_sessionize",

@@ -106,6 +106,20 @@ HEADLINE = [
     "graph_connected_components",
     "embed_kmeans_sse",
     "sketch_kmv_jaccard",
+    # round-9 additions (VERDICT r8 #6): the previously-unbenched heavy
+    # tail — the LSH->CC embedding dedup (the single most expensive
+    # Spark-side op in the scale ledger), wedge-counting triangles, the
+    # suffix-mass containment dedup, and the multi-round BFS backbone —
+    # plus this round's two newborns (frozen-weight quality classifier,
+    # keep-first paragraph dedup)
+    "dedup_embedding_cosine",
+    "graph_triangle_count",
+    "dedup_substring_mass",
+    "graph_bfs_backbone",
+    "text_quality_classifier",
+    "corpus_dedup_paragraphs",
+    "stats_bootstrap_ci",
+    "scale_compaction_planner",
 ]
 
 
@@ -194,6 +208,31 @@ def _bench_converter_parallel(
     return round(best, 3)
 
 
+def _bench_converter_bigsheet(spark) -> float:
+    """The reference's headline size (VERDICT r8 #5): ONE serial
+    conversion of the cached 1.2M-row / ~492 MB-sheet-XML single-sheet
+    workbook (tools/gen_bigxlsx.py builds it deterministically on first
+    use). Single run, not min-of-N — at ~85 s the steady-state number
+    IS the number, and the memory pin lives in
+    tests/test_converter.py::test_bigsheet_conversion_bounded_memory
+    (parse-task peak RSS < 320 MB, measured 184 MB). rows/sec =
+    1_200_000 / this entry's seconds."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import gen_bigxlsx
+
+    from catme_etl_j_spark.converter import convert
+
+    fixture = gen_bigxlsx.generate("/root/repo/.scaledata/bigsheet.xlsx")
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_conv_big_"), "out.ndjson")
+    t0 = time.time()
+    convert(fixture, "NDJSON", out, overwrite=True, spark=spark)
+    elapsed = round(time.time() - t0, 3)
+    os.remove(out)
+    return elapsed
+
+
 def _run_session() -> dict[str, float]:
     """One JVM session's worth of timings (the round-5 protocol)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -223,6 +262,7 @@ def _run_session() -> dict[str, float]:
         "sketch_ams_f2",  # localCheckpoints the shingle counts
         "graph_pagerank_users",  # localCheckpoints edges + per-round ranks
         "graph_s_core_peeling",  # checkpoints edges/alive + median collect
+        "dedup_embedding_cosine",  # CC fixpoint loop: per-round first()
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -247,6 +287,8 @@ def _run_session() -> dict[str, float]:
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
     timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
+        timings["convert_xlsx_bigsheet_1m2rows"] = _bench_converter_bigsheet(spark)
     return timings
 
 
@@ -272,8 +314,15 @@ def main() -> None:
     if n_sessions > 1:
         import subprocess
 
-        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
         for i in range(n_sessions):
+            # the ~85 s bigsheet conversion runs in session 0 only (it
+            # is serial and single-shot; min-of-sessions handles the
+            # key being absent elsewhere)
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_CHILD="1",
+                SPARK_GRAFT_BENCH_BIG="1" if i == 0 else "0",
+            )
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
@@ -288,6 +337,7 @@ def main() -> None:
                     f"(rc={r.returncode}); stderr tail: {r.stderr[-500:]}\n"
                 )
     if not per_session:  # single-session fallback (child spawn failed)
+        os.environ["SPARK_GRAFT_BENCH_BIG"] = "1"
         per_session = [_run_session()]
 
     timings = {

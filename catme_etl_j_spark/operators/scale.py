@@ -730,7 +730,113 @@ FROM depth GROUP BY strategy ORDER BY strategy
 """
 
 
+# --- compaction planner (lakehouse OPTIMIZE bin packing) -------------
+CP_FILE_ORDERS = 400        # pseudo-file granularity: orderkeys per file
+CP_FILES_PER_PART = 100     # pseudo table-partition granularity
+CP_ROW_BYTES = 128          # modeled bytes per lineitem row
+CP_TARGET_BYTES = 4_000_000  # compaction target size per output bin
+
+
+def scale_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan, the Delta/Iceberg OPTIMIZE shape:
+    model lineitem as pseudo-files (CP_FILE_ORDERS orderkeys each,
+    CP_ROW_BYTES per row) inside table partitions, then greedily pack
+    each partition's files — largest first, (bytes DESC, file_id ASC)
+    total order — into CP_TARGET_BYTES output bins via the running-sum
+    trick: bin = cum_bytes_before DIV target. Output one row per
+    planned bin: file count, bytes, fill ratio (ppm of target), and
+    how many of its inputs were "small" (< target/2) — the number the
+    maintenance job actually wants (how much small-file debt this
+    OPTIMIZE pass retires).
+
+    All-integer arithmetic end to end (counts, modeled bytes, DIV on
+    non-negative operands — convention #7 never bites).
+
+    Scale shape: one map-side-combined aggregate to |files| rows, ONE
+    window PARTITIONED BY the table partition (never a global sort —
+    the corpus_pack_sequences lesson), one final aggregate to
+    |partitions x bins| rows. At 100 TB file metadata is ~millions of
+    rows; every stage here is partition-local.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = (
+        li.groupBy(
+            F.expr(f"l_orderkey DIV {CP_FILE_ORDERS}").alias("file_id")
+        )
+        .agg((F.count("*") * CP_ROW_BYTES).cast("long").alias("bytes"))
+        .withColumn(
+            "part_id", F.expr(f"file_id DIV {CP_FILES_PER_PART}").cast("long")
+        )
+    )
+    w = W.partitionBy("part_id").orderBy(
+        F.desc("bytes"), F.asc("file_id")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    binned = files.select(
+        "part_id",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("cum_before"),
+    ).select(
+        "part_id",
+        "bytes",
+        F.expr(f"cum_before DIV {CP_TARGET_BYTES}").cast("long").alias("bin_id"),
+    )
+    return (
+        binned.groupBy("part_id", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.sum(
+                (F.col("bytes") < CP_TARGET_BYTES // 2).cast("long")
+            ).cast("long").alias("n_small_in"),
+        )
+        .select(
+            "part_id",
+            "bin_id",
+            "n_files",
+            "bin_bytes",
+            "n_small_in",
+            F.expr(f"bin_bytes * 1000000 DIV {CP_TARGET_BYTES}").cast("long").alias(
+                "fill_ppm"
+            ),
+        )
+        .orderBy("part_id", "bin_id")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT l_orderkey // {CP_FILE_ORDERS} AS file_id,
+         CAST(COUNT(*) * {CP_ROW_BYTES} AS BIGINT) AS bytes
+  FROM lineitem GROUP BY 1),
+pf AS (
+  SELECT CAST(file_id // {CP_FILES_PER_PART} AS BIGINT) AS part_id,
+         file_id, bytes
+  FROM files),
+binned AS (
+  SELECT part_id, bytes,
+         CAST((SUM(bytes) OVER (PARTITION BY part_id
+                 ORDER BY bytes DESC, file_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - bytes) // {CP_TARGET_BYTES} AS BIGINT) AS bin_id
+  FROM pf)
+SELECT part_id, bin_id,
+       COUNT(*)::BIGINT AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       CAST(SUM(CASE WHEN bytes < {CP_TARGET_BYTES // 2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_small_in,
+       CAST(CAST(SUM(bytes) AS BIGINT) * 1000000 // {CP_TARGET_BYTES}
+            AS BIGINT) AS fill_ppm
+FROM binned
+GROUP BY part_id, bin_id
+ORDER BY part_id, bin_id
+"""
+
+
 QUERIES = {
+    "scale_compaction_planner": scale_compaction_planner,
     "scale_clustering_depth": scale_clustering_depth,
     "scale_compaction_plan": scale_compaction_plan,
     "scale_minmax_pruning": scale_minmax_pruning,
@@ -745,6 +851,7 @@ QUERIES = {
 from catme_etl_j_spark.functions.numeric import rdet_sql as _rdet_sql
 
 ORACLES = {
+    "scale_compaction_planner": _COMPACTION_SQL,
     "scale_clustering_depth": _CLUSTER_DEPTH_SQL.format(
         duck_day=_EPOCH_DAY_DUCK.format(c="l_shipdate"),
         avg_expr=_rdet_sql(

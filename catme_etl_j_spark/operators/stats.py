@@ -1779,7 +1779,153 @@ FROM agg
 """
 
 
+# --- deterministic bootstrap CI (Efron 1979, public) -----------------
+BOOT_B = 40       # bootstrap replicates
+BOOT_LO_PCT = 5   # CI percentile bounds (rank-pick, no interpolation)
+BOOT_HI_PCT = 95
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for MEAN DAILY REVENUE with a
+    fully deterministic resampler: replicate b's j-th draw picks day
+    rank ``H(b:j) % n`` where H is the portable hash convention (#4,
+    int(md5[:8],16)) — no RNG, so both engines replay the identical
+    resample and the interval hash-matches exactly. The CI bounds are
+    rank-picked order statistics of the B replicate means (index
+    floor(p*(B-1)/100), 0-based — integer math, no interpolation).
+
+    Scale shape: the fact stream collapses to |days| exact-cents rows
+    FIRST (the drawdown/runs-test discipline); everything after —
+    the B x n index frame (40 x calendar days), the rank join, the
+    per-replicate means, the order-statistic pick — is bounded by the
+    calendar, not the data. Bootstrapping pre-aggregated sufficient
+    statistics instead of raw rows is exactly how you bootstrap at
+    100 TB.
+
+    Degenerate (convention #9): an empty orders table gives n = 0 —
+    the index frame guards sequence(0, n-1) behind n > 0 (Spark's
+    sequence DESCENDS on negative spans) and every output statistic is
+    NULL on both engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("long").alias("rev_cents")
+    )
+    ranked = daily.select(
+        (F.row_number().over(W.orderBy("day")) - 1).cast("long").alias("r"),
+        "rev_cents",
+    )
+    scal = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev_cents").cast("long").alias("tot_cents"),
+    )
+    draws = (
+        scal.select(
+            "n",
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+        )
+        .select(
+            "b",
+            F.explode(
+                F.expr("CASE WHEN n > 0 THEN sequence(0, n - 1) ELSE array() END")
+            ).alias("j"),
+            "n",
+        )
+        .select(
+            "b",
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(b AS STRING), ':',"
+                " CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % n"
+            ).alias("r"),
+        )
+    )
+    means = (
+        draws.join(ranked, "r")
+        .groupBy("b")
+        .agg(F.expr("CAST(SUM(rev_cents) AS BIGINT) DIV COUNT(*)").alias("m"))
+    )
+    lo_idx = (BOOT_LO_PCT * (BOOT_B - 1)) // 100
+    hi_idx = (BOOT_HI_PCT * (BOOT_B - 1)) // 100
+    ordered = means.select(
+        "m", (F.row_number().over(W.orderBy("m", "b")) - 1).alias("rn")
+    )
+    ci = ordered.agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("m"))).cast("long").alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("m"))).cast("long").alias(
+            "ci_hi_cents"
+        ),
+    )
+    return (
+        scal.crossJoin(F.broadcast(ci))
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(BOOT_B).cast("long").alias("b_reps"),
+            F.expr(
+                "CASE WHEN n > 0 THEN tot_cents DIV n ELSE NULL END"
+            ).cast("long").alias("mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+            F.expr("CAST(ci_lo_cents AS DOUBLE) / 100.0").alias("ci_lo"),
+            F.expr("CAST(ci_hi_cents AS DOUBLE) / 100.0").alias("ci_hi"),
+        )
+    )
+
+
+_BOOT_LO_IDX = (BOOT_LO_PCT * (BOOT_B - 1)) // 100
+_BOOT_HI_IDX = (BOOT_HI_PCT * (BOOT_B - 1)) // 100
+
+_BOOTSTRAP_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+ranked AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS r, rev_cents
+  FROM daily),
+scal AS MATERIALIZED (
+  SELECT COUNT(*)::BIGINT AS n, CAST(SUM(rev_cents) AS BIGINT) AS tot_cents
+  FROM daily),
+draws AS (
+  SELECT t.b,
+         ('0x' || substr(md5(CAST(t.b AS VARCHAR) || ':' ||
+                             CAST(t.j AS VARCHAR)), 1, 8))::BIGINT
+           % s.n AS r
+  FROM scal s,
+       (SELECT b.b, j.j
+        FROM UNNEST(range(0, {BOOT_B})) AS b(b),
+             UNNEST(range(0, (SELECT CASE WHEN n > 0 THEN n ELSE 0 END
+                              FROM scal))) AS j(j)) t),
+means AS (
+  SELECT d.b, CAST(SUM(k.rev_cents) AS BIGINT) // COUNT(*) AS m
+  FROM draws d JOIN ranked k USING (r) GROUP BY d.b),
+ordered AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) - 1 AS rn FROM means),
+ci AS (
+  SELECT CAST(MAX(CASE WHEN rn = {_BOOT_LO_IDX} THEN m END) AS BIGINT)
+           AS ci_lo_cents,
+         CAST(MAX(CASE WHEN rn = {_BOOT_HI_IDX} THEN m END) AS BIGINT)
+           AS ci_hi_cents
+  FROM ordered)
+SELECT s.n AS n_days,
+       {BOOT_B}::BIGINT AS b_reps,
+       CAST(CASE WHEN s.n > 0 THEN s.tot_cents // s.n ELSE NULL END AS BIGINT)
+         AS mean_cents,
+       ci.ci_lo_cents, ci.ci_hi_cents,
+       CAST(ci.ci_lo_cents AS DOUBLE) / 100.0 AS ci_lo,
+       CAST(ci.ci_hi_cents AS DOUBLE) / 100.0 AS ci_hi
+FROM scal s, ci
+"""
+
+
 QUERIES = {
+    "stats_bootstrap_ci": stats_bootstrap_ci,
     "stats_runs_test": stats_runs_test,
     "stats_spearman_corr": stats_spearman_corr,
     "stats_cramers_v": stats_cramers_v,
@@ -1801,6 +1947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_bootstrap_ci": _BOOTSTRAP_SQL,
     "stats_runs_test": _runs_sql(),
     "stats_spearman_corr": _spearman_sql(),
     "stats_cramers_v": _cramers_sql(),

@@ -169,3 +169,107 @@ def test_multi_file_read(spark, tmp_path):
     rows = df.orderBy("_file", "_row_idx").collect()
     assert [r["k"] for r in rows] == ["k0", "k1", "k2"]
     assert len({r["_file"] for r in rows}) == 3
+
+
+def test_bigsheet_conversion_bounded_memory():
+    """The reference's headline invariant (README.md:11 '~700 MB
+    tested, multi-GB designed'; contract :98/:220-225): converting a
+    single sheet whose XML is ~492 MB (1.2M rows x 8 cols) must keep
+    the PARSING TASK's peak RSS bounded far below the inflated sheet —
+    the local path mode opens the archive from disk and iterparse
+    carries only O(batch) state. Measured 184 MB worker peak at
+    492 MB XML (and ~the same at half the rows — flat, not
+    proportional); pinned at 320 MB to absorb allocator noise. The
+    conversion itself must produce every row."""
+    import os
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    fixture = "/root/repo/.scaledata/bigsheet.xlsx"
+    if not os.path.exists(fixture):
+        sys.path.insert(0, "/root/repo/tools")
+        import gen_bigxlsx
+
+        gen_bigxlsx.generate(fixture)
+
+    def descendants(root):
+        kids = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    st = f.read()
+                ppid = int(st.rsplit(")", 1)[1].split()[1])
+                kids.setdefault(ppid, []).append(int(p))
+            except Exception:
+                pass
+        out, stack = [], [root]
+        while stack:
+            n = stack.pop()
+            out.append(n)
+            stack.extend(kids.get(n, []))
+        return out
+
+    def rss_kb(pid):
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS:"):
+                        return int(ln.split()[1])
+        except Exception:
+            return 0
+        return 0
+
+    def cmdline(pid):
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                return f.read().replace(b"\0", b" ").decode(errors="replace")
+        except Exception:
+            return ""
+
+    peaks: dict = {}
+    proc = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from catme_etl_j_spark.converter.api import convert\n"
+            f"r = convert({fixture!r}, 'NDJSON', '/tmp/bigsheet_test.ndjson',"
+            " overwrite=True)\n"
+            "print('ROWS', r.rows_written, round(r.elapsed_s, 1))\n"
+        )],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+
+    def poll():
+        while proc.poll() is None:
+            for pid in descendants(proc.pid):
+                kb = rss_kb(pid)
+                if not kb:
+                    continue
+                cl = cmdline(pid)
+                if "java" in cl.split(" ")[0]:
+                    key = "jvm"
+                elif "daemon" in cl or "worker" in cl:
+                    key = "pyworker"
+                else:
+                    key = "pydriver" if pid == proc.pid else "other"
+                peaks[key] = max(peaks.get(key, 0), kb)
+            time.sleep(0.25)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    out, _ = proc.communicate(timeout=600)
+    t.join()
+    assert proc.returncode == 0, out
+    line = [l for l in out.decode().splitlines() if l.startswith("ROWS")][0]
+    rows = int(line.split()[1])
+    assert rows == 1_200_000
+    worker_peak_mb = peaks.get("pyworker", 0) / 1024
+    assert 0 < worker_peak_mb < 320, (
+        f"parse-task peak RSS {worker_peak_mb:.0f} MB for a 492 MB sheet "
+        f"— the bounded-memory invariant regressed (peaks: {peaks})"
+    )
+    os.remove("/tmp/bigsheet_test.ndjson")

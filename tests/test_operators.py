@@ -2445,3 +2445,83 @@ def test_quality_classifier_orders_sensibly(spark, tmp_path):
         [c.lower() for c in sdf.columns],
         [tuple(r) for r in sdf.collect()],
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_bootstrap_ci_empty_and_ordering(spark, tmp_path):
+    """stats_bootstrap_ci degenerate + sanity: an EMPTY orders table
+    yields one all-NULL-statistics row (n_days = 0, no sequence(0,-1)
+    crash — convention #9) on both engines; on a real fixture the
+    rank-picked bounds must bracket sensibly (lo <= hi)."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.stats import stats_bootstrap_ci
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    sdf = stats_bootstrap_ci(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 0 and r["b_reps"] == 40
+    assert r["mean_cents"] is None and r["ci_lo_cents"] is None
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["stats_bootstrap_ci"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+    full = stats_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    assert full["ci_lo_cents"] <= full["ci_hi_cents"]
+    assert full["n_days"] > 0
+
+
+def test_compaction_planner_hand_fixture(spark, tmp_path):
+    """Known file sizes must pack largest-first into cum-before DIV T
+    bins. Files (in one partition): bytes 10*128, 8*128, 7*128, 5*128
+    = 1280/1024/896/640; with T = 4_000_000 they all fit bin 0 — so
+    shrink the check to arithmetic identities: bin assignment follows
+    the (bytes DESC, file_id ASC) running sum on BOTH engines."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.scale import (
+        CP_FILE_ORDERS,
+        CP_ROW_BYTES,
+        scale_compaction_planner,
+    )
+
+    # file i holds orderkeys [i*CP_FILE_ORDERS, ...): give files 0..3
+    # row counts 10, 8, 7, 5
+    keys = []
+    for fid, n in enumerate((10, 8, 7, 5)):
+        keys += [fid * CP_FILE_ORDERS + 1] * n
+    table = pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    sdf = scale_compaction_planner(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1  # everything packs into partition 0, bin 0
+    r = rows[0]
+    assert r["n_files"] == 4
+    assert r["bin_bytes"] == (10 + 8 + 7 + 5) * CP_ROW_BYTES
+    assert r["n_small_in"] == 4
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["scale_compaction_planner"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())

@@ -951,3 +951,31 @@ def test_dedup_paragraphs_one_seg_shuffle(spark, sf_dir):
     assert sum(1 for l in tree.splitlines()
                if "Window" in l and "Sort" not in l) == 1
     assert "hashpartitioning(seg" in plan
+
+
+def test_bootstrap_resample_is_bounded_and_equi_joined(spark, sf_dir):
+    """The bootstrap must resample PRE-AGGREGATED daily stats: the
+    B x n index frame equi-joins onto the ranked calendar (no
+    cartesian), and the only nested-loop join is the 1-row CI scalar
+    attach."""
+    from catme_etl_j_spark.operators.stats import stats_bootstrap_ci
+
+    plan = formatted_plan(stats_bootstrap_ci(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_sum" in plan  # per-replicate sums combine map-side
+
+
+def test_compaction_window_is_partition_local(spark, sf_dir):
+    """The OPTIMIZE bin-packing window must be PARTITIONED BY part_id —
+    never a global single-partition running sum over all file metadata
+    (the corpus_pack_sequences lesson)."""
+    from catme_etl_j_spark.operators.scale import scale_compaction_planner
+
+    plan = formatted_plan(scale_compaction_planner(spark, sf_dir))
+    assert "hashpartitioning(part_id" in plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # the only SinglePartition exchange allowed is the final tiny sort
+    assert plan.count("SinglePartition") <= 1
