@@ -115,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_classifier",
     "corpus_dedup_paragraphs",
     "stats_bootstrap_ci",
-    "scale_compaction_planner",
+    "scale_merge_binpack",
     "embed_nearest_centroid_purity",
     "graph_triangle_count",
     "dedup_substring_mass",

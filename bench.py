@@ -119,7 +119,7 @@ HEADLINE = [
     "text_quality_classifier",
     "corpus_dedup_paragraphs",
     "stats_bootstrap_ci",
-    "scale_compaction_planner",
+    "scale_merge_binpack",
 ]
 
 

@@ -737,9 +737,11 @@ CP_ROW_BYTES = 128          # modeled bytes per lineitem row
 CP_TARGET_BYTES = 4_000_000  # compaction target size per output bin
 
 
-def scale_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction plan, the Delta/Iceberg OPTIMIZE shape:
-    model lineitem as pseudo-files (CP_FILE_ORDERS orderkeys each,
+def scale_merge_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file MERGE grouping, the other half of the OPTIMIZE shape
+    (scale_compaction_plan SIZES each partition's output files; this
+    operator GROUPS existing input files into rewrite jobs): model
+    lineitem as pseudo-files (CP_FILE_ORDERS orderkeys each,
     CP_ROW_BYTES per row) inside table partitions, then greedily pack
     each partition's files — largest first, (bytes DESC, file_id ASC)
     total order — into CP_TARGET_BYTES output bins via the running-sum
@@ -806,7 +808,7 @@ def scale_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPACTION_SQL = f"""
+_MERGE_BINPACK_SQL = f"""
 WITH files AS (
   SELECT l_orderkey // {CP_FILE_ORDERS} AS file_id,
          CAST(COUNT(*) * {CP_ROW_BYTES} AS BIGINT) AS bytes
@@ -836,7 +838,7 @@ ORDER BY part_id, bin_id
 
 
 QUERIES = {
-    "scale_compaction_planner": scale_compaction_planner,
+    "scale_merge_binpack": scale_merge_binpack,
     "scale_clustering_depth": scale_clustering_depth,
     "scale_compaction_plan": scale_compaction_plan,
     "scale_minmax_pruning": scale_minmax_pruning,
@@ -851,7 +853,7 @@ QUERIES = {
 from catme_etl_j_spark.functions.numeric import rdet_sql as _rdet_sql
 
 ORACLES = {
-    "scale_compaction_planner": _COMPACTION_SQL,
+    "scale_merge_binpack": _MERGE_BINPACK_SQL,
     "scale_clustering_depth": _CLUSTER_DEPTH_SQL.format(
         duck_day=_EPOCH_DAY_DUCK.format(c="l_shipdate"),
         avg_expr=_rdet_sql(

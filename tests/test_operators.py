@@ -2500,7 +2500,7 @@ def test_compaction_planner_hand_fixture(spark, tmp_path):
     from catme_etl_j_spark.operators.scale import (
         CP_FILE_ORDERS,
         CP_ROW_BYTES,
-        scale_compaction_planner,
+        scale_merge_binpack,
     )
 
     # file i holds orderkeys [i*CP_FILE_ORDERS, ...): give files 0..3
@@ -2510,7 +2510,7 @@ def test_compaction_planner_hand_fixture(spark, tmp_path):
         keys += [fid * CP_FILE_ORDERS + 1] * n
     table = pa.table({"l_orderkey": pa.array(keys, pa.int64())})
     pq.write_table(table, str(tmp_path / "lineitem.parquet"))
-    sdf = scale_compaction_planner(spark, str(tmp_path))
+    sdf = scale_merge_binpack(spark, str(tmp_path))
     rows = sdf.collect()
     assert len(rows) == 1  # everything packs into partition 0, bin 0
     r = rows[0]
@@ -2521,7 +2521,7 @@ def test_compaction_planner_hand_fixture(spark, tmp_path):
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
     )
-    rel = con.sql(entry_mod.oracle_sql()["scale_compaction_planner"])
+    rel = con.sql(entry_mod.oracle_sql()["scale_merge_binpack"])
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())

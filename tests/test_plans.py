@@ -971,9 +971,9 @@ def test_compaction_window_is_partition_local(spark, sf_dir):
     """The OPTIMIZE bin-packing window must be PARTITIONED BY part_id —
     never a global single-partition running sum over all file metadata
     (the corpus_pack_sequences lesson)."""
-    from catme_etl_j_spark.operators.scale import scale_compaction_planner
+    from catme_etl_j_spark.operators.scale import scale_merge_binpack
 
-    plan = formatted_plan(scale_compaction_planner(spark, sf_dir))
+    plan = formatted_plan(scale_merge_binpack(spark, sf_dir))
     assert "hashpartitioning(part_id" in plan
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree

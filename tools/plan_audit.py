@@ -71,6 +71,11 @@ AUDIT = [
     ("etl_changelog_compaction", "row_number + per-key depth fused behind ONE key exchange; no self-join"),
     ("multimodal_payload_entropy", "one-pass hex chunking (no O(len^2) substring); (doc, byte) partial_count combine"),
     ("window_max_drawdown", "fact collapses to |days| before the running-peak window; TakeOrderedAndProject"),
+    # round 9
+    ("text_quality_classifier", "ONE map-only codegen projection; no exchange/join/window"),
+    ("corpus_dedup_paragraphs", "one posexplode; seg-keyed exchange into a partition-only min-struct window"),
+    ("stats_bootstrap_ci", "bounded B x |days| index frame equi-joins the ranked calendar; per-replicate partial sums"),
+    ("scale_merge_binpack", "part_id-partitioned running-sum window (no global sort); map-side file aggregate"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
