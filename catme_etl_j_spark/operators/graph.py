@@ -959,13 +959,16 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(c) OVER ()").alias("n"),
         )
         .filter(F.expr("cum >= (n + 1) DIV 2"))
-        .agg(F.min("s").alias("med"))
+        # n rides the same 1-row fetch (constant across surviving rows)
+        # so the audit's round-1 baseline costs no second st0 pass
+        .agg(F.min("s").alias("med"), F.max("n").cast("long").alias("n0"))
         .first()
     )
     if med_row["med"] is None:  # empty graph: oracle's NULL threshold
         s_thr = 1  # also yields all-empty rounds
     else:
         s_thr = int(med_row["med"]) * SCORE_PCT // 100 + 1
+    n_nodes0 = int(med_row["n0"] or 0)
     # Round r's surviving-edge set IS round r+1's input (alive sets
     # shrink monotonically, so filtering the previous survivors equals
     # re-filtering the full edge list — the oracle does the latter):
@@ -1000,18 +1003,20 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = reduce(lambda a, b: a.unionByName(b), rows)
     # n_removed via lag over the SCORE_ITERS-row trajectory (bounded
-    # frame, not data-sized); round 1's baseline is the full node set
-    n0 = st0.agg(F.count("*").cast("long").alias("n0"))
+    # frame, not data-sized); round 1's baseline is the full node set,
+    # carried as a literal from the median's single driver fetch
     wr = Window.orderBy("round")
     return (
-        out.crossJoin(F.broadcast(n0))
-        .select(
+        out.select(
             "round",
             "n_alive",
             "n_edges",
             "total_w",
             (
-                F.coalesce(F.lag("n_alive").over(wr), F.col("n0"))
+                F.coalesce(
+                    F.lag("n_alive").over(wr),
+                    F.lit(n_nodes0).cast("long"),
+                )
                 - F.col("n_alive")
             ).cast("long").alias("n_removed"),
         )
