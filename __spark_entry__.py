@@ -120,10 +120,14 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_substring_mass",
     "graph_bfs_backbone",
-    "q01_pricing_summary",
-    "text_gopher_quality",
-    "corpus_clean_pipeline",
-    "events_sessionize",
+    # --- second-wave round-9 newborns (birth-round invariant; they
+    # --- displace green-ever rotation picks, which is allowed — every
+    # --- member of the displaced families is driver-green in a
+    # --- committed CORRECTNESS artifact per witness.py) ---
+    "stats_kendall_tau",
+    "stats_permutation_test",
+    "corpus_cdc_chunking",
+    "rank_smart_lnc_ltc",
 )
 
 

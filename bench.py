@@ -120,6 +120,14 @@ HEADLINE = [
     "corpus_dedup_paragraphs",
     "stats_bootstrap_ci",
     "scale_merge_binpack",
+    # round-9 second wave: the content-defined chunking double-window
+    # pipeline, the K x |days| sign-flip resampler, the checkpointed
+    # group-domain pair grid, and the lnc-normalized vector-space
+    # retrieval (4 corpus passes — the costliest of the triad)
+    "corpus_cdc_chunking",
+    "stats_permutation_test",
+    "stats_kendall_tau",
+    "rank_smart_lnc_ltc",
 ]
 
 

@@ -2165,7 +2165,140 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+# --- content-defined chunking (Muthitacharoen 2001 LBFS / FastCDC
+# --- family, public) --------------------------------------------------
+CDC_MASK = 32   # breakpoint when gram-hash % CDC_MASK == 0 (~32-word chunks)
+CDC_GRAM = 3    # rolling context width in words
+CDC_TOP = 100   # report rows
+
+
+def corpus_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at word granularity: a chunk boundary
+    falls after word i whenever the portable hash of the trailing
+    3-word gram satisfies H %% CDC_MASK == 0 — so boundaries are
+    determined by CONTENT, not offsets, and an insertion early in a
+    document shifts only the chunk it lands in (the LBFS/rsync
+    property fixed-window chunking lacks; corpus_chunk is the
+    fixed-window sibling). The report groups chunks by fingerprint:
+    cross-document duplicated spans surface as n_copies > 1 even when
+    the enclosing documents differ elsewhere — the shift-robust
+    complement to corpus_dedup_paragraphs' aligned segments.
+
+    Chunk fingerprint: position-weighted additive hash
+    sum(H(w) * (pos - p0)) + accumulated order-independently as
+    (S2 - p0*S1) from per-chunk sums — exact int64 after DECIMAL
+    accumulation, no collect_list ordering semantics anywhere.
+    (n_words joins the group key, shrinking accidental collisions.)
+
+    Production FastCDC adds min/max chunk bounds; those make boundary
+    i depend on boundary i-1 (a recursion), so the pure content-
+    defined gear form is what runs gate-side — at 100 TB the bounds
+    would ride a mapInPandas over the same exploded stream.
+
+    Scale shape: ONE explode; the lag-gram, breakpoint flag, and
+    chunk-id cumsum all share ONE (doc_id, pos) sort within one
+    exchange; then two map-side-combined aggregations (per-chunk, then
+    per-fingerprint). Degenerate (convention #9): empty text explodes
+    to nothing; docs shorter than the gram width never break and
+    fingerprint as single chunks.
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(trim(text), ' +')")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lag("w", 2).over(wd).alias("w2"),
+        F.lag("w", 1).over(wd).alias("w1"),
+    )
+    brk = grams.withColumn(
+        "brk",
+        F.expr(
+            "CASE WHEN w2 IS NOT NULL AND w1 IS NOT NULL AND"
+            " CAST(conv(substr(md5(concat(w2, ' ', w1, ' ', w)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {CDC_MASK} = 0 THEN 1 ELSE 0 END"
+        ),
+    )
+    chunked = brk.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    hw = "CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.min("pos").cast("long").alias("p0"),
+        F.sum(F.expr(hw).cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.expr(hw).cast("decimal(38,0)") * F.col("pos"))).alias("s2"),
+    )
+    rep = (
+        chunks.select(
+            (F.col("s2") - F.col("p0") * F.col("s1")).cast("long").alias("fp"),
+            "n_words",
+            "doc_id",
+        )
+        .groupBy("fp", "n_words")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+    return rep.orderBy(F.desc("n_copies"), "fp", "n_words").limit(CDC_TOP)
+
+
+_CDC_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+words AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, ws[t.i] AS w
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[t.i] <> ''),
+grams AS (
+  SELECT doc_id, pos, w,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM words),
+brk AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w2 IS NOT NULL AND w1 IS NOT NULL AND
+              ('0x' || substr(md5(w2 || ' ' || w1 || ' ' || w), 1, 8))::BIGINT
+              % {CDC_MASK} = 0 THEN 1 ELSE 0 END AS brk
+  FROM grams),
+chunked AS (
+  SELECT doc_id, pos, w,
+         CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM brk),
+chunks AS (
+  SELECT doc_id, chunk_id, COUNT(*)::BIGINT AS n_words,
+         CAST(MIN(pos) AS BIGINT) AS p0,
+         CAST(SUM(CAST(('0x' || substr(md5(w), 1, 8))::BIGINT
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(('0x' || substr(md5(w), 1, 8))::BIGINT
+                       AS DECIMAL(38,0)) * pos) AS DECIMAL(38,0)) AS s2
+  FROM chunked GROUP BY doc_id, chunk_id),
+rep AS (
+  SELECT CAST(s2 - p0 * s1 AS BIGINT) AS fp, n_words,
+         COUNT(*)::BIGINT AS n_copies,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM chunks GROUP BY 1, 2)
+SELECT fp, n_words, n_copies, n_docs
+FROM rep ORDER BY n_copies DESC, fp, n_words LIMIT {CDC_TOP}
+"""
+
+
 QUERIES = {
+    "corpus_cdc_chunking": corpus_cdc_chunking,
     "corpus_dedup_paragraphs": corpus_dedup_paragraphs,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "corpus_dsir_importance": corpus_dsir_importance,
@@ -2197,6 +2330,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_cdc_chunking": _CDC_SQL,
     "corpus_dedup_paragraphs": _DEDUP_PARA_SQL,
     "corpus_tokenizer_fertility": _FERTILITY_SQL,
     "corpus_dsir_importance":_dsir_sql(),

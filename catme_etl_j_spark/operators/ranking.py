@@ -696,7 +696,148 @@ FROM scored ORDER BY score_e9 DESC, doc_id ASC LIMIT {QL_TOP}
 """
 
 
+# --- SMART lnc.ltc pivoted cosine retrieval (Salton & Buckley 1988;
+# --- Singhal 1996 SMART notation, public) -----------------------------
+SMART_TOP = 20
+SMART_FP = 1_000_000  # 1e6 fixed point for the log weights
+
+
+def rank_smart_lnc_ltc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMART lnc.ltc cosine retrieval for the shared query ``join
+    vector stream`` — the vector-space classic the probabilistic
+    rankers are usually benchmarked against (BM25 = rank_bm25_search,
+    Dirichlet QL = rank_query_likelihood; this completes the triad).
+    Documents weigh terms log-tf with NO idf and cosine-normalize
+    (``lnc``); the query weighs log-tf * idf, cosine-normalized
+    (``ltc``); score = dot(d_hat, q_hat).
+
+    Determinism: per-term weights fix-point to 1e6 BIGINTs right after
+    the single ``ln`` call (same-integer inputs -> same double on both
+    engines, the BM25/QL precedent); the dot product is an EXACT
+    DECIMAL(38,0) sum of int64 products; norms are sqrt over exact
+    integer sums. Docs with a zero denominator are filtered BEFORE the
+    top-k (no NULL-ordering divergence, conventions #6/#10); the
+    all-query-terms-in-every-doc corner zeroes the query norm and
+    yields zero rows on both engines.
+
+    Scale shape: the (doc, term) tf aggregate is the one corpus-sized
+    pass (map-side combined; it is the inverted-index build every
+    retrieval op here shares); the doc-norm reduction reuses its
+    output; query-side stats are <= |query| rows and broadcast, and
+    the scored join prunes to docs matching >= 1 query term before
+    the TakeOrderedAndProject top-k. Catalyst pushes the term IN
+    filter BELOW the query-side tf aggregate (verified in the plan),
+    and — as in rank_bm25_search — re-expands the shared tf lineage
+    per consumer (4 pruned corpus passes); a cluster pipeline scoring
+    many queries would persist the (doc, term) aggregate once.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    ndf = docs.agg(F.count("*").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
+    ).filter("term <> ''")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wdt = tf.select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"CAST(floor((1.0 + ln(tf)) * {SMART_FP} + 0.5) AS BIGINT)"
+        ).alias("wd"),
+    )
+    dnorm = wdt.groupBy("doc_id").agg(
+        F.sum((F.col("wd") * F.col("wd")).cast("decimal(38,0)")).alias("nd2")
+    )
+    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    qmatch = wdt.filter(f"term IN ({q})")
+    qw = (
+        qmatch.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "term",
+            F.expr(
+                f"CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * {SMART_FP}"
+                " + 0.5) AS BIGINT)"
+            ).alias("wq"),
+        )
+    )
+    qnorm = qw.agg(
+        F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("nq2")
+    )
+    scored = (
+        qmatch.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("wd") * F.col("wq")).cast("decimal(38,0)")).alias("num"))
+        .join(dnorm, "doc_id")  # per-doc side: plain shuffle join
+        .crossJoin(F.broadcast(qnorm))
+        .filter("nd2 > 0 AND nq2 > 0")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(floor(CAST(num AS DOUBLE) / (sqrt(CAST(nd2 AS DOUBLE))"
+                f" * sqrt(CAST(nq2 AS DOUBLE))) * {SMART_FP} + 0.5) AS BIGINT)"
+            ).alias("s_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("s_fp"), F.asc("doc_id"))
+        .limit(SMART_TOP)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(s_fp AS DOUBLE) / {SMART_FP}.0").alias("smart_score"),
+        )
+    )
+
+
+def _smart_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+    FROM documents) u
+  WHERE term <> ''),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+  GROUP BY doc_id, term),
+wdt AS MATERIALIZED (
+  SELECT doc_id, term,
+         CAST(floor((1.0 + ln(tf)) * {SMART_FP} + 0.5) AS BIGINT) AS wd
+  FROM tf),
+dnorm AS (
+  SELECT doc_id, CAST(SUM(CAST(wd AS DECIMAL(38,0)) * wd) AS DECIMAL(38,0))
+           AS nd2
+  FROM wdt GROUP BY doc_id),
+qmatch AS MATERIALIZED (
+  SELECT * FROM wdt WHERE term IN ({in_list})),
+qw AS (
+  SELECT term,
+         CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df) * {SMART_FP} + 0.5)
+              AS BIGINT) AS wq
+  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM qmatch GROUP BY term), n),
+qnorm AS (
+  SELECT CAST(SUM(CAST(wq AS DECIMAL(38,0)) * wq) AS DECIMAL(38,0)) AS nq2
+  FROM qw),
+scored AS (
+  SELECT m.doc_id,
+         CAST(floor(CAST(num AS DOUBLE) / (sqrt(CAST(d.nd2 AS DOUBLE))
+              * sqrt(CAST(q.nq2 AS DOUBLE))) * {SMART_FP} + 0.5) AS BIGINT)
+           AS s_fp
+  FROM (SELECT doc_id,
+               CAST(SUM(CAST(wd AS DECIMAL(38,0)) * wq) AS DECIMAL(38,0))
+                 AS num
+        FROM qmatch JOIN qw USING (term) GROUP BY doc_id) m
+  JOIN dnorm d USING (doc_id), qnorm q
+  WHERE d.nd2 > 0 AND q.nq2 > 0)
+SELECT doc_id, CAST(s_fp AS DOUBLE) / {SMART_FP}.0 AS smart_score
+FROM scored ORDER BY s_fp DESC, doc_id ASC LIMIT {SMART_TOP}
+"""
+
+
 QUERIES = {
+    "rank_smart_lnc_ltc": rank_smart_lnc_ltc,
     "rank_query_likelihood": rank_query_likelihood,
     "rank_tfidf_topterms": rank_tfidf_topterms,
     "rank_ndcg_eval": rank_ndcg_eval,
@@ -706,6 +847,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rank_smart_lnc_ltc": _smart_sql(),
     "rank_query_likelihood": _ql_sql(),
     "rank_tfidf_topterms": _TFIDF_SQL,
     "rank_ndcg_eval": _ndcg_sql(),

@@ -1924,7 +1924,289 @@ FROM scal s, ci
 """
 
 
+# --- Kendall tau-b over per-nation metrics (Kendall 1938, public) ----
+
+
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two PER-NATION metrics:
+    mean customer account balance vs total order revenue. The third
+    member of the association family (Pearson = stats_corr_matrix,
+    Spearman = stats_spearman_corr): tau counts pairwise order
+    inversions, so it is exactly computable from INTEGER comparisons —
+    no ranks, no floats until the final closed form.
+
+    Exactness: the x metric is a MEAN (sum_cents / n_cust), but its
+    pairwise ordering is decided by cross-multiplication
+    sign(s_a * n_b - s_b * n_a) in DECIMAL(38,0) — no division ever
+    happens, so ties are detected exactly on both engines. tau-b =
+    (C - D) / sqrt(nx * ny) where nx/ny are the pair counts NOT tied
+    in x/y (Kendall 1945 tie correction).
+
+    Scale shape: two map-side-combined aggregations collapse the
+    corpus to |nations| rows; the pair enumeration is a broadcast
+    self-join over that GROUP-DOMAIN frame (n_groups^2 / 2 pairs,
+    SF-invariant — 25 nations means 300 pairs at any data size).
+    Convention #9: zero groups / all-tied metrics yield NULL tau.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = cust.groupBy(F.col("c_nationkey").cast("long").alias("nk")).agg(
+        F.sum(
+            F.expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+        ).cast("long").alias("s_bal"),
+        F.count("*").cast("long").alias("n_cust"),
+    )
+    rev = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").cast("long").alias("nk"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("nk")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    # the group-domain frame is referenced three times (both pair
+    # sides + n_groups); localCheckpoint materializes its |nations|
+    # rows ONCE so customer/orders are scanned a single time (the
+    # self-join would otherwise re-expand the whole lineage per side —
+    # the Spark-side convention-#11 analogue, CC-loop precedent)
+    pts = (
+        bal.join(rev, "nk", "left")
+        .select(
+            "nk",
+            "s_bal",
+            "n_cust",
+            F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+        )
+        .localCheckpoint()
+    )
+    a = pts.select([F.col(c).alias(f"{c}_a") for c in pts.columns])
+    b = pts.select([F.col(c).alias(f"{c}_b") for c in pts.columns])
+    dx = (
+        F.col("s_bal_a").cast("decimal(38,0)") * F.col("n_cust_b")
+        - F.col("s_bal_b").cast("decimal(38,0)") * F.col("n_cust_a")
+    )
+    dy = F.col("rev_cents_a").cast("decimal(38,0)") - F.col("rev_cents_b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("nk_a") < F.col("nk_b"))
+        .select(
+            F.when(dx > 0, 1).when(dx < 0, -1).otherwise(0).alias("sx"),
+            F.when(dy > 0, 1).when(dy < 0, -1).otherwise(0).alias("sy"),
+        )
+    )
+    acc = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) == 1, 1).otherwise(0)
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when((F.col("sx") * F.col("sy")) == -1, 1).otherwise(0)
+        ).cast("long").alias("discordant"),
+        F.sum(F.when(F.col("sx") != 0, 1).otherwise(0)).cast("long").alias("nx"),
+        F.sum(F.when(F.col("sy") != 0, 1).otherwise(0)).cast("long").alias("ny"),
+    )
+    ng = pts.agg(F.count("*").cast("long").alias("n_groups"))
+    return ng.crossJoin(F.broadcast(acc)).select(
+        "n_groups",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+        F.expr(
+            "CASE WHEN coalesce(nx, 0) > 0 AND coalesce(ny, 0) > 0 THEN "
+            + rdet_sql(
+                "CAST(concordant - discordant AS DOUBLE)"
+                " / sqrt(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))",
+                6,
+            )
+            + " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("tau_b"),
+    )
+
+
+def _kendall_sql() -> str:
+    return f"""
+WITH bal AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s_bal,
+         COUNT(*)::BIGINT AS n_cust
+  FROM customer GROUP BY 1),
+rev AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1),
+pts AS MATERIALIZED (
+  SELECT b.nk, b.s_bal, b.n_cust,
+         CAST(COALESCE(r.rev_cents, 0) AS BIGINT) AS rev_cents
+  FROM bal b LEFT JOIN rev r USING (nk)),
+pairs AS (
+  SELECT CASE WHEN CAST(a.s_bal AS DECIMAL(38,0)) * b.n_cust
+                   - CAST(b.s_bal AS DECIMAL(38,0)) * a.n_cust > 0 THEN 1
+              WHEN CAST(a.s_bal AS DECIMAL(38,0)) * b.n_cust
+                   - CAST(b.s_bal AS DECIMAL(38,0)) * a.n_cust < 0 THEN -1
+              ELSE 0 END AS sx,
+         CASE WHEN CAST(a.rev_cents AS DECIMAL(38,0)) - b.rev_cents > 0 THEN 1
+              WHEN CAST(a.rev_cents AS DECIMAL(38,0)) - b.rev_cents < 0 THEN -1
+              ELSE 0 END AS sy
+  FROM pts a JOIN pts b ON a.nk < b.nk),
+acc AS (
+  SELECT COUNT(*)::BIGINT AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS concordant,
+         CAST(COALESCE(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS discordant,
+         CAST(COALESCE(SUM(CASE WHEN sx <> 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS nx,
+         CAST(COALESCE(SUM(CASE WHEN sy <> 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS ny
+  FROM pairs),
+ng AS (SELECT COUNT(*)::BIGINT AS n_groups FROM pts)
+SELECT ng.n_groups, acc.n_pairs, acc.concordant, acc.discordant,
+       CASE WHEN acc.nx > 0 AND acc.ny > 0 THEN
+         {rdet_sql("CAST(acc.concordant - acc.discordant AS DOUBLE)"
+                   " / sqrt(CAST(acc.nx AS DOUBLE) * CAST(acc.ny AS DOUBLE))", 6)}
+       END AS tau_b
+FROM ng, acc
+"""
+
+
+# --- deterministic paired permutation test (Fisher 1935, public) -----
+PERM_K = 200  # permutation replicates
+
+
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test: is the daily revenue of
+    urgent-priority orders (1-URGENT / 2-HIGH) different from the
+    rest? The statistic is T = |sum over days of d_i| where d_i is the
+    day's (urgent - other) revenue in exact cents; each permutation
+    flips the sign of d_i by the portable-hash bit H(p:day) %% 2
+    (convention #4 — no RNG, both engines replay identical flips), and
+    p = (1 + #{T_perm >= T_obs}) / (K + 1) (the add-one Monte-Carlo
+    estimator, Davison & Hinkley 1997).
+
+    EXACT throughout: because the pair count is identical under every
+    sign assignment, comparing |sum s_i d_i| against |sum d_i| needs
+    no division — every comparison is integer, so the replicate
+    count n_ge is bit-stable by construction (vs the bootstrap's
+    order-statistic means). The only float is the final p-value.
+
+    Scale shape (the bootstrap_ci discipline): the fact stream
+    collapses to |days| exact-cents rows FIRST; the K x |days| flip
+    frame is bounded by the calendar, not the data, and its sum
+    map-side combines on the replicate id. Convention #9: an empty
+    orders table gives n_days = 0 and NULL statistics on both engines.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    urgent = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    daily = orders.groupBy(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("long").alias("di")
+    ).agg(
+        (
+            F.sum(F.expr(f"CASE WHEN {urgent} THEN {cents} ELSE 0 END"))
+            - F.sum(F.expr(f"CASE WHEN {urgent} THEN 0 ELSE {cents} END"))
+        ).cast("long").alias("d")
+    )
+    # |days| rows, referenced by obs + the K-flip frame + the final
+    # attach: checkpoint once so orders is scanned a single time
+    daily = daily.localCheckpoint()
+    obs = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.abs(F.sum(F.col("d").cast("decimal(38,0)"))).cast("long").alias(
+            "t_obs_cents"
+        ),
+    )
+    flips = daily.select(
+        "di", "d", F.explode(F.expr(f"sequence(0, {PERM_K - 1})")).alias("p")
+    ).select(
+        "p",
+        (
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(concat(CAST(p AS STRING), ':',"
+                " CAST(di AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+                " THEN 1 ELSE -1 END"
+            )
+            * F.col("d")
+        ).alias("sd"),
+    )
+    tps = flips.groupBy("p").agg(
+        F.abs(F.sum(F.col("sd").cast("decimal(38,0)"))).cast("long").alias("tp")
+    )
+    ge = tps.crossJoin(F.broadcast(obs.select("t_obs_cents"))).agg(
+        F.sum(
+            F.when(F.col("tp") >= F.col("t_obs_cents"), 1).otherwise(0)
+        ).cast("long").alias("n_ge")
+    )
+    return obs.crossJoin(F.broadcast(ge)).select(
+        "n_days",
+        F.lit(PERM_K).cast("long").alias("k_perms"),
+        "t_obs_cents",
+        F.coalesce("n_ge", F.lit(0)).cast("long").alias("n_ge"),
+        F.expr(
+            "CASE WHEN n_days > 0 THEN "
+            + rdet_sql(
+                f"CAST(1 + coalesce(n_ge, 0) AS DOUBLE) / {PERM_K + 1}.0", 6
+            )
+            + " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("p_value"),
+    )
+
+
+def _perm_sql() -> str:
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END)
+              - SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0
+                         ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS d
+  FROM orders GROUP BY 1),
+obs AS (
+  SELECT COUNT(*)::BIGINT AS n_days,
+         CAST(abs(SUM(CAST(d AS DECIMAL(38,0)))) AS BIGINT) AS t_obs_cents
+  FROM daily),
+tps AS (
+  SELECT p.p,
+         CAST(abs(SUM(CASE WHEN ('0x' || substr(md5(CAST(p.p AS VARCHAR)
+                  || ':' || CAST(y.di AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN CAST(y.d AS DECIMAL(38,0))
+                  ELSE -CAST(y.d AS DECIMAL(38,0)) END)) AS BIGINT) AS tp
+  FROM daily y, UNNEST(range(0, {PERM_K})) AS p(p)
+  GROUP BY p.p),
+ge AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN t.tp >= o.t_obs_cents THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_ge
+  FROM tps t, obs o)
+SELECT o.n_days,
+       {PERM_K}::BIGINT AS k_perms,
+       o.t_obs_cents,
+       g.n_ge,
+       CASE WHEN o.n_days > 0 THEN
+         {rdet_sql(f"CAST(1 + g.n_ge AS DOUBLE) / {PERM_K + 1}.0", 6)}
+       END AS p_value
+FROM obs o, ge g
+"""
+
+
 QUERIES = {
+    "stats_kendall_tau": stats_kendall_tau,
+    "stats_permutation_test": stats_permutation_test,
     "stats_bootstrap_ci": stats_bootstrap_ci,
     "stats_runs_test": stats_runs_test,
     "stats_spearman_corr": stats_spearman_corr,
@@ -1947,6 +2229,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_kendall_tau": _kendall_sql(),
+    "stats_permutation_test": _perm_sql(),
     "stats_bootstrap_ci": _BOOTSTRAP_SQL,
     "stats_runs_test": _runs_sql(),
     "stats_spearman_corr": _spearman_sql(),

@@ -2525,3 +2525,211 @@ def test_compaction_planner_hand_fixture(spark, tmp_path):
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_kendall_tau_hand_fixture(spark, tmp_path):
+    """Kendall tau-b on a constructed 3-nation frame with one exact
+    x-tie (decided by cross-multiplication, no division): nation 1
+    mean bal 200 / rev 500, nation 2 mean 100 / rev 100, nation 3
+    mean 200 / rev 0 -> C=1 (1,2), D=1 (2,3), x-tie (1,3):
+    tau = 0 / sqrt(2*3) = 0. Empty tables -> NULL tau, zero counts.
+    Both engines hash-match on the fixture."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.stats import stats_kendall_tau
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_nationkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "c_acctbal": pa.array([100.0, 300.0, 100.0, 200.0]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11], pa.int64()),
+                "o_custkey": pa.array([1, 3], pa.int64()),
+                "o_totalprice": pa.array([500.0, 100.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    sdf = stats_kendall_tau(spark, str(tmp_path))
+    r = sdf.collect()[0]
+    assert r["n_groups"] == 3 and r["n_pairs"] == 3
+    assert r["concordant"] == 1 and r["discordant"] == 1
+    assert r["tau_b"] == 0.0
+    con = ddb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["stats_kendall_tau"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(x) for x in sdf.collect()]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_kendall_tau_empty_tables(spark, tmp_path):
+    """Convention #9: zero groups -> one row, zero counts, NULL tau."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catme_etl_j_spark.operators.stats import stats_kendall_tau
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_nationkey": pa.array([], pa.int64()),
+                "c_acctbal": pa.array([], pa.float64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    rows = stats_kendall_tau(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_groups"] == 0 and r["n_pairs"] == 0
+    assert r["tau_b"] is None
+
+
+def test_permutation_test_empty_and_sanity(spark, tmp_path):
+    """stats_permutation_test degenerate: EMPTY orders -> one row with
+    n_days = 0 and NULL statistic/p-value on both engines; at sf0.001
+    the add-one estimator is bounded in [1/(K+1), 1]."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.stats import PERM_K, stats_permutation_test
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    sdf = stats_permutation_test(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 0 and r["t_obs_cents"] is None
+    assert r["p_value"] is None
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    rel = con.sql(entry_mod.oracle_sql()["stats_permutation_test"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(x) for x in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+    full = stats_permutation_test(spark, "/root/testdata/sf0.001").collect()[0]
+    assert full["n_days"] > 0 and full["t_obs_cents"] >= 0
+    # rdet floors to 6 decimals, so allow one rounding quantum below
+    assert 1.0 / (PERM_K + 1) - 1e-6 <= full["p_value"] <= 1.0
+
+
+def test_cdc_chunking_shift_robustness(spark, tmp_path):
+    """The defining CDC property (LBFS/rsync): inserting a word at the
+    FRONT of a document must leave every chunk after the first content
+    boundary intact — so the shifted copy SHARES fingerprints with the
+    original, which fixed-window chunking can never do. Also: empty
+    text chunks to nothing; a sub-gram-width doc is one single chunk.
+    Cross-engine hash compare on the same corpus."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.corpus import corpus_cdc_chunking
+
+    base = " ".join(f"w{i * 7 % 311}x{i}" for i in range(400))
+    texts = [base, "inserted " + base, "", "one two"]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sdf = corpus_cdc_chunking(spark, str(tmp_path))
+    rows = sdf.collect()
+    shared = [r for r in rows if r["n_docs"] == 2]
+    # docs 1 and 2 must re-synchronize after the first boundary
+    assert len(shared) >= 1, rows
+    assert all(r["n_copies"] <= 2 for r in rows)
+    # the empty doc contributes nothing; doc 4 is a single 2-word chunk
+    assert any(r["n_words"] == 2 and r["n_copies"] == 1 for r in rows)
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["corpus_cdc_chunking"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(x) for x in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_smart_lnc_ltc_ranks_query_heavy_doc_first(spark, tmp_path):
+    """SMART lnc.ltc sanity: a document dense in the query terms must
+    outrank one that only brushes them; docs matching NO query term
+    (or empty) never appear. Cross-engine hash compare included."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.ranking import rank_smart_lnc_ltc
+
+    texts = [
+        "join vector stream join vector stream join",
+        "join alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta",
+        "",
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sdf = rank_smart_lnc_ltc(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["smart_score"] > rows[1]["smart_score"] > 0.0
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["rank_smart_lnc_ltc"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(x) for x in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())

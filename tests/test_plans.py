@@ -979,3 +979,78 @@ def test_compaction_window_is_partition_local(spark, sf_dir):
     assert "CartesianProduct" not in tree
     # the only SinglePartition exchange allowed is the final tiny sort
     assert plan.count("SinglePartition") <= 1
+
+
+def test_kendall_pairs_on_checkpointed_group_frame(spark, sf_dir):
+    """Kendall tau-b: the |nations| metric frame is localCheckpoint'd
+    once, so the pair self-join and the n_groups attach re-scan ZERO
+    parquet (the lineage would otherwise re-run the customer/orders
+    aggregations per reference — Spark's analogue of the oracle-side
+    convention-#11 re-expansion). The only nested-loop joins are the
+    bounded pair join (group-domain^2) and the 1-row scalar attach."""
+    import re
+
+    from catme_etl_j_spark.operators.stats import stats_kendall_tau
+
+    plan = formatted_plan(stats_kendall_tau(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan.split("\n\n")[0]
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    assert "partial_sum" in plan  # pair tallies combine map-side
+
+
+def test_permutation_flips_from_checkpointed_daily(spark, sf_dir):
+    """Permutation test: the |days| diff frame is localCheckpoint'd
+    once and feeds obs + the K-flip explode + the final attach — zero
+    parquet re-scans; per-replicate sums combine map-side on the
+    replicate id."""
+    import re
+
+    from catme_etl_j_spark.operators.stats import stats_permutation_test
+
+    plan = formatted_plan(stats_permutation_test(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan.split("\n\n")[0]
+    assert "partial_sum" in plan
+
+
+def test_cdc_chunking_single_explode_single_doc_sort(spark, sf_dir):
+    """Content-defined chunking: ONE explode; the lag-gram window and
+    the chunk-id cumsum share ONE (doc_id, pos) exchange (two Window
+    nodes, two exchanges total — the second is the per-fingerprint
+    aggregate); no join anywhere; top-k is TakeOrderedAndProject,
+    never a global sort."""
+    import re
+
+    from catme_etl_j_spark.operators.corpus import corpus_cdc_chunking
+
+    plan = formatted_plan(corpus_cdc_chunking(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "Join" not in tree
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_smart_per_doc_join_not_broadcast(spark, sf_dir):
+    """SMART lnc.ltc (the BM25 scale guard applied): the per-DOCUMENT
+    norm table grows with the corpus and carries no broadcast hint —
+    with auto-broadcast disabled only the hinted bounded sides remain
+    (qw and n_docs, each re-expanded once by the shared-lineage
+    re-plan: 4 BroadcastExchanges), and the dnorm join runs as a
+    shuffle join feeding TakeOrderedAndProject."""
+    import re
+
+    from catme_etl_j_spark.operators.ranking import rank_smart_lnc_ltc
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(rank_smart_lnc_ltc(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 4, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan.split("\n\n")[0]

@@ -76,6 +76,11 @@ AUDIT = [
     ("corpus_dedup_paragraphs", "one posexplode; seg-keyed exchange into a partition-only min-struct window"),
     ("stats_bootstrap_ci", "bounded B x |days| index frame equi-joins the ranked calendar; per-replicate partial sums"),
     ("scale_merge_binpack", "part_id-partitioned running-sum window (no global sort); map-side file aggregate"),
+    # round 9, second wave
+    ("corpus_cdc_chunking", "ONE explode; lag-gram + chunk-id cumsum share one (doc_id) exchange; no join; TakeOrderedAndProject"),
+    ("stats_kendall_tau", "checkpointed |nations| frame: zero parquet in the pair grid; bounded nested loops only"),
+    ("stats_permutation_test", "checkpointed |days| frame feeds obs + K-flip explode; per-replicate partial sums"),
+    ("rank_smart_lnc_ltc", "term filter pushed below the query-side tf aggregate; per-doc norm join never broadcast-hinted"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
