@@ -725,11 +725,14 @@ def rank_smart_lnc_ltc(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval op here shares); the doc-norm reduction reuses its
     output; query-side stats are <= |query| rows and broadcast, and
     the scored join prunes to docs matching >= 1 query term before
-    the TakeOrderedAndProject top-k. Catalyst pushes the term IN
-    filter BELOW the query-side tf aggregate (verified in the plan),
-    and — as in rank_bm25_search — re-expands the shared tf lineage
-    per consumer (4 pruned corpus passes); a cluster pipeline scoring
-    many queries would persist the (doc, term) aggregate once.
+    the TakeOrderedAndProject top-k. The (doc, term) weight frame is
+    lazily localCheckpoint'd (the corpus_dsir single-pass discipline:
+    on a cluster, persist(DISK_ONLY)), so the doc-norm reduction, the
+    query-term match, and the df stats all read the materialized
+    frame instead of re-expanding the tokenize+aggregate lineage per
+    consumer — ONE corpus tokenization pass total (plan-pinned); the
+    only remaining parquet reads are column-pruned count-star scans
+    for N.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
@@ -744,7 +747,10 @@ def rank_smart_lnc_ltc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(floor((1.0 + ln(tf)) * {SMART_FP} + 0.5) AS BIGINT)"
         ).alias("wd"),
-    )
+    ).localCheckpoint(eager=False)  # the ONE corpus pass (dsir precedent):
+    # dnorm, the query-term match, and the df stats all read the
+    # materialized (doc, term, wd) frame instead of re-scanning the
+    # corpus; on a cluster swap for persist(DISK_ONLY)
     dnorm = wdt.groupBy("doc_id").agg(
         F.sum((F.col("wd") * F.col("wd")).cast("decimal(38,0)")).alias("nd2")
     )

@@ -1039,7 +1039,10 @@ def test_smart_per_doc_join_not_broadcast(spark, sf_dir):
     with auto-broadcast disabled only the hinted bounded sides remain
     (qw and n_docs, each re-expanded once by the shared-lineage
     re-plan: 4 BroadcastExchanges), and the dnorm join runs as a
-    shuffle join feeding TakeOrderedAndProject."""
+    shuffle join feeding TakeOrderedAndProject. The (doc, term)
+    weight frame is checkpointed (dsir discipline): ZERO tokenize
+    explodes survive in the final plan, and the only parquet reads
+    are the two column-pruned count-star scans for N."""
     import re
 
     from catme_etl_j_spark.operators.ranking import rank_smart_lnc_ltc
@@ -1054,3 +1057,5 @@ def test_smart_per_doc_join_not_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan

@@ -80,7 +80,7 @@ AUDIT = [
     ("corpus_cdc_chunking", "ONE explode; lag-gram + chunk-id cumsum share one (doc_id) exchange; no join; TakeOrderedAndProject"),
     ("stats_kendall_tau", "checkpointed |nations| frame: zero parquet in the pair grid; bounded nested loops only"),
     ("stats_permutation_test", "checkpointed |days| frame feeds obs + K-flip explode; per-replicate partial sums"),
-    ("rank_smart_lnc_ltc", "term filter pushed below the query-side tf aggregate; per-doc norm join never broadcast-hinted"),
+    ("rank_smart_lnc_ltc", "checkpointed (doc, term) weights: zero tokenize explodes in the final plan; per-doc norm join never broadcast-hinted"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
