@@ -95,10 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
-    "convert_roundtrip_csv",
     "convert_roundtrip_json",
-    "convert_roundtrip_multisheet",
-    "convert_roundtrip_ndjson",
     "convert_stream_ndjson",
     "corpus_bpe_tokenize",
     "fn_pandas_udf_tokens",
@@ -128,6 +125,19 @@ _PRIORITY: tuple[str, ...] = (
     "stats_permutation_test",
     "corpus_cdc_chunking",
     "rank_smart_lnc_ltc",
+    # --- third-wave round-9 newborns (birth-round invariant). Each
+    # --- displaces a witness.py swap-out candidate (driver-green in
+    # --- >=2 committed rounds: convert_roundtrip_csv/multisheet/
+    # --- ndjson, then agg_stats_exact / fn_string_math /
+    # --- convert_roundtrip_json); every displaced family keeps window
+    # --- representation where backlog rules require it (convert via
+    # --- convert_stream_ndjson; fn via fn_pandas_udf_tokens /
+    # --- fn_variant_props; agg rotates fully out, all members green),
+    # --- and all displaced members were re-proven by this round's
+    # --- local full sweeps at post-hardening HEAD. ---
+    "stats_mutual_information",
+    "etl_interval_coalesce",
+    "window_bollinger_bands",
 )
 
 

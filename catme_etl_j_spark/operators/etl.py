@@ -1478,7 +1478,142 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands): merge each customer's
+# overlapping order-fulfillment windows [o_orderdate, max(l_shipdate)]
+# into maximal contiguous activity islands. The classic warehouse
+# primitive behind validity-interval compaction, downtime reports, and
+# contiguous-coverage checks (Itzik Ben-Gan's gaps-and-islands — public
+# SQL folklore; no self-join, two window passes over ONE sort).
+# ---------------------------------------------------------------------------
+
+
+def etl_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (customer, island): island bounds, member-order
+    count, and covered-day span, where an island is a maximal run of
+    fulfillment intervals in which each interval starts on or before
+    the running max end of its predecessors.
+
+    Interval = [order date, last lineitem ship date]; an order with no
+    lineitems (in-contract degenerate) coalesces to a point interval
+    at its order date — COALESCE(greatest(...)) identical on both
+    engines. Day indexes are TZ-free ints (convention #10: these
+    columns are TIMESTAMP_NTZ — datediff on DATE casts, never epoch).
+
+    Determinism: island assignment depends on the scan order within a
+    customer, pinned by the unique (s_day, o_orderkey) sort on both
+    engines; all arithmetic is integer day math.
+
+    Scale shape: the lineitem scan collapses to per-order maxima first
+    (map-side combine on the natural l_orderkey clustering), one
+    equi-join with orders on the same key, then BOTH window passes
+    (running-max-end and island-id prefix sum) share a single
+    (custkey, s_day, orderkey) Exchange+Sort — the plan pin asserts
+    one Window sort, no self-join. At 100 TB: orders and lineitem
+    bucketed on orderkey make the join exchange-free; the window
+    shuffle is on the customer key with per-key fan-in bounded by
+    orders-per-customer.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "MAX(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01'))"
+        ).alias("ship_day")
+    )
+    iv = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey, "left")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            ).alias("s_day"),
+        F.expr(
+                "greatest(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'), "
+                "coalesce(ship_day, CAST(-2147483648 AS INT)))"
+            ).alias("e_day"),
+        )
+    )
+    w_scan = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s_day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s_day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_day") > F.coalesce(F.max("e_day").over(w_scan), F.lit(-2147483648)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island_id", F.sum("new_island").over(w_run).cast("long"))
+    return (
+        marked.groupBy("o_custkey", "island_id")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("s_day").alias("s_min"),
+            F.max("e_day").alias("e_max"),
+        )
+        .select(
+            "o_custkey",
+            "island_id",
+            "n_orders",
+            F.expr("date_format(date_add(DATE '1970-01-01', s_min), 'yyyy-MM-dd')").alias(
+                "island_start"
+            ),
+            F.expr("date_format(date_add(DATE '1970-01-01', e_max), 'yyyy-MM-dd')").alias(
+                "island_end"
+            ),
+            F.expr("CAST(e_max - s_min + 1 AS BIGINT)").alias("span_days"),
+        )
+        .orderBy("o_custkey", "island_id")
+    )
+
+
+_INTERVAL_COALESCE_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS ship_day
+  FROM lineitem GROUP BY 1),
+iv AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS s_day,
+         greatest(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)),
+                  COALESCE(ls.ship_day, -2147483648)) AS e_day
+  FROM orders o LEFT JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey),
+marked AS (
+  SELECT o_custkey, o_orderkey, s_day, e_day,
+         CASE WHEN s_day > COALESCE(
+                MAX(e_day) OVER (PARTITION BY o_custkey ORDER BY s_day, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -2147483648)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+isl AS (
+  SELECT o_custkey, s_day, e_day,
+         CAST(SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s_day, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island_id
+  FROM marked)
+SELECT o_custkey, island_id,
+       COUNT(*)::BIGINT AS n_orders,
+       strftime(DATE '1970-01-01' + INTERVAL (MIN(s_day)) DAY, '%Y-%m-%d') AS island_start,
+       strftime(DATE '1970-01-01' + INTERVAL (MAX(e_day)) DAY, '%Y-%m-%d') AS island_end,
+       CAST(MAX(e_day) - MIN(s_day) + 1 AS BIGINT) AS span_days
+FROM isl
+GROUP BY o_custkey, island_id
+ORDER BY o_custkey, island_id
+"""
+
+
 QUERIES = {
+    "etl_interval_coalesce": etl_interval_coalesce,
     "etl_watermark_freshness": etl_watermark_freshness,
     "etl_changelog_compaction": etl_changelog_compaction,
     "etl_scd3_previous_value": etl_scd3_previous_value,
@@ -1500,6 +1635,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_interval_coalesce": _INTERVAL_COALESCE_SQL,
     "etl_watermark_freshness": _WATERMARK_SQL,
     "etl_changelog_compaction": _CHANGELOG_SQL,
     "etl_scd3_previous_value": _SCD3_SQL,

