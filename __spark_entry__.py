@@ -82,7 +82,6 @@ _PRIORITY: tuple[str, ...] = (
     "embed_kmeans_sse",
     # --- r8 hardening-wave re-witnesses (implementation changed after
     # --- last driver-green row; VERDICT r8 "what's wrong" #3) ---
-    "agg_stats_exact",
     "ann_batch_topk",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -95,11 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
-    "convert_roundtrip_json",
     "convert_stream_ndjson",
     "corpus_bpe_tokenize",
     "fn_pandas_udf_tokens",
-    "fn_string_math",
     "fn_variant_props",
     "multimodal_resize",
     "rank_mrr_eval",
@@ -138,6 +135,9 @@ _PRIORITY: tuple[str, ...] = (
     "stats_mutual_information",
     "etl_interval_coalesce",
     "window_bollinger_bands",
+    "graph_katz_centrality",
+    "text_kneser_ney_bigram",
+    "sketch_linear_counting",
 )
 
 

@@ -1231,7 +1231,153 @@ LIMIT {CC_TOPK}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Katz centrality (Katz 1953, "A new status index derived from
+# sociometric analysis" — public): attenuated-path-count status,
+# x = sum_{k>=1} alpha^k (A^T)^k 1, iterated as x_k = beta + alpha *
+# A^T x_{k-1}. The FIFTH Pregel-shape witness — unlike PageRank it has
+# no out-degree normalization (high-out-degree spammers donate full
+# weight), and unlike LPA its state is additive, so the per-round shape
+# is a plain join+sum with a +beta rebase.
+# ---------------------------------------------------------------------------
+
+KZ_SCALE = 1_000_000  # beta = 1.0 in 1e6 fixed-point
+KZ_ITERS = 4  # fixed rounds; the oracle unrolls the same 4 CTEs
+KZ_TOPK = 20
+KZ_CHECKPOINT_EVERY = 2
+
+
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by fixed-point Katz centrality over the directed
+    temporal-adjacency user graph, with the data-derived attenuation
+    and a convergence audit in the output.
+
+    alpha is 1/(max weighted in-strength + 1) — strictly below the
+    spectral-radius bound 1/lambda_max (lambda_max <= max row sum for
+    nonnegative matrices), so the series converges AND the int64
+    fixed-point provably cannot overflow at ANY data scale: each
+    round's incoming sum sum_in(w * x) DIV alpha_den is < max(x), so
+    x_k <= (k+1) * KZ_SCALE — linear in rounds, scale-free. A fixed
+    alpha would overflow int64 once max in-strength outgrew it (the
+    100 TB trap this construction retires by design).
+
+    Determinism: per-edge contributions truncate BEFORE summing
+    ((x*w) DIV alpha_den — positive operands, convention #7), sums are
+    exact int64, and the oracle replays the identical unrolled rounds.
+    ``delta_fp_final`` (total |x_K - x_{K-1}|) makes the fixed-round
+    truncation visible in the result (VERDICT r8 #4 pattern);
+    ``alpha_den`` is emitted so the gate also checks the derived
+    attenuation.
+
+    Scale shape: per round ONE equi-join of the edge list with the
+    rank frame on src (both shuffled on the same key — at cluster
+    scale the edge list is bucketed once and every round reuses the
+    layout) and one map-side-combined per-dst sum; the node rebase is
+    a LEFT join on the node set. localCheckpoint every 2 rounds bounds
+    lineage (pagerank precedent). alpha_den is a 1-row aggregate
+    scalar, not data-sized driver state.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    edges = _user_edges(spark, sf_dir).localCheckpoint()
+    row = edges.groupBy("dst").agg(F.sum("w").alias("instr")).agg(
+        F.max("instr").alias("m")
+    ).first()
+    alpha_den = int(row["m"] or 0) + 1
+    xs = nodes.select("node", F.lit(KZ_SCALE).cast("long").alias("x"))
+    prev = None
+    for k in range(1, KZ_ITERS + 1):
+        s = (
+            edges.join(xs, edges.src == xs.node)
+            .select("dst", F.expr(f"(x * w) DIV {alpha_den}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        if k == KZ_ITERS:
+            prev = xs
+        xs = nodes.join(s, nodes.node == s.dst, "left").select(
+            nodes.node,
+            (
+                F.lit(KZ_SCALE).cast("long")
+                + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+            ).cast("long").alias("x"),
+        )
+        if k % KZ_CHECKPOINT_EVERY == 0 and k < KZ_ITERS:
+            xs = xs.localCheckpoint()
+    audit = xs.join(prev.select("node", F.col("x").alias("px")), "node").agg(
+        F.coalesce(F.sum(F.abs(F.col("x") - F.col("px"))), F.lit(0))
+        .cast("long")
+        .alias("delta_fp_final")
+    )
+    return (
+        xs.crossJoin(F.broadcast(audit))
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("x").alias("katz_fp"),
+            F.expr(f"CAST(x AS DOUBLE) / {float(KZ_SCALE)}").alias("katz"),
+            F.lit(alpha_den).cast("long").alias("alpha_den"),
+            "delta_fp_final",
+        )
+        .orderBy(F.desc("katz_fp"), F.asc("user_id"))
+        .limit(KZ_TOPK)
+    )
+
+
+def _katz_sql() -> str:
+    head = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         ts, event_id, user_id
+  FROM events WHERE user_id IS NOT NULL),
+adj AS (
+  SELECT user_id AS dst,
+         lag(user_id) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS src
+  FROM ev),
+edges AS MATERIALIZED (
+  SELECT src, dst, COUNT(*)::BIGINT AS w
+  FROM adj WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst),
+ad AS (
+  SELECT CAST(COALESCE(MAX(instr), 0) + 1 AS BIGINT) AS alpha_den
+  FROM (SELECT dst, SUM(w) AS instr FROM edges GROUP BY dst) t),
+nodes AS (SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+x0 AS (SELECT node, CAST({KZ_SCALE} AS BIGINT) AS x FROM nodes)"""
+    iters = []
+    for k in range(1, KZ_ITERS + 1):
+        iters.append(
+            f"""
+x{k} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST({KZ_SCALE} + COALESCE(c.s, 0) AS BIGINT) AS x
+  FROM nodes
+  LEFT JOIN (SELECT e.dst, SUM((p.x * e.w) // ad.alpha_den) AS s
+             FROM edges e JOIN x{k - 1} p ON e.src = p.node, ad
+             GROUP BY e.dst) c ON c.dst = nodes.node)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f""",
+chg AS (
+  SELECT CAST(COALESCE(SUM(ABS(a.x - b.x)), 0) AS BIGINT) AS delta_fp_final
+  FROM x{KZ_ITERS} a JOIN x{KZ_ITERS - 1} b ON a.node = b.node)
+SELECT node AS user_id, x AS katz_fp,
+       CAST(x AS DOUBLE) / {float(KZ_SCALE)} AS katz,
+       ad.alpha_den, chg.delta_fp_final
+FROM x{KZ_ITERS}, ad, chg
+ORDER BY katz_fp DESC, user_id ASC
+LIMIT {KZ_TOPK}"""
+    )
+
+
 QUERIES = {
+    "graph_katz_centrality": graph_katz_centrality,
     "graph_connected_components": graph_connected_components,
     "graph_s_core_peeling": graph_s_core_peeling,
     "graph_pagerank_users": graph_pagerank_users,
@@ -1245,6 +1391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_katz_centrality": _katz_sql(),
     "graph_connected_components": _cc_sql(),
     "graph_s_core_peeling": _s_core_sql(),
     "graph_pagerank_users": _pagerank_users_sql(),

@@ -1486,7 +1486,116 @@ FROM res ORDER BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear probabilistic counting (Whang, Vander-Zanden & Taylor, ACM
+# TODS 1990 — public): hash each key to one of LC_M bitmap positions;
+# with z empty positions, estimate n ~ m * ln(m / z). The third
+# mergeable-distinct sketch in the family (HLL: loglog space, KMV:
+# bottom-k) — linear counting is the ACCURATE-at-low-load member (HLL's
+# own small-range correction IS linear counting over its zero
+# registers), and its state ORs together, so per-group bitmaps merge
+# into the union estimate for free.
+# ---------------------------------------------------------------------------
+
+LC_M = 65_536  # bitmap bits; load factor n/m stays << 1 at all test SFs
+
+
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates via a 65,536-bit linear
+    counter, plus the '__merged__' row: the OR of all per-type bitmaps
+    estimating the global distinct count (set-union semantics — the
+    property that makes the sketch shardable: at 100 TB each partition
+    ORs its local bitmap into 8 KiB of state, and merging is
+    associative and commutative).
+
+    The bitmap is REPRESENTED relationally as the distinct set of
+    occupied positions ((grp, bit) rows — the production form is a
+    fixed 8 KiB bitmap aggregate; semantics identical). Bit index =
+    portable md5-prefix hash mod m (convention #4). The estimate
+    m*ln(m/z) is one ln over exact ints (identical IEEE both engines);
+    a saturated bitmap (z = 0) yields NULL rather than an ANSI-vs-NULL
+    ln(inf) divergence (conv. #9). n_exact is carried per row so the
+    result exhibits the sketch error directly.
+
+    Scale shape: one distinct-shuffle on (event_type, user_id) (the
+    same exchange the exact count needs anyway), re-aggregated to
+    occupied bits; the merged row re-uses the per-type bit frame
+    (lazily checkpointed — conv. #12) rather than re-scanning events.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("grp"), "user_id")
+        .distinct()
+        .withColumn(
+            "bit",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+                f"AS BIGINT) % {LC_M}"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = ev.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.countDistinct("bit").cast("long").alias("bits_set"),
+    )
+    merged = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.countDistinct("bit").cast("long").alias("bits_set"),
+    ).select(F.lit(MERGED_KEY).alias("grp"), "n_exact", "bits_set")
+    est = (
+        f"CASE WHEN {LC_M} - bits_set > 0 THEN "
+        + f"floor({float(LC_M)} * ln({float(LC_M)} / ({LC_M} - bits_set)) * 10000.0 + 0.5) / 10000.0"
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
+    err = (
+        f"CASE WHEN {LC_M} - bits_set > 0 AND n_exact > 0 THEN "
+        + f"floor((({float(LC_M)} * ln({float(LC_M)} / ({LC_M} - bits_set)) - n_exact)"
+        + " / n_exact * 100.0) * 10000.0 + 0.5) / 10000.0"
+        + " ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return (
+        per.unionByName(merged)
+        .select(
+            "grp",
+            "n_exact",
+            "bits_set",
+            F.expr(est).alias("lc_estimate"),
+            F.expr(err).alias("err_pct"),
+        )
+        .orderBy("grp")
+    )
+
+
+_LINEAR_COUNTING_SQL = f"""
+WITH ev AS MATERIALIZED (
+  SELECT DISTINCT event_type AS grp, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {LC_M} AS bit
+  FROM events WHERE user_id IS NOT NULL),
+per AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(COUNT(DISTINCT bit) AS BIGINT) AS bits_set
+  FROM ev GROUP BY grp
+  UNION ALL
+  SELECT '{MERGED_KEY}', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+         CAST(COUNT(DISTINCT bit) AS BIGINT)
+  FROM ev)
+SELECT grp, n_exact, bits_set,
+       CASE WHEN {LC_M} - bits_set > 0 THEN
+         floor({float(LC_M)} * ln({float(LC_M)} / ({LC_M} - bits_set)) * 10000.0 + 0.5) / 10000.0
+       ELSE CAST(NULL AS DOUBLE) END AS lc_estimate,
+       CASE WHEN {LC_M} - bits_set > 0 AND n_exact > 0 THEN
+         floor((({float(LC_M)} * ln({float(LC_M)} / ({LC_M} - bits_set)) - n_exact) / n_exact * 100.0) * 10000.0 + 0.5) / 10000.0
+       ELSE CAST(NULL AS DOUBLE) END AS err_pct
+FROM per
+ORDER BY grp
+"""
+
+
 QUERIES = {
+    "sketch_linear_counting": sketch_linear_counting,
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_theta_setops": sketch_theta_setops,
@@ -1500,6 +1609,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_linear_counting": _LINEAR_COUNTING_SQL,
     "sketch_kmv_jaccard": _KMV_JACCARD_SQL,
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_theta_setops": _THETA_SQL,

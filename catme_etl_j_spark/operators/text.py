@@ -1592,7 +1592,112 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+# Chen & Goodman 1999 — public). THE production n-gram smoother: the
+# continuation probability P_cont(w2) = N1+(.,w2)/|bigram types| ranks
+# words by how many distinct contexts they follow, not raw frequency —
+# the classic "San Francisco" correction add-k smoothing can't make.
+# ---------------------------------------------------------------------------
+
+KN_MIN_CONTEXT = 5  # contexts seen < 5 times are too sparse to rank
+KN_TOPK = 30
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus bigrams by interpolated Kneser-Ney conditional
+    probability P_KN(w2|w1), discount d = 3/4, contexts with c(w1) >=
+    KN_MIN_CONTEXT.
+
+    Exact-rational determinism: with d = 3/4 everything clears to the
+    common denominator 4*c1*D, so P_KN = ((4*c12 - 3)*D + 3*N1f*N1b)
+    / (4*c1*D) is ONE ratio of exact int64s and both engines perform a
+    single identical double division (no float accumulation anywhere).
+    Magnitudes: 4*c12*D needs c12*D < 2^61 — at 1e9 bigram types that
+    allows 5e8 occurrences of a single bigram type; a corpus beyond
+    that would bump the fixed point to int128/DECIMAL.
+
+    Scale shape: one explode->groupBy(gram) shuffle builds the
+    bigram-TYPE frame (map-side combined, so the shuffle carries types
+    not occurrences); context stats (c1 = sum, N1+(w1,.) = count),
+    continuation counts (N1+(.,w2)), and the type total D are all
+    re-aggregations of that SAME frame — lazily checkpointed so its
+    four consumers don't re-expand the corpus scan (conv. #12).
+    top-k is a rounded-value sort with a gram tie-break (conv. #6).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(F.expr("split(trim(text), ' +')").alias("w"))
+    bt = (
+        staged.select(F.explode_outer(F.expr(_ngram_expr(2))).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .select(
+            "gram",
+            "c12",
+            F.expr("element_at(split(gram, ' '), 1)").alias("w1"),
+            F.expr("element_at(split(gram, ' '), 2)").alias("w2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ctx = bt.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    cont = bt.groupBy("w2").agg(F.count("*").cast("long").alias("n1b"))
+    dd = bt.agg(F.count("*").cast("long").alias("d_types"))
+    return (
+        bt.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(dd))
+        .filter(F.col("c1") >= KN_MIN_CONTEXT)
+        .select(
+            "gram",
+            "c12",
+            "c1",
+            "n1f",
+            "n1b",
+            "d_types",
+            rdet(
+                F.expr(
+                    "CAST((4 * c12 - 3) * d_types + 3 * n1f * n1b AS DOUBLE) "
+                    "/ (CAST(4 AS BIGINT) * c1 * d_types)"
+                ),
+                8,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), F.asc("gram"))
+        .limit(KN_TOPK)
+    )
+
+
+_KNESER_NEY_SQL = f"""
+WITH s AS (
+  SELECT regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+bt AS MATERIALIZED (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12,
+         split_part(gram, ' ', 1) AS w1,
+         split_part(gram, ' ', 2) AS w2
+  FROM (SELECT unnest({_duck_ngrams(2)}) AS gram FROM s) t
+  GROUP BY gram),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM bt GROUP BY w1),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bt GROUP BY w2),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_types FROM bt)
+SELECT bt.gram, bt.c12, ctx.c1, ctx.n1f, cont.n1b, dd.d_types,
+       {rdet_sql("CAST((4 * bt.c12 - 3) * dd.d_types + 3 * ctx.n1f * cont.n1b AS DOUBLE) / (CAST(4 AS BIGINT) * ctx.c1 * dd.d_types)", 8)} AS p_kn
+FROM bt JOIN ctx USING (w1) JOIN cont USING (w2), dd
+WHERE ctx.c1 >= {KN_MIN_CONTEXT}
+ORDER BY p_kn DESC, gram ASC
+LIMIT {KN_TOPK}
+"""
+
+
 QUERIES = {
+    "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "text_quality_classifier": text_quality_classifier,
     "text_simpson_diversity": text_simpson_diversity,
     "text_zipf_slope": text_zipf_slope,
@@ -1616,6 +1721,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_kneser_ney_bigram": _KNESER_NEY_SQL,
     "text_quality_classifier": _QC_SQL,
     "text_simpson_diversity": _simpson_sql(),
     "text_zipf_slope": _zipf_sql(),

@@ -179,3 +179,50 @@ def test_s_core_peeling_monotone(spark, sf_dir):
         # an alive node needs strength >= s >= 1, hence >= 1 incident edge
         if r["n_alive"] > 0:
             assert r["n_edges"] > 0
+
+
+def test_katz_matches_python_power_iteration(spark, sf_dir):
+    """The fixed-point Katz ranks equal an exact Python replay of the
+    KZ_ITERS integer rounds (same truncating per-edge division), and
+    alpha_den is the max weighted in-strength + 1."""
+    from collections import defaultdict
+
+    from catme_etl_j_spark.operators.graph import (
+        KZ_ITERS,
+        KZ_SCALE,
+        KZ_TOPK,
+        _user_edges,
+        graph_katz_centrality,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = graph_katz_centrality(spark, sf_dir).collect()
+    edges = [
+        (r["src"], r["dst"], r["w"]) for r in _user_edges(spark, sf_dir).collect()
+    ]
+    nodes = {
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    instr = defaultdict(int)
+    for _, d, w in edges:
+        instr[d] += w
+    alpha_den = max(instr.values(), default=0) + 1
+    x = {n: KZ_SCALE for n in nodes}
+    prev = None
+    for k in range(KZ_ITERS):
+        s = defaultdict(int)
+        for u, d, w in edges:
+            s[d] += (x[u] * w) // alpha_den  # positive operands: floor==trunc
+        prev = x
+        x = {n: KZ_SCALE + s.get(n, 0) for n in nodes}
+    delta = sum(abs(x[n] - prev[n]) for n in nodes)
+    want = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:KZ_TOPK]
+    assert [(r["user_id"], r["katz_fp"]) for r in rows] == want
+    assert all(r["alpha_den"] == alpha_den for r in rows)
+    assert all(r["delta_fp_final"] == delta for r in rows)
+    assert all(r["katz_fp"] >= KZ_SCALE for r in rows)

@@ -2765,3 +2765,76 @@ def test_bollinger_bands_invariants(spark, sf_dir):
     assert any(r["band_pos"] != "in" for r in rows), (
         "sf0.001 daily revenue should breach a 2-sigma band somewhere"
     )
+
+
+def test_kneser_ney_matches_python_recompute(spark, sf_dir):
+    """Every reported bigram's P_KN equals the exact-rational Python
+    recompute from raw corpus tokenization, and continuation mass is
+    ranked by distinct-context counts (n1b), not raw frequency."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from catme_etl_j_spark.operators.text import (
+        KN_MIN_CONTEXT,
+        text_kneser_ney_bigram,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = text_kneser_ney_bigram(spark, sf_dir).collect()
+    assert rows
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    c12 = Counter()
+    for t in texts:
+        w = [x for x in re.split(r" +", t.strip()) if x != ""]
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1 = defaultdict(int)
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    d_types = len(c12)
+    for r in rows:
+        a, b = r["gram"].split(" ")
+        assert r["c12"] == c12[(a, b)]
+        assert r["c1"] == c1[a] and r["c1"] >= KN_MIN_CONTEXT
+        assert r["n1f"] == n1f[a] and r["n1b"] == n1b[b]
+        assert r["d_types"] == d_types
+        want = ((4 * r["c12"] - 3) * d_types + 3 * r["n1f"] * r["n1b"]) / (
+            4 * r["c1"] * d_types
+        )
+        assert r["p_kn"] == math.floor(want * 1e8 + 0.5) / 1e8
+        assert 0 < r["p_kn"] <= 1 + 1e-9
+
+
+def test_linear_counting_merge_and_accuracy(spark, sf_dir):
+    """bits_set <= n_exact per group; the merged row unions bitmaps
+    (bits_set <= sum of per-group bits, n_exact = true global
+    distinct); the estimate replays m*ln(m/z) exactly and stays within
+    1% of truth at the test load factor."""
+    import math
+
+    from catme_etl_j_spark.operators.sketch import (
+        LC_M,
+        MERGED_KEY,
+        sketch_linear_counting,
+    )
+
+    rows = sketch_linear_counting(spark, sf_dir).collect()
+    groups = [r for r in rows if r["grp"] != MERGED_KEY]
+    [m] = [r for r in rows if r["grp"] == MERGED_KEY]
+    assert groups
+    for r in rows:
+        assert 1 <= r["bits_set"] <= r["n_exact"]
+        z = LC_M - r["bits_set"]
+        want = math.floor(LC_M * math.log(LC_M / z) * 1e4 + 0.5) / 1e4
+        assert r["lc_estimate"] == want
+        assert abs(r["err_pct"]) < 1.0
+    assert m["bits_set"] <= sum(r["bits_set"] for r in groups)
+    assert m["n_exact"] <= sum(r["n_exact"] for r in groups)
