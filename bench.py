@@ -128,6 +128,12 @@ HEADLINE = [
     "stats_permutation_test",
     "stats_kendall_tau",
     "rank_smart_lnc_ltc",
+    # round-9 third wave: the two new shapes whose cost could drift —
+    # the 4-round Katz join loop and the Kneser-Ney corpus pass (one
+    # explode->type-frame shuffle feeding four re-aggregations); the
+    # wave's other newborns are bounded-cell/daily-frame aggregates
+    "graph_katz_centrality",
+    "text_kneser_ney_bigram",
 ]
 
 

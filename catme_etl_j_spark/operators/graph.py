@@ -1278,11 +1278,16 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar, not data-sized driver state.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # both loop-invariant frames materialize ONCE: every round (and the
+    # audit) re-references nodes, so an uncheckpointed node set would
+    # re-scan events per round (the one plan debt the pagerank loop
+    # still carries; pinned at zero parquet re-scans in test_plans.py)
     nodes = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(F.col("user_id").alias("node"))
         .distinct()
+        .localCheckpoint()
     )
     edges = _user_edges(spark, sf_dir).localCheckpoint()
     row = edges.groupBy("dst").agg(F.sum("w").alias("instr")).agg(

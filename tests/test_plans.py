@@ -1059,3 +1059,105 @@ def test_smart_per_doc_join_not_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan.split("\n\n")[0]
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_interval_coalesce_windows_share_one_sort(spark, sf_dir):
+    """Gaps-and-islands: the running-max-end scan and the island-id
+    prefix sum are TWO Window operators over ONE (custkey, s_day,
+    orderkey) Sort — a second sort or a self-join would mean the
+    classic O(n^2) islands shape crept back in. The island groupBy
+    reuses the custkey partitioning (no extra exchange before the
+    aggregate)."""
+    import re
+
+    from catme_etl_j_spark.operators.etl import etl_interval_coalesce
+
+    plan = formatted_plan(etl_interval_coalesce(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    wins = [i for i, l in enumerate(tree.splitlines()) if re.search(r"\bWindow\b", l)]
+    assert len(wins) == 2
+    between = tree.splitlines()[wins[0] + 1 : wins[1]]
+    assert not any("Sort" in l or "Exchange" in l for l in between), (
+        "the two Window ops must share one Sort/Exchange"
+    )
+    # below the lower Window: exactly one Sort+Exchange pair
+    below = tree.splitlines()[wins[1] + 1 :]
+    assert sum(1 for l in below if "Sort" in l) == 1
+    # island aggregate sits on the window partitioning: no Exchange
+    # between the upper Window and the HashAggregates above it
+    aggs = [i for i, l in enumerate(tree.splitlines()) if "HashAggregate" in l]
+    assert all(
+        "Exchange" not in l
+        for l in tree.splitlines()[max(a for a in aggs if a < wins[0]) : wins[0]]
+    )
+
+
+def test_bollinger_single_window_single_scan(spark, sf_dir):
+    """All three rolling aggregates (n, sum, sum-of-squares) fuse into
+    ONE Window operator over the collapsed daily frame; one parquet
+    scan of orders feeds everything."""
+    import re
+
+    from catme_etl_j_spark.operators.relational3 import window_bollinger_bands
+
+    plan = formatted_plan(window_bollinger_bands(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert sum(1 for l in tree.splitlines() if re.search(r"\bWindow\b", l)) == 1
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+
+
+def test_mutual_information_cell_checkpoint_no_rescan(spark, sf_dir):
+    """The orders x customer fact join materializes into the <=|X|*|Y|
+    cell checkpoint exactly once: the returned plan (cells + marginals
+    + entropies + MI, 4 consumers) reads ONLY the checkpointed frame —
+    zero parquet scans — and the scalar frames come back as broadcast
+    joins, not shuffles."""
+    from catme_etl_j_spark.operators.stats import stats_mutual_information
+
+    plan = formatted_plan(stats_mutual_information(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_kneser_ney_single_corpus_pass(spark, sf_dir):
+    """The bigram-TYPE frame is checkpointed: context stats,
+    continuation counts, the type total, and the final join all read
+    the materialized frame — zero parquet re-scans of documents."""
+    from catme_etl_j_spark.operators.text import text_kneser_ney_bigram
+
+    plan = formatted_plan(text_kneser_ney_bigram(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert "CartesianProduct" not in tree
+
+
+def test_linear_counting_single_distinct_pass(spark, sf_dir):
+    """Per-type rows and the '__merged__' union row both read the
+    checkpointed distinct (grp, user, bit) frame — zero parquet
+    re-scans — and nothing in the plan is a join (the merge is a
+    union, not a self-join)."""
+    from catme_etl_j_spark.operators.sketch import sketch_linear_counting
+
+    plan = formatted_plan(sketch_linear_counting(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert "Join" not in tree
+
+
+def test_katz_loop_reads_checkpointed_invariants(spark, sf_dir):
+    """Both loop-invariant frames (node set, edge list) are
+    materialized once: the final Katz plan contains ZERO parquet scans
+    (everything flows from checkpoint RDDs), and the audit scalar
+    attaches via a broadcast nested-loop crossJoin, never a
+    CartesianProduct."""
+    from catme_etl_j_spark.operators.graph import graph_katz_centrality
+
+    plan = formatted_plan(graph_katz_centrality(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree

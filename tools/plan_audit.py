@@ -81,6 +81,13 @@ AUDIT = [
     ("stats_kendall_tau", "checkpointed |nations| frame: zero parquet in the pair grid; bounded nested loops only"),
     ("stats_permutation_test", "checkpointed |days| frame feeds obs + K-flip explode; per-replicate partial sums"),
     ("rank_smart_lnc_ltc", "checkpointed (doc, term) weights: zero tokenize explodes in the final plan; per-doc norm join never broadcast-hinted"),
+    # round 9, third wave
+    ("stats_mutual_information", "checkpointed cell frame feeds marginals/entropies/MI: zero parquet re-scans; scalar frames attach broadcast"),
+    ("etl_interval_coalesce", "two gaps-and-islands Windows over ONE (custkey, start, key) sort; island aggregate reuses the partitioning"),
+    ("window_bollinger_bands", "n/sum/sum-of-squares fused into ONE Window over the collapsed daily frame; single pruned scan"),
+    ("graph_katz_centrality", "checkpointed node + edge invariants: zero parquet scans in the 4-round loop; audit attaches broadcast"),
+    ("text_kneser_ney_bigram", "checkpointed bigram-type frame: one corpus explode feeds ctx/cont/D/final; no re-tokenization"),
+    ("sketch_linear_counting", "one distinct (grp,user,bit) pass; merged row is a union over the checkpoint, not a self-join"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
