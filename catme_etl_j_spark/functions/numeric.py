@@ -66,3 +66,55 @@ def rdet_sql(expr: str, n: int) -> str:
 def avg4(sum_col: Column, count_col: Column) -> Column:
     """Deterministic average: double(exact sum) / count, 4 decimals."""
     return rdet(sum_col.cast("double") / count_col, 4)
+
+
+# Deterministic big-integer -> double conversion. A plain CAST of an
+# exact integer ABOVE 2^53 to DOUBLE is ENGINE-DEPENDENT in the last
+# ulp: Spark goes through Java BigDecimal.doubleValue, DuckDB converts
+# its int128 representation, and the two can round the same integer to
+# ADJACENT doubles (caught live: window_bollinger_bands' 20-day
+# cents^2 window sum at sf0.1, one row of 2,399 where the 1-ulp input
+# drift crossed an rdet rounding boundary). The fix: split the integer
+# into (hi, lo) parts each exactly representable in a double, then
+# recombine with one multiply + one add — both single IEEE operations
+# on identical inputs, hence bit-identical on every engine. The result
+# is within 2 ulp of the true value, which is immaterial for the
+# variance/estimate math it feeds; what matters is that BOTH engines
+# get the SAME bits. Use this for any DECIMAL(38,0) accumulator that
+# can exceed 2^53 (cents^2 sums at >= sf0.1 scale qualify; plain
+# cents sums stay below 2^53 until ~$90T per window and may keep the
+# straight cast with a docstring note).
+
+# 2^42 three-way split: a DECIMAL(38,0) value needs up to 127 bits, so
+# TWO base-2^42 digits can't hold the head (10^38 // 2^42 ~ 2.3e25
+# still overflows BIGINT — caught by the property test's 10^38-1 row);
+# three digits of 42/42/<=43 bits each fit comfortably in BIGINT and
+# far under 2^53, so every per-digit BIGINT->DOUBLE conversion is
+# exact and the recombination is 4 fixed IEEE ops.
+_DEC_SPLIT = 1 << 42
+
+
+def dec2dbl(c: Column) -> Column:
+    """Engine-deterministic DOUBLE of a NONNEGATIVE DECIMAL(38,0)
+    column (base-2^42 digit split; see module note). SQL twin:
+    dec2dbl_sql."""
+    k = float(_DEC_SPLIT)
+    lo = (c % _DEC_SPLIT).cast("long")
+    # (c - c%k)/k is an exact integer; Spark's decimal division keeps
+    # it exact (quotient <= 10^38/2^42 ~ 2.3e25 fits DECIMAL(38,6))
+    d1 = (c - (c % _DEC_SPLIT)) / _DEC_SPLIT
+    mid = (d1 % _DEC_SPLIT).cast("long")
+    hi = ((d1 - (d1 % _DEC_SPLIT)) / _DEC_SPLIT).cast("long")
+    return (hi.cast("double") * k * k + mid.cast("double") * k) + lo.cast("double")
+
+
+def dec2dbl_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dec2dbl` (HUGEINT // and % truncate;
+    nonnegative operands make floor == trunc, convention #7)."""
+    k = float(_DEC_SPLIT)
+    h = f"CAST({expr} AS HUGEINT)"
+    return (
+        f"((CAST({h} // {_DEC_SPLIT} // {_DEC_SPLIT} AS DOUBLE) * {k} * {k}"
+        f" + CAST({h} // {_DEC_SPLIT} % {_DEC_SPLIT} AS DOUBLE) * {k})"
+        f" + CAST({h} % {_DEC_SPLIT} AS DOUBLE))"
+    )

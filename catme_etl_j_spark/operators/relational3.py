@@ -50,7 +50,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from catme_etl_j_spark.functions.numeric import dec2, money2, rdet, rdet_sql
+from catme_etl_j_spark.functions.numeric import (
+    dec2,
+    dec2dbl_sql,
+    money2,
+    rdet,
+    rdet_sql,
+)
 from catme_etl_j_spark.sources.tables import load_table
 
 
@@ -956,10 +962,14 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: daily revenue is exact cents (DECIMAL sum -> int64);
     the window accumulates sum and sum-of-squares as DECIMAL(38,0)
     (cents^2 sums exceed 2^53, so double accumulation would be
-    order-dependent; DECIMAL is exact+associative). Both engines then
-    run the IDENTICAL double formula var = (n*sxx - sx*sx)/(n*n),
-    clamped at 0 against cancellation dust, so sqrt and the band
-    compares see the same bits. Outputs through rdet (convention #1).
+    order-dependent; DECIMAL is exact+associative). The >2^53 sums
+    reach DOUBLE via the dec2dbl hi/lo split — a PLAIN cast of such an
+    integer rounds differently on Spark vs DuckDB (1 ulp), which this
+    query caught live at sf0.1 when that ulp crossed an rdet boundary
+    (functions/numeric.py note). Both engines then run the IDENTICAL
+    double formula var = (n*sxx - sx*sx)/(n*n), clamped at 0 against
+    cancellation dust, so sqrt and the band compares see the same
+    bits. Outputs through rdet (convention #1).
 
     Scale shape: the fact table collapses to |days| rows FIRST (one
     map-side-combined groupBy); both window aggregates share one
@@ -969,7 +979,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from catme_etl_j_spark.functions.numeric import dec2, rdet
+    from catme_etl_j_spark.functions.numeric import dec2, dec2dbl, rdet
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
@@ -994,8 +1004,8 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         n.alias("n_days_in_window"),
         F.col("cents").alias("rev_cents"),
-        sx.cast("double").alias("sx"),
-        sxx.cast("double").alias("sxx"),
+        dec2dbl(sx).alias("sx"),
+        dec2dbl(sxx).alias("sxx"),
     )
     nn = F.col("n_days_in_window").cast("double")
     mean_c = F.col("sx") / nn
@@ -1033,8 +1043,8 @@ win AS (
   SELECT strftime(day, '%Y-%m-%d') AS day,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window,
          cents AS rev_cents,
-         CAST(SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
-         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER w AS DOUBLE) AS sxx
+         {dec2dbl_sql("SUM(CAST(cents AS DECIMAL(38,0))) OVER w")} AS sx,
+         {dec2dbl_sql("SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER w")} AS sxx
   FROM keyed
   WINDOW w AS (ORDER BY day_n RANGE BETWEEN {BOLL_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW))
 SELECT day, n_days_in_window,

@@ -86,3 +86,46 @@ WHERE (cnt % 2 = 1 AND rn = (cnt + 1) // 2)
 """
     [(got,)] = duckdb.sql(sql).fetchall()
     assert got == round(2 * statistics.median(vals))
+
+
+def test_dec2dbl_cross_engine_identical(spark):
+    """The hi/lo split conversion yields BIT-IDENTICAL doubles on
+    Spark and DuckDB for integers around and far above 2^53 — exactly
+    the range where the plain DECIMAL->DOUBLE cast diverges by 1 ulp
+    between the engines (the window_bollinger_bands sf0.1 catch). Also
+    pins the accuracy bound: within a few ulp of Python's correctly-
+    rounded conversion (bit-identity across engines is the real
+    contract; closeness just guards against a broken split)."""
+    import math
+
+    import duckdb
+
+    from catme_etl_j_spark.functions.numeric import dec2dbl, dec2dbl_sql
+    from pyspark.sql import functions as F
+
+    vals = [
+        0,
+        1,
+        (1 << 53) - 1,
+        1 << 53,
+        (1 << 53) + 1,
+        47747294973307403210,  # the live sf0.1 mismatch's sxx
+        10**38 - 1,
+        123456789012345678901234567,
+    ]
+    sdf = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).select(
+        F.col("s"),
+        dec2dbl(F.col("s").cast("decimal(38,0)")).alias("d"),
+    )
+    got_spark = {r["s"]: r["d"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for v in vals:
+        [(got_duck,)] = con.execute(
+            f"SELECT {dec2dbl_sql(f'CAST({v} AS DECIMAL(38,0))')}"
+        ).fetchall()
+        assert got_spark[str(v)] == got_duck, v  # bit-identical
+        exact = float(v)
+        if exact > 0:
+            assert abs(got_duck - exact) <= 8 * math.ulp(exact), v
