@@ -198,3 +198,112 @@ def test_interval_coalesce_islands_disjoint(spark, sf_dir):
             )
         for r in islands:
             assert r["island_start"] <= r["island_end"]
+
+
+def test_interval_coalesce_randomized_bruteforce(spark, tmp_path):
+    """200 random fulfillment intervals (seeded RNG) across 12
+    customers, including ordersless orders, same-day ties, and
+    ship-before-order inversions: the operator's islands equal a
+    Python brute-force interval merge, and the DuckDB twin
+    hash-matches on the same synthetic dir."""
+    import random
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.etl import etl_interval_coalesce
+
+    rng = random.Random(0xC0A1E5CE)
+    base = datetime(1995, 1, 1)
+    orders, lines = [], []
+    for ok in range(1, 201):
+        cust = rng.randint(1, 12)
+        s = rng.randint(0, 400)
+        orders.append((ok, cust, "O", 100.0, base + timedelta(days=s), "1-URGENT"))
+        # 15%: no lineitems (point interval); ships may precede orders
+        if rng.random() > 0.15:
+            for ln in range(1, rng.randint(1, 4) + 1):
+                ship = s + rng.randint(-3, 45)
+                lines.append(
+                    (ok, 1, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                     base + timedelta(days=ship))
+                )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array([o[2] for o in orders]),
+                "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+                "o_orderdate": pa.array([o[4] for o in orders], pa.timestamp("us")),
+                "o_orderpriority": pa.array([o[5] for o in orders]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_partkey": pa.array([l[1] for l in lines], pa.int64()),
+                "l_suppkey": pa.array([l[2] for l in lines], pa.int64()),
+                "l_linenumber": pa.array([l[3] for l in lines], pa.int32()),
+                "l_quantity": pa.array([l[4] for l in lines], pa.float64()),
+                "l_extendedprice": pa.array([l[5] for l in lines], pa.float64()),
+                "l_discount": pa.array([l[6] for l in lines], pa.float64()),
+                "l_tax": pa.array([l[7] for l in lines], pa.float64()),
+                "l_returnflag": pa.array([l[8] for l in lines]),
+                "l_linestatus": pa.array([l[9] for l in lines]),
+                "l_shipdate": pa.array([l[10] for l in lines], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    rows = etl_interval_coalesce(spark, str(tmp_path)).collect()
+
+    # brute force: merge intervals per customer in (start, orderkey) order
+    epoch = datetime(1970, 1, 1)
+    last_ship = defaultdict(lambda: None)
+    for l in lines:
+        d = (l[10] - epoch).days
+        k = l[0]
+        last_ship[k] = d if last_ship[k] is None else max(last_ship[k], d)
+    per_cust = defaultdict(list)
+    for ok, cust, *_rest in orders:
+        s = (orders[ok - 1][4] - epoch).days
+        e = max(s, last_ship[ok]) if last_ship[ok] is not None else s
+        per_cust[cust].append((s, ok, e))
+    want = []
+    for cust, ivs in per_cust.items():
+        ivs.sort()
+        islands = []
+        for s, ok, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+                islands[-1][0] = min(islands[-1][0], s)
+            else:
+                islands.append([s, e, 1])
+        for i, (s, e, n) in enumerate(islands, 1):
+            want.append((cust, i, n,
+                         (epoch + timedelta(days=s)).strftime("%Y-%m-%d"),
+                         (epoch + timedelta(days=e)).strftime("%Y-%m-%d"),
+                         e - s + 1))
+    got = sorted(
+        (r["o_custkey"], r["island_id"], r["n_orders"], r["island_start"],
+         r["island_end"], r["span_days"])
+        for r in rows
+    )
+    assert got == sorted(want)
+
+    # and the oracle twin hash-matches on the same synthetic dir
+    con = ddb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    orc = con.sql(entry_mod.oracle_sql()["etl_interval_coalesce"]).fetchall()
+    assert sorted(tuple(r) for r in orc) == got
