@@ -97,7 +97,18 @@ _DEC_SPLIT = 1 << 42
 def dec2dbl(c: Column) -> Column:
     """Engine-deterministic DOUBLE of a NONNEGATIVE DECIMAL(38,0)
     column (base-2^42 digit split; see module note). SQL twin:
-    dec2dbl_sql."""
+    dec2dbl_sql.
+
+    GUARDED against negative inputs (ADVICE r9): Spark's % is
+    sign-of-dividend while DuckDB's // truncates, so a signed value
+    fed through the split would diverge SILENTLY between the engines.
+    A negative row raises at execution on both sides instead (the
+    raise_error branch is non-foldable, so it only fires on actual
+    rows). A caller with signed accumulators splits sign first:
+    sign(c) * dec2dbl(abs(c)).
+    """
+    import pyspark.sql.functions as F
+
     k = float(_DEC_SPLIT)
     lo = (c % _DEC_SPLIT).cast("long")
     # (c - c%k)/k is an exact integer; Spark's decimal division keeps
@@ -105,16 +116,28 @@ def dec2dbl(c: Column) -> Column:
     d1 = (c - (c % _DEC_SPLIT)) / _DEC_SPLIT
     mid = (d1 % _DEC_SPLIT).cast("long")
     hi = ((d1 - (d1 % _DEC_SPLIT)) / _DEC_SPLIT).cast("long")
-    return (hi.cast("double") * k * k + mid.cast("double") * k) + lo.cast("double")
+    body = (hi.cast("double") * k * k + mid.cast("double") * k) + lo.cast("double")
+    return F.when(c >= 0, body).otherwise(
+        F.expr(
+            "CAST(raise_error('dec2dbl: negative input — the base-2^42 "
+            "split is only sign-correct for nonnegative values') AS DOUBLE)"
+        )
+    )
 
 
 def dec2dbl_sql(expr: str) -> str:
     """DuckDB twin of :func:`dec2dbl` (HUGEINT // and % truncate;
-    nonnegative operands make floor == trunc, convention #7)."""
+    nonnegative operands make floor == trunc, convention #7; same
+    loud-failure guard for negative inputs as the Spark side)."""
     k = float(_DEC_SPLIT)
     h = f"CAST({expr} AS HUGEINT)"
-    return (
+    body = (
         f"((CAST({h} // {_DEC_SPLIT} // {_DEC_SPLIT} AS DOUBLE) * {k} * {k}"
         f" + CAST({h} // {_DEC_SPLIT} % {_DEC_SPLIT} AS DOUBLE) * {k})"
         f" + CAST({h} % {_DEC_SPLIT} AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN {body} "
+        f"ELSE CAST(error('dec2dbl: negative input — the base-2^42 split "
+        f"is only sign-correct for nonnegative values') AS DOUBLE) END"
     )

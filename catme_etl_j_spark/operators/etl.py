@@ -1530,7 +1530,7 @@ def etl_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
             ).alias("s_day"),
-        F.expr(
+            F.expr(
                 "greatest(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'), "
                 "coalesce(ship_day, CAST(-2147483648 AS INT)))"
             ).alias("e_day"),

@@ -581,6 +581,12 @@ def _pagerank_users_ranks(
         .select("user_id")
         .distinct()
     )
+    if checkpoint_every:
+        # loop-invariant node set materializes ONCE (VERDICT r9 #2: an
+        # uncheckpointed node set re-scans events in every round's
+        # LEFT-join rebase — K extra full scans of the largest table at
+        # 100 TB; the Katz loop fixed this first, graph.py Katz nodes)
+        nodes = nodes.localCheckpoint(eager=False)
     edges = _user_edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     # edge list is reused every round: materialize once (it is the
@@ -588,7 +594,7 @@ def _pagerank_users_ranks(
     # 100 TB this would be persist(DISK) on a bucketed layout).
     ew = edges.join(outw, "src").select("src", "dst", "w", "outw")
     if checkpoint_every:
-        ew = ew.localCheckpoint()
+        ew = ew.localCheckpoint(eager=False)
     n = nodes.count()  # single aggregate scalar (not data-sized state)
     if n == 0:
         # degenerate corpus (conv. #9): no users, no ranks — the
@@ -620,11 +626,18 @@ def _pagerank_users_ranks(
             ).cast("long").alias("r"),
         )
         if checkpoint_every and k % checkpoint_every == 0 and k < PRU_ITERS:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     # Convergence audit (VERDICT r8 #4): total absolute rank movement
     # in the final round, exact int64 — 0 means the power iteration
     # reached its integer fixpoint inside PRU_ITERS rounds; a nonzero
     # residual makes the fixed-round cut visible in the result.
+    # Convention #12 (VERDICT r9 #1): the final-round frame is
+    # referenced TWICE (audit join + output) — lazily checkpoint it so
+    # the last round computes once, not once per consumer. `prev` is
+    # the round-(K-1) frame, already truncated by the cadence above
+    # ((PRU_ITERS-1) % checkpoint_every == 0).
+    if checkpoint_every:
+        ranks = ranks.localCheckpoint(eager=False)
     audit = (
         ranks.join(prev.select("node", F.col("r").alias("pr")), "node")
         .agg(
@@ -660,7 +673,9 @@ LPA_ITERS = 6  # fixed semi-synchronous rounds (3 per color class)
 LPA_TOPK = 20
 
 
-def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_lpa_communities(
+    spark: SparkSession, sf_dir: str, checkpoint_every: int = 2
+) -> DataFrame:
     """SEMI-synchronous label propagation (community detection) over
     the undirected user-interaction graph — the second Pregel-shape
     witness, with per-round state keyed on MODE-of-neighbors rather
@@ -695,7 +710,10 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     label) partial-aggregated sum + one per-node partial-aggregated
     max — all co-shuffled on the node key, no per-round sort; labels
     localCheckpoint every 2 rounds, exactly the pagerank_users loop
-    discipline.
+    discipline, plus lazy truncations of the round-(K-1) and round-K
+    frames (each has 2 consumers: the audit join and the next stage —
+    convention #12). ``checkpoint_every=0`` exposes the untruncated
+    plan for the test pins.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ed = _user_edges(spark, sf_dir)
@@ -714,6 +732,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = None
     for k in range(1, LPA_ITERS + 1):
+        # Convention #12 (VERDICT r9 #1): the frame ENTERING the final
+        # round is referenced by round K's join AND kept as `prev` for
+        # the audit — truncate it here unless the cadence already did
+        # ((LPA_ITERS-1) % 2 != 0, so round K-1 is un-checkpointed).
+        if k == LPA_ITERS:
+            if checkpoint_every and (k - 1) % checkpoint_every != 0:
+                labels = labels.localCheckpoint(eager=False)
+            prev = labels
         nbr_lbl = both.join(
             labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
             "nbr",
@@ -730,8 +756,6 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (-F.col("m.nl")).alias("new_lbl"))
         )
         # double-mod parity: identical for negative ids on every engine
-        if k == LPA_ITERS:
-            prev = labels
         labels = labels.join(best, "node", "left").select(
             "node",
             F.when(
@@ -741,8 +765,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("lbl"))
             .alias("lbl"),
         )
-        if k % 2 == 0 and k < LPA_ITERS:
+        if checkpoint_every and k % checkpoint_every == 0 and k < LPA_ITERS:
             labels = labels.localCheckpoint()
+    # final-round frame feeds the audit join AND the community count:
+    # lazy checkpoint = round K computes once (convention #12)
+    if checkpoint_every:
+        labels = labels.localCheckpoint(eager=False)
     audit = (
         labels.join(prev.select("node", F.col("lbl").alias("plbl")), "node")
         .agg(
@@ -904,6 +932,38 @@ def _sym_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_core_round(ea: DataFrame, s_thr: int, checkpoint: bool = True):
+    """One peeling round: strength aggregate -> alive filter -> two
+    LEFT SEMI prunes of the surviving edge list.
+
+    Convention #12 (VERDICT r9 #1): both frames have 2+ consumers —
+    ``alive`` feeds the two semi-joins and the trajectory's n_alive
+    count, ``ea`` feeds next round's strength aggregate and this
+    round's edge stats — so each checkpoints once per round (alive
+    BEFORE the prune, so the strength aggregate runs exactly once).
+    The old every-2-rounds cadence re-derived odd rounds ~3x (once per
+    trajectory-row consumer). Both frames shrink monotonically, so the
+    materializations get cheaper as peeling proceeds.
+    ``checkpoint=False`` exposes one round's untruncated plan for the
+    test pin.
+    """
+    st = (
+        ea.select(F.col("e1").alias("node"), "w")
+        .unionByName(ea.select(F.col("e2").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("s"))
+    )
+    alive = st.filter(F.col("s") >= s_thr).select("node")
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=False)
+    nxt = ea.join(
+        alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
+    ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
+    if checkpoint:
+        nxt = nxt.localCheckpoint(eager=False)
+    return alive, nxt
+
+
 def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-round trajectory of weighted s-core peeling over the user
     graph: alive-node count, surviving-edge count, and surviving total
@@ -929,8 +989,10 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     two LEFT SEMI hash equi-joins (alive onto the SURVIVING edges —
     round r's survivors are round r+1's input, so the frames shrink)
     + one map-side-combined strength aggregate — the Pregel
-    discipline of pagerank_users/LPA, survivor set re-checkpointed
-    every 2 rounds. The
+    discipline of pagerank_users/LPA; alive set and survivor edges
+    checkpoint every round (both have 2+ consumers — convention #12 —
+    and both shrink monotonically, so the per-round materialization
+    cost falls as peeling proceeds). The
     two driver-side scalars (node count, lower median via the
     value-walk over per-strength counts — no global row_number over
     nodes, the theil_sen remedy) are bounded aggregates; distinct
@@ -940,7 +1002,7 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    edges = _sym_user_edges(spark, sf_dir).localCheckpoint()
+    edges = _sym_user_edges(spark, sf_dir).localCheckpoint(eager=False)
     st0 = (
         edges.select(F.col("e1").alias("node"), "w")
         .unionByName(edges.select(F.col("e2").alias("node"), "w"))
@@ -977,18 +1039,7 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = edges
     rows = []
     for r in range(1, SCORE_ITERS + 1):
-        st = (
-            ea.select(F.col("e1").alias("node"), "w")
-            .unionByName(ea.select(F.col("e2").alias("node"), "w"))
-            .groupBy("node")
-            .agg(F.sum("w").alias("s"))
-        )
-        alive = st.filter(F.col("s") >= s_thr).select("node")
-        ea = ea.join(
-            alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
-        ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
-        if r % 2 == 0:
-            ea = ea.localCheckpoint()
+        alive, ea = _s_core_round(ea, s_thr)
         rows.append(
             alive.agg(F.count("*").cast("long").alias("n_alive"))
             .crossJoin(
@@ -1096,7 +1147,9 @@ CC_ITERS = 5  # fixed unrolled min-label rounds (oracle matches)
 CC_TOPK = 20
 
 
-def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str, checkpoint_every: int = 2
+) -> DataFrame:
     """Connected components of the undirected user-interaction graph by
     CC_ITERS rounds of MIN-LABEL propagation — the fourth Pregel-shape
     witness, with per-round state keyed on min() (monotone, so unlike
@@ -1146,6 +1199,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = None
     for k in range(1, CC_ITERS + 1):
+        # convention #12: `prev` (round K-1) is already cadence-
+        # checkpointed ((CC_ITERS-1) % 2 == 0); capture before round K
+        if k == CC_ITERS:
+            prev = labels
         nbr_min = (
             both.join(
                 labels.select(F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")),
@@ -1154,13 +1211,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("nlbl").alias("nmin"))
         )
-        if k == CC_ITERS:
-            prev = labels
         labels = labels.join(nbr_min, "node", "left").select(
             "node", F.least(F.col("lbl"), F.col("nmin")).alias("lbl")
         )
-        if k % 2 == 0 and k < CC_ITERS:
+        if checkpoint_every and k % checkpoint_every == 0 and k < CC_ITERS:
             labels = labels.localCheckpoint()
+    # final-round frame feeds the audit join AND the component count:
+    # lazy checkpoint = round K computes once (convention #12,
+    # VERDICT r9 #1 — this double reference was the r9 +51 %)
+    if checkpoint_every:
+        labels = labels.localCheckpoint(eager=False)
     audit = (
         labels.join(
             prev.select("node", F.col("lbl").alias("plbl")), "node"
@@ -1297,14 +1357,19 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = nodes.select("node", F.lit(KZ_SCALE).cast("long").alias("x"))
     prev = None
     for k in range(1, KZ_ITERS + 1):
+        if k == KZ_ITERS:
+            # convention #12 (VERDICT r9 #1): round K-1 is
+            # un-checkpointed at this cadence ((KZ_ITERS-1) % 2 != 0)
+            # and both round K's contribution join and the audit's
+            # `prev` side read it. One lazy truncation covers both.
+            xs = xs.localCheckpoint(eager=False)
+            prev = xs
         s = (
             edges.join(xs, edges.src == xs.node)
             .select("dst", F.expr(f"(x * w) DIV {alpha_den}").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        if k == KZ_ITERS:
-            prev = xs
         xs = nodes.join(s, nodes.node == s.dst, "left").select(
             nodes.node,
             (
@@ -1314,6 +1379,9 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if k % KZ_CHECKPOINT_EVERY == 0 and k < KZ_ITERS:
             xs = xs.localCheckpoint()
+    # final-round frame feeds the audit join AND the top-k output:
+    # lazy checkpoint = round K computes once (convention #12)
+    xs = xs.localCheckpoint(eager=False)
     audit = xs.join(prev.select("node", F.col("x").alias("px")), "node").agg(
         F.coalesce(F.sum(F.abs(F.col("x") - F.col("px"))), F.lit(0))
         .cast("long")
@@ -1347,10 +1415,11 @@ edges AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::BIGINT AS w
   FROM adj WHERE src IS NOT NULL AND src <> dst
   GROUP BY src, dst),
-ad AS (
+ad AS MATERIALIZED (
   SELECT CAST(COALESCE(MAX(instr), 0) + 1 AS BIGINT) AS alpha_den
   FROM (SELECT dst, SUM(w) AS instr FROM edges GROUP BY dst) t),
-nodes AS (SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
 x0 AS (SELECT node, CAST({KZ_SCALE} AS BIGINT) AS x FROM nodes)"""
     iters = []
     for k in range(1, KZ_ITERS + 1):

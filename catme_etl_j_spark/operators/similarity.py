@@ -382,17 +382,56 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly once); only the shuffle-key cardinality changes.
 NN_SALT = 8
 
+# Candidate-pool cap (VERDICT r9 #4): the b-side of the per-label NN
+# join is bounded to the NN_POOL_CAP lowest-vec_id members of each
+# label, so per-label pair count is |label| * min(|label|, CAP) —
+# LINEAR in the corpus for fixed CAP instead of sum(|label|^2). Every
+# driver gate fixture has max block <= 218 (sf0.001: 63, sf0.01: 59,
+# sf0.1: 218), so below the cap the output is BIT-IDENTICAL to the
+# uncapped exact form (pinned by test; the oracle applies the same
+# cap). The sf1.0 probe's 2,180-row blocks — the one query that
+# needed a 48g/600s env carve-out in r9 — drop from ~40M to ~5M pairs
+# and run in the default 8g/180s envelope.
+NN_POOL_CAP = 256
+
+
+def _nn_pool(emb: DataFrame) -> DataFrame:
+    """Per-label candidate pool: the NN_POOL_CAP lowest vec_ids.
+
+    Two-stage top-C so no task ever sorts a whole hot label (the
+    theil_sen no-global-window discipline): stage 1 ranks within
+    (label, vec_id % NN_SALT) — bounded partitions of |label|/SALT —
+    and keeps C per salt; stage 2 ranks the <= SALT*C survivors per
+    label. Identical result to a single per-label top-C by vec_id.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("label", F.col("vec_id") % NN_SALT).orderBy("vec_id")
+    w2 = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        emb.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= NN_POOL_CAP)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= NN_POOL_CAP)
+        .drop("rn1", "rn2")
+    )
+
 
 def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1 cosine neighbor per vector, blocked by label (cluster).
+    """Top-1 cosine neighbor per vector, blocked by label (cluster),
+    against the NN_POOL_CAP-bounded deterministic candidate pool.
 
-    Recall-complete but O(block^2): the exact variant of the LSH pair
-    path. Skew posture at 100 TB: the join key is (label, salt) — a
-    label holding p% of the corpus produces NN_SALT reducer tasks of
-    p%/NN_SALT each rather than one p%-sized straggler; raise NN_SALT
-    with cluster size. (Pair count is unchanged — that cost is inherent
-    to exact per-label NN; cap the block or switch to
-    ann_lsh_hyperplane_pairs when blocks outgrow a task.)
+    EXACT (recall-complete within label) whenever blocks fit the pool
+    cap — true at every driver gate SF — and degrades to a
+    deterministic-pool approximation above it, keeping pair count
+    linear in the corpus (VERDICT r9 #4: the uncapped O(block^2) form
+    stalled the sf1.0 probe until it got a 48g/600s env; a verify path
+    that needs a bespoke env at 100x needs a cap at 1000x). Skew
+    posture at 100 TB: the join key is (label, salt) — a label holding
+    p% of the corpus produces NN_SALT reducer tasks of p%/NN_SALT each
+    rather than one p%-sized straggler; raise NN_SALT with cluster
+    size. The pool build itself is two bounded-partition windows,
+    never a whole-label sort on one task.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = _prescaled(spark, sf_dir).cache()  # reused by both join sides
@@ -403,7 +442,7 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("na"),
         (F.col("vec_id") % NN_SALT).cast("int").alias("salt"),
     )
-    b = emb.select(
+    b = _nn_pool(emb).select(
         F.col("vec_id").alias("nn_id"),
         F.col("label").alias("label"),
         F.col("fx").alias("fb"),
@@ -444,10 +483,19 @@ def _nn_within_label_sql() -> str:
         f"CAST({_dot_duck('a.embedding', 'b.embedding')} AS DOUBLE) / ({_norm_duck('a.embedding')} * {_norm_duck('b.embedding')})",
         6,
     )
+    # same NN_POOL_CAP candidate pool as the Spark side: the C lowest
+    # vec_ids per label (a single top-C rank — equivalent to Spark's
+    # two-stage skew-safe form)
     return f"""
-WITH scored AS (
+WITH pool AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS prn
+    FROM {_EMB_NZ_BARE} p0) p1
+  WHERE prn <= {NN_POOL_CAP}
+),
+scored AS (
   SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id, {cos} AS cos_sim
-  FROM {_EMB_NZ_BARE} a JOIN {_EMB_NZ_BARE} b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM {_EMB_NZ_BARE} a JOIN pool b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT vec_id, label, nn_id, cos_sim,

@@ -1602,6 +1602,11 @@ FROM scored
 
 KN_MIN_CONTEXT = 5  # contexts seen < 5 times are too sparse to rank
 KN_TOPK = 30
+# per-product magnitude guard: each of c12*D, c1*D, n1f*n1b must stay
+# under 2^60 so 4*c12*D + 3*n1f*n1b < 2^63 (ADVICE r9: non-ANSI Spark
+# would silently WRAP past int64 while DuckDB errors — a divergence;
+# the guard makes both engines fail loudly instead)
+_KN_BOUND = (1 << 60) - 1
 
 
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,9 +1618,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     common denominator 4*c1*D, so P_KN = ((4*c12 - 3)*D + 3*N1f*N1b)
     / (4*c1*D) is ONE ratio of exact int64s and both engines perform a
     single identical double division (no float accumulation anywhere).
-    Magnitudes: 4*c12*D needs c12*D < 2^61 — at 1e9 bigram types that
-    allows 5e8 occurrences of a single bigram type; a corpus beyond
-    that would bump the fixed point to int128/DECIMAL.
+    Magnitudes: each product is GUARDED at 2^60 (so the numerator sum
+    4*c12*D + 3*N1f*N1b stays under 2^63): a corpus where c12*D,
+    c1*D, or N1f*N1b crosses 2^60 raises loudly ON BOTH ENGINES
+    (Spark raise_error / DuckDB error) instead of silently wrapping
+    on Spark while DuckDB errors — the ADVICE-r9 divergence. At 1e9
+    bigram types that still allows ~1.1e9 occurrences of a single
+    bigram type; a corpus beyond that would bump the fixed point to
+    int128/DECIMAL.
 
     Scale shape: one explode->groupBy(gram) shuffle builds the
     bigram-TYPE frame (map-side combined, so the shuffle carries types
@@ -1659,12 +1669,19 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1f",
             "n1b",
             "d_types",
-            rdet(
-                F.expr(
-                    "CAST((4 * c12 - 3) * d_types + 3 * n1f * n1b AS DOUBLE) "
-                    "/ (CAST(4 AS BIGINT) * c1 * d_types)"
-                ),
-                8,
+            F.expr(
+                f"CASE WHEN c12 > {_KN_BOUND} DIV d_types "
+                f"OR c1 > {_KN_BOUND} DIV d_types "
+                f"OR n1f > {_KN_BOUND} DIV n1b "
+                "THEN CAST(raise_error('text_kneser_ney_bigram: int64 "
+                "fixed-point bound (2^60) exceeded; bump to DECIMAL') "
+                "AS DOUBLE) ELSE "
+                + rdet_sql(
+                    "CAST((4 * c12 - 3) * d_types + 3 * n1f * n1b AS DOUBLE)"
+                    " / (CAST(4 AS BIGINT) * c1 * d_types)",
+                    8,
+                )
+                + " END"
             ).alias("p_kn"),
         )
         .orderBy(F.desc("p_kn"), F.asc("gram"))
@@ -1688,7 +1705,11 @@ cont AS (
   SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bt GROUP BY w2),
 dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_types FROM bt)
 SELECT bt.gram, bt.c12, ctx.c1, ctx.n1f, cont.n1b, dd.d_types,
-       {rdet_sql("CAST((4 * bt.c12 - 3) * dd.d_types + 3 * ctx.n1f * cont.n1b AS DOUBLE) / (CAST(4 AS BIGINT) * ctx.c1 * dd.d_types)", 8)} AS p_kn
+       CASE WHEN bt.c12 > {_KN_BOUND} // dd.d_types
+              OR ctx.c1 > {_KN_BOUND} // dd.d_types
+              OR ctx.n1f > {_KN_BOUND} // cont.n1b
+            THEN CAST(error('text_kneser_ney_bigram: int64 fixed-point bound (2^60) exceeded; bump to DECIMAL') AS DOUBLE)
+            ELSE {rdet_sql("CAST((4 * bt.c12 - 3) * dd.d_types + 3 * ctx.n1f * cont.n1b AS DOUBLE) / (CAST(4 AS BIGINT) * ctx.c1 * dd.d_types)", 8)} END AS p_kn
 FROM bt JOIN ctx USING (w1) JOIN cont USING (w2), dd
 WHERE ctx.c1 >= {KN_MIN_CONTEXT}
 ORDER BY p_kn DESC, gram ASC

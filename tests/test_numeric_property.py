@@ -129,3 +129,33 @@ def test_dec2dbl_cross_engine_identical(spark):
         exact = float(v)
         if exact > 0:
             assert abs(got_duck - exact) <= 8 * math.ulp(exact), v
+
+
+def test_dec2dbl_negative_input_raises_on_both_engines(spark):
+    """ADVICE r9: the split is only sign-correct for nonnegative
+    inputs (Spark % is sign-of-dividend, DuckDB // truncates), so a
+    signed value must FAIL LOUDLY on both engines instead of silently
+    diverging — and the guard must not fire on nonnegative rows."""
+    import duckdb
+    import pytest
+
+    from catme_etl_j_spark.functions.numeric import dec2dbl, dec2dbl_sql
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([("-7",)], "s string").select(
+        dec2dbl(F.col("s").cast("decimal(38,0)")).alias("d")
+    )
+    with pytest.raises(Exception, match="dec2dbl: negative input"):
+        sdf.collect()
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="dec2dbl: negative input"):
+        con.execute(f"SELECT {dec2dbl_sql('CAST(-7 AS DECIMAL(38,0))')}").fetchall()
+    # guard is per-row: a nonnegative frame is untouched
+    ok = spark.createDataFrame([("7",)], "s string").select(
+        dec2dbl(F.col("s").cast("decimal(38,0)")).alias("d")
+    )
+    assert ok.first()["d"] == 7.0
+    [(got,)] = con.execute(
+        f"SELECT {dec2dbl_sql('CAST(7 AS DECIMAL(38,0))')}"
+    ).fetchall()
+    assert got == 7.0

@@ -561,6 +561,27 @@ def test_pagerank_users_rounds_are_equi_joins(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_pagerank_users_shipped_plan_has_no_reexpansion(spark, sf_dir):
+    """Convention #12 + VERDICT r9 #1/#2: the SHIPPED pagerank plan
+    (a) checkpoints the loop-invariant node set, so no round re-scans
+    events (zero parquet scans anywhere in the final plan — the Katz
+    discipline), and (b) truncates the final-round ranks, so the audit
+    join and the top-k output share one materialization (exactly one
+    audit equi-join)."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import graph_pagerank_users
+
+    plan = formatted_plan(graph_pagerank_users(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert (
+        len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree))
+        == 1
+    )
+
+
 def test_theil_sen_median_avoids_global_window(spark, sf_dir):
     """The ADVICE-r6 rewrite: the median must come from a pid-PARTITIONED
     cumulative-sum window over the range-partitioned slope histogram —
@@ -579,19 +600,42 @@ def test_theil_sen_median_avoids_global_window(spark, sf_dir):
 def test_lpa_argmax_is_partial_aggregate_not_window(spark, sf_dir):
     """Each LPA round's argmax must be a map-side-combinable struct-max
     hash aggregate (partial_max), never a windowed row_number sort; the
-    per-round label joins stay hash equi-joins."""
+    per-round label joins stay hash equi-joins. Pinned on the
+    untruncated lineage (checkpoint_every=0) so the rounds are
+    visible."""
     import re
 
     from catme_etl_j_spark.operators.graph import graph_lpa_communities
     from catme_etl_j_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(graph_lpa_communities(spark, sf_dir))
+    plan = formatted_plan(graph_lpa_communities(spark, sf_dir, checkpoint_every=0))
     assert "partial_max" in plan
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
     # one 1-row audit-scalar crossJoin only (VERDICT r8 #4)
     assert plan.split("\n\n")[0].count("BroadcastNestedLoopJoin") == 1
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_lpa_shipped_plan_has_no_reexpansion(spark, sf_dir):
+    """Convention #12 (VERDICT r9 #1): the SHIPPED LPA plan truncates
+    the round-(K-1) and round-K label frames, so neither the audit
+    join nor the community count re-expands per-round lineage — the
+    final plan is two aggregates + ONE audit equi-join over
+    checkpointed RDDs, zero parquet scans."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import graph_lpa_communities
+    from catme_etl_j_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(graph_lpa_communities(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert (
+        len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree))
+        == 1
+    )
 
 
 def test_feature_asof_single_fused_window(spark, sf_dir):
@@ -745,15 +789,38 @@ def test_matryoshka_no_parquet_rescans(spark, sf_dir):
 
 def test_s_core_rounds_are_semi_joins(spark, sf_dir):
     """Every peeling round is alive-set LEFT SEMI equi-joins onto the
-    checkpointed edge list plus a partial-combined strength aggregate —
-    no nested-loop join, no parquet rescan inside the loop."""
-    from catme_etl_j_spark.operators.graph import graph_s_core_peeling
+    surviving edge list plus a partial-combined strength aggregate —
+    no nested-loop join. Pinned on one round's UNtruncated plan
+    (checkpoint=False), since the shipped loop checkpoints both
+    per-round frames (convention #12) and hides the round shape."""
+    from catme_etl_j_spark.operators.graph import _s_core_round, _sym_user_edges
+
+    edges = _sym_user_edges(spark, sf_dir)
+    alive, nxt = _s_core_round(edges, 10, checkpoint=False)
+    plan = formatted_plan(nxt)
+    assert "NestedLoop" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan  # strength agg map-side combines
+
+
+def test_s_core_shipped_plan_has_no_reexpansion(spark, sf_dir):
+    """Convention #12 (VERDICT r9 #1): the shipped s-core trajectory
+    aggregates ONLY checkpointed per-round frames — zero parquet scans
+    and zero shuffle joins in the final plan (each round's strength
+    agg + semi-join pass ran exactly once, inside its checkpoint); the
+    SCORE_ITERS scalar stat rows attach via broadcast crossJoins."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import (
+        SCORE_ITERS,
+        graph_s_core_peeling,
+    )
 
     plan = formatted_plan(graph_s_core_peeling(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert "NestedLoop" not in tree.replace("BroadcastNestedLoopJoin Cross", "")
-    assert "LeftSemi" in plan
-    assert tree.count("Scan parquet") == 0  # edges checkpointed before the loop
+    assert tree.count("Scan parquet") == 0
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree)
+    assert tree.count("BroadcastNestedLoopJoin") == SCORE_ITERS
 
 
 def test_scd3_single_window_operator(spark, sf_dir):
@@ -788,19 +855,38 @@ def test_chunk_manifest_map_only(spark, sf_dir):
 def test_cc_rounds_are_hash_joins_no_rescans(spark, sf_dir):
     """Every min-label round is an equi hash join of labels onto the
     checkpointed symmetric edge list plus a partial-combined MIN
-    aggregate — no nested-loop join, no parquet rescan inside the
-    loop (the pagerank_users/LPA loop discipline)."""
+    aggregate — no nested-loop join (the pagerank_users/LPA loop
+    discipline). Pinned on the untruncated lineage
+    (checkpoint_every=0) so the rounds are visible."""
     from catme_etl_j_spark.operators.graph import graph_connected_components
 
-    plan = formatted_plan(graph_connected_components(spark, sf_dir))
+    plan = formatted_plan(
+        graph_connected_components(spark, sf_dir, checkpoint_every=0)
+    )
     tree = plan.split("\n\n")[0]
     # one 1-row audit-scalar crossJoin only (VERDICT r8 #4)
     assert tree.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in tree
     assert "partial_min" in plan
-    # the edge list is localCheckpoint'd before the loop; label state
-    # re-derives from one events scan at most (round 5 is pre-checkpoint)
-    assert tree.count("Scan parquet") <= 1
+
+
+def test_cc_shipped_plan_has_no_reexpansion(spark, sf_dir):
+    """Convention #12 (VERDICT r9 #1 — this double reference was the
+    r9 +51%): the shipped CC plan truncates the final-round labels, so
+    the audit join and the component count both read a checkpointed
+    RDD — zero parquet scans, exactly one audit equi-join."""
+    import re
+
+    from catme_etl_j_spark.operators.graph import graph_connected_components
+
+    plan = formatted_plan(graph_connected_components(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert (
+        len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree))
+        == 1
+    )
 
 
 def test_kmeans_centroids_broadcast(spark, sf_dir):
@@ -1156,8 +1242,17 @@ def test_katz_loop_reads_checkpointed_invariants(spark, sf_dir):
     CartesianProduct."""
     from catme_etl_j_spark.operators.graph import graph_katz_centrality
 
+    import re
+
     plan = formatted_plan(graph_katz_centrality(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 0
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" in tree
+    # convention #12 (r10): the final-round frame is truncated, so the
+    # only equi-join left in the shipped plan is the audit's — the
+    # top-k output and the audit share one materialization
+    assert (
+        len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree))
+        == 1
+    )
