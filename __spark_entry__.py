@@ -59,85 +59,73 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-9 rotation (VERDICT r8 #1): the r8 post-close hardening wave
-# (commits 95e89f0..780ddb3 — degenerate-probe guards, _prescaled /
-# _EMB_NZ zero-norm boundary, welch DECIMAL squaring, converter fuzz
-# closure) changed the implementations of 35 registry queries AFTER
-# their last driver-green CORRECTNESS rows; the 30 of them NOT in the
-# r8 window (CORRECTNESS_r08 re-proved the other 5 at final HEAD) get
-# re-witness slots. 9 more slots hold queries this round deliberately
-# changes (VERDICT asks #2/#4/#7 + all three ADVICE guards). The
-# remaining slots hold round-9 newborns (birth-round invariant) and —
-# only where slots are left over — oldest-green rotation picks.
+# Round-10 rotation (VERDICT r9 #5 — rotate to WITNESS-STALENESS):
+# 3 slots are this round's newborns (birth-round invariant), 8 slots
+# re-witness the queries whose implementations this round deliberately
+# changed (the five graph audit-checkpoint fixes, the NN_POOL_CAP cap,
+# the Kneser-Ney overflow guard, the dec2dbl sign guard's one consumer
+# window_bollinger_bands, and the _decontaminate refactor), and the
+# remaining 38 are the registry's OLDEST-green members in last-green
+# order (r1 text/corpus primitives, then the r3 relational block) —
+# every one of them unwitnessed for 6+ rounds. Every family rotating
+# out is all-green-ever per tools/witness.py (0 never-green outside
+# this window), which the backlog rules require before a family loses
+# its slot.
 _PRIORITY: tuple[str, ...] = (
-    # --- changed THIS round (VERDICT #2/#4/#7, ADVICE r8) ---
-    "dedup_embedding_cosine",
-    "graph_connected_components",
+    # --- round-10 newborns (birth-round invariant) ---
+    "corpus_decontaminate_13gram",
+    "corpus_doremi_mixture",
+    "dedup_url_keep_first",
+    # --- changed THIS round (VERDICT r9 #1-#4, ADVICE r9) ---
     "graph_lpa_communities",
+    "graph_connected_components",
     "graph_pagerank_users",
     "graph_s_core_peeling",
-    "etl_changelog_compaction",
-    "window_max_drawdown",
-    "rank_query_likelihood",
-    "embed_kmeans_sse",
-    # --- r8 hardening-wave re-witnesses (implementation changed after
-    # --- last driver-green row; VERDICT r8 "what's wrong" #3) ---
-    "ann_batch_topk",
-    "ann_filtered_topk",
-    "ann_ivf_recall",
-    "ann_lsh_hyperplane_pairs",
-    "ann_lsh_rerank_topk",
-    "ann_matryoshka_recall",
-    "ann_mmr_rerank",
-    "ann_nn_within_label",
-    "ann_pq_topk",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_ivf_kmeans",
-    "convert_stream_ndjson",
-    "corpus_bpe_tokenize",
-    "fn_pandas_udf_tokens",
-    "fn_variant_props",
-    "multimodal_resize",
-    "rank_mrr_eval",
-    "rank_rrf_fusion",
-    "sketch_histogram_quantiles",
-    "stats_ols_regression",
-    "text_quality",
-    "window_seasonal_index",
-    # --- round-9 newborns (added as born) + rotation fill ---
-    "text_quality_classifier",
-    "corpus_dedup_paragraphs",
-    "stats_bootstrap_ci",
-    "scale_merge_binpack",
-    "embed_nearest_centroid_purity",
-    "graph_triangle_count",
-    "dedup_substring_mass",
-    "graph_bfs_backbone",
-    # --- second-wave round-9 newborns (birth-round invariant; they
-    # --- displace green-ever rotation picks, which is allowed — every
-    # --- member of the displaced families is driver-green in a
-    # --- committed CORRECTNESS artifact per witness.py) ---
-    "stats_kendall_tau",
-    "stats_permutation_test",
-    "corpus_cdc_chunking",
-    "rank_smart_lnc_ltc",
-    # --- third-wave round-9 newborns (birth-round invariant). Each
-    # --- displaces a witness.py swap-out candidate (driver-green in
-    # --- >=2 committed rounds: convert_roundtrip_csv/multisheet/
-    # --- ndjson, then agg_stats_exact / fn_string_math /
-    # --- convert_roundtrip_json); every displaced family keeps window
-    # --- representation where backlog rules require it (convert via
-    # --- convert_stream_ndjson; fn via fn_pandas_udf_tokens /
-    # --- fn_variant_props; agg rotates fully out, all members green),
-    # --- and all displaced members were re-proven by this round's
-    # --- local full sweeps at post-hardening HEAD. ---
-    "stats_mutual_information",
-    "etl_interval_coalesce",
-    "window_bollinger_bands",
     "graph_katz_centrality",
+    "ann_nn_within_label",
     "text_kneser_ney_bigram",
-    "sketch_linear_counting",
+    "window_bollinger_bands",
+    "corpus_decontaminate",
+    # --- witness-staleness picks: last driver-green r1 ---
+    "corpus_doc_frequency",
+    "corpus_scrub_pii",
+    "corpus_word_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count",
+    # --- witness-staleness picks: last driver-green r3 ---
+    "agg_cube",
+    "agg_median_manual",
+    "agg_rollup",
+    "agg_stats_exact",
+    "agg_string_concat",
+    "cross_join_matrix",
+    "distinct_agg",
+    "fn_array_ops",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_string_math",
+    "having_filter",
+    "join_anti_no_orders",
+    "join_nullsafe_eq",
+    "join_semi_open_orders",
+    "q02_min_cost_supplier",
+    "q04_priority_exists",
+    "q06_revenue_delta",
+    "q07_nation_trade",
+    "q08_nation_share",
+    "q09_nation_profit",
+    "q10_returned_items",
+    "q12_late_lines",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_banded_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "setop_intersect",
 )
 
 

@@ -367,6 +367,19 @@ def main() -> None:
     # BENCH_r{N}.json, so regressions are visible at a glance (stderr —
     # stdout stays the single JSON line the driver parses).
     prev = _load_previous_round()
+    # VERDICT r9 #3: report the SHARED-set subtotal alongside the
+    # headline total, so one-off anchors added to HEADLINE (the ~60 s
+    # serial bigsheet conversion) can't mask drift on the queries both
+    # rounds measured. The bigsheet anchor is excluded even when both
+    # rounds carry it: it is single-shot serial I/O whose minute-scale
+    # jitter would swamp the whole relational signal (the exact
+    # masking this subtotal exists to prevent).
+    shared = sorted(
+        k
+        for k in timings
+        if k in prev and k != "convert_xlsx_bigsheet_1m2rows"
+    )
+    shared_subtotal = round(sum(timings[k] for k in shared), 3)
     if prev:
         sys.stderr.write("\n")
         for name, t in timings.items():
@@ -374,7 +387,12 @@ def main() -> None:
             if p:
                 sys.stderr.write(f"# {name}: {t:.3f}s vs {p:.3f}s prev ({t - p:+.3f})\n")
         prev_total = sum(v for v in prev.values() if isinstance(v, (int, float)))
+        prev_shared = round(sum(prev[k] for k in shared), 3)
         sys.stderr.write(f"# total: {total:.3f}s vs {prev_total:.3f}s prev\n")
+        sys.stderr.write(
+            f"# shared set ({len(shared)} queries): {shared_subtotal:.3f}s "
+            f"vs {prev_shared:.3f}s prev\n"
+        )
 
     print(
         json.dumps(
@@ -384,6 +402,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shared_set_n": len(shared),
+                "shared_set_subtotal": shared_subtotal,
             }
         )
     )
@@ -405,8 +425,18 @@ def _load_previous_round() -> dict[str, float]:
     try:
         with open(path) as f:
             doc = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        return doc.get("parsed", doc).get("queries", {}) or {}
+        # the driver wraps our JSON line under "parsed" — but has been
+        # seen recording "parsed": null with the raw line only in
+        # "tail" (BENCH_r09); fall back to extracting the queries dict
+        # from the tail text
+        parsed = doc.get("parsed") or doc
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return parsed["queries"]
+        if isinstance(doc.get("tail"), str):
+            m = re.search(r'"queries": (\{.*?\}), "sf"', doc["tail"], re.S)
+            if m:
+                return json.loads(m.group(1))
+        return {}
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}
 

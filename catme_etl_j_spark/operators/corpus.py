@@ -337,6 +337,12 @@ FROM base b JOIN dup d ON b.source = d.source
 
 
 DECON_N = 8  # n-gram width for contamination matching
+# The published eval-decontamination standard (GPT-3 appendix C uses
+# 13-gram overlap; The Pile / PaLM follow): a SECOND registered width,
+# because 8-gram flags ~every doc sharing a sentence while 13-gram only
+# flags near-verbatim inclusion — a curation pipeline runs both and
+# diffs them (VERDICT r9 #6).
+DECON_N_STRICT = 13
 
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +362,19 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8-gram repeating across many train docs still collapses to one
     row before the join.
     """
+    return _decontaminate(spark, sf_dir, DECON_N)
+
+
+def corpus_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_decontaminate at the PUBLISHED standard width n=13
+    (GPT-3 appendix C's eval-contamination filter; VERDICT r9 #6) —
+    same plan shape, same degenerate-row guard (docs under 13 words
+    produce zero grams on both engines, never a descending
+    ``sequence(1, 0)``)."""
+    return _decontaminate(spark, sf_dir, DECON_N_STRICT)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(
@@ -371,12 +390,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "is_eval",
             # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark and
-            # slice(w, 0, n) throws — docs under DECON_N words get no grams
+            # slice(w, 0, n) throws — docs under n words get no grams
             F.explode_outer(
                 F.expr(
-                    f"CASE WHEN size(w) >= {DECON_N} THEN "
-                    f"transform(sequence(1, size(w) - {DECON_N - 1}),"
-                    f" i -> md5(concat_ws(' ', slice(w, i, {DECON_N}))))"
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {n}))))"
                     f" ELSE array() END"
                 )
             ).alias("gh"),
@@ -404,7 +423,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECON_SQL = f"""
+def _decon_sql(n: int) -> str:
+    return f"""
 WITH staged AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {EVAL_PCT} AS is_eval,
@@ -412,8 +432,8 @@ WITH staged AS (
   FROM documents),
 grams AS (
   SELECT doc_id, is_eval,
-         unnest(list_transform(range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
-                i -> md5(array_to_string(w[i:i+{DECON_N - 1}], ' ')))) AS gh
+         unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                i -> md5(array_to_string(w[i:i+{n - 1}], ' ')))) AS gh
   FROM staged),
 eval_grams AS (SELECT DISTINCT doc_id, gh FROM grams WHERE is_eval),
 train_grams AS (SELECT DISTINCT gh FROM grams WHERE NOT is_eval),
@@ -430,6 +450,154 @@ FROM staged s
 LEFT JOIN totals t ON s.doc_id = t.doc_id
 LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.is_eval
+"""
+
+
+_DECON_SQL = _decon_sql(DECON_N)
+_DECON_13_SQL = _decon_sql(DECON_N_STRICT)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture weights (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining" — public). The
+# real algorithm runs multiplicative-weights updates on domain weights
+# driven by a proxy model's EXCESS LOSS per domain; the pipeline-side
+# analogue here applies one multiplicative step to the token-share
+# baseline using an OBSERVABLE excess proxy (normalized-text
+# redundancy: duplicated docs carry no marginal signal, so redundant
+# domains downweight — the first-order (1 - eta*excess) stand-in for
+# exp(-eta*excess)). Integer-rational throughout so it sits on the
+# hash gate like DSIR (VERDICT r9 #7).
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA_PPM = 500_000  # step size: a fully-duplicated domain halves
+DOREMI_SCALE = 1_000_000
+
+
+def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training mixture weights: token-share baseline times
+    one DoReMi-style multiplicative reweight against the redundancy
+    excess proxy, renormalized to ppm.
+
+    Output per source: doc/token supply, duplicate count, the excess
+    proxy (ppm of docs that are normalized-text duplicates), the
+    baseline token share (ppm), and the reweighted mixture weight
+    (ppm) — what a sampler like corpus_sample_temperature would
+    consume as its target distribution.
+
+    Determinism: all ratios are integer DIV in ppm (convention #7:
+    every operand nonnegative, so Spark DIV == DuckDB //); the score
+    product routes through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    because tokens * 1e6 crosses int64 at ~9e12 corpus tokens —
+    trivially reached at 100 TB (convention #2 discipline).
+
+    Scale shape: ONE corpus scan map-side combines to |sources| rows
+    (token sums + the (source, fingerprint) duplicate pre-aggregate —
+    two keyed shuffles, both combining); the reweight arithmetic runs
+    over that bounded aggregate with one unpartitioned window across
+    |sources| rows (documented bounded domain, the budget_mix
+    precedent).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5(F.expr("trim(lower(text))")).alias("fp"))
+    dup = (
+        fp.groupBy("source", "fp")
+        .agg(F.count("*").alias("k"))
+        .groupBy("source")
+        .agg(F.sum(F.col("k") - 1).cast("long").alias("n_dups"))
+    )
+    per = (
+        docs.select(
+            "source",
+            F.expr("size(split(trim(text), ' +'))").cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_dups",
+            F.expr(f"n_dups * {DOREMI_SCALE} DIV n_docs").alias("excess_ppm"),
+        )
+    )
+    scored = per.select(
+        "*",
+        # first-order multiplicative factor (1 - eta*excess), in ppm;
+        # eta = 0.5 keeps it in [5e5, 1e6] so score stays positive
+        F.expr(
+            f"CAST(n_tokens AS DECIMAL(38,0)) * "
+            f"({DOREMI_SCALE} - {DOREMI_ETA_PPM} * excess_ppm DIV {DOREMI_SCALE})"
+        ).alias("score"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    totals = scored.select(
+        "*",
+        F.sum("score").over(w_all).alias("total_score"),
+        F.sum("n_tokens").over(w_all).alias("total_tokens"),
+    )
+    return totals.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_dups",
+        "excess_ppm",
+        # defensive CASE (conv. #9): n_tokens >= n_docs by the split
+        # convention (an empty text still counts one token), so the
+        # denominators are only 0 when the frame is empty — but a DIV 0
+        # would THROW under ANSI where DuckDB errors too; the guard
+        # keeps both engines total
+        F.expr(
+            f"CASE WHEN total_tokens > 0 THEN n_tokens * {DOREMI_SCALE} DIV total_tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("baseline_ppm"),
+        F.expr(
+            f"CASE WHEN total_score > 0 THEN CAST(score * {DOREMI_SCALE} DIV total_score AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("weight_ppm"),
+    ).orderBy("source")
+
+
+_DOREMI_SQL = f"""
+WITH dup AS (
+  SELECT source, CAST(SUM(k - 1) AS BIGINT) AS n_dups
+  FROM (SELECT source, md5(trim(lower(text))) AS fp, COUNT(*) AS k
+        FROM documents GROUP BY source, fp) t
+  GROUP BY source),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+joined AS (
+  SELECT p.source, p.n_docs, p.n_tokens, d.n_dups,
+         n_dups * {DOREMI_SCALE} // n_docs AS excess_ppm
+  FROM per p JOIN dup d ON p.source = d.source),
+scored AS (
+  SELECT *,
+         CAST(n_tokens AS HUGEINT)
+           * ({DOREMI_SCALE} - {DOREMI_ETA_PPM} * excess_ppm // {DOREMI_SCALE}) AS score
+  FROM joined),
+totals AS (
+  SELECT *, SUM(score) OVER () AS total_score,
+         SUM(n_tokens) OVER () AS total_tokens
+  FROM scored)
+SELECT source, n_docs, n_tokens, n_dups,
+       CAST(excess_ppm AS BIGINT) AS excess_ppm,
+       CAST(CASE WHEN total_tokens > 0
+                 THEN n_tokens * {DOREMI_SCALE} // total_tokens
+                 ELSE 0 END AS BIGINT) AS baseline_ppm,
+       CAST(CASE WHEN total_score > 0
+                 THEN score * {DOREMI_SCALE} // total_score
+                 ELSE 0 END AS BIGINT) AS weight_ppm
+FROM totals
+ORDER BY source
 """
 
 
@@ -2298,6 +2466,8 @@ FROM rep ORDER BY n_copies DESC, fp, n_words LIMIT {CDC_TOP}
 
 
 QUERIES = {
+    "corpus_decontaminate_13gram": corpus_decontaminate_13gram,
+    "corpus_doremi_mixture": corpus_doremi_mixture,
     "corpus_cdc_chunking": corpus_cdc_chunking,
     "corpus_dedup_paragraphs": corpus_dedup_paragraphs,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
@@ -2330,6 +2500,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_decontaminate_13gram": _DECON_13_SQL,
+    "corpus_doremi_mixture": _DOREMI_SQL,
     "corpus_cdc_chunking": _CDC_SQL,
     "corpus_dedup_paragraphs": _DEDUP_PARA_SQL,
     "corpus_tokenizer_fertility": _FERTILITY_SQL,

@@ -2838,3 +2838,83 @@ def test_linear_counting_merge_and_accuracy(spark, sf_dir):
         assert abs(r["err_pct"]) < 1.0
     assert m["bits_set"] <= sum(r["bits_set"] for r in groups)
     assert m["n_exact"] <= sum(r["n_exact"] for r in groups)
+
+
+def test_decontaminate_13gram_subset_of_8gram(spark, sf_dir):
+    """A shared 13-gram contains shared 8-grams, so the 13-gram flag
+    set must be a SUBSET of the 8-gram flag set per eval doc (the
+    published-standard width only flags near-verbatim inclusion), and
+    per-doc gram counts shrink by exactly the width difference for
+    docs long enough to have both."""
+    from catme_etl_j_spark.operators.corpus import (
+        corpus_decontaminate,
+        corpus_decontaminate_13gram,
+    )
+
+    by8 = {r["doc_id"]: r for r in corpus_decontaminate(spark, sf_dir).collect()}
+    by13 = {
+        r["doc_id"]: r for r in corpus_decontaminate_13gram(spark, sf_dir).collect()
+    }
+    assert set(by8) == set(by13)  # same eval split
+    for did, r13 in by13.items():
+        r8 = by8[did]
+        if r13["contaminated"]:
+            assert r8["contaminated"], did
+        # distinct-gram counts: a doc with w words has w-n+1 grams
+        # (before dedup), so n_grams_13 <= n_grams_8 always
+        assert r13["n_grams"] <= r8["n_grams"], did
+
+
+def test_doremi_mixture_weights_normalize_and_downweight(spark, sf_dir):
+    """Weights renormalize to ~1e6 ppm (exact up to per-source
+    truncation), every weight is nonnegative, and the multiplicative
+    step moves weight AGAINST redundancy: relative to baseline, a
+    source with above-average excess loses share and one with
+    below-average excess gains (weight/baseline ordering follows
+    excess order for equal-token sources; globally we pin the sum and
+    the direction of the extreme movers)."""
+    from catme_etl_j_spark.operators.corpus import corpus_doremi_mixture
+
+    rows = corpus_doremi_mixture(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    tot_w = sum(r["weight_ppm"] for r in rows)
+    tot_b = sum(r["baseline_ppm"] for r in rows)
+    assert 1_000_000 - n <= tot_w <= 1_000_000
+    assert 1_000_000 - n <= tot_b <= 1_000_000
+    for r in rows:
+        assert r["weight_ppm"] >= 0 and r["baseline_ppm"] >= 0
+        assert 0 <= r["excess_ppm"] <= 1_000_000
+        assert r["n_tokens"] >= r["n_docs"]  # empty text still counts 1
+    if len({r["excess_ppm"] for r in rows}) > 1:
+        hi = max(rows, key=lambda r: (r["excess_ppm"], r["source"]))
+        lo = min(rows, key=lambda r: (r["excess_ppm"], r["source"]))
+        # the most-redundant source's weight:baseline ratio is <= the
+        # least-redundant one's (cross-multiplied to stay integer)
+        assert (
+            hi["weight_ppm"] * lo["baseline_ppm"]
+            <= lo["weight_ppm"] * hi["baseline_ppm"]
+        )
+
+
+def test_url_keep_first_canonical_and_minimal(spark, sf_dir):
+    """Every canonical url is scheme-less, www-less, query-less and
+    has no trailing slash; kept_doc_id is the group minimum; variant
+    counts conserve the corpus row count; and at least one group
+    actually collapses multiple crawl variants (the operator dedups,
+    not just relabels)."""
+    from catme_etl_j_spark.operators.dedup import dedup_url_keep_first
+    from catme_etl_j_spark.sources.tables import load_table
+
+    rows = dedup_url_keep_first(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_variants"] for r in rows) == n_docs
+    assert any(r["n_variants"] > 1 for r in rows)
+    for r in rows:
+        u = r["canonical_url"]
+        assert not u.startswith(("http://", "https://", "www."))
+        assert "?" not in u and "#" not in u
+        assert not u.endswith("/")
+        assert u == u.lower()
+        assert r["n_dropped"] == r["n_variants"] - 1
+        assert r["kept_doc_id"] >= 0

@@ -1256,3 +1256,37 @@ def test_katz_loop_reads_checkpointed_invariants(spark, sf_dir):
         len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", tree))
         == 1
     )
+
+
+def test_url_keep_first_map_only_single_aggregate(spark, sf_dir):
+    """URL keep-first dedup is ONE pruned scan -> per-row
+    canonicalization -> a single map-side-combining hash aggregate on
+    the canonical key (partial_min/partial_count) — no join anywhere;
+    the only exchanges are the aggregate's hash and the output sort's
+    range partitioning."""
+    import re
+
+    from catme_etl_j_spark.operators.dedup import dedup_url_keep_first
+
+    plan = formatted_plan(dedup_url_keep_first(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert "partial_min" in plan and "partial_count" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_doremi_mixture_bounded_aggregate_plan(spark, sf_dir):
+    """The DoReMi reweight runs entirely over the |sources|-row
+    aggregate: two map-side-combining corpus aggregations (token sums
+    and the fingerprint duplicate pre-aggregate), one equi-join on
+    source, and no row_number window anywhere — the unpartitioned
+    total window runs on the bounded post-aggregate frame only."""
+    from catme_etl_j_spark.operators.corpus import corpus_doremi_mixture
+
+    plan = formatted_plan(corpus_doremi_mixture(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2
+    assert "row_number" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in tree

@@ -88,6 +88,12 @@ AUDIT = [
     ("graph_katz_centrality", "checkpointed node + edge invariants: zero parquet scans in the 4-round loop; audit attaches broadcast"),
     ("text_kneser_ney_bigram", "checkpointed bigram-type frame: one corpus explode feeds ctx/cont/D/final; no re-tokenization"),
     ("sketch_linear_counting", "one distinct (grp,user,bit) pass; merged row is a union over the checkpoint, not a self-join"),
+    # --- round 10: convention-#12 closure (VERDICT r9 #1/#2) + newborns ---
+    ("graph_lpa_communities", "shipped plan: zero parquet, ONE audit equi-join over the truncated final/prev label RDDs"),
+    ("graph_pagerank_users", "shipped plan: node set + final ranks checkpointed — zero parquet, one audit equi-join, TakeOrdered"),
+    ("dedup_url_keep_first", "one pruned scan -> codegen canonicalization -> single map-side-combining aggregate; no join"),
+    ("corpus_doremi_mixture", "two map-side-combined corpus aggregates; reweight windows over the |sources|-row frame only"),
+    ("corpus_decontaminate_13gram", "gram-hash equi-join after map-side DISTINCT; the 8-gram plan with fewer exploded rows"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
