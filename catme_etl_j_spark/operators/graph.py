@@ -588,6 +588,11 @@ def _pagerank_users_ranks(
         # 100 TB; the Katz loop fixed this first, graph.py Katz nodes)
         nodes = nodes.localCheckpoint(eager=False)
     edges = _user_edges(spark, sf_dir)
+    if checkpoint_every:
+        # edges feeds BOTH sides of the ew join (the out-weight
+        # aggregate and the probe side) — truncate first so the
+        # events window+groupBy runs once, not twice (conv. #12)
+        edges = edges.localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     # edge list is reused every round: materialize once (it is the
     # data-scaled analogue of broadcasting a static structure — at
@@ -717,12 +722,18 @@ def graph_lpa_communities(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ed = _user_edges(spark, sf_dir)
+    if checkpoint_every:
+        # ed appears on BOTH branches of the union — truncate first so
+        # the events window+groupBy runs once inside the `both`
+        # materialization, not per branch (conv. #12)
+        ed = ed.localCheckpoint(eager=False)
     # undirected neighborhood: each directed edge contributes its
     # weight in both directions
     both = ed.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr"), "w"
     ).unionAll(ed.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w"))
-    both = both.localCheckpoint()
+    if checkpoint_every:
+        both = both.localCheckpoint()
     labels = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -1185,11 +1196,16 @@ def graph_connected_components(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ed = _user_edges(spark, sf_dir)
+    if checkpoint_every:
+        # ed feeds both union branches (conv. #12 — one window pass)
+        ed = ed.localCheckpoint(eager=False)
     both = ed.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
     ).unionAll(
         ed.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
-    ).distinct().localCheckpoint()
+    ).distinct()
+    if checkpoint_every:
+        both = both.localCheckpoint()
     labels = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
