@@ -164,7 +164,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         stacklevel=2,
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    sh = _shingled(spark, sf_dir).cache()  # used by both join sides + sizes
+    # explicit repartition ON THE JOIN KEY: the documents scan is 1-2
+    # files and the shingle frame is small in BYTES, so AQE coalesces
+    # the join's exchange to ~2 tasks — blind to the O(df^2) OUTPUT
+    # explosion each task then produces (measured r10: the sf1.0
+    # self-join ran 334 s on 2 cores). A user-specified partition
+    # count survives AQE, the self-join co-partitions on s with no
+    # further exchange, and the pair counts partial-aggregate map-side
+    # in every task.
+    sh = _shingled(spark, sf_dir).repartition(64, "s").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -183,12 +191,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shingles inlined PER REFERENCE (not a shared CTE): this DuckDB
+# auto-materializes any twice-referenced CTE and scans the
+# materialization single-threaded, serializing the whole self-join
+# pipeline (the r10 sf1.0 finding — see similarity._lsh_sql). The
+# duplicated shingling costs two extra |docs|-row regex passes; the
+# self-join is where the minutes live.
+_SHINGLES_SUBQ = (
+    "(SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s "
+    "FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w "
+    "FROM documents) wq)"
+)
+
 _JACCARD_SQL = f"""
-WITH {_SHINGLE_CTE_DUCK.replace("hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shingles)", "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)")},
-inter AS (
+WITH inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+  FROM {_SHINGLES_SUBQ} a JOIN {_SHINGLES_SUBQ} b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM {_SHINGLES_SUBQ} sq GROUP BY doc_id)
 SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
 FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
 WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}

@@ -581,12 +581,23 @@ def ann_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sql() -> str:
+    # Native-dot rewrite (r10, the sf1.0 wall-time finding): DuckDB's
+    # list_dot_product is vectorized C++ but returns DOUBLE, which is
+    # only exact below 2^53 — the full 1e8-scale products (up to
+    # ~1.6e17 each) would lose bits. Splitting each fixed-point
+    # component v into (v // 1e4, v % 1e4) keeps EVERY partial dot an
+    # exact integer in double (|hi|,|lo| <= 1e4+eps; 64 * (1e4)^2 * 1e4
+    # ~ 6.4e13 < 2^53 even with any summation order), and the BIGINT
+    # recombination hi*1e8 + cross*1e4 + lo reproduces the exact int64
+    # dot the Spark side computes — bit-identical values, ~10x less
+    # per-pair lambda overhead on the 46M-candidate sf1.0 stage.
+    # (DuckDB // truncates and % is sign-of-dividend, so
+    # hi*1e4 + lo == v holds for NEGATIVE components too.)
     def plane_dot(j: int) -> str:
-        lits = ", ".join(str(v) for v in PLANES[j])
-        return (
-            f"CAST(list_sum(list_transform(range(1, 65), "
-            f"i -> fx[i] * ([{lits}])[i])) AS BIGINT)"
-        )
+        lits = ", ".join(f"{float(v)}" for v in PLANES[j])
+        # plane entries <= 1000, |fx| <= ~1e8: products <= 1e11, sum
+        # 64 of them < 2^53 — exact in double at any summation order
+        return f"CAST(list_dot_product(fxd, [{lits}]) AS BIGINT)"
 
     def band(b: int) -> str:
         return " + ".join(
@@ -595,30 +606,65 @@ def _lsh_sql() -> str:
         )
 
     bands_sql = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {b} AS band, {band(b)} AS bucket FROM fxe" for b in range(LSH_BANDS)
+        f"  SELECT vec_id, {b} AS band, {band(b)} AS bucket FROM fxd_t"
+        for b in range(LSH_BANDS)
     )
-    cos = rdet_sql(
-        "CAST(list_sum(list_transform(range(1, 65), i -> x.fx[i] * y.fx[i])) AS BIGINT)"
-        " / (x.norm * y.norm)",
-        6,
+    pair_dot = (
+        "(CAST(list_dot_product(a.fhi, b.fhi) AS BIGINT) * 100000000"
+        " + (CAST(list_dot_product(a.fhi, b.flo) AS BIGINT)"
+        "    + CAST(list_dot_product(a.flo, b.fhi) AS BIGINT)) * 10000"
+        " + CAST(list_dot_product(a.flo, b.flo) AS BIGINT))"
+    )
+    self_dot = (
+        "(CAST(list_dot_product(fhi, fhi) AS BIGINT) * 100000000"
+        " + 2 * CAST(list_dot_product(fhi, flo) AS BIGINT) * 10000"
+        " + CAST(list_dot_product(flo, flo) AS BIGINT))"
+    )
+    cos = rdet_sql(f"CAST({pair_dot} AS DOUBLE) / (a.norm * b.norm)", 6)
+    # ONE self-join, carrying (fhi, flo, norm) on the band rows
+    # themselves — the r10 sf1.0 rebuild after three separate
+    # pathologies were measured in this DuckDB:
+    #  * any CTE referenced twice AUTO-materializes, and materialized-
+    #    CTE scans are SINGLE-THREADED (200M-row scan: 2.05 s as a
+    #    mat-CTE vs 0.06 s as a table) — a mat-CTE source serializes
+    #    the whole downstream pipeline, so NO shared CTEs here
+    #    (convention #11 is for small multi-ref frames, not this);
+    #  * with separate candidate/vector subqueries the join ORDERER is
+    #    free to move the narrow band self-join above or below the
+    #    vector-payload joins on opaque estimates — both orders it
+    #    picked turned the 46M-candidate stage into >10 min;
+    #  * a pre-join DISTINCT's output estimate made the 46M stream a
+    #    hash-join BUILD side.
+    # With a single join there is nothing to reorder and the build
+    # side is the 80k-row banded frame (~80 MB); list vectors flow
+    # by buffer reference, so the wide rows are not deep-copied. The
+    # dedup of multi-band matches (51.7M raw vs 46.3M distinct,
+    # measured — <12%) runs AFTER the threshold filter over the
+    # ~139k surviving pairs, where it is free. The per-branch
+    # re-derivation of fx/fhi/flo costs a few extra |vectors|-row
+    # lambda passes — noise against the pair stage.
+    fx_subq = (
+        "(SELECT vec_id, "
+        f"list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx "
+        f"FROM {_EMB_NZ})"
+    )
+    banded_subq = (
+        "(\n"
+        + "\n  UNION ALL\n".join(
+            f"  SELECT vec_id, {b} AS band, {band(b)} AS bucket, fhi, flo,"
+            f" sqrt(CAST({self_dot} AS DOUBLE)) AS norm"
+            f" FROM (SELECT vec_id, list_transform(fx, v -> CAST(v AS DOUBLE)) AS fxd,"
+            f" list_transform(fx, v -> CAST(v // 10000 AS DOUBLE)) AS fhi,"
+            f" list_transform(fx, v -> CAST(v % 10000 AS DOUBLE)) AS flo"
+            f" FROM {fx_subq} fq{b}) bq{b}"
+            for b in range(LSH_BANDS)
+        )
+        + "\n)"
     )
     return f"""
-WITH fxe AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {_FXP} + 0.5) AS BIGINT)) AS fx
-  FROM {_EMB_NZ}),
-fxn AS (
-  SELECT vec_id, fx,
-         sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> fx[i] * fx[i])) AS BIGINT) AS DOUBLE)) AS norm
-  FROM fxe),
-bands AS (
-{bands_sql}),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, {cos} AS cos_sim
-FROM cand JOIN fxn x ON vec_a = x.vec_id JOIN fxn y ON vec_b = y.vec_id
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM {banded_subq} a JOIN {banded_subq} b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {COS_THRESHOLD}
 """
 
@@ -1045,8 +1091,6 @@ def _emb_keep_sql() -> str:
     round is AS MATERIALIZED (convention #11: each references the
     previous round three times)."""
     base = _lsh_sql()
-    head, tail = base.split("SELECT vec_a, vec_b,", 1)
-    cte = head.strip()[len("WITH"):].strip()
     rounds = []
     for k in range(_EMB_CC_ROUNDS):
         rounds.append(f"""
@@ -1060,9 +1104,12 @@ r{k + 1} AS MATERIALIZED (
              FROM bi JOIN r{k} r2 ON bi.a = r2.node
              GROUP BY bi.b) nb ON nb.node = r.node
   LEFT JOIN r{k} pp ON pp.node = r.m)""")
+    # the pairs stage is CTE-free (see _lsh_sql: DuckDB materialized-
+    # CTE scans are single-threaded, so it inlines everything); wrap
+    # it whole. pairs/bi/r{k} MATERIALIZED is fine — they are
+    # |pairs|- and |vectors|-sized, not candidate-sized.
     return f"""
-WITH {cte},
-pairs AS MATERIALIZED (SELECT vec_a, vec_b,{tail}),
+WITH pairs AS MATERIALIZED ({base}),
 bi AS MATERIALIZED (
   SELECT vec_a AS a, vec_b AS b FROM pairs
   UNION ALL
