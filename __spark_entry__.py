@@ -59,73 +59,76 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-10 rotation (VERDICT r9 #5 — rotate to WITNESS-STALENESS):
-# 3 slots are this round's newborns (birth-round invariant), 8 slots
-# re-witness the queries whose implementations this round deliberately
-# changed (the five graph audit-checkpoint fixes, the NN_POOL_CAP cap,
-# the Kneser-Ney overflow guard, the dec2dbl sign guard's one consumer
-# window_bollinger_bands, and the _decontaminate refactor), and the
-# remaining 38 are the registry's OLDEST-green members in last-green
-# order (r1 text/corpus primitives, then the r3 relational block) —
-# every one of them unwitnessed for 6+ rounds. Every family rotating
-# out is all-green-ever per tools/witness.py (0 never-green outside
-# this window), which the backlog rules require before a family loses
-# its slot.
+# Round-11 rotation (VERDICT r10 #6 — continue WITNESS-STALENESS):
+# 2 slots are this round's newborns (birth-round invariant), 8 slots
+# re-witness queries whose implementations changed this round or whose
+# last driver-green predates an oracle/impl rewrite (graph
+# pagerank/s-core perf rework, the _km_assign refactor under
+# embed_kmeans_sse, the DoReMi baseline_ppm DECIMAL fix, the dec2dbl
+# NULL-passthrough's consumer window_bollinger_bands, and ADVICE r10's
+# three r10-rewritten-but-unwitnessed queries: dedup_ngram_jaccard,
+# ann_lsh_hyperplane_pairs, dedup_embedding_cosine), and the remaining
+# 40 are the registry's OLDEST-green members in last-green order (the
+# r3 setop/window/topk block, then the r4 block alphabetically) —
+# every one unwitnessed for 7+ rounds. Every family rotating out is
+# all-green-ever per tools/witness.py (0 never-green outside this
+# window), which the backlog rules require before a family loses its
+# slot.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-10 newborns (birth-round invariant) ---
-    "corpus_decontaminate_13gram",
-    "corpus_doremi_mixture",
-    "dedup_url_keep_first",
-    # --- changed THIS round (VERDICT r9 #1-#4, ADVICE r9) ---
-    "graph_lpa_communities",
-    "graph_connected_components",
+    # --- round-11 newborns (birth-round invariant) ---
+    "dedup_semdedup_prune",
+    "corpus_decontaminate_vs",
+    # --- changed this round / witness-stale rewrites (ADVICE r10) ---
     "graph_pagerank_users",
     "graph_s_core_peeling",
-    "graph_katz_centrality",
-    "ann_nn_within_label",
-    "text_kneser_ney_bigram",
+    "embed_kmeans_sse",
+    "corpus_doremi_mixture",
     "window_bollinger_bands",
-    "corpus_decontaminate",
-    # --- witness-staleness picks: last driver-green r1 ---
-    "corpus_doc_frequency",
-    "corpus_scrub_pii",
-    "corpus_word_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_count",
+    "dedup_ngram_jaccard",
+    "ann_lsh_hyperplane_pairs",
+    "dedup_embedding_cosine",
     # --- witness-staleness picks: last driver-green r3 ---
-    "agg_cube",
-    "agg_median_manual",
-    "agg_rollup",
-    "agg_stats_exact",
-    "agg_string_concat",
-    "cross_join_matrix",
-    "distinct_agg",
-    "fn_array_ops",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_string_math",
-    "having_filter",
-    "join_anti_no_orders",
-    "join_nullsafe_eq",
-    "join_semi_open_orders",
-    "q02_min_cost_supplier",
-    "q04_priority_exists",
-    "q06_revenue_delta",
-    "q07_nation_trade",
-    "q08_nation_share",
-    "q09_nation_profit",
-    "q10_returned_items",
-    "q12_late_lines",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_banded_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union",
+    "topk_global",
+    "window_lag_gap",
+    "window_range_frame",
+    "window_ranks",
+    "window_running_total",
+    # --- witness-staleness picks: last driver-green r4 ---
+    "agg_grouping_sets",
+    "asof_purchase_view",
+    "corpus_clean_pipeline",
+    "corpus_pack_sequences",
+    "corpus_sample_stratified",
+    "dedup_exact",
+    "dedup_minhash_keep",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
+    "embed_quantize_int8",
+    "etl_incremental_agg",
+    "etl_merge_upsert",
+    "etl_scd2_intervals",
+    "events_funnel",
+    "events_retention",
+    "multimodal_meta",
+    "pivot_order_status",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "range_join_price_bands",
+    "rank_bm25_search",
+    "rank_tfidf_topterms",
+    "scalar_subquery_above_avg",
+    "setop_except_all",
+    "sketch_bloom_join_prune",
+    "sketch_countmin_topwords",
+    "sketch_hll_distinct",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_totals",
 )
 
 

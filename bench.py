@@ -134,7 +134,40 @@ HEADLINE = [
     # wave's other newborns are bounded-cell/daily-frame aggregates
     "graph_katz_centrality",
     "text_kneser_ney_bigram",
+    # round-11 newborns: the k-means + capped-pair semantic prune (the
+    # round's only new iterative+pair-grid shape) and the broadcast
+    # gram-probe decontamination against a supplied eval table
+    "dedup_semdedup_prune",
+    "corpus_decontaminate_vs",
 ]
+
+# Queries that materialize eagerly during construction (checkpointed
+# iterative state, driver-side bounded collects) must be timed
+# end-to-end; lazy queries time execution only (construction is
+# driver-side plan analysis, which a resident service pays once).
+# SINGLE SOURCE OF TRUTH (VERDICT r10 ADVICE): tools/bench_subset.py
+# imports this set, and tests/test_operators.py asserts any registered
+# query whose construction schedules Spark jobs is listed here.
+EAGER_CONSTRUCTION = frozenset(
+    {
+        "dedup_minhash_keep",
+        "graph_pagerank_nations",
+        "corpus_e2e_funnel",  # localCheckpoints the staged text frame
+        "corpus_bpe_tokenize",  # driver-side merge training in the builder
+        "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
+        "sketch_ams_f2",  # localCheckpoints the shingle counts
+        "graph_pagerank_users",  # localCheckpoints adjacency + round frames
+        "graph_s_core_peeling",  # checkpoints edges/alive + median collect
+        "dedup_embedding_cosine",  # CC fixpoint loop: per-round first()
+        # r11 additions: the Lloyd loop's comp localCheckpoint is EAGER,
+        # so both k-means consumers pay real construction jobs —
+        # embed_kmeans_sse was HEADLINE-timed execution-only since r8
+        # (underreported; the r11 number includes construction and is
+        # honestly higher than r10's)
+        "embed_kmeans_sse",
+        "dedup_semdedup_prune",
+    }
+)
 
 
 def _bench_converter(spark, sf_dir: str, n_rows: int = 100_000) -> float:
@@ -261,24 +294,9 @@ def _run_session() -> dict[str, float]:
     # runs (median-of-5) because their run-over-run jitter (~±0.06s
     # observed r02->r03 on unchanged q01/q05) is a large RELATIVE error
     # only below ~1s. Target stability: unchanged queries move <=0.03s.
-    # Queries that materialize eagerly during construction (iterative
-    # connected components) must be timed end-to-end; lazy queries time
-    # execution only (construction is driver-side plan analysis, which a
-    # resident service pays once).
-    # Queries whose construction eagerly materializes iterative state
-    # (driver-side tiny-state loops) — time those end-to-end.
-    eager = {
-        "dedup_minhash_keep",
-        "graph_pagerank_nations",
-        "corpus_e2e_funnel",  # localCheckpoints the staged text frame
-        "corpus_bpe_tokenize",  # driver-side merge training in the builder
-        "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
-        "sketch_ams_f2",  # localCheckpoints the shingle counts
-        "graph_pagerank_users",  # localCheckpoints edges + per-round ranks
-        "graph_s_core_peeling",  # checkpoints edges/alive + median collect
-        "dedup_embedding_cosine",  # CC fixpoint loop: per-round first()
-    }
+    eager = EAGER_CONSTRUCTION
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples: list[float] = []
 
@@ -298,12 +316,13 @@ def _run_session() -> dict[str, float]:
             for _ in range(2):
                 run_once(True)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        raw_samples[name] = [round(s, 3) for s in samples]
 
     timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
     timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)
     if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
         timings["convert_xlsx_bigsheet_1m2rows"] = _bench_converter_bigsheet(spark)
-    return timings
+    return timings, raw_samples
 
 
 def main() -> None:
@@ -320,11 +339,14 @@ def main() -> None:
     # tracks code changes. The converter benches get a fresh JVM in
     # every child session for free.
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
-        print("CHILD_TIMINGS " + json.dumps(_run_session()))
+        timings, raw = _run_session()
+        print("CHILD_TIMINGS " + json.dumps(timings))
+        print("CHILD_SAMPLES " + json.dumps(raw))
         return
 
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
     per_session: list[dict[str, float]] = []
+    per_session_raw: list[dict[str, list[float]]] = []
     if n_sessions > 1:
         import subprocess
 
@@ -341,18 +363,23 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
             )
+            got = False
             for line in r.stdout.splitlines():
                 if line.startswith("CHILD_TIMINGS "):
                     per_session.append(json.loads(line[len("CHILD_TIMINGS "):]))
-                    break
-            else:
+                    got = True
+                elif line.startswith("CHILD_SAMPLES "):
+                    per_session_raw.append(json.loads(line[len("CHILD_SAMPLES "):]))
+            if not got:
                 sys.stderr.write(
                     f"# bench child {i} produced no timings "
                     f"(rc={r.returncode}); stderr tail: {r.stderr[-500:]}\n"
                 )
     if not per_session:  # single-session fallback (child spawn failed)
         os.environ["SPARK_GRAFT_BENCH_BIG"] = "1"
-        per_session = [_run_session()]
+        timings1, raw1 = _run_session()
+        per_session = [timings1]
+        per_session_raw = [raw1]
 
     timings = {
         name: min(s[name] for s in per_session if name in s)
@@ -408,6 +435,55 @@ def main() -> None:
         )
     )
 
+    if os.environ.get("BENCH_RECORD") == "1":
+        write_bench_log(
+            tool="bench.py",
+            sf_dir=sf_dir,
+            timings=timings,
+            raw={
+                name: [s for sess in per_session_raw for s in sess.get(name, [])]
+                for name in timings
+            },
+            n_sessions=len(per_session),
+        )
+
+
+def write_bench_log(
+    tool: str,
+    sf_dir: str,
+    timings: dict[str, float],
+    raw: dict[str, list[float]],
+    **extra,
+) -> None:
+    """Append one replayable receipt to BENCH_LOG.jsonl (VERDICT r10 #2):
+    raw per-query samples (not just medians), the pinned q03 control,
+    and an env fingerprint, so any later reader can re-run the same
+    tool and compare like-for-like. Opt-in via BENCH_RECORD=1."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = None
+    entry = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "tool": tool,
+        "sf_dir": sf_dir,
+        "control_q03": timings.get("q03_shipping_priority"),
+        "queries": {
+            name: {"median": timings[name], "samples": raw.get(name, [])}
+            for name in sorted(timings)
+        },
+        "env": {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "load_avg_1m": load1,
+            "load_avg_5m": load5,
+        },
+        **extra,
+    }
+    with open(os.path.join(here, "BENCH_LOG.jsonl"), "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+
 
 def _load_previous_round() -> dict[str, float]:
     import glob
@@ -433,9 +509,21 @@ def _load_previous_round() -> dict[str, float]:
         if isinstance(parsed, dict) and parsed.get("queries"):
             return parsed["queries"]
         if isinstance(doc.get("tail"), str):
-            m = re.search(r'"queries": (\{.*?\}), "sf"', doc["tail"], re.S)
+            tail = doc["tail"]
+            m = re.search(r'"queries": (\{.*?\}), "sf"', tail, re.S)
             if m:
                 return json.loads(m.group(1))
+            # the driver may truncate the HEAD of the line (BENCH_r10's
+            # tail starts mid-key): scrape "name": number pairs from
+            # the segment before the closing "}" of the queries dict,
+            # dropping the first pair if its key was cut off
+            # a key whose head was cut off has no opening quote, so the
+            # findall pattern skips it by construction — every match is
+            # a complete pair
+            seg = tail.split('}, "sf"')[0]
+            pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9.]+)', seg)
+            if pairs:
+                return {k: float(v) for k, v in pairs}
         return {}
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}

@@ -106,6 +106,11 @@ def dec2dbl(c: Column) -> Column:
     raise_error branch is non-foldable, so it only fires on actual
     rows). A caller with signed accumulators splits sign first:
     sign(c) * dec2dbl(abs(c)).
+
+    NULL passes through as NULL (ADVICE r10): a nullable accumulator
+    (e.g. SUM over an empty group) must keep propagating NULL, not
+    trip the negative-input guard — `c >= 0` is NULL for NULL rows
+    and `otherwise` would route them to raise_error.
     """
     import pyspark.sql.functions as F
 
@@ -117,10 +122,14 @@ def dec2dbl(c: Column) -> Column:
     mid = (d1 % _DEC_SPLIT).cast("long")
     hi = ((d1 - (d1 % _DEC_SPLIT)) / _DEC_SPLIT).cast("long")
     body = (hi.cast("double") * k * k + mid.cast("double") * k) + lo.cast("double")
-    return F.when(c >= 0, body).otherwise(
-        F.expr(
-            "CAST(raise_error('dec2dbl: negative input — the base-2^42 "
-            "split is only sign-correct for nonnegative values') AS DOUBLE)"
+    return (
+        F.when(c.isNull(), F.lit(None).cast("double"))
+        .when(c >= 0, body)
+        .otherwise(
+            F.expr(
+                "CAST(raise_error('dec2dbl: negative input — the base-2^42 "
+                "split is only sign-correct for nonnegative values') AS DOUBLE)"
+            )
         )
     )
 
@@ -128,7 +137,8 @@ def dec2dbl(c: Column) -> Column:
 def dec2dbl_sql(expr: str) -> str:
     """DuckDB twin of :func:`dec2dbl` (HUGEINT // and % truncate;
     nonnegative operands make floor == trunc, convention #7; same
-    loud-failure guard for negative inputs as the Spark side)."""
+    loud-failure guard for negative inputs and the same NULL
+    passthrough as the Spark side)."""
     k = float(_DEC_SPLIT)
     h = f"CAST({expr} AS HUGEINT)"
     body = (
@@ -137,7 +147,8 @@ def dec2dbl_sql(expr: str) -> str:
         f" + CAST({h} % {_DEC_SPLIT} AS DOUBLE))"
     )
     return (
-        f"CASE WHEN ({expr}) >= 0 THEN {body} "
+        f"CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN ({expr}) >= 0 THEN {body} "
         f"ELSE CAST(error('dec2dbl: negative input — the base-2^42 split "
         f"is only sign-correct for nonnegative values') AS DOUBLE) END"
     )

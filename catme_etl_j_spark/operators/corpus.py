@@ -457,6 +457,127 @@ _DECON_SQL = _decon_sql(DECON_N)
 _DECON_13_SQL = _decon_sql(DECON_N_STRICT)
 
 
+# The supplied-eval-corpus variant (VERDICT r10 #5): real pipelines
+# decontaminate the TRAIN side against an EXTERNAL benchmark, not
+# against a hash-carved split of themselves. The registry fixture
+# designates one source as the supplied benchmark; `eval_docs` lets a
+# caller hand in any (doc_id, text) frame instead.
+DECON_EVAL_SOURCE = "src0"
+
+
+def corpus_decontaminate_vs(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame = None,
+    n: int = DECON_N,
+) -> DataFrame:
+    """Decontaminate the training corpus against a SUPPLIED eval set:
+    one row per TRAIN document with its distinct word-``n``-gram count,
+    how many of those grams appear anywhere in the eval corpus, and the
+    contaminated flag — the removal-candidate list a curation pipeline
+    acts on before training (the direction the in-corpus hash-split
+    variants above cannot express; VERDICT r10 #5).
+
+    The registered fixture treats ``source = 'src0'`` as the external
+    benchmark; every other document (unknown/NULL sources included —
+    null-safe membership on both engines) is train. ``eval_docs``
+    overrides the eval side with any (doc_id, text) frame.
+
+    Scale shape: eval benchmarks are MBs where train is the 100 TB
+    side, so the deduplicated eval gram set is broadcast — the overlap
+    is a broadcast semi-probe of the train gram stream, never a
+    shuffle of the corpus; train grams still DISTINCT map-side per doc
+    before counting. Degenerate guard (conv. #9): docs under ``n``
+    words produce zero grams on both engines (the CASE in
+    :func:`_word_grams`), and an empty eval side flags nothing.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load_table(spark, sf_dir, "documents")
+    if eval_docs is None:
+        eval_docs = docs.filter(F.expr(f"source <=> '{DECON_EVAL_SOURCE}'"))
+    train = docs.filter(F.expr(f"NOT (source <=> '{DECON_EVAL_SOURCE}')"))
+    eval_grams = _word_grams(eval_docs, n).select("gh").distinct()
+    train_grams = _word_grams(train, n).select("doc_id", "gh").distinct()
+    # ONE pass over the train gram stream: broadcast LEFT-probe marks
+    # each distinct gram, and a single map-side-combining aggregate
+    # yields both the total and the hit count (three corpus re-scans
+    # in the naive totals/hits/spine form collapse to this probe plus
+    # the 1-column doc spine)
+    per_doc = (
+        train_grams.join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _word_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gh): every word ``n``-gram of ``text`` as a portable
+    md5 hash — the shared gram shape of the decontamination family
+    (same CASE guard as :func:`_decontaminate`: under-``n``-word docs
+    yield zero grams, never a descending ``sequence(1, 0)``)."""
+    return (
+        docs.select("doc_id", F.expr("split(trim(text), ' +')").alias("w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {n}))))"
+                    f" ELSE array() END"
+                )
+            ).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+    )
+
+
+_DECON_VS_SQL = f"""
+WITH evald AS (
+  SELECT doc_id, text FROM documents WHERE source IS NOT DISTINCT FROM '{DECON_EVAL_SOURCE}'),
+traind AS (
+  SELECT doc_id, text FROM documents WHERE source IS DISTINCT FROM '{DECON_EVAL_SOURCE}'),
+eval_grams AS (
+  SELECT DISTINCT gh FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
+                  i -> md5(array_to_string(w[i:i+{DECON_N - 1}], ' ')))) AS gh
+    FROM (SELECT regexp_split_to_array(trim(text), ' +') AS w FROM evald) t) u),
+train_grams AS (
+  SELECT DISTINCT doc_id, gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
+                  i -> md5(array_to_string(w[i:i+{DECON_N - 1}], ' ')))) AS gh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM traind) t) u),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM train_grams JOIN eval_grams USING (gh)
+  GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_grams GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN COALESCE(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM traind d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # DoReMi-style mixture weights (Xie et al. 2023, "DoReMi: Optimizing
 # Data Mixtures Speeds Up Language Model Pretraining" — public). The
@@ -554,8 +675,13 @@ def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         # denominators are only 0 when the frame is empty — but a DIV 0
         # would THROW under ANSI where DuckDB errors too; the guard
         # keeps both engines total
+        # the baseline ratio routes through DECIMAL(38,0) like `score`
+        # (ADVICE r10): n_tokens * 1e6 crosses int64 at ~9e12 corpus
+        # tokens — the same design scale the score path guards against
         F.expr(
-            f"CASE WHEN total_tokens > 0 THEN n_tokens * {DOREMI_SCALE} DIV total_tokens "
+            f"CASE WHEN total_tokens > 0 THEN "
+            f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * {DOREMI_SCALE} "
+            f"DIV total_tokens AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END"
         ).alias("baseline_ppm"),
         F.expr(
@@ -591,7 +717,7 @@ totals AS (
 SELECT source, n_docs, n_tokens, n_dups,
        CAST(excess_ppm AS BIGINT) AS excess_ppm,
        CAST(CASE WHEN total_tokens > 0
-                 THEN n_tokens * {DOREMI_SCALE} // total_tokens
+                 THEN CAST(n_tokens AS HUGEINT) * {DOREMI_SCALE} // total_tokens
                  ELSE 0 END AS BIGINT) AS baseline_ppm,
        CAST(CASE WHEN total_score > 0
                  THEN score * {DOREMI_SCALE} // total_score
@@ -2467,6 +2593,7 @@ FROM rep ORDER BY n_copies DESC, fp, n_words LIMIT {CDC_TOP}
 
 QUERIES = {
     "corpus_decontaminate_13gram": corpus_decontaminate_13gram,
+    "corpus_decontaminate_vs": corpus_decontaminate_vs,
     "corpus_doremi_mixture": corpus_doremi_mixture,
     "corpus_cdc_chunking": corpus_cdc_chunking,
     "corpus_dedup_paragraphs": corpus_dedup_paragraphs,
@@ -2501,6 +2628,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_decontaminate_13gram": _DECON_13_SQL,
+    "corpus_decontaminate_vs": _DECON_VS_SQL,
     "corpus_doremi_mixture": _DOREMI_SQL,
     "corpus_cdc_chunking": _CDC_SQL,
     "corpus_dedup_paragraphs": _DEDUP_PARA_SQL,

@@ -1545,6 +1545,175 @@ ORDER BY canonical_url
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication" —
+# public). Cluster the embedding corpus with k-means, then prune
+# within-cluster members whose cosine to a MORE CENTRAL member crosses
+# the duplicate threshold — semantic near-dups (paraphrases, template
+# text) that no lexical shingle/minhash pass can see. The published
+# policy knob (keep centroid-closest vs centroid-farthest) is fixed
+# here to centroid-closest: the survivor of every duplicate group is
+# its most central member (deterministic; the paper's
+# diversity-keeping inverse is the same plan with the order flipped).
+# ---------------------------------------------------------------------------
+
+# rdet(6) cosine duplicate threshold. 0.4 matches the repo-wide
+# similarity.COS_THRESHOLD for THIS synthetic fixture (its near-dup
+# cosine ceiling is ~0.6; production corpora run 0.9+ — the knob, like
+# the paper's, is corpus-calibrated).
+SEM_TAU = 0.4
+SEM_POOL_CAP = 256  # per-cluster comparison pool (the ann_nn cap discipline)
+SEM_SALT = 8  # pair-join salt width (skew posture at scale)
+
+
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: KM_ITERS integer Lloyd
+    rounds (the embed_kmeans_sse loop, shared via _km_assign), then
+    one row per clustered vector with its cluster, exact int64
+    distance-to-centroid, and whether the semantic prune drops it.
+
+    Drop rule (deterministic, single-pass): a vector is dropped iff
+    some pool member of its own cluster is strictly MORE CENTRAL
+    (smaller (d, vec_id)) and has cosine >= SEM_TAU with it — so the
+    most central member of every duplicate group always survives and
+    ties can never drop both sides. The pool is the SEM_POOL_CAP most
+    central members per cluster (built with the two-stage salted top-C
+    of ann_nn_within_label — no whole-cluster sort on one task), so
+    pair count is |members| * min(|cluster|, CAP) — LINEAR in the
+    corpus for fixed CAP, never all-pairs; below the cap the prune is
+    exactly the uncapped SemDeDup step. At 100 TB, K scales with the
+    corpus so clusters stay bounded (the paper runs ~50k clusters);
+    the fixture pins K = KM_K for the oracle.
+
+    Determinism: components quantize at 1e4 (COV_SCALE) — the SAME
+    integers the Lloyd loop consumes — so dot products are exact int64
+    (<= 64 * (2e4)^2 ~ 2.6e10), norms are sqrt of exact ints, and the
+    cosine is rdet(6) on both engines (convention #4). Zero-norm
+    vectors carry no direction: they cluster and survive, but are
+    excluded from both sides of the cosine probe (the _prescaled
+    boundary; degenerate-probe class).
+    """
+    from catme_etl_j_spark.operators.embed import COV_SCALE, _km_assign
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    comp, assign = _km_assign(spark, sf_dir)
+    # 1e4 q-arrays + norms, rebuilt per vector FROM comp (the same
+    # integers the loop clustered — a fresh quantization of the raw
+    # array could disagree on ties); array_agg ordered by dim index
+    qv = (
+        comp.groupBy("vec_id")
+        .agg(
+            # dim-ordered q array (collect_list order is nondeterministic;
+            # the struct sort pins it)
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, q))), s -> s.q)"
+            ).alias("qx"),
+            F.expr("CAST(SUM(q * q) AS BIGINT)").alias("norm2"),
+        )
+        .select("vec_id", "qx", F.expr("sqrt(CAST(norm2 AS DOUBLE))").alias("nrm"))
+    )
+    members = (
+        assign.join(qv, "vec_id")
+        .select("vec_id", "cluster", "d", "qx", "nrm")
+        .localCheckpoint(eager=False)  # consumers: probe side, pool, output
+    )
+    w1 = Window.partitionBy("cluster", F.col("vec_id") % SEM_SALT).orderBy(
+        "d", "vec_id"
+    )
+    w2 = Window.partitionBy("cluster").orderBy("d", "vec_id")
+    pool = (
+        members.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SEM_POOL_CAP)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= SEM_POOL_CAP)
+        .select(
+            F.col("vec_id").alias("p_id"),
+            F.col("cluster").alias("cluster"),
+            F.col("d").alias("p_d"),
+            F.col("qx").alias("p_qx"),
+            F.col("nrm").alias("p_nrm"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SEM_SALT)])))
+    )
+    probe = members.filter(F.col("nrm") > 0).withColumn(
+        "salt", (F.col("vec_id") % SEM_SALT).cast("int")
+    )
+    from catme_etl_j_spark.functions.numeric import rdet
+
+    cos = rdet(
+        F.expr(
+            "CAST(aggregate(zip_with(qx, p_qx, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        / (F.col("nrm") * F.col("p_nrm")),
+        6,
+    )
+    dropped = (
+        probe.join(pool, ["cluster", "salt"])
+        .filter(
+            (F.col("p_nrm") > 0)
+            & (
+                (F.col("p_d") < F.col("d"))
+                | ((F.col("p_d") == F.col("d")) & (F.col("p_id") < F.col("vec_id")))
+            )
+        )
+        .filter(cos >= SEM_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        members.join(dropped.withColumn("dr", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("d").alias("d_fp"),
+            F.coalesce("dr", F.lit(0)).cast("int").alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    from catme_etl_j_spark.functions.numeric import rdet_sql
+    from catme_etl_j_spark.operators.embed import KM_ITERS, _km_ctes
+
+    # qx as DOUBLE lists: every element is an integral 1e4 quantum and
+    # every dot-product partial stays < 2^53, so native
+    # list_dot_product is EXACT at any summation order (the
+    # similarity._lsh_sql discipline, no hi/lo split needed at this
+    # scale) and matches Spark's int64 aggregate bit-for-bit.
+    cos = rdet_sql(
+        "CAST(list_dot_product(m.qx, p.qx) AS BIGINT) / (m.nrm * p.p_nrm)", 6
+    )
+    return (
+        _km_ctes()
+        + f""",
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(array_agg(q ORDER BY i), v -> CAST(v AS DOUBLE)) AS qx,
+         sqrt(CAST(SUM(q * q) AS DOUBLE)) AS nrm
+  FROM comp GROUP BY vec_id),
+mem AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, a.d, q.qx, q.nrm
+  FROM a{KM_ITERS} a JOIN qv q USING (vec_id)),
+pool AS MATERIALIZED (
+  SELECT vec_id AS p_id, cluster, d AS p_d, qx, nrm AS p_nrm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d, vec_id) AS prn
+        FROM mem)
+  WHERE prn <= {SEM_POOL_CAP}),
+dropped AS (
+  SELECT DISTINCT m.vec_id
+  FROM mem m JOIN pool p ON m.cluster = p.cluster
+   AND (p.p_d < m.d OR (p.p_d = m.d AND p.p_id < m.vec_id))
+  WHERE m.nrm > 0 AND p.p_nrm > 0 AND {cos} >= {SEM_TAU})
+SELECT m.vec_id, m.cluster, m.d AS d_fp,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+FROM mem m LEFT JOIN dropped dr ON m.vec_id = dr.vec_id
+ORDER BY m.vec_id"""
+    )
+
+
 QUERIES = {
     "dedup_url_keep_first": dedup_url_keep_first,
     "dedup_substring_mass": dedup_substring_mass,
@@ -1558,6 +1727,7 @@ QUERIES = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_semdedup_prune": dedup_semdedup_prune,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_precision": dedup_minhash_precision,
@@ -1568,6 +1738,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semdedup_prune": _semdedup_sql(),
     "dedup_url_keep_first": _URL_KEEP_FIRST_SQL,
     "dedup_substring_mass": _SUBSTR_MASS_SQL,
     "dedup_cluster_sizes": _cluster_sizes_sql(),

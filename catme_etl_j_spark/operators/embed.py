@@ -854,28 +854,12 @@ def _km_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KM_ITERS Lloyd k-means rounds over the embedding corpus (K=4,
-    seeded with the K smallest vec_ids — deterministic, no RNG), ending
-    in per-cluster sizes and the exact within-cluster SSE — the
-    clustering-quality loop a corpus-curation pipeline runs before
-    stratified sampling (MacQueen 1967 / Lloyd 1982).
-
-    Determinism: components quantize at 1e4 (COV_SCALE); every
-    distance is an exact int64 sum of squared integer differences;
-    centroid updates are integer mean via DIV (both engines' integer
-    division truncates toward zero — convention #7); argmin ties break
-    on smallest cluster id. No float exists anywhere in the loop, so
-    the unrolled DuckDB twin hash-matches bit-for-bit. Clusters that
-    lose all members drop out on both engines identically.
-
-    Scale shape per round: posexplode (64 rows/vector) joined to the
-    BROADCAST K x 64 centroid table, one (vec, cluster) partial-
-    aggregated distance sum, one per-vec struct-min argmax, one
-    (cluster, dim) partial-aggregated mean — shuffles carry vec-keyed
-    rows only; centroid state is K x 64 cells at any corpus size.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+def _km_assign(spark: SparkSession, sf_dir: str):
+    """(comp, assign): the KM_ITERS integer Lloyd loop shared by
+    embed_kmeans_sse and dedup_semdedup_prune — final per-vector
+    assignment (vec_id, cluster, d) under the round-(K-1) centroids,
+    exactly the oracle's unrolled a{{K}} CTE. comp is checkpointed
+    (every round joins it twice)."""
     comp = _km_comp(spark, sf_dir).localCheckpoint()
     seeds = (
         comp.select("vec_id")
@@ -905,6 +889,32 @@ def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cluster", "i")
             .agg(F.expr("CAST(SUM(q) AS BIGINT) DIV COUNT(*)").alias("c"))
         )
+    return comp, assign
+
+
+def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ITERS Lloyd k-means rounds over the embedding corpus (K=4,
+    seeded with the K smallest vec_ids — deterministic, no RNG), ending
+    in per-cluster sizes and the exact within-cluster SSE — the
+    clustering-quality loop a corpus-curation pipeline runs before
+    stratified sampling (MacQueen 1967 / Lloyd 1982).
+
+    Determinism: components quantize at 1e4 (COV_SCALE); every
+    distance is an exact int64 sum of squared integer differences;
+    centroid updates are integer mean via DIV (both engines' integer
+    division truncates toward zero — convention #7); argmin ties break
+    on smallest cluster id. No float exists anywhere in the loop, so
+    the unrolled DuckDB twin hash-matches bit-for-bit. Clusters that
+    lose all members drop out on both engines identically.
+
+    Scale shape per round: posexplode (64 rows/vector) joined to the
+    BROADCAST K x 64 centroid table, one (vec, cluster) partial-
+    aggregated distance sum, one per-vec struct-min argmax, one
+    (cluster, dim) partial-aggregated mean — shuffles carry vec-keyed
+    rows only; centroid state is K x 64 cells at any corpus size.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    comp, assign = _km_assign(spark, sf_dir)
     return (
         assign.groupBy("cluster")
         .agg(
@@ -923,10 +933,11 @@ def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """DuckDB twin: the same KM_ITERS Lloyd rounds unrolled as
-    MATERIALIZED CTEs (convention #11 — comp and every c{k} feed
-    multiple references)."""
+def _km_ctes() -> str:
+    """The unrolled Lloyd CTE chain (through a{{KM_ITERS}}) shared by
+    the kmeans_sse and semdedup oracles — MATERIALIZED per convention
+    #11 (comp and every c{{k}} feed multiple references; all frames
+    are |vectors|- or K x 64-sized)."""
     head = f"""
 WITH comp AS MATERIALIZED (
   SELECT vec_id, i,
@@ -961,8 +972,12 @@ c{k} AS MATERIALIZED (
   FROM comp JOIN a{k} a USING (vec_id)
   GROUP BY 1, 2)"""
         )
+    return ",".join(parts)
+
+
+def _kmeans_sql() -> str:
     return (
-        ",".join(parts)
+        _km_ctes()
         + f"""
 SELECT cluster, COUNT(*)::BIGINT AS n_vecs,
        CAST(SUM(d) AS BIGINT) AS sse_fp,

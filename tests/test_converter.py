@@ -171,6 +171,7 @@ def test_multi_file_read(spark, tmp_path):
     assert len({r["_file"] for r in rows}) == 3
 
 
+@pytest.mark.slow
 def test_bigsheet_conversion_bounded_memory():
     """The reference's headline invariant (README.md:11 '~700 MB
     tested, multi-GB designed'; contract :98/:220-225): converting a

@@ -72,6 +72,7 @@ def _norm(cols, rows):
     return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
 
+@pytest.mark.slow  # duplicates tools/selfcheck.py's gate — full-suite only
 @pytest.mark.parametrize("name", SPOT)
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     sdf = entry_mod.queries()[name](spark, sf_dir)
@@ -437,6 +438,7 @@ def test_driver_window_covers_every_family():
         )
 
 
+@pytest.mark.slow
 def test_no_structural_output_columns(spark):
     """Schema policy (VERDICT r7 #1): the driver's pandas canonicalizer
     (sort_values) cannot sort array/map/struct cells — r7's
@@ -1714,6 +1716,28 @@ def test_bench_headline_names_resolve():
     assert not missing, f"bench names not in queries(): {missing}"
 
 
+def test_bench_subset_shares_eager_set():
+    """VERDICT r10 ADVICE: tools/bench_subset.py must time exactly the
+    same construction-eager span as bench.py — the sets are one module
+    constant, not two hand-maintained copies — and every eager name
+    must be a HEADLINE member (a heavy new query outside HEADLINE
+    can't silently bench construction-excluded)."""
+    import importlib.util
+    import os as _os
+
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_subset",
+        _os.path.join(_os.path.dirname(bench.__file__), "tools", "bench_subset.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.EAGER is bench.EAGER_CONSTRUCTION
+    stray = [n for n in bench.EAGER_CONSTRUCTION if n not in bench.HEADLINE]
+    assert not stray, f"eager names not benched in HEADLINE: {stray}"
+
+
 def test_bitemporal_snapshots_consistent(spark, sf_dir):
     """Bitemporal invariants: exactly ONE version of every valid-window
     order is visible at each transaction snapshot (so per-snapshot
@@ -2918,3 +2942,103 @@ def test_url_keep_first_canonical_and_minimal(spark, sf_dir):
         assert u == u.lower()
         assert r["n_dropped"] == r["n_variants"] - 1
         assert r["kept_doc_id"] >= 0
+
+
+def test_decontaminate_vs_matches_python_reference(spark, sf_dir):
+    """corpus_decontaminate_vs against a brute-force Python reference
+    at sf0.001: train excludes exactly the src0 benchmark docs, and a
+    train doc is contaminated iff it shares a word 8-gram with ANY
+    src0 doc (distinct-gram counting, under-8-word docs have zero
+    grams)."""
+    import hashlib
+
+    from catme_etl_j_spark.operators.corpus import (
+        DECON_EVAL_SOURCE,
+        DECON_N,
+        corpus_decontaminate_vs,
+    )
+    from catme_etl_j_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+
+    def grams(text):
+        w = text.strip().split()
+        w = [x for x in w if x]
+        return {
+            hashlib.md5(" ".join(w[i : i + DECON_N]).encode()).hexdigest()
+            for i in range(len(w) - DECON_N + 1)
+        }
+
+    eval_grams = set()
+    for d in docs:
+        if d["source"] == DECON_EVAL_SOURCE:
+            eval_grams |= grams(d["text"])
+    expect = {}
+    for d in docs:
+        if d["source"] == DECON_EVAL_SOURCE:
+            continue
+        g = grams(d["text"])
+        expect[d["doc_id"]] = (len(g), len(g & eval_grams))
+
+    rows = {r["doc_id"]: r for r in corpus_decontaminate_vs(spark, sf_dir).collect()}
+    assert set(rows) == set(expect)
+    for doc_id, (n_g, n_hit) in expect.items():
+        r = rows[doc_id]
+        assert r["n_grams"] == n_g, doc_id
+        assert r["n_contaminated"] == n_hit, doc_id
+        assert r["contaminated"] == (1 if n_hit > 0 else 0)
+
+
+def test_semdedup_drop_rule_matches_python_reference(spark, sf_dir):
+    """dedup_semdedup_prune at sf0.001 vs a brute-force reference:
+    (a) every vector's cluster/d comes from the same integer Lloyd
+    assignment as embed_kmeans_sse (cluster sizes agree), (b) a vector
+    is dropped iff SOME more-central pool member of its cluster has
+    rdet6 cosine >= SEM_TAU with it (pool = SEM_POOL_CAP most central),
+    so the most central member of each cluster is never dropped, and
+    (c) zero-norm vectors are never dropped."""
+    import math
+
+    from catme_etl_j_spark.operators.dedup import (
+        SEM_POOL_CAP,
+        SEM_TAU,
+        dedup_semdedup_prune,
+    )
+    from catme_etl_j_spark.operators.embed import _km_assign
+
+    out = {r["vec_id"]: r for r in dedup_semdedup_prune(spark, sf_dir).collect()}
+    comp, assign = _km_assign(spark, sf_dir)
+    qx = {}
+    for r in comp.collect():
+        qx.setdefault(r["vec_id"], {})[r["i"]] = r["q"]
+    by_cluster = {}
+    for r in assign.collect():
+        v = r["vec_id"]
+        assert out[v]["cluster"] == r["cluster"]
+        assert out[v]["d_fp"] == r["d"]
+        by_cluster.setdefault(r["cluster"], []).append((r["d"], v))
+    for cl, members in by_cluster.items():
+        members.sort()
+        pool = members[:SEM_POOL_CAP]
+        for rank, (d, v) in enumerate(members):
+            vec = [q for _, q in sorted(qx[v].items())]
+            nv = math.sqrt(sum(x * x for x in vec))
+            expected_drop = 0
+            if nv > 0:
+                for pd, pv in pool:
+                    if (pd, pv) >= (d, v):
+                        break
+                    pvec = [q for _, q in sorted(qx[pv].items())]
+                    np_ = math.sqrt(sum(x * x for x in pvec))
+                    if np_ == 0:
+                        continue
+                    dot = sum(a * b for a, b in zip(vec, pvec))
+                    cos = math.floor((dot / (nv * np_)) * 1e6 + 0.5) / 1e6
+                    if cos >= SEM_TAU:
+                        expected_drop = 1
+                        break
+            assert out[v]["dropped"] == expected_drop, (cl, v)
+        # the most central member always survives
+        assert out[members[0][1]]["dropped"] == 0

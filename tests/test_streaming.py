@@ -27,6 +27,14 @@ from catme_etl_j_spark.streaming.events import (
 FLUSH_USER = -1
 
 
+import pytest
+
+# Deep/expensive class (plan pins, iterative loops, streaming waits):
+# excluded from the fast gate `pytest -m "not slow"`; the FULL suite
+# (including these) runs at round close.
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def stream_dir(sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
