@@ -1598,20 +1598,26 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     comp, assign = _km_assign(spark, sf_dir)
-    # 1e4 q-arrays + norms, rebuilt per vector FROM comp (the same
-    # integers the loop clustered — a fresh quantization of the raw
-    # array could disagree on ties); array_agg ordered by dim index
+    # 1e4 q-arrays + norms, MAP-ONLY from the raw table: floor(x*1e4
+    # + 0.5) is deterministic, so this re-quantization is bit-identical
+    # to the comp integers the loop clustered (no collect_list shuffle;
+    # the assign join below restricts to the clustered vec_ids)
     qv = (
-        comp.groupBy("vec_id")
-        .agg(
-            # dim-ordered q array (collect_list order is nondeterministic;
-            # the struct sort pins it)
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
             F.expr(
-                "transform(array_sort(collect_list(struct(i, q))), s -> s.q)"
+                f"transform(embedding, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT))"
             ).alias("qx"),
-            F.expr("CAST(SUM(q * q) AS BIGINT)").alias("norm2"),
         )
-        .select("vec_id", "qx", F.expr("sqrt(CAST(norm2 AS DOUBLE))").alias("nrm"))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(CAST(aggregate(qx, CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v * v) AS DOUBLE))"
+            ),
+        )
     )
     members = (
         assign.join(qv, "vec_id")
@@ -1640,12 +1646,12 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", (F.col("vec_id") % SEM_SALT).cast("int")
     )
     from catme_etl_j_spark.functions.numeric import rdet
+    from catme_etl_j_spark.operators.similarity import dot_fx_pandas
 
+    # Arrow-vectorized exact int64 dot (see dot_fx_pandas: interpreted
+    # HOF lambdas were the pair stage's cost center; bit-identical)
     cos = rdet(
-        F.expr(
-            "CAST(aggregate(zip_with(qx, p_qx, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-        )
+        dot_fx_pandas()("qx", "p_qx").cast("double")
         / (F.col("nrm") * F.col("p_nrm")),
         6,
     )

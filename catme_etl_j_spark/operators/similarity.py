@@ -141,6 +141,50 @@ def _dot_fx(a: str, b: str) -> str:
     )
 
 
+def dot_fx_pandas():
+    """Arrow-batched int64 dot product column: `dot_fx_pandas()(a, b)`.
+
+    Spark's higher-order `aggregate`/`zip_with` lambdas are INTERPRETED
+    per element (no codegen), which makes them the cost center of every
+    pair stage (measured: 2.6 s -> 1.9 s on semdedup's 380k x 64-dim
+    probe at sf0.1). This is the vectorized twin: numpy int64
+    element-wise multiply + row sum — EXACT integer arithmetic, so the
+    result is bit-identical to the JVM fold at any batch split. Bounds:
+    at the 1e4 component scale products are <= 4e8 (64-dim sums
+    <= 2.6e10); even at the 1e8 similarity scale products are <= 1e16
+    and 64-dim sums <= 6.4e17 < 2^63 — no overflow in either regime.
+    Built lazily (a module-level pandas_udf would create it at import
+    in sessions that never use it)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot64(a, b):
+        av, bv = a.to_numpy(), b.to_numpy()
+        lens = {len(x) for x in av} | {len(x) for x in bv}
+        if len(lens) == 1:
+            A = np.stack(av).astype(np.int64)
+            B = np.stack(bv).astype(np.int64)
+            return pd.Series((A * B).sum(axis=1))
+        # ragged batch (degenerate short/empty embeddings): replicate
+        # the JVM zip_with semantics exactly — NULL when lengths
+        # differ (zip_with NULL-pads, the product poisons the fold),
+        # 0 for two empties
+        out = [
+            int(np.dot(x.astype(np.int64), y.astype(np.int64)))
+            if len(x) == len(y)
+            else None
+            for x, y in zip(av, bv)
+        ]
+        return pd.Series(out, dtype="Int64")
+
+    # real (non-string) hints: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects
+    _dot64.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot64, "long")
+
+
 def _norm_fx(a: str) -> str:
     return f"sqrt(CAST({_dot_fx(a, a)} AS DOUBLE))"
 
@@ -449,8 +493,11 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("nb"),
     ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(NN_SALT)])))
     pairs = a.join(b, ["label", "salt"]).filter(F.col("vec_id") != F.col("nn_id"))
+    # Arrow-vectorized exact int64 dot over the pair stream (r11:
+    # interpreted zip_with/aggregate lambdas were ~0.6 s of this
+    # query's sf0.1 wall; bit-identical — see dot_fx_pandas bounds)
     cos = rdet(
-        F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")),
+        dot_fx_pandas()("fa", "fb").cast("double") / (F.col("na") * F.col("nb")),
         6,
     )
     scored = pairs.select("vec_id", "label", "nn_id", cos.alias("cos_sim"))
