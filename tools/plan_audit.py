@@ -94,6 +94,10 @@ AUDIT = [
     ("dedup_url_keep_first", "one pruned scan -> codegen canonicalization -> single map-side-combining aggregate; no join"),
     ("corpus_doremi_mixture", "two map-side-combined corpus aggregates; reweight windows over the |sources|-row frame only"),
     ("corpus_decontaminate_13gram", "gram-hash equi-join after map-side DISTINCT; the 8-gram plan with fewer exploded rows"),
+    # --- round 11: graph perf rework receipts + newborns ---
+    ("graph_s_core_peeling", "shipped plan: zero parquet, <= SCORE_ITERS scalar crossJoins, literal Range rows past the fixpoint"),
+    ("dedup_semdedup_prune", "zero parquet re-scans (checkpointed Lloyd state); salted (cluster, salt) pool probe; Arrow-batched dot"),
+    ("corpus_decontaminate_vs", "eval gram set BROADCAST into the overlap probe; train source predicate pushed; 3 scans total"),
 ]
 
 HEADER = """# PLANS — physical-plan receipts
