@@ -588,21 +588,71 @@ def _band_expr_spark(b: int) -> str:
     return bits
 
 
+def buckets_pandas():
+    """Arrow-batched band buckets: ``buckets_pandas()(fx)`` yields the
+    LSH_BANDS bucket values of one vector as array<long> — the
+    vectorized twin of LSH_BANDS x LSH_ROWS `_band_expr_spark`
+    evaluations (r11, guide §4.2: the interpreted HOF plane dots were
+    ~0.5 s of the pair stage at sf0.1; one numpy int64 matmul per
+    batch replaces 16 per-row fold lambdas). Exact: |plane| <= 1000,
+    |fx| <= ~1e8 -> products <= 1e11, 64-term sums < 2^53 << 2^63 —
+    no int64 overflow, bit-identical signs. Degenerate rows replicate
+    the JVM CASE semantics: any row whose fx is not a clean 64-long
+    int array has every plane dot NULL (zip_with pads -> product
+    poisons the fold), so `CASE WHEN NULL > 0` contributes 0 bits ->
+    bucket 0 per band; the fallback path returns exactly that."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(PLANES, dtype=np.int64).T  # 64 x N_PLANES
+    W = np.array([1 << r for r in range(LSH_ROWS)], dtype=np.int64)
+
+    def _bk(fx):
+        av = fx.to_numpy()
+        if len(av):
+            try:
+                A = np.stack(av).astype(np.int64)
+                ok = A.ndim == 2 and A.shape[1] == 64
+            except (TypeError, ValueError):
+                ok = False
+            if ok:
+                D = A @ P  # n x N_PLANES, exact int64
+                bits = (D > 0).astype(np.int64).reshape(len(av), LSH_BANDS, LSH_ROWS)
+                return pd.Series(list((bits * W).sum(axis=2)))
+        out = []
+        for x in av:
+            try:
+                xv = np.asarray(x, dtype=np.int64)
+                ok = xv.ndim == 1 and len(xv) == 64
+            except (TypeError, ValueError):
+                ok = False
+            if ok:
+                bits = ((xv @ P) > 0).astype(np.int64).reshape(LSH_BANDS, LSH_ROWS)
+                out.append((bits * W).sum(axis=1))
+            else:
+                out.append(np.zeros(LSH_BANDS, dtype=np.int64))
+        return pd.Series(out)
+
+    _bk.__annotations__ = {"fx": pd.Series, "return": pd.Series}
+    return pandas_udf(_bk, "array<long>")
+
+
 def ann_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = _prescaled(spark, sf_dir).cache()
-    banded = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(_band_expr_spark(b)).cast("long").alias("bucket"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+    # r11 (guide §4.2): band buckets via ONE Arrow int64 matmul per
+    # batch (buckets_pandas) instead of LSH_BANDS x LSH_ROWS
+    # interpreted fold lambdas per row, and the banded frame is cached
+    # so the self-join scans it twice instead of recomputing the
+    # buckets once per side — measured 2.37 s -> 1.3-1.5 s for the
+    # full pair stage at sf0.1, bit-identical output (exceptAll both
+    # ways = 0, incl. the degenerate short/NULL-element rows).
+    banded = (
+        emb.select("vec_id", buckets_pandas()("fx").alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+        .cache()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -616,8 +666,12 @@ def ann_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = emb.select(F.col("vec_id").alias("vec_a"), F.col("fx").alias("fa"), F.col("norm").alias("na"))
     y = emb.select(F.col("vec_id").alias("vec_b"), F.col("fx").alias("fb"), F.col("norm").alias("nb"))
+    # Arrow int64 dot for the candidate-pair cosine (the semdedup /
+    # ann_nn dot_fx_pandas discipline, r11): exact integer arithmetic,
+    # bit-identical to the JVM fold, ~0.8 s faster than the
+    # interpreted lambda over the ~460k-candidate sf0.1 stream
     cos = rdet(
-        F.expr(f"CAST({_dot_fx('fa', 'fb')} AS DOUBLE)") / (F.col("na") * F.col("nb")), 6
+        dot_fx_pandas()("fa", "fb").cast("double") / (F.col("na") * F.col("nb")), 6
     )
     return (
         cand.join(x, "vec_a")
