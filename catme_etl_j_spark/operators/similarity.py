@@ -461,6 +461,88 @@ def _nn_pool(emb: DataFrame) -> DataFrame:
     )
 
 
+def _nn_argmax_cogroup(left, right):
+    """Cogrouped top-1 for one (label, salt) block: probe rows
+    (vec_id, label, fa, na) x pool rows (nn_id, fb, nb) -> one row per
+    probe vector with its argmax-cosine pool neighbor (self excluded).
+    One exact numpy int64 matmul per block; cosine replicates the
+    column expression bit-for-bit (exact dot -> float64 divide ->
+    rdet-6 floor), ties break to the smallest nn_id, and ragged
+    degenerate rows fall to a per-pair loop with the join path's
+    NULL-cos ordering (a NULL cosine loses to any non-NULL; all-NULL
+    keeps the smallest nn_id with NULL cos_sim). See
+    ann_nn_within_label for why this replaced the pair equi-join."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype=object),
+            "nn_id": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if left.empty or right.empty:
+        return empty
+    lv = left["vec_id"].to_numpy()
+    ll = left["label"].to_numpy()
+    ln = left["na"].to_numpy()
+    lq = left["fa"].to_numpy()
+    rv = right["nn_id"].to_numpy()
+    rn = right["nb"].to_numpy()
+    rq = right["fb"].to_numpy()
+    try:
+        A = np.stack(lq).astype(np.int64)
+        B = np.stack(rq).astype(np.int64)
+        ok = A.ndim == 2 and B.ndim == 2 and A.shape[1] == B.shape[1]
+    except (TypeError, ValueError):
+        ok = False
+    if ok:
+        D = A @ B.T  # exact int64 (1e8-scale dots <= 6.4e17 < 2^63)
+        cosm = np.floor((D / (ln[:, None] * rn[None, :])) * 1e6 + 0.5) / 1e6
+        self_mask = lv[:, None] == rv[None, :]
+        cosm = np.where(self_mask, -np.inf, cosm)
+        rows = []
+        order = np.argsort(rv, kind="stable")  # candidates by nn_id ASC
+        for i in range(len(lv)):
+            ci = cosm[i]
+            if len(rv) == 1 and self_mask[i, 0]:
+                continue  # only candidate is self: no output row
+            best = ci.max()
+            if best == -np.inf:
+                continue
+            js = order[ci[order] == best]
+            rows.append((int(lv[i]), ll[i], int(rv[js[0]]), float(best)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["vec_id", "label", "nn_id", "cos_sim"])
+    rows = []
+    for i in range(len(lv)):
+        best_key, best = None, None
+        for j in range(len(rv)):
+            if lv[i] == rv[j]:
+                continue
+            try:
+                xv = np.asarray(lq[i], dtype=np.int64)
+                yv = np.asarray(rq[j], dtype=np.int64)
+                c = (
+                    np.floor((int(xv @ yv) / (ln[i] * rn[j])) * 1e6 + 0.5) / 1e6
+                    if xv.ndim == 1 and yv.ndim == 1 and len(xv) == len(yv)
+                    else None
+                )
+            except (TypeError, ValueError):
+                c = None
+            key = (1, c, -int(rv[j])) if c is not None else (0, 0.0, -int(rv[j]))
+            if best_key is None or key > best_key:
+                best_key, best = key, (int(lv[i]), ll[i], int(rv[j]), c)
+        if best is not None:
+            rows.append(best)
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["vec_id", "label", "nn_id", "cos_sim"])
+
+
 def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 cosine neighbor per vector, blocked by label (cluster),
     against the NN_POOL_CAP-bounded deterministic candidate pool.
@@ -492,35 +574,28 @@ def ann_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fx").alias("fb"),
         F.col("norm").alias("nb"),
     ).withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(NN_SALT)])))
-    pairs = a.join(b, ["label", "salt"]).filter(F.col("vec_id") != F.col("nn_id"))
-    # Arrow-vectorized exact int64 dot over the pair stream (r11:
-    # interpreted zip_with/aggregate lambdas were ~0.6 s of this
-    # query's sf0.1 wall; bit-identical — see dot_fx_pandas bounds)
-    cos = rdet(
-        dot_fx_pandas()("fa", "fb").cast("double") / (F.col("na") * F.col("nb")),
-        6,
-    )
-    scored = pairs.select("vec_id", "label", "nn_id", cos.alias("cos_sim"))
-    # argmax via max(struct(cos, -nn_id)) instead of a row_number window:
-    # the aggregate partially combines MAP-SIDE, so the shuffle carries
-    # one row per vec_id instead of the full O(block^2) pair stream —
-    # the difference between shuffling |pairs| and |vectors| at 100 TB
-    # (and -15% wall at sf0.1). Ties break to the smallest nn_id, same
-    # as the window's (DESC cos, ASC nn_id) order.
+    # r11 (guide §2.3/§4.2): COGROUP on (label, salt) instead of the
+    # pair equi-join — the join shipped both 64-int64 arrays once per
+    # PAIR through Arrow (~0.5 GB at sf0.1); cogrouping ships each
+    # vector once per group and one numpy int64 matmul scores the
+    # whole probe x pool block, emitting the per-vector argmax
+    # directly (so the shuffle after the UDF carries |vectors| rows,
+    # same as the old map-side-combined aggregate). Bit-identical to
+    # the join + max(struct(cos, -nn_id)) path — exact int64 dots,
+    # same IEEE divide and rdet(6), same (DESC cos, ASC nn_id)
+    # tie-break, same NULL-cos ordering for ragged degenerate rows —
+    # pinned against an independent uncapped join + struct-max
+    # formulation by test_nn_within_label_cap_exact_below_pool_cap,
+    # and against the oracle on the degenerate fixtures. The (label,
+    # salt) key keeps the skew posture: a hot label still fans out
+    # over NN_SALT tasks.
+    label_t = emb.schema["label"].dataType.simpleString()
     return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cos_sim"), (-F.col("nn_id")).alias("neg"), F.col("label")
-                )
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.label").alias("label"),
-            (-F.col("m.neg")).cast("long").alias("nn_id"),
-            F.col("m.cos_sim").alias("cos_sim"),
+        a.groupBy("label", "salt")
+        .cogroup(b.groupBy("label", "salt"))
+        .applyInPandas(
+            _nn_argmax_cogroup,
+            f"vec_id long, label {label_t}, nn_id long, cos_sim double",
         )
     )
 

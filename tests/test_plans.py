@@ -101,18 +101,24 @@ def test_corpus_pipeline_single_shuffle(spark, sf_dir):
 
 
 def test_nn_within_label_salted_join_key(spark, sf_dir):
-    """Skew guard: the within-label all-pairs join must shuffle on
+    """Skew guard: the within-label pairing must shuffle on
     (label, salt), not label alone — a hot label then spreads over
-    NN_SALT reducers instead of flooding one."""
+    NN_SALT reducers instead of flooding one. Since the r11 cogroup
+    rewrite the pairing is a FlatMapCoGroupsInPandas whose BOTH input
+    Exchanges hash-partition on (label, salt); the argmax happens
+    inside the cogroup so the post-UDF stream is |vectors|, never
+    |pairs|."""
     from catme_etl_j_spark.operators import similarity
 
     plan = formatted_plan(similarity.ann_nn_within_label(spark, sf_dir))
-    # join key lists must carry the salt column alongside label (at test
-    # scale the join is broadcast; at cluster scale the same keys become
-    # the shuffle partitioning)
-    key_lines = [ln for ln in plan.splitlines() if "keys [" in ln]
-    assert key_lines, plan
-    assert any("salt" in ln and "label" in ln for ln in key_lines), key_lines
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    salted = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "salt" in ln and "label" in ln
+    ]
+    # probe side + pool side of the cogroup
+    assert len(salted) >= 2, plan
 
 
 def test_ivf_kmeans_broadcasts_codebook(spark, sf_dir):
