@@ -166,6 +166,11 @@ EAGER_CONSTRUCTION = frozenset(
         # honestly higher than r10's)
         "embed_kmeans_sse",
         "dedup_semdedup_prune",
+        # r11 driver-side Lloyd codebooks: construction collects the
+        # K-row centroid state each round (the MLlib KMeans shape), so
+        # the codebook training is real construction-time work
+        "ann_topk_ivf_kmeans",
+        "ann_pq_topk",
     }
 )
 

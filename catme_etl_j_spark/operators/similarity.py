@@ -868,96 +868,328 @@ def _fx4_expr(a: str) -> str:
     return f"transform({a}, x -> CAST(floor(CAST(x AS DOUBLE) * {_FXP4} + 0.5) AS BIGINT))"
 
 
-def _l2_fx(a: str, b: str) -> str:
-    """Exact int64 squared L2 between two scaled arrays (Spark expr)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+def _pyl2(a, b):
+    """Driver-side twin of _l2_fx on collected rows: exact int squared
+    L2, or None wherever the JVM fold yields NULL (either side NULL,
+    length mismatch, or a NULL element poisoning the sum)."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    d = 0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        d += (int(x) - int(y)) ** 2
+    return d
+
+
+def argmin_cid_pandas(cents):
+    """Map-only nearest-centroid assignment column:
+    ``argmin_cid_pandas(cents)("fx4")`` -> cid of the exact-int64
+    argmin squared-L2 centroid, ties to the lowest cid. ``cents`` is
+    the collected [(cid, [int64...] | None)] codebook — a K-bounded
+    model artifact, the MLlib KMeans shape (r11, guide §4.2/§2.1: the
+    old broadcast crossJoin evaluated an interpreted aggregate/zip_with
+    fold per (vector, centroid) pair and shuffled the argmin; this is
+    one numpy int64 matmul per Arrow batch with NO join and NO
+    shuffle). Bit-identical to crossJoin + min(struct(_l2_fx, cid)),
+    including the NULL edges: a NULL distance (either array NULL, a
+    length mismatch, or a NULL element) sorts FIRST in Spark's
+    struct-min, so when any centroid's distance is NULL for a row the
+    lowest such cid wins. Exactness: components are |x| <= ~2e4
+    (1e4 fixed point), so diffs^2 <= 1.6e9 and 64-dim sums <= ~1e11 —
+    no int64 overflow on either path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    resolve = _cents_resolver(cents)
+
+    def _amin(col):
+        return pd.Series(resolve(col.to_numpy()))
+
+    _amin.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_amin, "long")
+
+
+def _cents_resolver(cents):
+    """Build f(object-ndarray of int arrays) -> int64 cid ndarray for
+    one codebook — the numpy core shared by argmin_cid_pandas (IVF)
+    and the keyed PQ variant. Semantics per argmin_cid_pandas."""
+    import numpy as np
+
+    srt = sorted((int(c), None if a is None else list(a)) for c, a in cents)
+    all_min = srt[0][0]
+    cid_arr = {}  # length -> (np cid vector, C matrix, ||c||^2) or min-mismatch cid
+    for length in {len(a) for _, a in srt if a is not None}:
+        mism = [c for c, a in srt if a is None or len(a) != length]
+        if mism:
+            cid_arr[length] = (min(mism), None, None)
+        else:
+            C = np.array([a for _, a in srt], dtype=np.int64)
+            cid_arr[length] = (
+                np.array([c for c, _ in srt], dtype=np.int64),
+                C,
+                (C * C).sum(axis=1),
+            )
+
+    def _row_pick(a):
+        best = None
+        for c, arr in srt:
+            d = _pyl2(a, arr)
+            key = (0, 0, c) if d is None else (1, d, c)
+            if best is None or key < best:
+                best = key
+        return best[2]
+
+    def resolve(av):
+        out = np.empty(len(av), dtype=np.int64)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), dtype=np.int64, count=len(av)
+        )
+        for length in np.unique(lens):
+            idx = np.nonzero(lens == length)[0]
+            if length < 0:
+                out[idx] = all_min  # NULL row: every dist NULL, min cid
+                continue
+            ent = cid_arr.get(int(length))
+            if ent is None:  # no centroid of this length: all dists NULL
+                out[idx] = all_min
+                continue
+            if ent[1] is None:  # some centroid mismatches: it wins
+                out[idx] = ent[0]
+                continue
+            cids, C, cc = ent
+            try:
+                X = np.stack(av[idx].tolist()).astype(np.int64)
+            except (TypeError, ValueError):  # NULL elements inside arrays
+                out[idx] = [_row_pick(list(x)) for x in av[idx]]
+                continue
+            d = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cc[None, :]
+            out[idx] = cids[np.argmin(d, axis=1)]
+        return out
+
+    return resolve
+
+
+def _lloyd_round_cents(df, cols, cents, dim, keyed=False):
+    """ONE Lloyd round, fused: assignment + per-partition partial sums
+    in a single mapInPandas pass (no join, no shuffle, no wide
+    aggregate), merged driver-side into the next codebook. Returns the
+    new [(cid, cfx)] list (or {key: [(cid, cfx)]} when ``keyed``).
+
+    r11 (guide §1.2/§4.2): the per-round cost of the old shape was one
+    fresh 64-expression HashAggregate codegen + an exchange + a
+    separate UDF stage per round (~0.7-1.3 s of pure overhead at
+    sf0.1); this is one Arrow pass per round (~0.2 s) emitting
+    K-bounded (cid, cnt, sums, present) partials. The merged mean is
+    floor(CAST(sum AS DOUBLE) / count) with the sum an exact Python
+    int — float(int) is the same round-half-even conversion both
+    engines apply to the integer sum, so the centroid values are
+    bit-identical to the old Spark aggregate (_update). NULL edges
+    match sum(element_at)/count(1): a NULL array or element is skipped
+    per-dim by the sum but still counted by count(1); an array SHORTER
+    than dim raises (mirroring ANSI element_at, which the old
+    aggregate would have thrown on); longer arrays contribute their
+    first dim elements. Per-dim all-NULL groups yield a NULL centroid
+    component, exactly like the old floor(NULL) path."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    keycol = cols[0] if keyed else None
+    valcol = cols[-1]
+    resolvers = (
+        {int(k): _cents_resolver(cs) for k, cs in cents.items() if cs}
+        if keyed
+        else {None: _cents_resolver(cents)}
     )
 
+    def _partials(it):
+        for pdf in it:
+            av = pdf[valcol].to_numpy()
+            kv = pdf[keycol].to_numpy() if keyed else np.zeros(len(av))
+            rows = []
+            for key in np.unique(kv) if keyed else [None]:
+                res = resolvers.get(int(key) if keyed else None)
+                if res is None:
+                    continue
+                sel = np.nonzero(kv == key)[0] if keyed else np.arange(len(av))
+                sub = av[sel]
+                asg = res(sub)
+                clean = True
+                try:
+                    X = np.stack(sub.tolist()).astype(np.int64)
+                    if X.ndim != 2 or X.shape[1] < dim:
+                        clean = False
+                    else:
+                        X = X[:, :dim]
+                except (TypeError, ValueError):
+                    clean = False
+                if clean:
+                    for cid in np.unique(asg):
+                        grp = X[asg == cid]
+                        rows.append(
+                            (
+                                None if not keyed else int(key),
+                                int(cid),
+                                int(grp.shape[0]),
+                                [int(v) for v in grp.sum(axis=0)],
+                                [int(grp.shape[0])] * dim,
+                            )
+                        )
+                    continue
+                # degenerate batch: per-row accumulate with the JVM
+                # sum/count NULL rules
+                acc: dict = {}
+                for a, cid in zip(sub, asg):
+                    cnt, sums, pres = acc.setdefault(
+                        int(cid), [0, [0] * dim, [0] * dim]
+                    )
+                    acc[int(cid)][0] = cnt + 1
+                    if a is None:
+                        continue
+                    if len(a) < dim:
+                        raise ValueError(
+                            f"embedding shorter than {dim} dims in Lloyd "
+                            f"update (ANSI element_at contract)"
+                        )
+                    for i in range(dim):
+                        if a[i] is not None:
+                            sums[i] += int(a[i])
+                            pres[i] += 1
+                for cid, (cnt, sums, pres) in acc.items():
+                    rows.append(
+                        (None if not keyed else int(key), cid, cnt, sums, pres)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["k", "cid", "cnt", "sums", "pres"]
+            )
 
-def _assign(fx4: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) codebook, exact
-    integer distances, ties to the lowest cid.
-
-    Argmin via min(struct(dist, cid)) rather than a row_number window:
-    the aggregate partially combines MAP-SIDE, so the shuffle carries
-    one row per vector instead of one per (vector, centroid) pair — a
-    K-fold shuffle reduction at cluster scale. first(fx4) is
-    deterministic here (every row in a vec_id group carries the same
-    array)."""
-    pairs = fx4.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "fx4",
-        F.struct(
-            F.expr(_l2_fx("fx4", "cfx")).alias("dist"), F.col("cid")
-        ).alias("dc"),
+    part = df.select(*cols).mapInPandas(
+        _partials, "k int, cid long, cnt long, sums array<long>, pres array<long>"
     )
-    return (
-        pairs.groupBy("vec_id")
-        .agg(F.min("dc").alias("dc"), F.first("fx4").alias("fx4"))
-        .select("vec_id", "fx4", F.col("dc.cid").alias("cid"))
-    )
+    merged: dict = {}
+    for r in part.collect():
+        ent = merged.setdefault(
+            (r["k"], r["cid"]), [0, [0] * dim, [0] * dim]
+        )
+        ent[0] += r["cnt"]
+        for i in range(dim):
+            ent[1][i] += r["sums"][i]
+            ent[2][i] += r["pres"][i]
+    out: dict = {}
+    for (k, cid), (cnt, sums, pres) in sorted(merged.items(), key=lambda t: (t[0][0] or 0, t[0][1])):
+        cfx = [
+            int(math.floor(float(sums[i]) / cnt)) if pres[i] > 0 else None
+            for i in range(dim)
+        ]
+        out.setdefault(k, []).append((cid, cfx))
+    return out if keyed else out.get(None, [])
 
 
-def _update(asg: DataFrame, dim: int = _DIM) -> DataFrame:
-    """New centroids: per-dimension floor(sum/count) — exact int sums,
-    one IEEE division, identical on both engines."""
-    means = [
-        F.expr(
-            f"CAST(floor(CAST(sum(element_at(fx4, {i + 1})) AS DOUBLE) / count(1)) AS BIGINT)"
-        ).alias(f"c{i}")
-        for i in range(dim)
-    ]
-    return (
-        asg.groupBy("cid")
-        .agg(*means)
-        .select("cid", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cfx"))
-    )
+def argmin_cid_by_key_pandas(codebooks):
+    """Keyed twin of argmin_cid_pandas for PQ: ``(m, sfx) -> cid``
+    against ``codebooks[m]``; a key with no codebook yields NULL (the
+    old inner broadcast join dropped those rows — downstream inner
+    joins on cid drop the NULLs identically)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    resolvers = {int(m): _cents_resolver(cs) for m, cs in codebooks.items() if cs}
+
+    def _amin(mcol, col):
+        mv = mcol.to_numpy()
+        av = col.to_numpy()
+        out = np.full(len(av), np.nan, dtype="float64")
+        for m in np.unique(mv):
+            r = resolvers.get(int(m))
+            if r is None:
+                continue
+            idx = np.nonzero(mv == m)[0]
+            out[idx] = r(av[idx])
+        return pd.Series(out).astype("Int64")
+
+    _amin.__annotations__ = {"mcol": pd.Series, "col": pd.Series, "return": pd.Series}
+    return pandas_udf(_amin, "long")
 
 
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a k-means codebook and nprobe=2.
 
     Pipeline: seed centroids (vec_id < K) -> IVF_ITERS Lloyd rounds
-    (broadcast assign + tiny mean agg) -> final assignment -> probe the
-    query's NPROBE nearest centroids -> exact cosine re-rank of just
-    those clusters' vectors.
-    """
-    from pyspark.sql import Window as W
+    (one fused assign+partial-update Arrow pass each, merged driver-
+    side) -> final assignment -> probe the query's NPROBE nearest
+    centroids (pure-int driver-side sort of K rows) -> exact cosine
+    re-rank of just those clusters' vectors.
 
+    r11 restructure (guide §1.2/§4.2): the codebook lives DRIVER-SIDE
+    between rounds — each round is ONE mapInPandas pass over the
+    cached fx4 (_lloyd_round_cents: numpy argmin + per-partition
+    partial sums, K-bounded partial rows collected and merged — the
+    MLlib KMeans shape). The old lazy-fused loop paid 2 shuffle stages
+    + an AQE replan + fresh 64-expression aggregate codegen per round
+    plus interpreted aggregate/zip_with folds per (vector, centroid)
+    pair; now each round is one Arrow pass + a tiny collect, and the
+    final plan has NO join before the re-rank. Assignments, centroid
+    means, probes, and the re-rank are bit-identical to the joined
+    formulation (argmin_cid_pandas and _lloyd_round_cents docstrings
+    carry the NULL-edge and float(int) arguments). Construction now
+    runs real jobs, so the query is bench EAGER_CONSTRUCTION."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
     fx4 = emb.select(
         "vec_id", "label", F.expr(_fx4_expr("embedding")).alias("fx4")
     ).cache()
-    cent = fx4.filter(F.col("vec_id") < K_IVF).select(
-        F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx")
-    )
-    for _ in range(IVF_ITERS):
-        # Deliberately a LAZY fused plan: with IVF_ITERS=2 the stacked
-        # Lloyd lineage is shallow and Catalyst analyzes it once inside
-        # the single action. Measured at sf0.1: fused 1.9s vs per-round
-        # localCheckpoint 2.8s vs per-round collect-to-literals 3.1s —
-        # eager state truncation only pays once the round count grows
-        # (cf. the 10-round PageRank, which iterates driver-side).
-        cent = _update(_assign(fx4.select("vec_id", "fx4"), cent))
-    final_asg = _assign(fx4.select("vec_id", "fx4"), cent).select("vec_id", "cid")
 
-    # query's NPROBE nearest centroids (tiny: K rows through a window)
-    qv = fx4.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("fx4").alias("qfx4")
+    seed_rows = (
+        fx4.filter(
+            (F.col("vec_id") < K_IVF) | (F.col("vec_id") == QUERY_VEC_ID)
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("fx4").alias("cfx"))
+        .collect()
     )
-    wq = W.orderBy("qdist", "cid")
-    probed = (
-        cent.crossJoin(F.broadcast(qv))
-        .withColumn("qdist", F.expr(_l2_fx("cfx", "qfx4")))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= NPROBE)
-        .select("cid")
-    )
+    cents = [
+        (r["cid"], None if r["cfx"] is None else list(r["cfx"]))
+        for r in seed_rows
+        if r["cid"] < K_IVF
+    ]
+    qfx4s = [
+        None if r["cfx"] is None else list(r["cfx"])
+        for r in seed_rows
+        if r["cid"] == QUERY_VEC_ID
+    ]
+    for _ in range(IVF_ITERS):
+        if not cents:
+            break
+        cents = _lloyd_round_cents(fx4, ["fx4"], cents, _DIM)
+
+    if cents:
+        final_asg = fx4.select(
+            "vec_id", argmin_cid_pandas(cents)("fx4").alias("cid")
+        )
+    else:  # no seed vectors: empty result, same as the joined path
+        final_asg = fx4.select(
+            "vec_id", F.lit(None).cast("long").alias("cid")
+        ).filter(F.lit(False))
+
+    # query's NPROBE nearest centroids: pure-int driver-side sort of K
+    # collected rows — same (qdist ASC NULLS FIRST, cid ASC) order as
+    # the old row_number window (qfx4 rode the seeds collect:
+    # QUERY_VEC_ID < K_IVF, one fewer action)
+    probed: list = []
+    if qfx4s and cents:
+        qfx4 = qfx4s[0]
+        keyed = []
+        for cid, arr in cents:
+            d = _pyl2(qfx4, arr)
+            keyed.append(((0, 0, cid) if d is None else (1, d, cid), cid))
+        probed = [cid for _, cid in sorted(keyed)[:NPROBE]]
+
     cand = (
-        final_asg.join(F.broadcast(probed), "cid")
+        final_asg.filter(
+            F.col("cid").isin(probed) if probed else F.lit(False)
+        )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id")
     )
@@ -1089,55 +1321,68 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("vec_id", "s.m", "s.sfx").cache()
 
-    def assign(cent: DataFrame) -> DataFrame:
-        pairs = subs.join(F.broadcast(cent), "m").select(
+    # r11 restructure (guide §1.2/§4.2, the ann_topk_ivf_kmeans shape):
+    # the 4 subspace codebooks live DRIVER-SIDE between rounds — each
+    # round collects the (m, cid) centroid rows (<= PQ_M*PQ_K = 64, a
+    # bounded model artifact) and assignment is a map-only Arrow
+    # matmul per subspace (argmin_cid_by_key_pandas) with NO broadcast
+    # join and NO update-side join-back (the assign output carries sfx
+    # through). Centroid values still come from the unchanged Spark
+    # floor-mean aggregate; the query LUT is computed driver-side in
+    # pure int (same _l2_fx semantics incl. NULL on length mismatch)
+    # and re-enters the plan as a literal 64-row broadcast frame, so
+    # codes/adist/top-k are bit-identical to the joined formulation.
+    # Construction now runs real jobs -> bench EAGER_CONSTRUCTION.
+    seed_rows = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sfx").alias("cfx")
+    ).collect()
+    cb: dict = {}
+    for r in seed_rows:
+        cb.setdefault(int(r["m"]), []).append(
+            (r["cid"], None if r["cfx"] is None else list(r["cfx"]))
+        )
+    # qsubs ride the seeds collect (QUERY_VEC_ID < PQ_K)
+    qrows = {
+        int(r["m"]): None if r["cfx"] is None else list(r["cfx"])
+        for r in seed_rows
+        if r["cid"] == QUERY_VEC_ID
+    }
+    for _ in range(PQ_ITERS):
+        if not cb:
+            break
+        cb = _lloyd_round_cents(subs, ["m", "sfx"], cb, PQ_SUBDIM, keyed=True)
+
+    if cb:
+        # asNondeterministic stops Catalyst pushing the lut join's
+        # isnotnull(cid) below this Project, which re-evaluated the
+        # whole UDF a second time inside the pushed Filter (the
+        # function IS deterministic; the mark is pure plan hygiene —
+        # one ArrowEvalPython instead of two stacked ones)
+        codes = subs.select(
             "vec_id",
             "m",
-            F.struct(
-                F.expr(_l2_fx("sfx", "cfx")).alias("dist"), F.col("cid")
-            ).alias("dc"),
+            argmin_cid_by_key_pandas(cb)
+            .asNondeterministic()("m", "sfx")
+            .alias("cid"),
         )
-        return (
-            pairs.groupBy("vec_id", "m")
-            .agg(F.min("dc").alias("dc"))
-            .select("vec_id", "m", F.col("dc.cid").alias("cid"))
-        )
+    else:  # no seed vectors: empty result, same as the joined path
+        codes = subs.select(
+            "vec_id", "m", F.lit(None).cast("long").alias("cid")
+        ).filter(F.lit(False))
 
-    def update(asg: DataFrame) -> DataFrame:
-        means = [
-            F.expr(
-                f"CAST(floor(CAST(sum(element_at(sfx, {i + 1})) AS DOUBLE)"
-                f" / count(1)) AS BIGINT)"
-            ).alias(f"c{i}")
-            for i in range(PQ_SUBDIM)
-        ]
-        return (
-            asg.join(subs, ["vec_id", "m"])
-            .groupBy("m", "cid")
-            .agg(*means)
-            .select(
-                "m",
-                "cid",
-                F.array(*[F.col(f"c{i}") for i in range(PQ_SUBDIM)]).alias("cfx"),
-            )
-        )
-
-    cent = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sfx").alias("cfx")
-    )
-    for _ in range(PQ_ITERS):
-        # Lazy fused on purpose — see the ann_topk_ivf_kmeans loop for
-        # the sf0.1 measurements (fused beats checkpoint/collect at 2
-        # rounds).
-        cent = update(assign(cent))
-    codes = assign(cent)
-
-    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        "m", F.col("sfx").alias("qsfx")
-    )
-    lut = cent.join(F.broadcast(qsubs), "m").select(
-        "m", "cid", F.expr(_l2_fx("cfx", "qsfx")).alias("qd")
-    )
+    # driver-side query LUT: qd = _l2_fx(cfx, qsfx) in pure int (exact;
+    # None wherever the JVM fold is NULL); qrows came from the seeds
+    # collect above
+    lut_rows = [
+        (m, cid, _pyl2(arr, qrows[m]))
+        for m, cs in sorted(cb.items())
+        if m in qrows
+        for cid, arr in cs
+    ]
+    if lut_rows:
+        lut = spark.createDataFrame(lut_rows, "m int, cid long, qd long")
+    else:
+        lut = spark.createDataFrame([], "m int, cid long, qd long")
     adist = (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .groupBy("vec_id")

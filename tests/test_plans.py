@@ -122,15 +122,26 @@ def test_nn_within_label_salted_join_key(spark, sf_dir):
 
 
 def test_ivf_kmeans_broadcasts_codebook(spark, sf_dir):
-    """Every k-means pass must broadcast the K-row codebook — the
-    assignment over the full corpus stays a linear scan, never a wide
-    shuffle against the centroid side."""
+    """The corpus-side k-means assignment must stay a linear scan —
+    since the r11 driver-side-codebook rewrite that means ONE map-only
+    ArrowEvalPython over the cached fx4 (no join, no shuffle before
+    the candidate filter); the only join left is the broadcast re-rank
+    join, and nothing may degenerate to a cartesian product."""
     from catme_etl_j_spark.operators import similarity
 
+    import re
+
     plan = formatted_plan(similarity.ann_topk_ivf_kmeans(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # no cartesian product without a broadcast anywhere in the pipeline
     assert "CartesianProduct" not in plan
+    # assignment is map-only: no Exchange between the cache scan and
+    # the ArrowEvalPython (the single shuffle-shaped node allowed in
+    # the whole plan is the re-rank join's BroadcastExchange)
+    import re
+
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
 
 
 def test_winnow_staging_survives_optimizer(spark, sf_dir):
@@ -264,10 +275,13 @@ def test_winnow_pairs_filter_not_inlined_below_generate(spark, sf_dir):
 
 
 def test_pq_topk_lut_joins_broadcast_no_cartesian(spark, sf_dir):
-    """PQ/ADC scale shape: the 4 query-to-centroid LUTs (16 rows each)
-    must join by broadcast hash, the global top-k must be
-    TakeOrderedAndProject (per-partition heap, no global sort), and
-    nothing may degenerate to a cartesian product."""
+    """PQ/ADC scale shape: since the r11 driver-side-codebook rewrite
+    the final plan is encode (ONE map-only ArrowEvalPython — the
+    isnotnull pushdown that would re-evaluate it is pinned away) ->
+    broadcast LUT join -> per-vector sum -> broadcast label join ->
+    TakeOrderedAndProject (per-partition heap, no global sort); no
+    cartesian product, and exactly one Exchange (the vec_id ADC
+    aggregate)."""
     import re
 
     from catme_etl_j_spark.operators.similarity import ann_pq_topk
@@ -275,7 +289,9 @@ def test_pq_topk_lut_joins_broadcast_no_cartesian(spark, sf_dir):
     plan = formatted_plan(ann_pq_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
 def test_resample_locf_shuffle_budget(spark, sf_dir):
