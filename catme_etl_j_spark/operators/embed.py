@@ -854,42 +854,233 @@ def _km_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_dist_py(a, cv):
+    """Driver-twin of one (vector, cluster) long-format distance:
+    SUM((q-c)^2) over the JOINED dims (the common 0..min(len)-1
+    prefix), NULL terms skipped by SUM, None when every term is NULL.
+    The pair always exists (both prefixes are >= 1 by construction),
+    so every cluster is a candidate — unlike the array-zip semantics
+    of the IVF path, a length mismatch here just shortens the sum."""
+    cd = min(len(a), len(cv))
+    d, seen = 0, False
+    for i in range(cd):
+        if a[i] is not None and cv[i] is not None:
+            d += (int(a[i]) - int(cv[i])) ** 2
+            seen = True
+    return d if seen else None
+
+
+def _km_round_udf(cents, final):
+    """One fused Lloyd round over the 1e4-quantized ARRAY frame
+    (vec_id, qarr): numpy argmin assignment against the driver-side
+    codebook + (non-final) per-partition partial sums/counts, or
+    (final) the (vec_id, cluster, d) assignment rows.
+
+    Replicates the old exploded-comp join semantics exactly:
+    distances sum over the common dim prefix with SUM's NULL-skipping
+    (see _km_dist_py; a NULL d sorts FIRST in the struct-min, lowest
+    cluster wins ties — verified against Spark's interpreted
+    ordering); update partials mirror SUM(q)/COUNT(*) per (cluster,
+    i): COUNT(*) counts every member row whose array REACHES dim i
+    (NULL elements included), SUM skips the NULLs. Rows with NULL or
+    empty qarr produce no comp rows and are filtered before this UDF.
+    Fast path is one int64 matmul per (row-length, cluster) — exact
+    (|q| <= 2e4, 64-dim sums <= ~1e11 << 2^63)."""
+    import numpy as np
+    import pandas as pd
+
+    srt = sorted((int(cl), list(cv)) for cl, cv in cents.items())
+    cl_ids = np.array([cl for cl, _ in srt], dtype=np.int64)
+    cents_clean = all(all(v is not None for v in cv) for _, cv in srt)
+    cnp = [np.array(cv, dtype=np.int64) if cents_clean else None for _, cv in srt]
+
+    def _row_key(a):
+        best = None
+        for cl, cv in srt:
+            d = _km_dist_py(a, cv)
+            key = (0, 0, cl) if d is None else (1, d, cl)
+            if best is None or key < best:
+                best = key
+        return best  # (nullflag, d, cluster)
+
+    def f(it):
+        for pdf in it:
+            av = pdf["qarr"].to_numpy()
+            vv = pdf["vec_id"].to_numpy()
+            out_rows = []
+            acc: dict = {}  # cluster -> [width, counts, sums, pres]
+
+            def _acc_row(cl, a):
+                ent = acc.setdefault(int(cl), [0, [], [], []])
+                width = len(a)
+                while len(ent[1]) < width:
+                    ent[1].append(0)
+                    ent[2].append(0)
+                    ent[3].append(0)
+                for i in range(width):
+                    ent[1][i] += 1
+                    if a[i] is not None:
+                        ent[2][i] += int(a[i])
+                        ent[3][i] += 1
+
+            lens = np.fromiter((len(x) for x in av), dtype=np.int64, count=len(av))
+            for length in np.unique(lens):
+                idx = np.nonzero(lens == length)[0]
+                sub, vids = av[idx], vv[idx]
+                clean = cents_clean
+                X = None
+                if clean:
+                    try:
+                        X = np.stack(sub.tolist()).astype(np.int64)
+                    except (TypeError, ValueError):
+                        clean = False
+                if clean:
+                    L = int(length)
+                    D = np.empty((len(idx), len(srt)), dtype=np.int64)
+                    for j, c in enumerate(cnp):
+                        cd = min(L, len(c))
+                        Xc, cc = X[:, :cd], c[:cd]
+                        D[:, j] = (
+                            (Xc * Xc).sum(axis=1)
+                            - 2 * (Xc @ cc)
+                            + int(cc @ cc)
+                        )
+                    amin = np.argmin(D, axis=1)
+                    if final:
+                        for r, j in enumerate(amin):
+                            out_rows.append(
+                                (int(vids[r]), int(cl_ids[j]), int(D[r, j]))
+                            )
+                    else:
+                        for j in np.unique(amin):
+                            sel = X[amin == j]
+                            n = int(sel.shape[0])
+                            ent = acc.setdefault(int(cl_ids[j]), [0, [], [], []])
+                            width = sel.shape[1]
+                            while len(ent[1]) < width:
+                                ent[1].append(0)
+                                ent[2].append(0)
+                                ent[3].append(0)
+                            csum = sel.sum(axis=0)
+                            for i in range(width):
+                                ent[1][i] += n
+                                ent[2][i] += int(csum[i])
+                                ent[3][i] += n
+                    continue
+                for a, vid in zip(sub, vids):
+                    al = list(a)
+                    key = _row_key(al)
+                    if final:
+                        out_rows.append(
+                            (int(vid), key[2], None if key[0] == 0 else key[1])
+                        )
+                    else:
+                        _acc_row(key[2], al)
+            if final:
+                yield pd.DataFrame(
+                    out_rows, columns=["vec_id", "cluster", "d"]
+                ) if out_rows else pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "cluster": pd.Series([], dtype="int64"),
+                        "d": pd.Series([], dtype="float64"),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    [
+                        (cl, cnts, sums, pres)
+                        for cl, (_, cnts, sums, pres) in sorted(acc.items())
+                    ]
+                    if acc
+                    else [],
+                    columns=["cluster", "cnts", "sums", "pres"],
+                )
+
+    return f
+
+
+def _km_qarr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qarr): the 1e4-quantized int64 ARRAY frame — the same
+    floor(x*COV_SCALE + 0.5) integers _km_comp explodes, kept packed
+    for the driver-side Lloyd loop. Rows with NULL/empty embeddings
+    are excluded (they produce no comp rows and never assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qarr"),
+    ).filter(F.col("qarr").isNotNull() & (F.size("qarr") > 0))
+
+
 def _km_assign(spark: SparkSession, sf_dir: str):
     """(comp, assign): the KM_ITERS integer Lloyd loop shared by
     embed_kmeans_sse and dedup_semdedup_prune — final per-vector
     assignment (vec_id, cluster, d) under the round-(K-1) centroids,
-    exactly the oracle's unrolled a{{K}} CTE. comp is checkpointed
-    (every round joins it twice)."""
-    comp = _km_comp(spark, sf_dir).localCheckpoint()
-    seeds = (
-        comp.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(KM_K)
-        .withColumn(
-            "cluster",
-            F.row_number().over(Window.orderBy("vec_id")).cast("long") - 1,
+    exactly the oracle's unrolled a{{K}} CTE.
+
+    r11 restructure (guide §1.2/§4.2, the ann_topk_ivf_kmeans shape):
+    the K x 64 codebook lives DRIVER-SIDE between rounds. Each round
+    is ONE fused mapInPandas pass over the cached qarr frame
+    (_km_round_udf: numpy argmin + per-partition partial sums), its
+    K-bounded partials merged driver-side with the same
+    SUM(q) DIV COUNT(*) truncating integer mean (convention #7:
+    Python // floors, so the merge uses an explicit trunc-toward-zero
+    divmod). The old shape checkpointed the 128k-row exploded comp
+    eagerly and ran 3 joins + 3 shuffles per round; this runs one
+    Arrow pass + one tiny collect per round. comp is still returned
+    (lazily) for consumers that want the exploded view."""
+    qarr = _km_qarr(spark, sf_dir).cache()
+    seed_rows = qarr.orderBy("vec_id").limit(KM_K).collect()
+    cents = {
+        cl: list(r["qarr"]) for cl, r in enumerate(seed_rows)
+    }
+
+    def _trunc_div(s: int, c: int) -> int:
+        q, r = divmod(s, c)
+        if q < 0 and r != 0:
+            q += 1
+        return q
+
+    # KM_ITERS - 1 update rounds: the returned assignment is the
+    # round-KM_ITERS one, taken under the round-(KM_ITERS-1) centroids
+    # (the oracle's a{KM_ITERS} under c{KM_ITERS-1})
+    for _ in range(KM_ITERS - 1):
+        if not cents:
+            break
+        part = qarr.mapInPandas(
+            _km_round_udf(cents, final=False),
+            "cluster long, cnts array<long>, sums array<long>, pres array<long>",
         )
-    )
-    cent = comp.join(seeds, "vec_id").select("cluster", "i", F.col("q").alias("c"))
-    assign = None
-    for _ in range(KM_ITERS):
-        dist = (
-            comp.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        merged: dict = {}
+        for r in part.collect():
+            ent = merged.setdefault(r["cluster"], [[], [], []])
+            for i in range(len(r["cnts"])):
+                while len(ent[0]) <= i:
+                    ent[0].append(0)
+                    ent[1].append(0)
+                    ent[2].append(0)
+                ent[0][i] += r["cnts"][i]
+                ent[1][i] += r["sums"][i]
+                ent[2][i] += r["pres"][i]
+        cents = {
+            cl: [
+                _trunc_div(sums[i], cnts[i]) if pres[i] > 0 else None
+                for i in range(len(cnts))
+            ]
+            for cl, (cnts, sums, pres) in sorted(merged.items())
+        }
+
+    if cents:
+        assign = qarr.mapInPandas(
+            _km_round_udf(cents, final=True),
+            "vec_id long, cluster long, d long",
         )
-        assign = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cluster")).alias("m"))
-            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("d"))
-        )
-        cent = (
-            comp.join(assign.select("vec_id", "cluster"), "vec_id")
-            .groupBy("cluster", "i")
-            .agg(F.expr("CAST(SUM(q) AS BIGINT) DIV COUNT(*)").alias("c"))
-        )
-    return comp, assign
+    else:
+        assign = spark.createDataFrame([], "vec_id long, cluster long, d long")
+    return _km_comp(spark, sf_dir), assign
 
 
 def embed_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:

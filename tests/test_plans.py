@@ -928,16 +928,23 @@ def test_cc_shipped_plan_has_no_reexpansion(spark, sf_dir):
 
 
 def test_kmeans_centroids_broadcast(spark, sf_dir):
-    """The K x 64 centroid table broadcast-joins onto the exploded
-    component stream every round — never a shuffled join against the
-    corpus side — and the distance sums partial-aggregate map-side."""
+    """The corpus side must never shuffle against the centroid side.
+    Since the r11 driver-side-codebook rewrite the assignment is ONE
+    map-only ArrowEvalPython over the packed qarr frame (no join at
+    all); the only shuffle left is the K-row per-cluster SSE
+    aggregate, which partial-aggregates map-side (plus the K-row
+    range-partition Exchange under the output Sort)."""
+    import re
+
     from catme_etl_j_spark.operators.embed import embed_kmeans_sse
 
     plan = formatted_plan(embed_kmeans_sse(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert "BroadcastHashJoin" in tree
+    assert "MapInPandas" in tree, tree
+    assert "Join" not in tree, tree
     assert "CartesianProduct" not in tree
-    assert "partial_sum" in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
 
 
 def test_purity_centroids_broadcast(spark, sf_dir):
