@@ -355,6 +355,138 @@ COV_DIM = 64
 COV_SCALE = 10000.0  # 1e4 fixed-point per component
 
 
+def _cov_partials(it):
+    """Per-partition Gram partials over the quantized arrays: rows
+    (i, j, s) with (i>=0, j>=0) the upper-triangle product sums,
+    (i>=0, j=-1) the per-position marginal sums, (-1, -1) the row
+    count. Replicates the old posexplode/self-join/SUM semantics
+    exactly:
+
+    - a cell (i, j) EXISTS when some row's array reaches position j
+      (i <= j < len) — even if every contributing product is NULL;
+      its s is NULL when no non-NULL product was seen (SUM of an
+      all-NULL group), else the sum of the non-NULL products;
+    - a marginal i exists when some array reaches position i, with
+      the same NULL-SUM rule over q values;
+    - the count row tallies EVERY input row, NULL/empty arrays
+      included (COUNT(*) over the base table).
+
+    Fast path: one int64 X^T X + column-sum per (partition, length)
+    group of NULL-free rows. Exact: |q| < ~3e4 so products < ~1e9,
+    and a scan partition holds << 1e10 rows, keeping every int64
+    partial far below 2^63 (the global accumulation then runs in
+    DECIMAL(38,0) Spark-side). Rows with NULL elements fall to a
+    per-row loop (degenerate-probe path)."""
+    import numpy as np
+    import pandas as pd
+
+    W = 0
+    tri = np.zeros((0, 0), dtype=np.int64)
+    tri_exists = np.zeros((0, 0), dtype=bool)
+    tri_has = np.zeros((0, 0), dtype=bool)
+    mg = np.zeros(0, dtype=np.int64)
+    mg_exists = np.zeros(0, dtype=bool)
+    mg_has = np.zeros(0, dtype=bool)
+    n = 0
+    saw = False
+
+    def _grow(width):
+        nonlocal W, tri, tri_exists, tri_has, mg, mg_exists, mg_has
+        if width <= W:
+            return
+        t = np.zeros((width, width), dtype=np.int64)
+        t[:W, :W] = tri
+        te = np.zeros((width, width), dtype=bool)
+        te[:W, :W] = tri_exists
+        th = np.zeros((width, width), dtype=bool)
+        th[:W, :W] = tri_has
+        m = np.zeros(width, dtype=np.int64)
+        m[:W] = mg
+        me = np.zeros(width, dtype=bool)
+        me[:W] = mg_exists
+        mh = np.zeros(width, dtype=bool)
+        mh[:W] = mg_has
+        tri, tri_exists, tri_has, mg, mg_exists, mg_has = t, te, th, m, me, mh
+        W = width
+
+    for pdf in it:
+        saw = True
+        av = pdf["qarr"].to_numpy()
+        n += len(av)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in av), dtype=np.int64, count=len(av)
+        )
+        for length in np.unique(lens):
+            if length == 0:
+                continue
+            L = int(length)
+            _grow(L)
+            idx = np.nonzero(lens == length)[0]
+            sub = av[idx]
+            # Arrow hands a batch with ANY null element over as float64
+            # (null -> NaN); null-free batches stay int64. The float64
+            # round-trip is exact below 2^53, far above any real 1e4
+            # fixed-point component.
+            X = None
+            try:
+                stacked = np.stack(sub.tolist())
+                if stacked.dtype == np.int64:
+                    X = stacked
+                elif np.issubdtype(stacked.dtype, np.floating):
+                    if not np.isnan(stacked).any():
+                        X = stacked.astype(np.int64)
+            except (TypeError, ValueError):
+                pass
+            if X is not None:
+                iu = np.triu_indices(L)
+                G = X.T @ X
+                tri[:L, :L][iu] += G[iu]
+                tri_exists[:L, :L][iu] = True
+                tri_has[:L, :L][iu] = True
+                mg[:L] += X.sum(axis=0)
+                mg_exists[:L] = True
+                mg_has[:L] = True
+                continue
+            for a in sub:
+                al = [None if v is None or v != v else int(v) for v in a]
+                mg_exists[:L] = True
+                iu = np.triu_indices(L)
+                tri_exists[:L, :L][iu] = True
+                for i in range(L):
+                    if al[i] is None:
+                        continue
+                    qi = al[i]
+                    mg[i] += qi
+                    mg_has[i] = True
+                    for j in range(i, L):
+                        if al[j] is not None:
+                            tri[i, j] += qi * al[j]
+                            tri_has[i, j] = True
+
+    rows_i, rows_j, rows_s = [], [], []
+    if saw:
+        rows_i.append(-1)
+        rows_j.append(-1)
+        rows_s.append(n)
+        for i in range(W):
+            if mg_exists[i]:
+                rows_i.append(i)
+                rows_j.append(-1)
+                rows_s.append(int(mg[i]) if mg_has[i] else None)
+        ii, jj = np.nonzero(tri_exists)
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            rows_i.append(i)
+            rows_j.append(j)
+            rows_s.append(int(tri[i, j]) if tri_has[i, j] else None)
+    yield pd.DataFrame(
+        {
+            "i": pd.Series(rows_i, dtype="int64"),
+            "j": pd.Series(rows_j, dtype="int64"),
+            "s": pd.array(rows_s, dtype="Int64"),
+        }
+    )
+
+
 def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance matrix of the embedding space — the
     distributed-linear-algebra primitive PCA / whitening / Mahalanobis
@@ -368,41 +500,47 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     int->double conversion is lossless) and a single division per
     cell closes it out.
 
-    Scale shape: posexplode (64 rows/vector), a vec_id-co-partitioned
-    self-join emitting the 2,080 upper-triangle products per vector,
-    and a groupBy that map-side combines to 2,080 cells per task —
-    the shuffle carries |cells|, not |vectors|. The 64-row marginal
-    sums broadcast-join back onto the cells.
+    Scale shape (r11, guide §1.2/§2.4/§4.2): ONE map-only Arrow pass
+    over the packed quantized arrays computes per-partition Gram
+    partials (numpy int64 X^T X upper triangle + marginals + row
+    count — no posexplode, no self-join, no re-scan of the parquet;
+    the old shape generated 2,080 join rows per vector and scanned
+    the table three times). Partials are exact in int64: per-pair
+    products are < ~1e9 and a scan partition holds < ~1e10 rows at
+    any file-split size, so a partial stays far below 2^63; the
+    global SUM then accumulates the partials in DECIMAL(38,0),
+    order-independent because integer addition is exact. The shuffle
+    carries |cells| + 64 + 1 rows per task, never |vectors|.
     """
     from catme_etl_j_spark.functions.numeric import rdet
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select(
-        "vec_id",
-        "i",
+    qdf = emb.select(
         F.expr(
-            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)"
-        ).alias("q"),
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qarr")
     )
-    a, b = comp.alias("a"), comp.alias("b")
-    cells = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.i") <= F.col("b.i")),
-        )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias("s_ij")
-        )
+    part = qdf.mapInPandas(_cov_partials, "i long, j long, s long")
+    # (i>=0, j>=0) = triangle cells, (i>=0, j=-1) = marginals,
+    # (-1, -1) = row count; one ~2,145-row frame, cached because it
+    # has four consumers below (convention #12 — without it each
+    # consumer would re-run the scan + Arrow pass).
+    agg = (
+        part.groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .cache()
     )
-    marg = comp.groupBy("i").agg(
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    cells = agg.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+        "i", "j", F.col("s").alias("s_ij")
     )
-    n_row = emb.agg(F.count("*").alias("n"))
+    marg = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", "s"
+    )
+    n_row = agg.filter(F.col("i") == -1).select(
+        F.col("s").cast("long").alias("n")
+    )
     joined = (
         cells.join(
             F.broadcast(marg.select(F.col("i").alias("mi"), F.col("s").alias("s_i"))),
@@ -484,12 +622,13 @@ def embed_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two regimes, split exactly as graph.py splits PageRank:
 
-    * DATA-SCALED (distributed): the covariance accumulation — one
-      posexplode + upper-triangle self-join co-partitioned on vec_id,
-      map-side combined to 2,080 cells per task (embed_covariance's
-      proven shape) — and the final projection, a per-row
-      ``aggregate(zip_with(...))`` against the broadcast eigenvector
-      (map-only, whole-stage codegen, no shuffle).
+    * DATA-SCALED (distributed): the covariance accumulation — ONE
+      map-only Arrow pass of Gram partials (embed_covariance's r11
+      `_cov_partials` shape; no posexplode, no self-join, and a
+      single collect action replaces the old three) — and the final
+      projection, a per-row ``aggregate(zip_with(...))`` against the
+      broadcast eigenvector (map-only, whole-stage codegen, no
+      shuffle).
     * SF-INVARIANT (driver): the d x d eigensolve. d = 64 is fixed by
       the embedding model, not the corpus, so the 2,080-cell collect
       is bounded forever; real pipelines solve the d x d system on
@@ -510,31 +649,33 @@ def embed_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
-        "vec_id",
-        "i",
+    qdf = emb.select(
         F.expr(
-            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)"
-        ).alias("q"),
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qarr")
     )
-    a, b = comp.alias("a"), comp.alias("b")
-    cells = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.i") <= F.col("b.i")),
-        )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias("s"))
-        .collect()  # bounded: d*(d+1)/2 = 2,080 rows, SF-invariant
+    # bounded collect: d*(d+1)/2 + d + 1 = 2,145 rows, SF-invariant
+    # (one action replaces the old cells/marg/count trio)
+    part = (
+        qdf.mapInPandas(_cov_partials, "i long, j long, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .collect()
     )
-    marg = {
-        int(r["i"]): int(r["s"])
-        for r in comp.groupBy("i")
-        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
-        .collect()  # bounded: 64 rows
-    }
-    n = emb.count()
+    cells: dict = {}
+    marg: dict = {}
+    n = 0
+    for r in part:
+        i, j = int(r["i"]), int(r["j"])
+        s = None if r["s"] is None else int(r["s"])
+        if i == -1:
+            n = s or 0
+        elif j == -1:
+            if s is not None:
+                marg[i] = s
+        elif s is not None:
+            cells[(i, j)] = s
     out_schema = (
         "vec_id BIGINT, label INT, proj_fp BIGINT, proj DOUBLE"
     )
@@ -542,8 +683,9 @@ def embed_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     d = COV_DIM
     num = [[0] * d for _ in range(d)]
-    for r in cells:
-        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+    for (i, j), s in cells.items():
+        if i >= d or j >= d:
+            continue
         v = n * s - marg.get(i, 0) * marg.get(j, 0)
         num[i][j] = v
         num[j][i] = v
@@ -927,11 +1069,20 @@ def _km_round_udf(cents, final):
             for length in np.unique(lens):
                 idx = np.nonzero(lens == length)[0]
                 sub, vids = av[idx], vv[idx]
+                # Arrow hands a batch with ANY null element over as
+                # float64 (null -> NaN); null-free batches stay int64
+                # and the float64 round-trip is exact below 2^53.
                 clean = cents_clean
                 X = None
                 if clean:
                     try:
-                        X = np.stack(sub.tolist()).astype(np.int64)
+                        stacked = np.stack(sub.tolist())
+                        if np.issubdtype(stacked.dtype, np.floating) and np.isnan(
+                            stacked
+                        ).any():
+                            clean = False
+                        else:
+                            X = stacked.astype(np.int64)
                     except (TypeError, ValueError):
                         clean = False
                 if clean:
@@ -968,7 +1119,7 @@ def _km_round_udf(cents, final):
                                 ent[3][i] += n
                     continue
                 for a, vid in zip(sub, vids):
-                    al = list(a)
+                    al = [None if v is None or v != v else int(v) for v in a]
                     key = _row_key(al)
                     if final:
                         out_rows.append(

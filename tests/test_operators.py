@@ -1860,6 +1860,56 @@ def test_pca_outliers_zero_matrix_degenerate(spark, tmp_path):
     ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
 
 
+def test_covariance_ragged_null_rows(spark, tmp_path):
+    """The r11 Gram-partials rewrite (_cov_partials) must replicate the
+    old posexplode/self-join/SUM semantics on rows the corpus contract
+    never ships: ragged lengths (cells exist only up to each row's
+    length), NULL elements (Arrow delivers them as NaN-in-float64;
+    SUM skips them, but the cell still EXISTS and goes all-NULL when
+    no product survives), empty and NULL arrays (count-only rows).
+    Verified against the DuckDB oracle twin end-to-end."""
+    import duckdb as ddb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+    from catme_etl_j_spark.operators.embed import embed_covariance
+
+    vecs = [
+        [0.5, -0.25, 0.125],           # ragged: shorter than COV_DIM
+        [0.1, None, 0.3, 0.4],         # NULL element -> NaN batch
+        [None, None],                  # all-NULL prefix: cells exist, sums NULL
+        [],                            # empty: count-only
+        None,                          # NULL array: count-only
+        [0.2, 0.3],
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    sdf = embed_covariance(spark, str(tmp_path))
+    rows = sdf.collect()
+    # position 1 exists in 4 rows but only (1,1),(1,2),(1,3) products
+    # involving row 1's NULL are skipped; cell (0,1) from the all-NULL
+    # row 2 must still be present via rows 0/1/5
+    assert {(r["i"], r["j"]) for r in rows} >= {(0, 0), (0, 1), (2, 3)}
+    assert all(r["n_vectors"] == len(vecs) for r in rows)
+
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rel = con.sql(entry_mod.oracle_sql()["embed_covariance"])
+    assert _norm(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in rows]
+    ) == _norm([c.lower() for c in rel.columns], rel.fetchall())
+
+
 def test_chunk_manifest_multibyte_payload(spark, tmp_path):
     """ADVICE r7: offsets/chunk_bytes are UTF-8 BYTE quantities, so the
     head_hex preview must be byte-indexed too — a character-indexed

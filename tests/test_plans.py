@@ -461,14 +461,26 @@ def test_incremental_index_joins_bands_not_pairs(spark, sf_dir):
 
 
 def test_covariance_partial_aggregation(spark, sf_dir):
-    """The outer-product accumulation must map-side combine (partial
-    aggregate on (i, j)) so the shuffle carries ~2080 cells per task,
-    not |vectors| x 2080 products."""
+    """Since the r11 Gram-partials rewrite the corpus is read ONCE by
+    a map-only Arrow pass (no posexplode, no vec_id self-join); the
+    shuffle carries the per-partition partial cells (~2,145 rows per
+    task, partial-aggregated map-side), and the marginal/count joins
+    run on the cached cell frame, never against the corpus."""
     from catme_etl_j_spark.operators.embed import embed_covariance
 
     plan = formatted_plan(embed_covariance(spark, sf_dir))
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan  # no posexplode anywhere
+    tree = plan.split("\n\n")[0]
+    # exactly one physical corpus scan: the tree re-prints the shared
+    # InMemoryRelation lineage per consumer, but every "Scan parquet"
+    # line carries the same node id
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, tree
 
 
 def test_scd2_fact_join_is_equi_join_on_custkey(spark, sf_dir):
