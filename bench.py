@@ -155,7 +155,8 @@ EAGER_CONSTRUCTION = frozenset(
         "corpus_e2e_funnel",  # localCheckpoints the staged text frame
         "corpus_bpe_tokenize",  # driver-side merge training in the builder
         "embed_e2e_pipeline",  # localCheckpoints chunks + pairs
-        "sketch_ams_f2",  # localCheckpoints the shingle counts
+        # sketch_ams_f2 left the set in r11: the fused single-aggregate
+        # rewrite removed its localCheckpoint, so construction is lazy
         "graph_pagerank_users",  # localCheckpoints adjacency + round frames
         "graph_s_core_peeling",  # checkpoints edges/alive + median collect
         "dedup_embedding_cosine",  # CC fixpoint loop: per-round first()

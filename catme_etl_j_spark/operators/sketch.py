@@ -817,67 +817,75 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and join-size estimation generally) tractable on a 1000-executor
     stream where the exact computation needs a full groupBy.
 
-    Plan shape: one shingle count aggregate (shared with the exact F2
-    and reused, not re-scanned), a 16-way explode of the DISTINCT
-    shingle table (not the raw stream), groupBy(r) map-side combines
-    to 16 rows, and the median runs on a sorted 4-element array in a
-    single-row aggregate. Squares accumulate in DECIMAL(38,0) (Z^2 can
-    exceed int64 on a 100 TB stream); all divisions are positive-int
-    DIV (convention #7). Determinism: sign_r(x) = parity of md5 nibble
-    r of the shingle — bit-identical in DuckDB.
+    Plan shape (r11, guide §1.2/§2.4): the shingle count aggregate
+    feeds ONE fused global aggregate that computes the exact F2, the
+    distinct count AND all 16 signed counters as separate SUM columns
+    — no 16-way explode, no second groupBy(r) shuffle, no checkpoint
+    of the count table (it has a single consumer now) and no
+    exact×est crossJoin. The group means and the median then run as
+    pure projections on the single result row. Squares accumulate in
+    DECIMAL(38,0) (Z^2 can exceed int64 on a 100 TB stream); all
+    divisions are positive-int DIV (convention #7). Determinism:
+    sign_r(x) = parity of md5 nibble r of the shingle — bit-identical
+    in DuckDB.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cnt = (
         _shingles(spark, sf_dir)
         .groupBy("shingle")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()  # exact F2 and all 16 estimators share it
     )
-    exact = cnt.agg(
+    # sign_r = +1 if hex nibble r of md5(shingle) is even else -1;
+    # codegen subexpression elimination shares the md5 across the 16
+    # aggregate inputs
+    zcols = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN CAST(conv(substr(md5(shingle), {r + 1}, 1), 16, 10)"
+                f" AS INT) % 2 = 0 THEN n ELSE -n END"
+            )
+        )
+        .cast("long")
+        .alias(f"z{r}")
+        for r in range(AMS_R)
+    ]
+    agg = cnt.agg(
         F.count("*").cast("long").alias("n_distinct"),
         F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n"))
         .cast("decimal(38,0)")
         .alias("exact_f2"),
+        *zcols,
     )
-    # sign_r = +1 if hex nibble r of md5(shingle) is even else -1
-    signed = cnt.select(
-        "n",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {AMS_R - 1}), r -> named_struct("
-                f"'r', r, 'z', CASE WHEN CAST(conv(substr(md5(shingle), r + 1, 1), 16, 10)"
-                f" AS INT) % 2 = 0 THEN n ELSE -n END))"
-            )
-        ).alias("s"),
-    ).select(F.col("s.r").alias("r"), F.col("s.z").alias("z"))
-    zr = signed.groupBy("r").agg(F.sum("z").cast("long").alias("zr"))
-    means = (
-        zr.groupBy((F.col("r") % AMS_GROUPS).alias("g"))
-        .agg(
-            # DECIMAL accumulates the squares exactly, then a BIGINT
-            # cast BEFORE the integer division: DuckDB's DECIMAL //
-            # ROUNDS to scale where BIGINT // truncates (caught live at
-            # sf0.1 — a one-ULP est_f2 drift). Values fit int64 at gate
-            # scales; a 100 TB stream needs an explicit floor on the
-            # DECIMAL path instead.
-            F.expr(
-                f"CAST(SUM(CAST(zr AS DECIMAL(38,0)) * zr) AS BIGINT)"
-                f" DIV {AMS_R // AMS_GROUPS}"
-            ).alias("m")
+    # DECIMAL accumulates the squares exactly, then a BIGINT cast
+    # BEFORE the integer division: DuckDB's DECIMAL // ROUNDS to scale
+    # where BIGINT // truncates (caught live at sf0.1 — a one-ULP
+    # est_f2 drift). Values fit int64 at gate scales; a 100 TB stream
+    # needs an explicit floor on the DECIMAL path instead.
+    group_sq = {
+        g: " + ".join(
+            f"CAST(z{r} AS DECIMAL(38,0)) * z{r}"
+            for r in range(g, AMS_R, AMS_GROUPS)
         )
+        for g in range(AMS_GROUPS)
+    }
+    marr = ", ".join(
+        f"CAST(({group_sq[g]}) AS BIGINT) DIV {AMS_R // AMS_GROUPS}"
+        for g in range(AMS_GROUPS)
     )
-    est = means.agg(
-        # COUNT guard: a corpus with zero shingles (every doc <3 words)
-        # leaves `means` empty; indexing the empty collect_list crashes
-        # under ANSI where DuckDB's list index yields NULL (code-review
-        # r6). Both sides emit NULL est_f2 for that corpus.
+    # n_distinct > 0 guard: a corpus with zero shingles (every doc <3
+    # words) leaves every counter NULL; both engines emit NULL est_f2
+    # for that corpus (same condition as the old count(m) = 4 over the
+    # per-group rows — the 16 counters exist iff any shingle exists).
+    withest = agg.select(
+        "n_distinct",
+        "exact_f2",
         F.expr(
-            f"CASE WHEN count(m) = {AMS_GROUPS} THEN "
-            "(sort_array(collect_list(m))[1] + sort_array(collect_list(m))[2]) DIV 2"
-            " END"
-        ).alias("est_f2")
+            f"CASE WHEN n_distinct > 0 THEN "
+            f"(sort_array(array({marr}))[1] + sort_array(array({marr}))[2]) DIV 2"
+            f" END"
+        ).alias("est_f2"),
     )
-    return exact.crossJoin(F.broadcast(est)).select(
+    return withest.select(
         "n_distinct",
         F.col("exact_f2").cast("long").alias("exact_f2"),
         F.col("est_f2").cast("long").alias("est_f2"),
@@ -971,34 +979,41 @@ def sketch_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("exact_join"),
     )
-    signed = cnt.select(
-        "side",
-        "n",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {AMS_R - 1}), r -> named_struct("
-                f"'r', r, 'z', CASE WHEN CAST(conv(substr(md5(shingle), r + 1, 1), 16, 10)"
-                f" AS INT) % 2 = 0 THEN n ELSE -n END))"
+    # r11 (the sketch_ams_f2 fused-aggregate shape): both sides' 16
+    # counters come out of ONE aggregate over cnt as 32 SUM columns —
+    # no 16-way explode, no groupBy(side, r) shuffle, no zr self-join.
+    # A side with no shingles leaves its SUMs NULL, which propagates
+    # NULL through every group mean into est_join — exactly the old
+    # count(m) = 4 guard's outcome (the prod join came up empty).
+    def _zsum(side: int, r: int, alias: str):
+        return (
+            F.sum(
+                F.expr(
+                    f"CASE WHEN side = {side} THEN "
+                    f"CASE WHEN CAST(conv(substr(md5(shingle), {r + 1}, 1), 16, 10)"
+                    f" AS INT) % 2 = 0 THEN n ELSE -n END END"
+                )
             )
-        ).alias("s"),
-    ).select("side", F.col("s.r").alias("r"), F.col("s.z").alias("z"))
-    zr = signed.groupBy("side", "r").agg(F.sum("z").cast("long").alias("zr"))
-    prod = (
-        zr.filter("side = 0")
-        .select("r", F.col("zr").alias("za"))
-        .join(zr.filter("side = 1").select("r", F.col("zr").alias("zb")), "r")
+            .cast("long")
+            .alias(alias)
+        )
+
+    zagg = cnt.agg(
+        *[_zsum(0, r, f"za{r}") for r in range(AMS_R)],
+        *[_zsum(1, r, f"zb{r}") for r in range(AMS_R)],
     )
-    means = prod.groupBy((F.col("r") % AMS_GROUPS).alias("g")).agg(
-        F.expr(
-            f"CAST(SUM(CAST(za AS DECIMAL(38,0)) * zb) AS BIGINT)"
-            f" DIV {AMS_R // AMS_GROUPS}"
-        ).alias("m")
+    marr = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"CAST(za{r} AS DECIMAL(38,0)) * zb{r}"
+            for r in range(g, AMS_R, AMS_GROUPS)
+        )
+        + f") AS BIGINT) DIV {AMS_R // AMS_GROUPS}"
+        for g in range(AMS_GROUPS)
     )
-    est = means.agg(
+    est = zagg.select(
         F.expr(
-            f"CASE WHEN count(m) = {AMS_GROUPS} THEN "
-            "(sort_array(collect_list(m))[1] + sort_array(collect_list(m))[2]) DIV 2"
-            " END"
+            f"(sort_array(array({marr}))[1] + sort_array(array({marr}))[2]) DIV 2"
         ).alias("est_join")
     )
     return exact.crossJoin(F.broadcast(est)).select(

@@ -566,15 +566,23 @@ def test_bpe_tokenize_replace_chain_is_one_projection(spark, sf_dir):
 
 
 def test_ams_f2_combines_to_sixteen_keys(spark, sf_dir):
-    """The estimator aggregation must show partial_sum (map-side
-    combine) so only 16 rows shuffle per task, and the shingle-count
-    base is shared via the checkpoint (no second documents scan)."""
+    """Since the r11 fused-aggregate rewrite: ONE documents scan, ONE
+    global aggregate computing all 16 counters as columns (map-side
+    partial_sum, so 18 values shuffle per task), no 16-way explode of
+    the shingle table, no crossJoin, no checkpoint boundary — exactly
+    two Exchanges end-to-end (count-by-shingle + global)."""
+    import re
+
     from catme_etl_j_spark.operators.sketch import sketch_ams_f2
     from catme_etl_j_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(sketch_ams_f2(spark, sf_dir))
     assert "partial_sum" in plan
-    assert "Scan parquet" not in plan.replace("Scan ExistingRDD", "")  # checkpointed base
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert tree.count("Generate") == 1, tree  # the shingle explode only
+    assert len(re.findall(r"Exchange \(\d+\)", tree)) == 2, tree
+    assert tree.count("Scan") == 1, tree
 
 
 def test_pagerank_users_rounds_are_equi_joins(spark, sf_dir):
