@@ -68,11 +68,6 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     edges = _trade_edges(spark, sf_dir)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    ew = edges.join(outw, "src").select("src", "dst", "w", "outw")
-    n_nodes = nation.count()  # 25; scalar literal like the kmeans seed
-    base = (15 * PR_SCALE) // (100 * n_nodes)
-    r0 = PR_SCALE // n_nodes
 
     # The aggregated trade graph is <=625 edges and 25 nodes at ANY
     # scale factor — the distributed work is the fact-table edge
@@ -82,13 +77,24 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job total, versus 10 shuffle rounds (or, with per-round
     # localCheckpoint, 10 materialization jobs — measured 2x slower
     # than this at sf0.1). Same int64 arithmetic bit-for-bit.
-    edge_rows = ew.collect()  # bounded by |nations|^2, never by SF
+    # r11: the out-weight normalizer and the node list are derived
+    # from the SAME two bounded collects (no separate count job, no
+    # edges-join-outw that re-expands the 4-table join lineage) —
+    # SUM(w) per src over identical integer rows is the identical
+    # integer, and Python ints can't overflow it.
+    edge_rows = edges.collect()  # bounded by |nations|^2, never by SF
     nodes = [r["n_nationkey"] for r in nation.select("n_nationkey").collect()]
+    n_nodes = len(nodes)  # 25; scalar literal like the kmeans seed
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    r0 = PR_SCALE // n_nodes
+    outw: dict[int, int] = {}
+    for e in edge_rows:
+        outw[e["src"]] = outw.get(e["src"], 0) + e["w"]
     rank = {n: r0 for n in nodes}
     for _ in range(PR_ITERS):
         s: dict[int, int] = {}
         for e in edge_rows:
-            t = (rank[e["src"]] * e["w"]) // e["outw"]
+            t = (rank[e["src"]] * e["w"]) // outw[e["src"]]
             s[e["dst"]] = s.get(e["dst"], 0) + t
         rank = {n: base + (85 * s.get(n, 0)) // 100 for n in nodes}
     ranks = spark.createDataFrame(
