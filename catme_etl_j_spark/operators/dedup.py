@@ -1412,8 +1412,17 @@ def dedup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gh"),
     ).filter(F.col("gh").isNotNull())
-    gcount = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
-    rep = grams.join(gcount.filter("n_occ > 1"), "gh").select("doc_id", "pos")
+    # r11 (guide §2.4): the repeated-gram filter is a COUNT window over
+    # the gram-hash partitions — one shuffle of ONE gram pass, instead
+    # of the old aggregate + join-back that exploded the corpus twice
+    # (identical surviving rows: COUNT(*) OVER (PARTITION BY gh) > 1
+    # is the same predicate as the n_occ > 1 join).
+    w_gh = Window.partitionBy("gh")
+    rep = (
+        grams.withColumn("n_occ", F.count("*").over(w_gh))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + SUBSTR_N).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)

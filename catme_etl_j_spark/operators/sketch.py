@@ -1350,19 +1350,32 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
-    hashed = sh.select(
-        "source",
-        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias(
-            "h"
-        ),
-    ).distinct()
+    # r11 (convention #12): hashed has FOUR consumers (sketch window,
+    # size aggregate, both sides of the exact self-join) and sizes has
+    # three — uncached, the shingle explode + distinct re-expanded into
+    # 12 separate parquet scans (zero ReusedExchange in the static
+    # plan). One cached corpus pass + one cached |sources|-row frame.
+    hashed = (
+        sh.select(
+            "source",
+            F.expr(
+                "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+        .cache()
+    )
     w = Window.partitionBy("source").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
-    sizes = hashed.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    sizes = (
+        hashed.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .cache()
+    )
     pairs = (
         sizes.select(F.col("source").alias("sa"))
         .join(
