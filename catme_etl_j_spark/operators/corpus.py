@@ -1102,30 +1102,44 @@ def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = (
         "trim(regexp_replace(regexp_replace(lower(scrubbed), '[^a-z0-9 ]', ''), ' +', ' '))"
     )
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    # r11 (guide §1.2/§2.4): ONE annotated frame carries every funnel
+    # flag. qrn is the running count of QUALITY rows per fingerprint
+    # ordered by doc_id, so `quality AND qrn = 1` is exactly the old
+    # row_number()-over-quality-rows = 1 dedup survivor (doc_id is
+    # unique, so the running frame is deterministic); the old shape
+    # recomputed that window for three consumers and the gram explode
+    # twice, then built the funnel from five per-source aggregates
+    # joined pairwise. Materialize ONCE: the stages below consume this
+    # subtree, and without a barrier each would re-run the scrub
+    # regexes + split + md5 over the full corpus (measured 5x the text
+    # cost). On a cluster swap localCheckpoint for persist(DISK_ONLY)
+    # or a checkpoint dir — the trade is the same at 100 TB.
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     staged = (
         docs.select("doc_id", "source", scrubbed.alias("scrubbed"))
         .withColumn("w", F.expr("split(trim(scrubbed), ' +')"))
         .withColumn("n_words", F.expr("size(w)").cast("long"))
         .withColumn("fp", F.md5(F.expr(norm)))
         .drop("scrubbed")
-        # Materialize ONCE: five funnel stages consume this subtree, and
-        # without a barrier each would re-run the scrub regexes + split
-        # + md5 over the full corpus (measured 5x the text cost). On a
-        # cluster swap localCheckpoint for persist(DISK_ONLY) or a
-        # checkpoint dir — the trade (one materialization vs five full
-        # text passes) is the same at 100 TB.
+        .withColumn("q", (F.col("n_words") >= 20).cast("long"))
+        .withColumn(
+            "qrn",
+            F.sum("q").over(
+                w_fp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "is_surv", (F.col("q") == 1) & (F.col("qrn") == 1)
+        )
+        .withColumn(
+            "split", F.when(bucket < EVAL_PCT, "eval").otherwise("train")
+        )
         .localCheckpoint()
     )
-    quality = staged.filter(F.col("n_words") >= 20)
-    w_fp = Window.partitionBy("fp").orderBy("doc_id")
-    surv = quality.withColumn("rn", F.row_number().over(w_fp)).filter("rn = 1")
-    bucket = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
-    )
-    surv = surv.withColumn(
-        "split", F.when(bucket < EVAL_PCT, "eval").otherwise("train")
-    )
-    grams = surv.select(
+    grams = staged.filter("is_surv").select(
         "doc_id",
         "split",
         F.explode(
@@ -1143,22 +1157,36 @@ def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eval_grams, "gh")
         .select("doc_id")
         .distinct()
+        .withColumn("cont", F.lit(1))
     )
-    train_docs = surv.filter("split = 'train'")
-    final_train = train_docs.join(contaminated, "doc_id", "left_anti")
-
-    def _per_source(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count("*").alias(name))
-
-    out = (
-        _per_source(staged, "n_raw")
-        .join(_per_source(quality, "n_quality"), "source", "left")
-        .join(_per_source(surv, "n_unique"), "source", "left")
-        .join(_per_source(train_docs, "n_train"), "source", "left")
-        .join(_per_source(final_train, "n_final"), "source", "left")
+    # contaminated is DISTINCT on doc_id, so the left join cannot
+    # duplicate rows; `cont IS NULL` on a surviving train row is the
+    # old left_anti condition
+    agg = (
+        staged.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum("q").cast("long").alias("n_quality"),
+            F.sum(F.col("is_surv").cast("long")).cast("long").alias("n_unique"),
+            F.sum(
+                (F.col("is_surv") & (F.col("split") == "train")).cast("long")
+            )
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                (
+                    F.col("is_surv")
+                    & (F.col("split") == "train")
+                    & F.col("cont").isNull()
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_final"),
+        )
     )
     fill = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
-    return out.select(
+    return agg.select(
         "source",
         fill("n_raw"),
         fill("n_quality"),
