@@ -655,21 +655,25 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Min-label propagation to fixpoint: (nid) x (src, dst) -> (nid, rep)
     where rep = min doc_id in the node's component.
 
-    Each round is one neighbor-min equi-join + agg PLUS a path-halving
-    shortcut (rep <- min(rep, rep-of-rep), the r11 optimization): the
-    shortcut makes label distances contract geometrically, so rounds
-    drop from O(diameter) to O(log diameter) — measured at sf0.1 the
-    LSH-edge components took 9 plain-propagation rounds vs 6 with
-    halving (shallow 2-round MinHash components are unaffected), and
-    every round costs a fixed ~0.4-0.6 s of join + checkpoint +
-    convergence-probe overhead regardless of data size (guide §1.2:
-    fix the distributed algorithm first). Every rep value
-    is itself a node id, so the shortcut is an equi-join of the labels
-    frame against its own checkpointed materialization — a scan, not a
-    recompute. The fixpoint (min label per component) is unchanged:
-    halving only ever lowers a label toward the same minimum the
-    DuckDB oracles converge to (their unrolled rounds use the same
-    rep-of-rep shortcut).
+    Each step is one neighbor-min equi-join + agg over a self-looped
+    edge set (the loop edge makes the dst-min include the node's own
+    rep, so there is no separate labels-merge join) PLUS a
+    path-halving shortcut (rep <- min(rep, rep-of-rep)): halving makes
+    label distances contract geometrically, so steps drop from
+    O(diameter) to O(log diameter) — measured at sf0.1 the LSH-edge
+    components took 9 plain-propagation steps vs 6 with halving
+    (shallow 2-step MinHash components are unaffected). Each
+    MATERIALIZATION round runs TWO steps (the per-round fixed costs —
+    eager localCheckpoint AQE replan + convergence-probe job,
+    convention #15 — dominate at small frames and are paid half as
+    often; every intermediate has exactly one consumer so the fused
+    lineage never re-expands). Every rep value is itself a node id,
+    so the halving shortcut is an equi-join against the round base's
+    checkpointed materialization — a scan, not a recompute. The
+    fixpoint (min label per component) is unchanged: halving only
+    ever lowers a label toward the same minimum the DuckDB oracles
+    converge to (their unrolled rounds use the same rep-of-rep
+    shortcut).
 
     ``localCheckpoint`` truncates the growing lineage; on a cluster
     use a checkpoint dir for fault tolerance instead. Convergence test
@@ -681,32 +685,52 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # (for LSH edges: shingle -> minhash -> band self-join), multiplying
     # the most expensive stage by rounds-to-fixpoint. This was the
     # round-3 dedup_minhash_keep bench regression (2.18s -> 2.61s).
-    edges = edges.localCheckpoint()
+    # r11: the edge set carries a SELF-LOOP per node, so each step's
+    # neighbor-min over dst already includes the node's own rep — the
+    # old labels-left-join-neigh merge (one extra join + shuffle per
+    # step) is gone, and the groupBy(dst) covers every node.
+    edges = edges.union(
+        nodes.select(F.col("nid").alias("src"), F.col("nid").alias("dst"))
+    ).localCheckpoint()
     labels = nodes.select(F.col("nid"), F.col("nid").alias("rep")).localCheckpoint()
     prev_sum = labels.agg(F.sum("rep")).first()[0]
     rounds = 0
-    while True:
-        neigh = (
-            edges.join(labels, edges["src"] == labels["nid"])
-            .groupBy(F.col("dst").alias("n2"))
-            .agg(F.min("rep").alias("nrep"))
+
+    def _step(cur: DataFrame, halve_vs: DataFrame | None) -> DataFrame:
+        nxt = (
+            edges.join(cur, edges["src"] == cur["nid"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("rep").alias("rep"))
         )
-        merged = labels.join(neigh, labels["nid"] == neigh["n2"], "left").select(
-            "nid",
-            F.least(F.col("rep"), F.coalesce("nrep", F.col("rep"))).alias("rep"),
-        )
-        if rounds > 0:
-            # path halving: rep <- min(rep, labels[rep]); `labels` is
-            # the checkpointed previous round, so this second reference
-            # scans the materialization (convention #12 does not bite).
-            # Skipped in round 1, where labels is the identity map and
-            # the shortcut is provably a no-op join.
-            pp = labels.select(F.col("nid").alias("p_nid"), F.col("rep").alias("p_rep"))
-            merged = merged.join(pp, merged["rep"] == pp["p_nid"], "left").select(
+        if halve_vs is not None:
+            # path halving: rep <- min(rep, labels[rep]); `halve_vs` is
+            # the checkpointed round base, so the reference scans a
+            # materialization (convention #12 does not bite) and the
+            # join chain is linear — each intermediate has exactly one
+            # consumer. (r11 A/B: applying it more than once per step
+            # does NOT cut rounds — propagation distance, not pointer
+            # depth, is binding.)
+            pp = halve_vs.select(
+                F.col("nid").alias("p_nid"), F.col("rep").alias("p_rep")
+            )
+            nxt = nxt.join(pp, nxt["rep"] == pp["p_nid"], "left").select(
                 "nid",
                 F.least(F.col("rep"), F.coalesce("p_rep", F.col("rep"))).alias("rep"),
             )
-        labels = merged.localCheckpoint()
+        return nxt
+
+    while True:
+        # TWO propagation steps per materialization: each intermediate
+        # below has exactly one consumer, so the lineage stays linear
+        # and un-re-expanded, while the per-round fixed costs (eager
+        # localCheckpoint AQE replan + convergence-probe job —
+        # convention #15) are paid half as often. Halving is skipped in
+        # the first round's first step, where labels is the identity
+        # map and the shortcut is provably a no-op join. A fixpoint
+        # reached mid-round just makes the second step a no-op.
+        m1 = _step(labels, labels if rounds > 0 else None)
+        m2 = _step(m1, labels if rounds > 0 else None)
+        labels = m2.localCheckpoint()
         rounds += 1
         cur_sum = labels.agg(F.sum("rep")).first()[0]
         if cur_sum == prev_sum:
@@ -718,7 +742,6 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 # rounds-to-fixpoint of the most recent _connected_components call
 # (instrumentation for bench/regression triage; not part of any result)
 _CC_LAST_ROUNDS = [0]
-
 
 def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated corpus membership: every document with its near-dup
