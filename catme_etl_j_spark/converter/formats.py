@@ -119,6 +119,12 @@ def parse_styles(xml_stream) -> list[str]:
 
 def format_general(raw: str) -> str:
     """Excel 'General' rendering of a numeric cell value."""
+    # fast path: plain ASCII integers (the dominant case) skip the
+    # float round-trip; identical output — float(d) == int(d) exactly
+    # for <= 15 digits, and str(int(raw)) strips leading zeros the
+    # same way
+    if raw.isascii() and raw.isdigit() and len(raw) <= 15:
+        return raw if raw[0] != "0" or len(raw) == 1 else str(int(raw))
     try:
         f = float(raw)
     except ValueError:

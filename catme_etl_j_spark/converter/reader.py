@@ -101,12 +101,32 @@ def infer_columns(
                 if row_idx >= header_row:
                     break
         else:
-            max_col = -1
-            for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
-                if row_idx == header_row:
-                    header = cells
-                if row_idx >= header_row and cells:
-                    max_col = max(max_col, max(cells))
+            # r11: files without a dimension element used to pay a FULL
+            # iter_rows parse here just to size the schema (the 1.2M-row
+            # bench sheet parsed twice per conversion, ~40 s of it on
+            # the driver). A light structural scan finds the width
+            # ~10x faster; it is only equivalent when every row counts
+            # (header_row == 0 — the full scan ignores pre-header
+            # rows), and degrades to the full scan when it cannot be
+            # strict (cells without refs, CDATA/comments).
+            max_col = (
+                wb.sheet_max_col(sheet_name, sheet_index)
+                if header_row == 0
+                else None
+            )
+            if max_col is not None:
+                for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+                    if row_idx == header_row:
+                        header = cells
+                    if row_idx >= header_row:
+                        break
+            else:
+                max_col = -1
+                for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+                    if row_idx == header_row:
+                        header = cells
+                    if row_idx >= header_row and cells:
+                        max_col = max(max_col, max(cells))
     if max_col < 0:
         raise ConversionError("sheet has no rows at or after the header row")
     names = []

@@ -502,6 +502,67 @@ class XlsxWorkbook:
             return None
         return None
 
+    def sheet_max_col(
+        self, sheet_name: str | None = None, sheet_index: int | None = None
+    ) -> int | None:
+        """Max 0-based column index of any cell in the sheet, from a
+        LIGHT structural scan (regex over the decompressed stream — no
+        per-element callbacks, no value rendering), or None when the
+        scan cannot be strict about it (a cell without an ``r`` ref,
+        lowercase refs, CDATA/comments that could hide or fabricate
+        cell tags). None degrades to the caller's full iter_rows scan;
+        like sheet_dimension, malformed XML surfaces later when the
+        sheet is actually read. ~10x faster than the full parse on the
+        1.2M-row bench sheet (the r11 header-inference fix: a sheet
+        with no ``dimension`` element was fully parsed TWICE per
+        conversion, once on the driver just to size the schema)."""
+        path = self.resolve_sheet(sheet_name, sheet_index)
+        try:
+            f = self._zf.open(path)
+        except KeyError:
+            return None
+        # byte-level regexes: cell tags and refs are pure ASCII markup,
+        # so no utf-8 decode is needed (multi-byte sequences never
+        # contain ASCII bytes)
+        cell_open = re.compile(rb"<c[\s/>]")
+        cell_ref = re.compile(rb'<c\b[^>]*?\br="([A-Z]+)[0-9]+"')
+        n_open = 0
+        n_ref = 0
+        letters_seen: set[bytes] = set()
+        carry = b""
+        try:
+            with _typed(self._name, f"sheet part {path}"), f:
+                while True:
+                    raw = f.read(1 << 20)
+                    buf = carry + raw
+                    if b"<![" in buf or b"<!--" in buf:
+                        return None
+                    if raw:
+                        # keep the (possibly split) trailing tag for the
+                        # next chunk; a tag is < ~1 KB, so the carry is
+                        # bounded — a longer one means we are inside
+                        # text, where no '<' can legally occur unescaped
+                        cut = buf.rfind(b"<")
+                        if cut == -1 or len(buf) - cut > 4096:
+                            carry = b""
+                        else:
+                            carry, buf = buf[cut:], buf[:cut]
+                    n_open += len(cell_open.findall(buf))
+                    refs = cell_ref.findall(buf)
+                    n_ref += len(refs)
+                    letters_seen.update(refs)
+                    if not raw:
+                        break
+        except ConversionError:
+            return None
+        # strictness: every <c …> must have carried an uppercase r ref
+        # (else sequential cell positions apply and only the full scan
+        # knows the width); zero cells also degrades, so the full scan
+        # raises its usual no-rows error
+        if n_open != n_ref or not letters_seen:
+            return None
+        return max(_col_letters_to_index(s.decode("ascii")) for s in letters_seen)
+
     def close(self) -> None:
         self._zf.close()
 

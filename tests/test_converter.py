@@ -79,6 +79,54 @@ def test_header_row_offset(spark, tmp_path):
     assert [(r["id"], r["val"]) for r in rows] == [("1", "a"), ("2", "b")]
 
 
+def test_sheet_max_col_light_scan(tmp_path):
+    """r11: files without a dimension element size their schema via the
+    light structural width scan (sheet_max_col), which must equal the
+    full iter_rows scan — and degrade to None (not a wrong width) on
+    cells without refs, CDATA, or comments."""
+    import re as _re
+    import zipfile as _zip
+
+    from catme_etl_j_spark.converter.xlsx import XlsxWorkbook
+
+    p = write_xlsx(
+        str(tmp_path / "w.xlsx"),
+        {"S": [["a", "b"], ["1", "2", "3", "4"], ["x"]]},
+    )
+    # strip the dimension element so the fallback path is exercised
+    src = _zip.ZipFile(p)
+    stripped = str(tmp_path / "nodim.xlsx")
+    with _zip.ZipFile(stripped, "w") as dst:
+        for info in src.infolist():
+            data = src.read(info.filename)
+            if info.filename.startswith("xl/worksheets/"):
+                data = _re.sub(rb"<dimension[^>]*/>", b"", data)
+            dst.writestr(info.filename, data)
+    wb = XlsxWorkbook(stripped)
+    assert wb.sheet_dimension() is None
+    assert wb.sheet_max_col() == 3  # widest row has 4 cells
+    full = -1
+    for _, cells in wb.iter_rows():
+        if cells:
+            full = max(full, max(cells))
+    assert full == 3
+
+    # a cell without an r ref makes the light scan refuse (None)
+    noref = str(tmp_path / "noref.xlsx")
+    with _zip.ZipFile(noref, "w") as dst:
+        for info in src.infolist():
+            data = src.read(info.filename)
+            if info.filename.startswith("xl/worksheets/"):
+                data = _re.sub(rb"<dimension[^>]*/>", b"", data)
+                data = data.replace(
+                    b'<c r="A2" t="inlineStr">',
+                    b'<c t="inlineStr">',
+                    1,
+                )
+            dst.writestr(info.filename, data)
+    assert XlsxWorkbook(noref).sheet_max_col() is None
+
+
 def test_ragged_rows_index_keys(spark, tmp_path):
     # A4: surplus data columns get stringified-index names.
     p = write_xlsx(
