@@ -404,16 +404,23 @@ def _decontaminate(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
     eval_grams = grams.filter("is_eval").select("doc_id", "gh").distinct()
     train_grams = grams.filter("NOT is_eval").select("gh").distinct()
-    hits = (
-        eval_grams.join(train_grams, "gh")
+    # r11 (guide §1.2): gram totals and train hits come from ONE pass
+    # over eval_grams — a LEFT join against the distinct train grams
+    # (1:1, so no duplication) counted in a single aggregate, instead
+    # of re-running the eval explode+distinct for a separate totals
+    # aggregate. Identical values: COUNT(*) is the eval gram count,
+    # COUNT(hit) counts the matched ones.
+    per_doc = (
+        eval_grams.join(train_grams.withColumn("hit", F.lit(1)), "gh", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
     )
-    totals = eval_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     eval_docs = staged.filter("is_eval").select("doc_id")
     return (
-        eval_docs.join(totals, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        eval_docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
