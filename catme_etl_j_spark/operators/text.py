@@ -411,12 +411,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
-    # cached: three consumers (per-doc base stats, the fused gram pass)
-    # read one split() materialization instead of re-splitting the
-    # corpus per consumer (convention #12)
-    staged = docs.select(
-        "doc_id", F.expr("split(trim(text), ' +')").alias("w")
-    ).cache()
+    staged = docs.select("doc_id", F.expr("split(trim(text), ' +')").alias("w"))
     base = staged.select(
         "doc_id",
         F.expr("size(w)").cast("long").alias("n_words"),
@@ -425,60 +420,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("length(array_join(w, ' '))").cast("long").alias("norm_chars"),
     )
 
-    # r11 (guide §1.2): ONE explode carries both gram widths, tagged by
-    # kind — the old shape ran the explode -> (doc, gram) count -> per-
-    # doc aggregate chain twice (once per n) and joined the results.
-    # explode_outer: InferFiltersFromGenerate skips outer generates, so
-    # the staged `w` pipeline is not re-inlined into a pushed filter
-    # (see tests/test_plans.py; VERDICT r2 "what's wrong #2").
-    both = (
-        staged.select(
+    def gram_counts(n: int) -> DataFrame:
+        # explode_outer: InferFiltersFromGenerate skips outer generates,
+        # so the staged `w` pipeline is not re-inlined into a pushed
+        # filter (see tests/test_plans.py; VERDICT r2 "what's wrong #2").
+        return (
+            staged.select(
+                "doc_id", F.explode_outer(F.expr(_ngram_expr(n))).alias("gram")
+            )
+            .filter(F.col("gram").isNotNull())
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    bg = (
+        gram_counts(2)
+        .groupBy("doc_id")
+        .agg(
+            # min over struct(-cnt, gram) = highest count, then smallest
+            # gram — a deterministic argmax without a window pass.
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("top"),
+        )
+        .select(
             "doc_id",
-            F.explode_outer(
-                F.expr(
-                    f"concat(transform({_ngram_expr(2)}, g -> struct(2 AS kind, g AS gram)),"
-                    f" transform({_ngram_expr(3)}, g -> struct(3 AS kind, g AS gram)))"
+            F.col("top.gram").alias("top_bigram"),
+            (-F.col("top.neg")).cast("long").alias("top_bigram_n"),
+        )
+    )
+    tg = (
+        gram_counts(3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(
+                    F.lit(0)
                 )
-            ).alias("kg"),
-        )
-        .filter(F.col("kg").isNotNull())
-        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
-        .groupBy("doc_id", "kind", "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
-    gstats = both.groupBy("doc_id").agg(
-        # min over struct(-cnt, gram) = highest count, then smallest
-        # gram — a deterministic argmax without a window pass.
-        F.min(
-            F.when(
-                F.col("kind") == 2,
-                F.struct((-F.col("cnt")).alias("neg"), F.col("gram")),
             )
-        ).alias("top"),
-        F.sum(
-            F.when(
-                (F.col("kind") == 3) & (F.col("cnt") > 1),
-                F.col("cnt") * F.length("gram"),
-            ).otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_tri_chars"),
+            F.sum(F.col("cnt") * F.length("gram")).cast("long").alias("tri_chars"),
         )
-        .cast("long")
-        .alias("dup_tri_chars"),
-        F.sum(
-            F.when(F.col("kind") == 3, F.col("cnt") * F.length("gram")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("tri_chars"),
     )
-    gstats = gstats.select(
-        "doc_id",
-        F.col("top.gram").alias("top_bigram"),
-        (-F.col("top.neg")).cast("long").alias("top_bigram_n"),
-        "dup_tri_chars",
-        "tri_chars",
-    )
-    j = base.join(gstats, "doc_id", "left")
+    j = base.join(bg, "doc_id", "left").join(tg, "doc_id", "left")
     n_words = F.col("n_words").cast("double")
     dup_word_frac = (F.col("n_words") - F.col("n_distinct_words")).cast(
         "double"
