@@ -258,18 +258,26 @@ def minhash_lsh_candidates(
         )
     if mh is None:
         mh = _minhash_df(spark, sf_dir)
-    bands_df = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band_idx"),
-                    _band_col(j, rows_per_band).alias("bh"),
-                )
-                for j in range(bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.bh")
+    # cached: the self-join below consumes this frame twice — uncached,
+    # the whole shingle -> hash -> 32-way minhash aggregate pipeline
+    # re-expands into BOTH sides (the similarity._lsh banded-frame
+    # precedent, r11)
+    bands_df = (
+        mh.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        _band_col(j, rows_per_band).alias("bh"),
+                    )
+                    for j in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_idx", "band.bh")
+        .cache()
+    )
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(
@@ -753,9 +761,17 @@ def dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     pairs = minhash_lsh_candidates(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("nid"))
+    # one pairs consumer: explode each pair into both directions (the
+    # old two-select union re-ran the whole candidate pipeline twice
+    # before the edge checkpoint; same edge multiset)
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = _connected_components(docs, edges)
     return labels.select(
         F.col("nid").alias("doc_id"),
@@ -798,9 +814,17 @@ def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     pairs = minhash_lsh_candidates(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # one pairs consumer: explode each pair into both directions (the
+    # old two-select union re-ran the whole candidate pipeline twice
+    # before the edge checkpoint; same edge multiset)
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = _connected_components(
         docs.select(F.col("doc_id").alias("nid")), edges
     )
@@ -990,8 +1014,9 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_simhash_pairs(spark, sf_dir)
     simhash = (
-        pairs.select(F.col("doc_a").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("d")))
+        # one pairs consumer (explode, not a two-select union that
+        # would re-run the simhash pipeline twice)
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
         .distinct()
         .agg(F.count("*").cast("long").alias("n_affected"))
         .select(F.lit("simhash_near").alias("signal"), "n_affected")
