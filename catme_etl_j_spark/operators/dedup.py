@@ -900,8 +900,12 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE), no rounding needed.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    est = dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingled(spark, sf_dir)
+    # cached (r11, convention #12): est feeds the intersection join and
+    # the output join; sh feeds sizes plus both intersection sides —
+    # uncached, the shingle explode ran 3x and the LSH pipeline 2x
+    # (6 documents scans in the static plan)
+    est = dedup_minhash_lsh(spark, sf_dir).cache()
+    sh = _shingled(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

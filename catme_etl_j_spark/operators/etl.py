@@ -358,9 +358,20 @@ def etl_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, fk, parent, pk in _REF_CHECKS:
         c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
         p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        stats = c.join(p, "k", "left_anti").agg(
-            F.count("*").alias("n_orphans")
-        ).crossJoin(F.broadcast(c.agg(F.count("*").alias("n_child"))))
+        # ONE child pass (r11): a left join against the DISTINCT parent
+        # keys (1:<=1, so COUNT(*) is still n_child) yields both counts
+        # in a single aggregate — the old anti-join + count crossJoin
+        # scanned every child table twice
+        stats = (
+            c.join(
+                p.distinct().withColumn("hit", F.lit(1)), "k", "left"
+            ).agg(
+                F.count("*").alias("n_child"),
+                F.coalesce(
+                    F.sum(F.expr("CAST(hit IS NULL AS INT)")), F.lit(0)
+                ).alias("n_orphans"),
+            )
+        )
         row = stats.select(
             F.lit(name).alias("relation"),
             "n_child",
@@ -749,25 +760,52 @@ def etl_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def _rule(df, name, bad_cond):
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.count("*").cast("long").alias("n_checked"),
-            F.sum(F.when(bad_cond, 1).otherwise(0)).cast("long").alias("n_violations"),
+    # r11 (guide §1.2): all of one table's value rules come out of ONE
+    # aggregate pass (one violation counter per rule, exploded to
+    # rows) — the old per-rule aggregates scanned orders 3x and
+    # lineitem 2x for identical counts
+    def _rules(df, specs):
+        aggs = [F.count("*").cast("long").alias("n_checked")] + [
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"v{i}")
+            for i, (_, bad) in enumerate(specs)
+        ]
+        fused = df.agg(*aggs)
+        structs = ", ".join(
+            f"named_struct('rule', '{name}', 'n_checked', n_checked,"
+            f" 'n_violations', v{i})"
+            for i, (name, _) in enumerate(specs)
         )
+        return fused.select(
+            F.explode(F.expr(f"array({structs})")).alias("r")
+        ).select("r.rule", "r.n_checked", "r.n_violations")
 
     o_rules = [
-        _rule(orders, "orders.o_orderkey NOT NULL", F.col("o_orderkey").isNull()),
-        _rule(orders, "orders.o_totalprice > 0", ~(F.col("o_totalprice") > 0)),
-        _rule(
+        _rules(
             orders,
-            "orders.o_orderstatus IN (O,F,P)",
-            ~F.col("o_orderstatus").isin("O", "F", "P"),
-        ),
+            [
+                ("orders.o_orderkey NOT NULL", F.col("o_orderkey").isNull()),
+                ("orders.o_totalprice > 0", ~(F.col("o_totalprice") > 0)),
+                (
+                    "orders.o_orderstatus IN (O,F,P)",
+                    ~F.col("o_orderstatus").isin("O", "F", "P"),
+                ),
+            ],
+        )
     ]
     l_rules = [
-        _rule(li, "lineitem.l_quantity IN [1,50]", ~F.col("l_quantity").between(1, 50)),
-        _rule(li, "lineitem.l_discount IN [0,1]", ~F.col("l_discount").between(0, 1)),
+        _rules(
+            li,
+            [
+                (
+                    "lineitem.l_quantity IN [1,50]",
+                    ~F.col("l_quantity").between(1, 50),
+                ),
+                (
+                    "lineitem.l_discount IN [0,1]",
+                    ~F.col("l_discount").between(0, 1),
+                ),
+            ],
+        )
     ]
     dup = (
         orders.groupBy("o_orderkey")
@@ -780,14 +818,28 @@ def etl_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_violations"),
         )
     )
+    # one lineitem pass (r11): left join against the distinct order
+    # keys (1:<=1) yields total and orphan counts in one aggregate —
+    # the old anti-join + count crossJoin scanned lineitem twice
     orphan = (
-        li.join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
-        .agg(F.count("*").cast("long").alias("n_orphans"))
-        .crossJoin(F.broadcast(li.agg(F.count("*").cast("long").alias("n_lines"))))
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey").distinct().withColumn("hit", F.lit(1)),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.coalesce(
+                F.sum(F.expr("CAST(hit IS NULL AS INT)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
         .select(
             F.lit("lineitem.l_orderkey REFERENCES orders").alias("rule"),
-            F.col("n_lines").alias("n_checked"),
-            F.col("n_orphans").alias("n_violations"),
+            "n_checked",
+            "n_violations",
         )
     )
     out = o_rules[0]

@@ -298,10 +298,14 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # s1/s2/s3 cached (r11, convention #12): each step frame feeds both
+    # the next step's join and its own counts row — uncached, the
+    # chained lineage re-expanded the events scan 6x in the static plan
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .cache()
     )
     s2 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -312,6 +316,7 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+        .cache()
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
@@ -322,6 +327,7 @@ def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+        .cache()
     )
     counts = None
     specs = (
@@ -403,8 +409,13 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        # cached (r11, convention #12): wk feeds the cohort aggregate
+        # AND the activity join, and cohort feeds sizes AND the same
+        # join — uncached, the events scan (plus its min-ts crossJoin)
+        # re-expanded 6x in the static plan
+        .cache()
     )
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week")).cache()
     sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
     active = (
         wk.join(cohort, "user_id")

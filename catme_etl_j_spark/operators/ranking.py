@@ -561,9 +561,14 @@ def rank_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
+    # cached (r11, convention #12): four consumers (dl, the |C|/V
+    # aggregate, ctf, the match prune) re-exploded the corpus into 7
+    # documents scans in the static plan; one tokenize pass now feeds
+    # them all
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term"))
         .filter("term <> ''")
+        .cache()
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     # |C| (total tokens) and V (vocabulary) in one bounded aggregate

@@ -294,13 +294,17 @@ def sketch_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    dim = customer.filter("c_acctbal > 5000").select("c_custkey").distinct()
+    # cached (r11, convention #12): dim feeds the bit build AND the
+    # exact-membership join, and bits is broadcast once per hash
+    # function — uncached, the customer scan re-expanded 6x
+    dim = customer.filter("c_acctbal > 5000").select("c_custkey").distinct().cache()
     bits = (
         dim.select(
             F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j"), "c_custkey"
         )
         .select(F.expr(_bloom_pos("j", "c_custkey")).alias("pos"))
         .distinct()
+        .cache()
     )
     probe = orders.select("o_orderkey", "o_custkey")
     for j in range(BLOOM_K):
@@ -394,11 +398,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # cached (r11, convention #12): the 1-row bounds frame is broadcast
+    # into THREE crossJoins — uncached, each re-ran the min/max/count
+    # scan of orders
     mm = orders.agg(
         F.min(F.col("o_totalprice").cast("double")).alias("mn"),
         F.max(F.col("o_totalprice").cast("double")).alias("mx"),
         F.count("*").alias("n"),
-    )
+    ).cache()
     # mx = mn (constant column) puts every row in bin 0 — the CASE
     # avoids the ANSI 0/0 the probe hit; err_pct below NULLs when the
     # exact quantile is 0 for the same reason
@@ -409,7 +416,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (mx - mn) * {HIST_BINS}.0) AS BIGINT), {HIST_BINS - 1}L) END"
         ).alias("bin")
     )
-    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt")).cache()
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
@@ -683,6 +690,9 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
+        # cached (r11, convention #12): sh feeds the hash side plus two
+        # exact countDistinct legs; uncached the shingle explode ran 6x
+        .cache()
     )
     hashed = sh.select(
         "source",
@@ -713,6 +723,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
+        .cache()  # bounded <= |sources| * K rows; two consumers
     )
     per = state.groupBy("source").agg(
         F.count("h").alias("n_state"), F.max("h").alias("kth_min")
@@ -1123,14 +1134,18 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(CAST(user_id AS STRING), ':', "
             "CAST(CAST(floor(CAST(ts AS DOUBLE) / 86400.0) AS BIGINT) AS STRING))"
         ).alias("item"),
-    ).distinct()
+    ).distinct().cache()
+    # r11 (convention #12): items has four consumers (hash side + both
+    # exact legs, one of them twice) and ranked three (per_n, kth,
+    # state) — uncached, the events scan re-expanded 17x in the static
+    # plan. Two cached passes put it at one.
     hashed = items.select(
         "s",
         F.expr("CAST(conv(substr(md5(item), 1, 8), 16, 10) AS BIGINT)").alias("h"),
     ).distinct()
     ranked = hashed.withColumn(
         "rn", F.row_number().over(Window.partitionBy("s").orderBy("h"))
-    )
+    ).cache()
     per_n = ranked.groupBy("s").agg(F.max("rn").alias("n_h"))
     kth = ranked.filter(F.col("rn") == THETA_K).select("s", F.col("h").alias("h_k"))
     thetas = per_n.join(kth, "s", "left").select(
@@ -1144,6 +1159,7 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(thetas), "s")
         .filter(F.col("h") < F.col("theta"))
         .select("s", "h")
+        .cache()  # bounded by 2K = 512 rows; three consumers
     )
     tpiv = thetas.agg(
         F.expr(

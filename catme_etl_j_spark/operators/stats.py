@@ -901,10 +901,15 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = _lt(spark, sf_dir, "orders")
+    # r11 (convention #12): global-bounds bucketing is inherently two
+    # passes (min/max, then bucket) — cache the projected cents so both
+    # read one materialization, and cache the 10-row bucket counts that
+    # every downstream crossJoin(broadcast) re-expands (the static plan
+    # held 8 orders scans before).
     cents = orders.select(
         _fx("o_totalprice", 100.0).alias("c"),
         F.expr(f"CAST(o_orderdate >= TIMESTAMP'{PSI_SPLIT}' AS INT)").alias("cur"),
-    )
+    ).cache()
     bounds = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
     bucketed = cents.crossJoin(F.broadcast(bounds)).select(
         F.expr(f"((c - mn) * {PSI_BUCKETS}) DIV (mx - mn + 1)").alias("bucket"),
@@ -916,6 +921,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1 - cur")).cast("long").alias("n_base"),
             F.sum("cur").cast("long").alias("n_cur"),
         )
+        .cache()
     )
     tot = per.agg(
         F.sum("n_base").cast("long").alias("tb"), F.sum("n_cur").cast("long").alias("tc")
@@ -1012,9 +1018,13 @@ def stats_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), "p_type")
         .distinct()
+        # cached (r11, convention #12): four consumers (order count,
+        # singles, both self-join sides) re-expanded the lineitem-part
+        # join 5x in the static plan
+        .cache()
     )
     n_orders = baskets.agg(F.countDistinct("ok").alias("n_orders"))
-    singles = baskets.groupBy("p_type").agg(F.count("*").alias("n_single"))
+    singles = baskets.groupBy("p_type").agg(F.count("*").alias("n_single")).cache()
     a, b = baskets.alias("a"), baskets.alias("b")
     pair_counts = (
         a.join(

@@ -1235,10 +1235,15 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(F.expr("split(trim(text), ' +')").alias("w"))
+    # cached (r11, convention #12): staged feeds both explodes, uni has
+    # three consumers and bi_all two — uncached, the corpus scan
+    # re-expanded 5x in the static plan
+    staged = staged.cache()
     uni = (
         staged.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
+        .cache()
     )
     bi_all = (
         staged.select(
@@ -1254,6 +1259,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b").isNotNull())
         .groupBy(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
         .agg(F.count("*").alias("c12"))
+        .cache()
     )
     # the count floor prunes CANDIDATES only; the joint normalizer nb
     # must cover every bigram position or P(x,y) is inflated
