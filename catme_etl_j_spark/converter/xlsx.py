@@ -107,6 +107,31 @@ DEFAULT_MAX_ENTRY_SIZE = 6 * 1024**3  # 6 GB, matches the reference cap
 
 _CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
 
+# --- strict row-boundary slice scan (intra-sheet parallel parse) ---
+# A row TAG is pure ASCII markup; '<' cannot occur unescaped in text or
+# attribute values, so a raw b'<row' byte sequence is a row element
+# start unless it hides inside CDATA/comments/PIs/DTD — all of which
+# begin with b'<!' or b'<?' and make the scan refuse (fall back to the
+# serial parse). The STRICT pattern only matches a row tag whose whole
+# attribute list is simple name="value" / name='value' pairs (no '<'
+# inside values), which makes the r="N" extraction unambiguous; the
+# LOOSE pattern counts every candidate row start, and any mismatch
+# between the two counts aborts the plan.
+# Superset of every candidate row-element start ('<row' + anything —
+# deliberately loose: even '<rowBreaks' counts, so any sheet where the
+# count differs from the strict form below refuses to slice).
+_ROW_SUPER_NEEDLE = b"<row"
+# A row tag whose FIRST attribute is r="N" (the standard spreadsheetml
+# serialization, both quote styles). When every '<row' occurrence is
+# also one of these (count equality), the declared row index always
+# wins in the handler, so slice tasks never consult the sequential
+# fallback and row numbering is exact without simulating it. The r
+# value directly follows the tag name, so it cannot be a fragment of
+# some other attribute's value. Prefixed tags (<x:row>) simply never
+# match — the plan refuses and the serial path handles them.
+_ROW_RFIRST_NEEDLES = (b'<row r="', b"<row r='")
+_XML_DECL_ENC_RE = re.compile(rb"encoding[ \t\r\n]*=[ \t\r\n]*[\"']([^\"']+)[\"']")
+
 _ROW_TAG = f"{_NS_MAIN}row"
 _C_TAG = f"{_NS_MAIN}c"
 _V_TAG = f"{_NS_MAIN}v"
@@ -562,6 +587,234 @@ class XlsxWorkbook:
         if n_open != n_ref or not letters_seen:
             return None
         return max(_col_letters_to_index(s.decode("ascii")) for s in letters_seen)
+
+    def plan_row_slices(
+        self,
+        sheet_name: str | None = None,
+        sheet_index: int | None = None,
+        *,
+        n_slices: int,
+        min_bytes: int = 48 << 20,
+    ) -> list[tuple[int, int, int]] | None:
+        """Plan byte slices of ONE sheet's decompressed XML so that N
+        tasks can parse it in parallel (the reference's serial-sheet
+        physics lifted for the giant-single-sheet straggler). Returns
+        ``[(start, end, init_row_idx)]`` — each slice starts at a row
+        element's ``<`` and ends at the next slice's start (last: at
+        ``</sheetData``), with the running row index the serial parse
+        would hold just before the slice's first row — or ``None``
+        whenever the scan cannot PROVE slicing reproduces the serial
+        parse bit-for-bit:
+
+        * sheet smaller than ``min_bytes`` decompressed (not worth it);
+        * any ``<!``/``<?`` beyond the XML declaration (CDATA, comment,
+          DTD/entity, PI — any of which could hide or fabricate row
+          markup from this byte-level scan);
+        * a declared encoding other than UTF-8/US-ASCII (byte offsets
+          would not be ASCII-safe);
+        * any row tag NOT carrying a plain-integer ``r="N"`` as its
+          first attribute (loose/r-first count mismatch — slicing would
+          need the sequential-row simulation the fast scan skips), rows
+          outside ``sheetData``, a missing ``</sheetData>``, or a text
+          node longer than the carry cap.
+
+        Single streaming pass, constant memory (1 MiB chunks + a
+        bounded carry); all counting and boundary location runs at
+        memchr speed (bytes.count / bytes.find), so the scan costs
+        little more than the decompress itself.
+        """
+        path = self.resolve_sheet(sheet_name, sheet_index)
+        try:
+            info = self._zf.getinfo(path)
+        except KeyError:
+            return None
+        if info.file_size < min_bytes or n_slices <= 1:
+            return None
+        # scale-adaptive slice count: ~24 MiB of decompressed XML per
+        # task (guide §2.2 — fewer, larger tasks), capped by the
+        # session's parallelism passed in by the caller
+        n_slices = min(n_slices, max(2, int(info.file_size // (24 << 20))))
+        try:
+            f = self._zf.open(path)
+        except KeyError:
+            return None
+        def find_row_start(b: bytes, from_pos: int) -> int:
+            hits = [p for p in (b.find(n, from_pos) for n in _ROW_RFIRST_NEEDLES) if p >= 0]
+            return min(hits) if hits else -1
+
+        n_loose = 0
+        n_rfirst = 0
+        sd_close: int | None = None
+        row_after_close = False
+        first_row_off: int | None = None
+        # byte-even boundary targets (computed once the first row is
+        # seen, from the known decompressed size); each becomes the
+        # next '<row r=' at or after it
+        targets: list[int] | None = None
+        ti = 0
+        bounds: list[int] = []
+        base = 0  # absolute offset of buf[0]
+        carry = b""
+        first = True
+        try:
+            with _typed(self._name, f"sheet part {path}"), f:
+                while True:
+                    raw = f.read(1 << 20)
+                    buf = carry + raw
+                    if first:
+                        first = False
+                        if buf[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                            return None  # UTF-16 BOM
+                        decl_end = 0
+                        if buf.lstrip(b"\xef\xbb\xbf \t\r\n").startswith(b"<?xml"):
+                            decl_end = buf.find(b"?>")
+                            if decl_end == -1:
+                                return None
+                            m = _XML_DECL_ENC_RE.search(buf[:decl_end])
+                            if m and m.group(1).lower() not in (b"utf-8", b"us-ascii"):
+                                return None
+                        # '<!' anywhere, or '<?' beyond the declaration,
+                        # defeats the byte-level strictness
+                        if b"<!" in buf or b"<?" in buf[decl_end + 2 if decl_end else 0:]:
+                            return None
+                    elif b"<!" in buf or b"<?" in buf:
+                        return None
+                    if raw:
+                        cut = buf.rfind(b"<")
+                        if cut == -1:
+                            carry = b""
+                            base += len(buf)
+                            continue
+                        if len(buf) - cut > (1 << 20):
+                            return None  # carry cap: give up, stay serial
+                        carry, buf = buf[cut:], buf[:cut]
+                    if sd_close is None:
+                        p = buf.find(b"</sheetData")
+                        if p >= 0:
+                            sd_close = base + p
+                    # C-speed needle counts; rows past </sheetData>
+                    # (same chunk or later) make the plan refuse
+                    split_at = len(buf)
+                    if sd_close is not None and sd_close >= base:
+                        split_at = sd_close - base
+                    head = buf[:split_at] if split_at < len(buf) else buf
+                    chunk_loose = head.count(_ROW_SUPER_NEEDLE)
+                    n_rfirst += sum(head.count(n) for n in _ROW_RFIRST_NEEDLES)
+                    n_loose += chunk_loose
+                    if split_at < len(buf) and buf.count(_ROW_SUPER_NEEDLE, split_at):
+                        row_after_close = True
+                    if sd_close is not None and base > sd_close and chunk_loose:
+                        row_after_close = True
+                    if first_row_off is None and chunk_loose:
+                        p = find_row_start(head, 0)
+                        if p < 0:
+                            return None  # a row start without first-attr r
+                        first_row_off = base + p
+                        span = info.file_size - first_row_off
+                        targets = [
+                            first_row_off + (k * span) // n_slices
+                            for k in range(1, n_slices)
+                        ]
+                    if targets is not None:
+                        while ti < len(targets) and targets[ti] < base + split_at:
+                            p = find_row_start(head, max(targets[ti] - base, 0))
+                            if p < 0:
+                                break  # retry in the next chunk
+                            bounds.append(base + p)
+                            ti += 1
+                    if raw:
+                        base += len(buf)
+                    else:
+                        break
+        except ConversionError:
+            return None
+        if (
+            n_loose != n_rfirst
+            or n_loose == 0
+            or sd_close is None
+            or row_after_close
+            or first_row_off is None
+            or first_row_off > sd_close
+        ):
+            return None
+        starts = [first_row_off]
+        for b_off in bounds:
+            if b_off > starts[-1] and b_off < sd_close:
+                starts.append(b_off)
+        out: list[tuple[int, int, int]] = []
+        for i, off in enumerate(starts):
+            end = starts[i + 1] if i + 1 < len(starts) else sd_close
+            # init_row_idx is never consulted in this regime (every row
+            # declares r, which wins in the handler); -1 mirrors the
+            # serial parser's initial state
+            out.append((off, end, -1))
+        return out if len(out) > 1 else None
+
+    def iter_rows_slice(
+        self,
+        sheet_name: str | None = None,
+        sheet_index: int | None = None,
+        *,
+        start: int,
+        end: int,
+        init_row_idx: int,
+        continue_on_error: bool = False,
+    ) -> Iterator[tuple[int, dict[int, str]]]:
+        """:meth:`iter_rows` over one :meth:`plan_row_slices` byte slice
+        of the decompressed sheet XML. The slice (a run of whole ``row``
+        elements) is wrapped in a synthetic root so expat sees a
+        well-formed document; the handler starts from the serial parse's
+        running row index at the slice boundary, so declared ``r``
+        attributes and sequential fallback both reproduce the serial
+        row numbering exactly."""
+        path = self.resolve_sheet(sheet_name, sheet_index)
+        shared = self._shared_strings()
+        handler = _SheetHandler(shared, continue_on_error, self._style_renderers())
+        handler.row_idx = init_row_idx
+        parser = _expat.ParserCreate()
+        parser.buffer_text = True
+        parser.StartElementHandler = handler.start
+        parser.EndElementHandler = handler.end
+        parser.CharacterDataHandler = handler.chars
+        try:
+            with _typed(self._name, f"sheet part {path}"):
+                f = self._zf.open(path)
+        except KeyError as e:
+            raise ConversionError(f"sheet part {path} missing in archive") from e
+        with _typed(self._name, f"sheet part {path}"), f:
+            skip = start
+            while skip > 0:
+                got = f.read(min(1 << 20, skip))
+                if not got:
+                    raise ConversionError(
+                        f"sheet part {path} truncated before slice offset {start}"
+                    )
+                skip -= len(got)
+            try:
+                parser.Parse(b"<sliceroot>", False)
+            except _expat.ExpatError as e:  # pragma: no cover - static prologue
+                raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
+            remaining = end - start
+            while remaining > 0:
+                chunk = f.read(min(1 << 16, remaining))
+                if not chunk:
+                    raise ConversionError(
+                        f"sheet part {path} truncated inside slice "
+                        f"[{start}, {end})"
+                    )
+                remaining -= len(chunk)
+                try:
+                    parser.Parse(chunk, False)
+                except _expat.ExpatError as e:
+                    raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
+                if handler.out:
+                    yield from handler.out
+                    handler.out.clear()
+            try:
+                parser.Parse(b"</sliceroot>", True)
+            except _expat.ExpatError as e:
+                raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
+            yield from handler.out
 
     def close(self) -> None:
         self._zf.close()

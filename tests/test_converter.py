@@ -127,6 +127,79 @@ def test_sheet_max_col_light_scan(tmp_path):
     assert XlsxWorkbook(noref).sheet_max_col() is None
 
 
+def test_slice_parallel_parse_matches_serial(spark, tmp_path, monkeypatch):
+    """r11: a single big sheet is byte-sliced at verified row boundaries
+    and parsed by N concurrent tasks; the sliced read must be
+    row-for-row identical to the serial read (same rows, same
+    _row_idx), including sparse rows and values after the boundaries."""
+    from catme_etl_j_spark.converter import reader as reader_mod
+    from catme_etl_j_spark.converter.xlsx import XlsxWorkbook
+
+    rows = [["a", "b", "c"]]
+    for i in range(3000):
+        rows.append([f"v{i}", i, round(i * 0.5, 2)])
+    rows[100] = [None, "only-b", None]  # sparse row crossing a boundary zone
+    p = write_xlsx(str(tmp_path / "big.xlsx"), {"S": rows})
+
+    # direct plan + slice-iterator equality (no Spark in the loop)
+    with XlsxWorkbook(p) as wb:
+        plan = wb.plan_row_slices(None, None, n_slices=4, min_bytes=1)
+        assert plan and len(plan) >= 2
+        serial = dict(wb.iter_rows())
+        sliced = {}
+        for s, e, init in plan:
+            for ri, cells in wb.iter_rows_slice(
+                None, None, start=s, end=e, init_row_idx=init
+            ):
+                assert ri not in sliced
+                sliced[ri] = cells
+        assert sliced == serial
+
+    # end-to-end: the sliced frame equals the serial frame
+    serial_df = read_xlsx(spark, p).orderBy("_row_idx").collect()
+    monkeypatch.setattr(reader_mod, "_SLICE_MIN_BYTES", 1)
+    sliced_df = read_xlsx(spark, p)
+    assert sliced_df.rdd.getNumPartitions() > 1  # really took the slice path
+    assert sliced_df.orderBy("_row_idx").collect() == serial_df
+
+
+def test_slice_plan_refuses_unprovable_sheets(tmp_path):
+    """plan_row_slices returns None (serial fallback) whenever the scan
+    cannot prove slicing exact: comments/CDATA, rows without a
+    first-attribute r=, sheets below the size floor."""
+    import re as _re
+    import zipfile as _zip
+
+    from catme_etl_j_spark.converter.xlsx import XlsxWorkbook
+
+    p = write_xlsx(
+        str(tmp_path / "w.xlsx"),
+        {"S": [["a"], *([[i] for i in range(50)])]},
+    )
+    src = _zip.ZipFile(p)
+
+    def variant(name: str, mutate) -> str:
+        out = str(tmp_path / name)
+        with _zip.ZipFile(out, "w") as dst:
+            for info in src.infolist():
+                data = src.read(info.filename)
+                if info.filename.startswith("xl/worksheets/"):
+                    data = mutate(data)
+                dst.writestr(info.filename, data)
+        return out
+
+    # baseline sheet slices fine once the floor is lowered
+    assert XlsxWorkbook(p).plan_row_slices(None, None, n_slices=4, min_bytes=1)
+    # below the size floor: refused
+    assert XlsxWorkbook(p).plan_row_slices(None, None, n_slices=4) is None
+    # an XML comment could hide row markup: refused
+    cmt = variant("c.xlsx", lambda d: d.replace(b"<sheetData>", b"<sheetData><!-- x -->", 1))
+    assert XlsxWorkbook(cmt).plan_row_slices(None, None, n_slices=4, min_bytes=1) is None
+    # a row without a first-attribute r= needs the sequential fallback: refused
+    nor = variant("r.xlsx", lambda d: _re.sub(rb'<row r="7"[^>]*>', b"<row>", d, count=1))
+    assert XlsxWorkbook(nor).plan_row_slices(None, None, n_slices=4, min_bytes=1) is None
+
+
 def test_ragged_rows_index_keys(spark, tmp_path):
     # A4: surplus data columns get stringified-index names.
     p = write_xlsx(
