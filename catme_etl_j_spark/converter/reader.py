@@ -30,6 +30,10 @@ ordered single-file sinks can restore sheet order (SURVEY.md §1.5).
 
 from __future__ import annotations
 
+import atexit
+import contextlib
+import os
+import tempfile
 from collections.abc import Iterator
 from urllib.parse import unquote, urlparse
 
@@ -44,6 +48,7 @@ from catme_etl_j_spark.converter.xlsx import (
     DEFAULT_MAX_ENTRY_SIZE,
     DEFAULT_MIN_INFLATE_RATIO,
     XlsxWorkbook,
+    max_col_from_xml_file,
 )
 
 _BATCH_ROWS = 50_000  # rows per emitted Arrow batch; bounds task memory
@@ -55,6 +60,21 @@ _BATCH_ROWS = 50_000  # rows per emitted Arrow batch; bounds task memory
 # serial stream. The floor keeps small files on the serial path
 # (slice planning costs one extra driver scan of the sheet).
 _SLICE_MIN_BYTES = 48 << 20
+
+# Spool files written by the slice planner (raw decompressed sheet
+# XML) must outlive the returned LAZY frame — tasks may run any time
+# before process exit — so they are reaped at interpreter shutdown,
+# not per-read.
+_SPOOLS: list[str] = []
+
+
+def _reap_spools() -> None:
+    for p in _SPOOLS:
+        with contextlib.suppress(OSError):
+            os.remove(p)
+
+
+atexit.register(_reap_spools)
 
 
 def _as_local_path(uri: str) -> str | None:
@@ -90,15 +110,27 @@ def infer_columns(
     header_row: int,
     min_inflate_ratio: float,
     max_entry_size: int,
+    max_col_override: int | None = None,
 ) -> list[str]:
     """Scan one workbook for the header row and the sheet's max width;
-    returns final column names. Constant memory (single streaming pass)."""
+    returns final column names. Constant memory (single streaming pass).
+
+    ``max_col_override``: a width already established by an equivalent
+    strict scan (the slice plan's spool width, reader-internal) — only
+    the header row is read then."""
     with XlsxWorkbook(
         content, min_inflate_ratio=min_inflate_ratio, max_entry_size=max_entry_size
     ) as wb:
         header: dict[int, str] = {}
         dim = wb.sheet_dimension(sheet_name, sheet_index)
-        if dim is not None:
+        if max_col_override is not None:
+            max_col = max_col_override
+            for row_idx, cells in wb.iter_rows(sheet_name, sheet_index):
+                if row_idx == header_row:
+                    header = cells
+                if row_idx >= header_row:
+                    break
+        elif dim is not None:
             # O(1) width from the sheet's dimension element; only the
             # header row needs reading. (Files without a dimension fall
             # back to the full constant-memory scan below.)
@@ -208,6 +240,48 @@ def read_xlsx(
         max_entry_size=max_entry_size,
     )
     local = _as_local_path(first_path)
+    # Intra-sheet parallelism (guide §2 — one unsplittable stream is a
+    # straggler): a single local workbook with one target sheet big
+    # enough to matter is byte-sliced at STRICTLY-VERIFIED row
+    # boundaries and parsed by N concurrent tasks; plan_row_slices
+    # returns None (→ the serial path, byte-identical semantics)
+    # whenever it cannot prove the slicing exact. The planning pass
+    # spools the decompressed sheet XML so (a) slice tasks seek raw
+    # bytes instead of re-inflating the entry and (b) a dimension-less
+    # sheet's width scan reuses the spool instead of a second inflate.
+    # Slice count adapts to the session's parallelism, never a local
+    # constant.
+    slice_plan = None
+    spool: str | None = None
+    if local is not None and not multi and single_file:
+        fd, spool = tempfile.mkstemp(prefix="catme_sheet_spool_", suffix=".xml")
+        os.close(fd)
+        with XlsxWorkbook(
+            local,
+            min_inflate_ratio=min_inflate_ratio,
+            max_entry_size=max_entry_size,
+        ) as _wb:
+            slice_plan = _wb.plan_row_slices(
+                sheet_name,
+                sheet_index,
+                n_slices=int(spark.sparkContext.defaultParallelism),
+                min_bytes=_SLICE_MIN_BYTES,
+                spool_path=spool,
+            )
+            no_dim = _wb.sheet_dimension(sheet_name, sheet_index) is None
+        if slice_plan is None:
+            with contextlib.suppress(OSError):
+                os.remove(spool)
+            spool = None
+        else:
+            _SPOOLS.append(spool)
+            if no_dim and header_row == 0:
+                # the width scan that infer_columns would run against a
+                # second inflate of the entry runs over the spool
+                # instead (same strict scan, same None fallback)
+                w = max_col_from_xml_file(spool)
+                if w is not None:
+                    infer_kw["max_col_override"] = w
     if local is not None:
         columns = infer_columns(local, **infer_kw)
     else:
@@ -280,68 +354,59 @@ def read_xlsx(
     # capped at Spark's 2 GB column limit, which the path mode escapes.
     use_paths = _as_local_path(first_path) is not None
 
-    # Intra-sheet parallelism (guide §2 — one unsplittable stream is a
-    # straggler): a single local workbook with one target sheet big
-    # enough to matter is byte-sliced at STRICTLY-VERIFIED row
-    # boundaries and parsed by N concurrent tasks; plan_row_slices
-    # returns None (→ serial path below, byte-identical semantics)
-    # whenever it cannot prove the slicing exact. Slice count adapts to
-    # the session's parallelism, never a local constant.
-    if use_paths and not multi and single_file:
-        with XlsxWorkbook(
-            _as_local_path(first_path),
-            min_inflate_ratio=min_inflate_ratio,
-            max_entry_size=max_entry_size,
-        ) as _wb:
-            slice_plan = _wb.plan_row_slices(
-                sheet_name,
-                sheet_index,
-                n_slices=int(spark.sparkContext.defaultParallelism),
-                min_bytes=_SLICE_MIN_BYTES,
-            )
-        if slice_plan:
-            sl_df = spark.createDataFrame(
-                [(first_path, s, e, r) for (s, e, r) in slice_plan],
-                "path string, s_start long, s_end long, s_init long",
-            ).repartition(len(slice_plan))
+    if slice_plan:
+        spool_for_tasks = spool
+        sl_df = spark.createDataFrame(
+            [(first_path, s, e, r) for (s, e, r, _frn) in slice_plan],
+            "path string, s_start long, s_end long, s_init long",
+        ).repartition(len(slice_plan))
 
-            def parse_slice(
-                batches: Iterator[pa.RecordBatch],
-            ) -> Iterator[pa.RecordBatch]:
-                for batch in batches:
-                    for p_sc, s0_sc, s1_sc, ri_sc in zip(
-                        batch.column(0), batch.column(1), batch.column(2), batch.column(3)
-                    ):
-                        fpath = p_sc.as_py()
-                        wb = XlsxWorkbook(
-                            _as_local_path(fpath),
-                            min_inflate_ratio=min_inflate_ratio,
-                            max_entry_size=max_entry_size,
-                        )
-                        try:
-                            idxs: list[int] = []
-                            rows: list[dict] = []
-                            for row_idx, cells in wb.iter_rows_slice(
-                                sheet_name,
-                                sheet_index,
-                                start=s0_sc.as_py(),
-                                end=s1_sc.as_py(),
-                                init_row_idx=ri_sc.as_py(),
-                                continue_on_error=continue_on_error,
-                            ):
-                                if row_idx <= header_row:
-                                    continue
-                                idxs.append(row_idx)
-                                rows.append(cells)
-                                if len(idxs) >= _BATCH_ROWS:
-                                    yield _flush(fpath, None, idxs, rows)
-                                    idxs, rows = [], []
-                            if idxs:
+        def parse_slice(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                for p_sc, s0_sc, s1_sc, ri_sc in zip(
+                    batch.column(0), batch.column(1), batch.column(2), batch.column(3)
+                ):
+                    fpath = p_sc.as_py()
+                    wb = XlsxWorkbook(
+                        _as_local_path(fpath),
+                        min_inflate_ratio=min_inflate_ratio,
+                        max_entry_size=max_entry_size,
+                    )
+                    try:
+                        idxs: list[int] = []
+                        rows: list[dict] = []
+                        for row_idx, cells in wb.iter_rows_slice(
+                            sheet_name,
+                            sheet_index,
+                            start=s0_sc.as_py(),
+                            end=s1_sc.as_py(),
+                            init_row_idx=ri_sc.as_py(),
+                            continue_on_error=continue_on_error,
+                            spool_path=spool_for_tasks,
+                        ):
+                            if row_idx <= header_row:
+                                continue
+                            idxs.append(row_idx)
+                            rows.append(cells)
+                            if len(idxs) >= _BATCH_ROWS:
                                 yield _flush(fpath, None, idxs, rows)
-                        finally:
-                            wb.close()
+                                idxs, rows = [], []
+                        if idxs:
+                            yield _flush(fpath, None, idxs, rows)
+                    finally:
+                        wb.close()
 
-            return sl_df.mapInArrow(parse_slice, schema)
+        out_df = sl_df.mapInArrow(parse_slice, schema)
+        # Pure sink metadata (never semantics): the slices' first
+        # DECLARED row indexes let an ordered single-file sink
+        # shard the global sort into ~slice-sized _row_idx buckets
+        # and write them in parallel (sinks._write_ndjson_bucketed).
+        out_df._catme_row_idx_cutoffs = [
+            frn for (_s, _e, _r, frn) in slice_plan[1:] if frn >= 0
+        ]
+        return out_df
 
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

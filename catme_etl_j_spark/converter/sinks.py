@@ -102,6 +102,51 @@ def _count_csv_records(*paths: str) -> int:
     return n
 
 
+def _write_ndjson_bucketed(df: DataFrame, output: str, cutoffs: list[int]) -> int:
+    """Ordered single-file NDJSON via PARALLEL bucket writes: rows are
+    hashed to ~slice-sized ``_row_idx`` buckets (bucket index =
+    #cutoffs <= _row_idx, monotone in _row_idx whatever the cutoff
+    order), each bucket is sorted and written by one task under a
+    ``__catme_bucket=k`` directory, and the bucket files are
+    concatenated in bucket order — byte-identical to the serial
+    repartition(1) + sort + write, but the sort and the JSON
+    serialization run K-way parallel. Only reachable from the
+    slice-parallel reader (single sheet, so META sort keys reduce to
+    ``_row_idx``)."""
+    cols = [c for c in META_COLS if c in df.columns]
+    bucket = F.lit(0)
+    for c in cutoffs:
+        bucket = bucket + (F.col("_row_idx") >= F.lit(c)).cast("int")
+    k = len(cutoffs) + 1
+    tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
+    try:
+        (
+            df.withColumn("__catme_bucket", bucket)
+            .repartition(k, "__catme_bucket")
+            .sortWithinPartitions("__catme_bucket", *cols)
+            .drop(*META_COLS)
+            .write.partitionBy("__catme_bucket")
+            .mode("overwrite")
+            .json(tmp)
+        )
+        bucket_dirs = sorted(
+            (
+                int(d.split("=", 1)[1]),
+                os.path.join(tmp, d),
+            )
+            for d in os.listdir(tmp)
+            if d.startswith("__catme_bucket=")
+        )
+        with open(output, "wb") as out:
+            for _, d in bucket_dirs:
+                for part in sorted(glob.glob(os.path.join(d, "part-*"))):
+                    with open(part, "rb") as src:
+                        shutil.copyfileobj(src, out, 1 << 20)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _count_lines(output)
+
+
 def write_ndjson(
     df: DataFrame, output: str, *, overwrite: bool = False, single_file: bool = True
 ) -> int:
@@ -115,6 +160,9 @@ def write_ndjson(
     if not single_file:
         df.drop(*META_COLS).write.mode("overwrite").json(output)
         return _count_lines(*glob.glob(os.path.join(output, "part-*")))
+    cutoffs = getattr(df, "_catme_row_idx_cutoffs", None)
+    if cutoffs and "__catme_bucket" not in df.columns:
+        return _write_ndjson_bucketed(df, output, cutoffs)
     tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
     try:
         (_ordered_single(df).drop(*META_COLS).write.mode("overwrite").json(tmp))

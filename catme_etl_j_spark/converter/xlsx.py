@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import zipfile
 import zlib
@@ -546,47 +547,11 @@ class XlsxWorkbook:
             f = self._zf.open(path)
         except KeyError:
             return None
-        # byte-level regexes: cell tags and refs are pure ASCII markup,
-        # so no utf-8 decode is needed (multi-byte sequences never
-        # contain ASCII bytes)
-        cell_open = re.compile(rb"<c[\s/>]")
-        cell_ref = re.compile(rb'<c\b[^>]*?\br="([A-Z]+)[0-9]+"')
-        n_open = 0
-        n_ref = 0
-        letters_seen: set[bytes] = set()
-        carry = b""
         try:
             with _typed(self._name, f"sheet part {path}"), f:
-                while True:
-                    raw = f.read(1 << 20)
-                    buf = carry + raw
-                    if b"<![" in buf or b"<!--" in buf:
-                        return None
-                    if raw:
-                        # keep the (possibly split) trailing tag for the
-                        # next chunk; a tag is < ~1 KB, so the carry is
-                        # bounded — a longer one means we are inside
-                        # text, where no '<' can legally occur unescaped
-                        cut = buf.rfind(b"<")
-                        if cut == -1 or len(buf) - cut > 4096:
-                            carry = b""
-                        else:
-                            carry, buf = buf[cut:], buf[:cut]
-                    n_open += len(cell_open.findall(buf))
-                    refs = cell_ref.findall(buf)
-                    n_ref += len(refs)
-                    letters_seen.update(refs)
-                    if not raw:
-                        break
+                return _max_col_scan(f)
         except ConversionError:
             return None
-        # strictness: every <c …> must have carried an uppercase r ref
-        # (else sequential cell positions apply and only the full scan
-        # knows the width); zero cells also degrades, so the full scan
-        # raises its usual no-rows error
-        if n_open != n_ref or not letters_seen:
-            return None
-        return max(_col_letters_to_index(s.decode("ascii")) for s in letters_seen)
 
     def plan_row_slices(
         self,
@@ -595,11 +560,13 @@ class XlsxWorkbook:
         *,
         n_slices: int,
         min_bytes: int = 48 << 20,
-    ) -> list[tuple[int, int, int]] | None:
+        spool_path: str | None = None,
+    ) -> list[tuple[int, int, int, int]] | None:
         """Plan byte slices of ONE sheet's decompressed XML so that N
         tasks can parse it in parallel (the reference's serial-sheet
         physics lifted for the giant-single-sheet straggler). Returns
-        ``[(start, end, init_row_idx)]`` — each slice starts at a row
+        ``[(start, end, init_row_idx, first_row_idx)]`` — each slice
+        starts at a row
         element's ``<`` and ends at the next slice's start (last: at
         ``</sheetData``), with the running row index the serial parse
         would hold just before the slice's first row — or ``None``
@@ -622,7 +589,33 @@ class XlsxWorkbook:
         bounded carry); all counting and boundary location runs at
         memchr speed (bytes.count / bytes.find), so the scan costs
         little more than the decompress itself.
+
+        ``spool_path``: when given, the decompressed sheet XML is also
+        written there (same single pass) so downstream consumers —
+        slice tasks via :meth:`iter_rows_slice`'s ``spool_path``, the
+        width scan via :func:`max_col_from_xml_file` — can ``seek``
+        raw bytes instead of re-inflating the entry. On refusal the
+        partial spool is removed.
         """
+        sp = open(spool_path, "wb") if spool_path else None
+        try:
+            out = self._plan_scan(sheet_name, sheet_index, n_slices, min_bytes, sp)
+        finally:
+            if sp is not None:
+                sp.close()
+        if out is None and spool_path is not None:
+            with contextlib.suppress(OSError):
+                os.remove(spool_path)
+        return out
+
+    def _plan_scan(
+        self,
+        sheet_name: str | None,
+        sheet_index: int | None,
+        n_slices: int,
+        min_bytes: int,
+        sp,
+    ) -> list[tuple[int, int, int, int]] | None:
         path = self.resolve_sheet(sheet_name, sheet_index)
         try:
             info = self._zf.getinfo(path)
@@ -638,9 +631,25 @@ class XlsxWorkbook:
             f = self._zf.open(path)
         except KeyError:
             return None
-        def find_row_start(b: bytes, from_pos: int) -> int:
-            hits = [p for p in (b.find(n, from_pos) for n in _ROW_RFIRST_NEEDLES) if p >= 0]
-            return min(hits) if hits else -1
+        def find_row_start(b: bytes, from_pos: int) -> tuple[int, int]:
+            """(position, declared row number) of the next strict row
+            start at/after from_pos, or (-1, -1). The digits directly
+            follow the needle and are always complete within the cut
+            buffer (they precede the tag's '>', hence the next '<')."""
+            best, blen = -1, 0
+            for n in _ROW_RFIRST_NEEDLES:
+                p = b.find(n, from_pos)
+                if p >= 0 and (best < 0 or p < best):
+                    best, blen = p, len(n)
+            if best < 0:
+                return -1, -1
+            q = best + blen
+            e = q
+            while e < len(b) and b[e : e + 1].isdigit():
+                e += 1
+            if e == q:
+                return -1, -1  # r="" / non-digit: refuse via caller
+            return best, int(b[q:e])
 
         n_loose = 0
         n_rfirst = 0
@@ -652,7 +661,7 @@ class XlsxWorkbook:
         # next '<row r=' at or after it
         targets: list[int] | None = None
         ti = 0
-        bounds: list[int] = []
+        bounds: list[tuple[int, int]] = []  # (offset, declared row number)
         base = 0  # absolute offset of buf[0]
         carry = b""
         first = True
@@ -660,6 +669,8 @@ class XlsxWorkbook:
             with _typed(self._name, f"sheet part {path}"), f:
                 while True:
                     raw = f.read(1 << 20)
+                    if sp is not None and raw:
+                        sp.write(raw)
                     buf = carry + raw
                     if first:
                         first = False
@@ -706,7 +717,7 @@ class XlsxWorkbook:
                     if sd_close is not None and base > sd_close and chunk_loose:
                         row_after_close = True
                     if first_row_off is None and chunk_loose:
-                        p = find_row_start(head, 0)
+                        p, _rn = find_row_start(head, 0)
                         if p < 0:
                             return None  # a row start without first-attr r
                         first_row_off = base + p
@@ -717,10 +728,10 @@ class XlsxWorkbook:
                         ]
                     if targets is not None:
                         while ti < len(targets) and targets[ti] < base + split_at:
-                            p = find_row_start(head, max(targets[ti] - base, 0))
+                            p, rn = find_row_start(head, max(targets[ti] - base, 0))
                             if p < 0:
                                 break  # retry in the next chunk
-                            bounds.append(base + p)
+                            bounds.append((base + p, rn))
                             ti += 1
                     if raw:
                         base += len(buf)
@@ -737,17 +748,20 @@ class XlsxWorkbook:
             or first_row_off > sd_close
         ):
             return None
-        starts = [first_row_off]
-        for b_off in bounds:
-            if b_off > starts[-1] and b_off < sd_close:
-                starts.append(b_off)
-        out: list[tuple[int, int, int]] = []
-        for i, off in enumerate(starts):
-            end = starts[i + 1] if i + 1 < len(starts) else sd_close
-            # init_row_idx is never consulted in this regime (every row
-            # declares r, which wins in the handler); -1 mirrors the
-            # serial parser's initial state
-            out.append((off, end, -1))
+        starts: list[tuple[int, int]] = [(first_row_off, -1)]
+        for b_off, rn in bounds:
+            if b_off > starts[-1][0] and b_off < sd_close:
+                starts.append((b_off, rn))
+        out: list[tuple[int, int, int, int]] = []
+        for i, (off, rn) in enumerate(starts):
+            end = starts[i + 1][0] if i + 1 < len(starts) else sd_close
+            # init_row_idx (3rd field) is never consulted in this regime
+            # (every row declares r, which wins in the handler); -1
+            # mirrors the serial parser's initial state. The 4th field
+            # is the slice's first DECLARED 0-based row index (-1 for
+            # slice 0) — pure metadata for downstream bucketing, never
+            # part of parse semantics.
+            out.append((off, end, -1, rn - 1 if rn > 0 else -1))
         return out if len(out) > 1 else None
 
     def iter_rows_slice(
@@ -759,6 +773,7 @@ class XlsxWorkbook:
         end: int,
         init_row_idx: int,
         continue_on_error: bool = False,
+        spool_path: str | None = None,
     ) -> Iterator[tuple[int, dict[int, str]]]:
         """:meth:`iter_rows` over one :meth:`plan_row_slices` byte slice
         of the decompressed sheet XML. The slice (a run of whole ``row``
@@ -766,7 +781,13 @@ class XlsxWorkbook:
         well-formed document; the handler starts from the serial parse's
         running row index at the slice boundary, so declared ``r``
         attributes and sequential fallback both reproduce the serial
-        row numbering exactly."""
+        row numbering exactly.
+
+        ``spool_path``: a raw decompressed copy of the sheet XML (the
+        plan scan's spool). When present on this machine the slice is
+        read with one ``seek`` instead of re-inflating the entry up to
+        ``start``; when absent (e.g. a task on another host) the entry
+        path below is the fallback — same bytes either way."""
         path = self.resolve_sheet(sheet_name, sheet_index)
         shared = self._shared_strings()
         handler = _SheetHandler(shared, continue_on_error, self._style_renderers())
@@ -776,13 +797,17 @@ class XlsxWorkbook:
         parser.StartElementHandler = handler.start
         parser.EndElementHandler = handler.end
         parser.CharacterDataHandler = handler.chars
-        try:
-            with _typed(self._name, f"sheet part {path}"):
-                f = self._zf.open(path)
-        except KeyError as e:
-            raise ConversionError(f"sheet part {path} missing in archive") from e
+        if spool_path is not None and os.path.exists(spool_path):
+            f = open(spool_path, "rb")
+            f.seek(start)
+        else:
+            try:
+                with _typed(self._name, f"sheet part {path}"):
+                    f = self._zf.open(path)
+            except KeyError as e:
+                raise ConversionError(f"sheet part {path} missing in archive") from e
         with _typed(self._name, f"sheet part {path}"), f:
-            skip = start
+            skip = start if f.seekable() is False or f.tell() != start else 0
             while skip > 0:
                 got = f.read(min(1 << 20, skip))
                 if not got:
@@ -824,6 +849,59 @@ class XlsxWorkbook:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def _max_col_scan(f) -> int | None:
+    """Core of :meth:`XlsxWorkbook.sheet_max_col`: the strict
+    byte-level width scan over an already-open decompressed sheet XML
+    stream. byte-level regexes: cell tags and refs are pure ASCII
+    markup, so no utf-8 decode is needed (multi-byte sequences never
+    contain ASCII bytes)."""
+    cell_open = re.compile(rb"<c[\s/>]")
+    cell_ref = re.compile(rb'<c\b[^>]*?\br="([A-Z]+)[0-9]+"')
+    n_open = 0
+    n_ref = 0
+    letters_seen: set[bytes] = set()
+    carry = b""
+    while True:
+        raw = f.read(1 << 20)
+        buf = carry + raw
+        if b"<![" in buf or b"<!--" in buf:
+            return None
+        if raw:
+            # keep the (possibly split) trailing tag for the
+            # next chunk; a tag is < ~1 KB, so the carry is
+            # bounded — a longer one means we are inside
+            # text, where no '<' can legally occur unescaped
+            cut = buf.rfind(b"<")
+            if cut == -1 or len(buf) - cut > 4096:
+                carry = b""
+            else:
+                carry, buf = buf[cut:], buf[:cut]
+        n_open += len(cell_open.findall(buf))
+        refs = cell_ref.findall(buf)
+        n_ref += len(refs)
+        letters_seen.update(refs)
+        if not raw:
+            break
+    # strictness: every <c …> must have carried an uppercase r ref
+    # (else sequential cell positions apply and only the full scan
+    # knows the width); zero cells also degrades, so the full scan
+    # raises its usual no-rows error
+    if n_open != n_ref or not letters_seen:
+        return None
+    return max(_col_letters_to_index(s.decode("ascii")) for s in letters_seen)
+
+
+def max_col_from_xml_file(path: str) -> int | None:
+    """:func:`_max_col_scan` over a RAW decompressed sheet XML file
+    (the slice plan's spool) — the same strict width scan without
+    re-inflating the archive entry."""
+    try:
+        with open(path, "rb") as f:
+            return _max_col_scan(f)
+    except OSError:
+        return None
 
 
 def list_sheets(source: str | bytes) -> list[str]:

@@ -147,7 +147,7 @@ def test_slice_parallel_parse_matches_serial(spark, tmp_path, monkeypatch):
         assert plan and len(plan) >= 2
         serial = dict(wb.iter_rows())
         sliced = {}
-        for s, e, init in plan:
+        for s, e, init, _frn in plan:
             for ri, cells in wb.iter_rows_slice(
                 None, None, start=s, end=e, init_row_idx=init
             ):
@@ -155,12 +155,20 @@ def test_slice_parallel_parse_matches_serial(spark, tmp_path, monkeypatch):
                 sliced[ri] = cells
         assert sliced == serial
 
-    # end-to-end: the sliced frame equals the serial frame
+    # end-to-end: the sliced frame equals the serial frame, and the
+    # bucket-parallel ordered NDJSON sink is byte-identical to the
+    # serial repartition(1)+sort sink
     serial_df = read_xlsx(spark, p).orderBy("_row_idx").collect()
+    out_serial = str(tmp_path / "serial.ndjson")
+    convert(p, "NDJSON", out_serial, overwrite=True, spark=spark)
     monkeypatch.setattr(reader_mod, "_SLICE_MIN_BYTES", 1)
     sliced_df = read_xlsx(spark, p)
     assert sliced_df.rdd.getNumPartitions() > 1  # really took the slice path
+    assert sliced_df._catme_row_idx_cutoffs  # sink metadata attached
     assert sliced_df.orderBy("_row_idx").collect() == serial_df
+    out_sliced = str(tmp_path / "sliced.ndjson")
+    convert(p, "NDJSON", out_sliced, overwrite=True, spark=spark)
+    assert open(out_sliced, "rb").read() == open(out_serial, "rb").read()
 
 
 def test_slice_plan_refuses_unprovable_sheets(tmp_path):
