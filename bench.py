@@ -307,6 +307,12 @@ def _run_session() -> dict[str, float]:
         samples: list[float] = []
 
         def run_once(timed: bool) -> None:
+            # r11 measurement fix: queries that .cache() a multi-consumer
+            # intermediate (convention #12) would otherwise serve every
+            # timed run after the warm-up from the session cache — the
+            # bench then times a cached scan, not the computation. Every
+            # timed run must compute from the parquet inputs.
+            spark.catalog.clearCache()
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             if name not in eager:

@@ -128,37 +128,63 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once.
 
     idf uses the standard smoothed form ln(1 + (N - df + 0.5) /
-    (df + 0.5)); dl/avgdl is exact rational arithmetic. The exploded
-    term stream is filtered to the query terms BEFORE the tf aggregate,
-    so at scale the heavy stream prunes to 3 terms' worth of rows.
+    (df + 0.5)); dl/avgdl is exact rational arithmetic.
 
-    Join strategy at 100 TB: ``qdf`` (<= |query| rows), ``avgdl`` and
-    the corpus count (1 row each) broadcast; ``dl`` is one row per
-    DOCUMENT — it grows with the corpus and must NOT be broadcast, so
-    it joins as a plain shuffle join on doc_id, co-partitioned with
-    the qtf side (both hash on doc_id; AQE reuses the exchange).
+    Shape at 100 TB (r11): ONE token explode + ONE per-doc aggregate
+    produce (dl, tf per query term) together; the only remaining joins
+    are broadcasts of two 1-row aggregates (avgdl+df, n_docs). No
+    per-document shuffle join at all — the old shape exploded the
+    corpus three times and shuffle-joined dl back per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
     ndf = docs.agg(F.count("*").alias("n_docs"))
-    q = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
-    ).filter("term <> ''")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    terms = BM25_QUERY_TERMS
+    # r11 (guide §1.2): ONE token explode + ONE per-doc aggregate carry
+    # dl and every query term's tf together — the old shape exploded
+    # the corpus three times (dl, avgdl's re-expansion of dl, qtf) and
+    # joined dl back per doc. per_doc is cached for its two consumers
+    # (the 1-row global aggregate below and the parts stream);
+    # bench.py clears the cache before every timed run, so the bench
+    # still times the full compute.
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
+        )
+        .filter("term <> ''")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .cache()
     )
-    qtf = (
-        toks.filter(f"term IN ({q})")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    # avgdl + per-term df in one 1-row aggregate (df = docs with tf>0,
+    # exactly the old qtf->qdf count)
+    glob = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    # parts: same (doc_id, part) multiset as the old qtf/qdf/dl join —
+    # stack emits one (tf, df) row per term, tf=0 rows (term absent
+    # from the doc) are filtered exactly like the old inner join
+    stack_args = ", ".join(f"tf_{i}, df_{i}" for i in range(len(terms)))
     parts = (
-        qtf.join(F.broadcast(qdf), "term")
-        .join(dl, "doc_id")  # per-doc side: plain shuffle join, never broadcast
-        .crossJoin(F.broadcast(avgdl))
+        per_doc.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            "dl",
+            "avgdl",
+            "n_docs",
+            F.expr(f"stack({len(terms)}, {stack_args}) AS (tf, df)"),
+        )
+        .filter("tf > 0")
         .select(
             "doc_id",
             F.expr(

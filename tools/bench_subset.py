@@ -47,6 +47,9 @@ def main() -> None:
         samples: list[float] = []
 
         def run_once(timed: bool) -> None:
+            # mirror bench.py's r11 measurement fix: cached intermediates
+            # must not carry across timed runs
+            spark.catalog.clearCache()
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             if name not in EAGER:
