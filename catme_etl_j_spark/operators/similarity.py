@@ -713,46 +713,106 @@ def buckets_pandas():
     return pandas_udf(_bk, "array<long>")
 
 
+def _bucket_pairs_pandas(pdf):
+    """Per-(band, bucket) candidate pairs with their rdet-6 cosine —
+    the grouped twin of the old banded self-join + per-pair Arrow dot.
+    Arithmetic is replicated operation-for-operation: exact int64 dot
+    (matmul products <= 1e16, 64-term sums < 2^63), float64(dot) (the
+    same round-to-nearest CAST both engines apply), one IEEE divide by
+    the float64 norm product, floor(x*1e6 + 0.5)/1e6 — so a pair
+    colliding in several bands yields the identical cos in each group
+    and the downstream distinct collapses it. Pairs whose fx lengths
+    differ keep the zip_with NULL semantics (never emitted); a group
+    mixing lengths falls to the per-pair loop."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({
+        "vec_a": pd.Series(dtype="int64"),
+        "vec_b": pd.Series(dtype="int64"),
+        "cos_sim": pd.Series(dtype="float64"),
+    })
+    n = len(pdf)
+    if n < 2:
+        return empty
+    pdf = pdf.sort_values("vec_id")  # i<j positions == vec_a < vec_b
+    vids = pdf["vec_id"].to_numpy()
+    fxs = pdf["fx"].to_numpy()
+    norms = pdf["norm"].to_numpy(dtype=np.float64)
+    lens = {len(x) for x in fxs}
+    out_a: list = []
+    out_b: list = []
+    out_c: list = []
+    if len(lens) == 1:
+        A = np.stack(fxs).astype(np.int64)
+        # chunk rows so the chunk x n dot block stays ~32 MB whatever
+        # the bucket size (hot buckets are quadratic in PAIRS either
+        # way — exactly like the old self-join — but never in memory)
+        ch = max(1, (1 << 22) // max(1, n))
+        for lo in range(0, n, ch):
+            hi = min(n, lo + ch)
+            D = A[lo:hi] @ A.T  # exact int64
+            C = D.astype(np.float64) / (norms[lo:hi, None] * norms[None, :])
+            C = np.floor(C * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(C >= COS_THRESHOLD)
+            keep = jj > (ii + lo)  # strict upper triangle by sorted position
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(vids[ii + lo])
+            out_b.append(vids[jj])
+            out_c.append(C[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos_sim": np.concatenate(out_c),
+        })
+    # ragged group (degenerate short embeddings): per-pair loop with
+    # zip_with semantics — unequal lengths -> NULL cos -> dropped
+    ra, rb, rc = [], [], []
+    fx64 = [np.asarray(x, dtype=np.int64) for x in fxs]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if len(fx64[i]) != len(fx64[j]):
+                continue
+            d = float(np.dot(fx64[i], fx64[j]))
+            c = np.floor(d / (norms[i] * norms[j]) * 1e6 + 0.5) / 1e6
+            if c >= COS_THRESHOLD:
+                ra.append(vids[i])
+                rb.append(vids[j])
+                rc.append(c)
+    if not ra:
+        return empty
+    return pd.DataFrame({"vec_a": ra, "vec_b": rb, "cos_sim": rc})
+
+
 def ann_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = _prescaled(spark, sf_dir).cache()
-    # r11 (guide §4.2): band buckets via ONE Arrow int64 matmul per
-    # batch (buckets_pandas) instead of LSH_BANDS x LSH_ROWS
-    # interpreted fold lambdas per row, and the banded frame is cached
-    # so the self-join scans it twice instead of recomputing the
-    # buckets once per side — measured 2.37 s -> 1.3-1.5 s for the
-    # full pair stage at sf0.1, bit-identical output (exceptAll both
-    # ways = 0, incl. the degenerate short/NULL-element rows).
-    banded = (
-        emb.select("vec_id", buckets_pandas()("fx").alias("bks"))
-        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
-        .cache()
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("fx").alias("fa"), F.col("norm").alias("na"))
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("fx").alias("fb"), F.col("norm").alias("nb"))
-    # Arrow int64 dot for the candidate-pair cosine (the semdedup /
-    # ann_nn dot_fx_pandas discipline, r11): exact integer arithmetic,
-    # bit-identical to the JVM fold, ~0.8 s faster than the
-    # interpreted lambda over the ~460k-candidate sf0.1 stream
-    cos = rdet(
-        dot_fx_pandas()("fa", "fb").cast("double") / (F.col("na") * F.col("nb")), 6
+    emb = _prescaled(spark, sf_dir)
+    # r11 (guide §2.3/§4.2, second pass): ONE cogrouped stage replaces
+    # the banded self-join + distinct + two fx joins + per-pair Arrow
+    # dot. Each vector ships ONCE per band through the (band, bucket)
+    # shuffle (~80 MB at sf0.1) instead of once per CANDIDATE PAIR
+    # (~470 MB); a numpy int64 block matmul scores each bucket and the
+    # cross-band duplicates collapse in one distinct on the (already
+    # threshold-filtered) pair stream. Skew posture unchanged: the
+    # grouping key is exactly the key the old self-join hashed on.
+    # Measured 1.43 s -> ~0.75 s for the full pair stage at sf0.1 at a
+    # matched q03 control; bit-identical output (exceptAll both ways =
+    # 0 incl. the degenerate short/NULL-element rows, pinned by
+    # test_lsh_pairs_cogroup_matches_join).
+    banded = emb.select(
+        "vec_id",
+        "fx",
+        "norm",
+        F.posexplode(buckets_pandas()("fx")).alias("band", "bucket"),
     )
     return (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        banded.groupBy("band", "bucket")
+        .applyInPandas(
+            _bucket_pairs_pandas, "vec_a long, vec_b long, cos_sim double"
+        )
+        .distinct()
     )
 
 

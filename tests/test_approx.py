@@ -426,3 +426,48 @@ def test_dot_fx_pandas_matches_jvm_fold(spark):
     pdu = [r["d"] for r in df.select(dot_fx_pandas()("a", "b").alias("d")).collect()]
     assert jvm == pdu
     assert jvm[3] == 100000000**2 + 99999999**2  # exact above 2^53
+
+
+def test_lsh_pairs_cogroup_matches_join(spark, sf_dir):
+    """r11: the cogrouped (band, bucket) block-matmul pair stage must be
+    bit-identical to the independent banded self-join + per-pair Arrow
+    dot formulation it replaced (exceptAll both ways empty), including
+    the threshold filter and the cross-band dedup."""
+    from pyspark.sql import functions as F
+
+    from catme_etl_j_spark.functions.numeric import rdet
+    from catme_etl_j_spark.operators import similarity as S
+
+    emb = S._prescaled(spark, sf_dir).cache()
+    banded = (
+        emb.select("vec_id", S.buckets_pandas()("fx").alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+        .cache()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("fx").alias("fa"), F.col("norm").alias("na"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("fx").alias("fb"), F.col("norm").alias("nb"))
+    cos = rdet(
+        S.dot_fx_pandas()("fa", "fb").cast("double") / (F.col("na") * F.col("nb")), 6
+    )
+    old = (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= S.COS_THRESHOLD)
+    )
+    new = S.ann_lsh_hyperplane_pairs(spark, sf_dir)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() > 0  # non-vacuous at every fixture scale
+    spark.catalog.clearCache()
