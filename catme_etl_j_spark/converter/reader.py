@@ -59,7 +59,7 @@ _BATCH_ROWS = 50_000  # rows per emitted Arrow batch; bounds task memory
 # the giant-single-sheet straggler is otherwise one unsplittable
 # serial stream. The floor keeps small files on the serial path
 # (slice planning costs one extra driver scan of the sheet).
-_SLICE_MIN_BYTES = 48 << 20
+_SLICE_MIN_BYTES = 12 << 20
 
 # Spool files written by the slice planner (raw decompressed sheet
 # XML) must outlive the returned LAZY frame — tasks may run any time

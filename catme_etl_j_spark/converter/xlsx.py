@@ -559,7 +559,7 @@ class XlsxWorkbook:
         sheet_index: int | None = None,
         *,
         n_slices: int,
-        min_bytes: int = 48 << 20,
+        min_bytes: int = 12 << 20,
         spool_path: str | None = None,
     ) -> list[tuple[int, int, int, int]] | None:
         """Plan byte slices of ONE sheet's decompressed XML so that N
@@ -623,10 +623,11 @@ class XlsxWorkbook:
             return None
         if info.file_size < min_bytes or n_slices <= 1:
             return None
-        # scale-adaptive slice count: ~24 MiB of decompressed XML per
-        # task (guide §2.2 — fewer, larger tasks), capped by the
-        # session's parallelism passed in by the caller
-        n_slices = min(n_slices, max(2, int(info.file_size // (24 << 20))))
+        # scale-adaptive slice count: ~12 MiB of decompressed XML per
+        # task (~1 s of expat parse — well above scheduling overhead,
+        # guide §2.2), capped by the session's parallelism passed in
+        # by the caller
+        n_slices = min(n_slices, max(2, int(info.file_size // (12 << 20))))
         try:
             f = self._zf.open(path)
         except KeyError:
