@@ -87,6 +87,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "ann_lsh_hyperplane_pairs",
     "dedup_embedding_cosine",
+    # --- changed in the r11 optimization pass (cogrouped LSH pair
+    # stage, fused BM25 corpus pass, kmv cache revert, slice-parallel
+    # converter reader + bucketed ordered NDJSON sink) ---
+    "rank_rrf_fusion",
+    "rank_ndcg_eval",
+    "sketch_kmv_jaccard",
+    "convert_roundtrip_ndjson",
+    "convert_stream_ndjson",
     # --- witness-staleness picks: last driver-green r3 ---
     "setop_except",
     "setop_intersect_all",
@@ -114,22 +122,21 @@ _PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "multimodal_meta",
-    "pivot_order_status",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier",
     "range_join_price_bands",
     "rank_bm25_search",
-    "rank_tfidf_topterms",
-    "scalar_subquery_above_avg",
-    "setop_except_all",
     "sketch_bloom_join_prune",
-    "sketch_countmin_topwords",
     "sketch_hll_distinct",
     "stream_session_window",
     "stream_sliding_window",
     "stream_stateful_totals",
 )
+# rotated out for the 5 r11-optimization re-witness slots (all
+# green-ever per tools/witness.py): pivot_order_status,
+# rank_tfidf_topterms, scalar_subquery_above_avg, setop_except_all,
+# sketch_countmin_topwords
 
 
 def _reorder(d: dict) -> dict:
