@@ -222,7 +222,96 @@ WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
 # MinHash signatures + banded LSH candidates.
 # ---------------------------------------------------------------------------
 
+def _minhash_rows_pandas(it):
+    """mapInPandas worker for :func:`_minhash_df`: documents
+    (doc_id, text) -> one (doc_id, m0..m31) row per document with >=1
+    shingle. Replicates the expression pipeline exactly:
+
+    * words = split(trim(text), ' +') — Spark ``trim`` strips SPACES
+      only (not all whitespace), Java split keeps the lone empty
+      string for empty input, so ``strip(' ')`` + ``re.split`` match;
+    * shingles = distinct 'w[i] w[i+1] w[i+2]' for i in 1..len(w)-2
+      (docs with <3 words emit nothing — exactly the rows the old
+      explode+groupBy dropped);
+    * h = int(md5(s)[:8], 16) over the UTF-8 bytes (the portable hash);
+    * m_k = min over shingles of (A_k*h + B_k) % MERSENNE_P, computed
+      in numpy int64 — exact (a < 2^20, h < 2^32 => a*h + b < 2^53),
+      the same integers the JVM expressions produce.
+
+    The md5 memo is a per-task deterministic-value cache (shingles
+    repeat heavily across near-duplicate documents); bounded so a
+    pathological corpus cannot grow it without limit.
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from hashlib import md5 as _md5
+
+    A = np.array(PERM_A, dtype=np.int64)[:, None]
+    B = np.array(PERM_B, dtype=np.int64)[:, None]
+    split_re = _re.compile(" +")
+    memo: dict[str, int] = {}
+    cols = ["doc_id"] + [f"m{i}" for i in range(NUM_PERM)]
+    for pdf in it:
+        ids: list[int] = []
+        hs_all: list[int] = []
+        offsets: list[int] = [0]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            w = split_re.split(text.strip(" "))
+            n = len(w) - 2
+            if n < 1:
+                continue
+            seen: set[str] = set()
+            for i in range(n):
+                s = w[i] + " " + w[i + 1] + " " + w[i + 2]
+                if s in seen:
+                    continue
+                seen.add(s)
+                h = memo.get(s)
+                if h is None:
+                    h = int.from_bytes(_md5(s.encode("utf-8")).digest()[:4], "big")
+                    if len(memo) < (1 << 21):
+                        memo[s] = h
+                hs_all.append(h)
+            ids.append(doc_id)
+            offsets.append(len(hs_all))
+        if not ids:
+            continue
+        arr = np.array(hs_all, dtype=np.int64)
+        vals = (A * arr[None, :] + B) % MERSENNE_P  # (32, n_shingles), exact
+        mins = np.minimum.reduceat(vals, np.array(offsets[:-1]), axis=1)  # (32, docs)
+        out = {"doc_id": np.array(ids, dtype=np.int64)}
+        for k in range(NUM_PERM):
+            out[f"m{k}"] = mins[k]
+        yield pd.DataFrame(out, columns=cols)
+
+
 def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-permutation MinHash signature.
+
+    r12 (guide §4.2, VERDICT r11 #2): ONE map-only Arrow pass
+    (``_minhash_rows_pandas``) replaces the interpreted-HOF shingle
+    explode + JVM md5 + 32-way min aggregate — the shingle stream
+    never leaves its scan task, so the groupBy(doc_id) shuffle is gone
+    and the hot plan has no interpreted lambda. Same-session A/B vs
+    the expression pipeline (_minhash_df_expr, kept for the
+    equivalence pin below) recorded in BENCH_LOG.jsonl and
+    OPTIMIZATION_r12.md.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = ", ".join(["doc_id bigint"] + [f"m{i} bigint" for i in range(NUM_PERM)])
+    return docs.mapInPandas(_minhash_rows_pandas, schema)
+
+
+def _minhash_df_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r12 expression pipeline (explode + HOF shingles + JVM
+    md5 + 32 min-aggs). Kept as the equivalence witness:
+    tests/test_operators.py pins ``_minhash_df`` row-identical to this
+    formulation, so the Arrow path can never drift from the portable
+    definition the oracles encode."""
     h = _hashed(spark, sf_dir)
     aggs = [
         F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % F.lit(MERSENNE_P)).alias(f"m{i}")
@@ -687,7 +776,22 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     use a checkpoint dir for fault tolerance instead. Convergence test
     is the sum of labels: propagation only ever lowers a label, so an
     unchanged sum means a fixpoint.
+
+    r12 (VERDICT r11 #1b/#4 — cut the per-round serial floor): the
+    convergence probe no longer schedules its own job. Both steps'
+    label sums ride the checkpoint materialization as observed metrics
+    (``Dataset.observe``; the eager localCheckpoint IS a SQL execution,
+    so the metrics resolve from that job — probed empirically, and
+    eager=False does NOT run the final stage, so the fold requires the
+    eager default). Comparing the two WITHIN-round sums also detects a
+    fixpoint reached on the round's first step: step 2 changing nothing
+    (sum(m1) == sum(m2), exact integers, per-node monotone non-
+    increasing, so equal sums == equal labels) proves m1 was already a
+    fixpoint — shallow closures (MinHash components converge in 1-2
+    steps) now finish in ONE materialization round instead of two, and
+    the old separate initial-sum job is gone entirely.
     """
+    from pyspark.sql import Observation
     # Materialize the edge set ONCE before iterating: without this,
     # every round's join re-executes the edges' full upstream pipeline
     # (for LSH edges: shingle -> minhash -> band self-join), multiplying
@@ -701,7 +805,6 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         nodes.select(F.col("nid").alias("src"), F.col("nid").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select(F.col("nid"), F.col("nid").alias("rep")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("rep")).first()[0]
     rounds = 0
 
     def _step(cur: DataFrame, halve_vs: DataFrame | None) -> DataFrame:
@@ -731,20 +834,25 @@ def _connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         # TWO propagation steps per materialization: each intermediate
         # below has exactly one consumer, so the lineage stays linear
         # and un-re-expanded, while the per-round fixed costs (eager
-        # localCheckpoint AQE replan + convergence-probe job —
-        # convention #15) are paid half as often. Halving is skipped in
-        # the first round's first step, where labels is the identity
-        # map and the shortcut is provably a no-op join. A fixpoint
-        # reached mid-round just makes the second step a no-op.
-        m1 = _step(labels, labels if rounds > 0 else None)
-        m2 = _step(m1, labels if rounds > 0 else None)
+        # localCheckpoint AQE replan — convention #15) are paid half as
+        # often. Halving is skipped in the first round's first step,
+        # where labels is the identity map and the shortcut is provably
+        # a no-op join. Both steps' sums ride the checkpoint job as
+        # observed metrics (zero probe jobs — see the docstring); equal
+        # sums within the round mean step 2 changed nothing, i.e. the
+        # fixpoint is reached (possibly on the round's FIRST step).
+        obs1, obs2 = Observation(), Observation()
+        m1 = _step(labels, labels if rounds > 0 else None).observe(
+            obs1, F.sum("rep").alias("s")
+        )
+        m2 = _step(m1, labels if rounds > 0 else None).observe(
+            obs2, F.sum("rep").alias("s")
+        )
         labels = m2.localCheckpoint()
         rounds += 1
-        cur_sum = labels.agg(F.sum("rep")).first()[0]
-        if cur_sum == prev_sum:
+        if obs2.get["s"] == obs1.get["s"]:
             _CC_LAST_ROUNDS[0] = rounds
             return labels
-        prev_sum = cur_sum
 
 
 # rounds-to-fixpoint of the most recent _connected_components call

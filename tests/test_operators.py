@@ -134,6 +134,19 @@ def test_minhash_band_knob_validated(spark, sf_dir):
     assert strict <= loose
 
 
+def test_minhash_arrow_matches_expression_pipeline(spark, sf_dir):
+    """r12: the map-only Arrow minhash pass (_minhash_rows_pandas) must
+    be row-identical to the expression pipeline it replaced (explode +
+    HOF shingles + JVM md5 + 32 min-aggs) — exceptAll both ways empty,
+    so the portable-hash definition the oracles encode can never drift."""
+    from catme_etl_j_spark.operators.dedup import _minhash_df, _minhash_df_expr
+
+    new = _minhash_df(spark, sf_dir)
+    old = _minhash_df_expr(spark, sf_dir)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_incremental_agg_totals(spark, sf_dir):
     """The history+delta merge must account for every order exactly once."""
     from catme_etl_j_spark.operators.etl import etl_incremental_agg
@@ -1736,6 +1749,42 @@ def test_bench_subset_shares_eager_set():
     assert mod.EAGER is bench.EAGER_CONSTRUCTION
     stray = [n for n in bench.EAGER_CONSTRUCTION if n not in bench.HEADLINE]
     assert not stray, f"eager names not benched in HEADLINE: {stray}"
+
+
+@pytest.mark.slow
+def test_eager_construction_set_is_mechanically_exact(spark, sf_dir):
+    """VERDICT r11 #7: EAGER_CONSTRUCTION membership is VERIFIED, not
+    hand-maintained — construct every HEADLINE query inside its own job
+    group and ask the status tracker which groups scheduled Spark jobs.
+    A query whose construction schedules jobs but is missing from the
+    set would under-report its bench time (construction excluded); a
+    listed query whose construction became lazy would over-report.
+    Marked slow: the eager constructions run their real checkpoint /
+    collect jobs (~1 min wall)."""
+    import bench
+
+    import __spark_entry__ as m
+
+    queries = m.queries()
+    tracker = spark.sparkContext.statusTracker()
+    wrong: list[str] = []
+    try:
+        for name in bench.HEADLINE:
+            group = f"eager-probe-{name}"
+            spark.sparkContext.setJobGroup(group, name)
+            queries[name](spark, sf_dir)
+            scheduled = bool(tracker.getJobIdsForGroup(group))
+            if scheduled != (name in bench.EAGER_CONSTRUCTION):
+                wrong.append(
+                    f"{name}: construction "
+                    f"{'schedules' if scheduled else 'schedules no'} jobs but is "
+                    f"{'NOT ' if scheduled else ''}in EAGER_CONSTRUCTION"
+                )
+    finally:
+        # drop the group property so later tests' jobs aren't tagged
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        spark.sparkContext.setLocalProperty("spark.job.description", None)
+    assert not wrong, "\n".join(wrong)
 
 
 def test_bitemporal_snapshots_consistent(spark, sf_dir):
