@@ -1013,14 +1013,25 @@ def _s_core_round(
             .agg(F.sum("w").alias("s"))
         )
     alive = st.filter(F.col("s") >= s_thr).select("node")
+    obs = None
     if checkpoint:
-        alive = alive.localCheckpoint(eager=False)
+        # r12 (VERDICT r11 #1b): the caller's per-round emptiness probe
+        # rides the checkpoint materialization as an observed metric
+        # instead of scheduling its own isEmpty() job. The checkpoint
+        # must be EAGER for the metric to resolve (a lazy checkpoint
+        # materializes upstream stages but not the final one); the
+        # frame was materialized either way — the probe job is the
+        # saving, one per round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        alive = alive.observe(obs, F.count(F.lit(1)).alias("c")).localCheckpoint()
     nxt = ea.join(
         alive.withColumnRenamed("node", "e1"), "e1", "left_semi"
     ).join(alive.withColumnRenamed("node", "e2"), "e2", "left_semi")
     if checkpoint:
         nxt = nxt.localCheckpoint(eager=False)
-    return alive, nxt
+    return alive, nxt, obs
 
 
 def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,7 +1135,7 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             continue
-        alive, ea = _s_core_round(ea, s_thr, st=st)
+        alive, ea, obs = _s_core_round(ea, s_thr, st=st)
         rows.append(
             alive.agg(F.count("*").cast("long").alias("n_alive"))
             .crossJoin(
@@ -1135,7 +1146,9 @@ def graph_s_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("round", F.lit(r))
         )
-        if alive.isEmpty():
+        # the observed row count resolved during alive's checkpoint
+        # materialization — no isEmpty() probe job (VERDICT r11 #1b)
+        if obs.get["c"] == 0:
             collapsed = True
         else:
             st = (

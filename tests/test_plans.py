@@ -848,7 +848,7 @@ def test_s_core_rounds_are_semi_joins(spark, sf_dir):
     from catme_etl_j_spark.operators.graph import _s_core_round, _sym_user_edges
 
     edges = _sym_user_edges(spark, sf_dir)
-    alive, nxt = _s_core_round(edges, 10, checkpoint=False)
+    alive, nxt, _obs = _s_core_round(edges, 10, checkpoint=False)
     plan = formatted_plan(nxt)
     assert "NestedLoop" not in plan
     assert "LeftSemi" in plan
