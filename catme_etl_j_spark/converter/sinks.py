@@ -36,7 +36,6 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from catme_etl_j_spark.converter.errors import ConversionError
 
@@ -102,56 +101,48 @@ def _count_csv_records(*paths: str) -> int:
     return n
 
 
-def _write_ndjson_bucketed(df: DataFrame, output: str, cutoffs: list[int]) -> int:
-    """Ordered single-file NDJSON via PARALLEL bucket writes: rows are
-    hashed to ~slice-sized ``_row_idx`` buckets (bucket index =
-    #cutoffs <= _row_idx, monotone in _row_idx whatever the cutoff
-    order), each bucket is sorted and written by one task under a
-    ``__catme_bucket=k`` directory, and the bucket files are
-    concatenated in bucket order — byte-identical to the serial
-    repartition(1) + sort + write, but the sort and the JSON
-    serialization run K-way parallel. Only reachable from the
-    slice-parallel reader (single sheet, so META sort keys reduce to
-    ``_row_idx``)."""
-    cols = [c for c in META_COLS if c in df.columns]
-    bucket = F.lit(0)
-    for c in cutoffs:
-        bucket = bucket + (F.col("_row_idx") >= F.lit(c)).cast("int")
-    k = len(cutoffs) + 1
+def _write_ndjson_partition_ordered(df: DataFrame, output: str) -> int:
+    """Ordered single-file NDJSON from a frame whose PARTITIONS are
+    already in global row order with rows ordered inside each (the
+    slice-parallel reader's contract — one partition per byte slice,
+    slices in sheet order): drop the meta columns and let every task
+    stream its partition straight to a JSON part file — NO exchange,
+    NO sort — then concatenate the part files in partition order.
+    Byte-identical to the serial repartition(1)+sort write (r12: this
+    replaces the r11 bucketed sink, which re-shuffled every row by a
+    _row_idx bucket and re-sorted what the parse tasks already emit in
+    order). Empty partitions write no part file; the remaining names
+    still sort in partition order."""
     tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
     try:
-        (
-            df.withColumn("__catme_bucket", bucket)
-            .repartition(k, "__catme_bucket")
-            .sortWithinPartitions("__catme_bucket", *cols)
-            .drop(*META_COLS)
-            .write.partitionBy("__catme_bucket")
-            .mode("overwrite")
-            .json(tmp)
-        )
-        bucket_dirs = sorted(
-            (
-                int(d.split("=", 1)[1]),
-                os.path.join(tmp, d),
-            )
-            for d in os.listdir(tmp)
-            if d.startswith("__catme_bucket=")
-        )
+        df.drop(*META_COLS).write.mode("overwrite").json(tmp)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
         with open(output, "wb") as out:
-            for _, d in bucket_dirs:
-                for part in sorted(glob.glob(os.path.join(d, "part-*"))):
-                    with open(part, "rb") as src:
-                        shutil.copyfileobj(src, out, 1 << 20)
+            for part in parts:
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out, 1 << 20)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _count_lines(output)
 
 
 def write_ndjson(
-    df: DataFrame, output: str, *, overwrite: bool = False, single_file: bool = True
+    df: DataFrame,
+    output: str,
+    *,
+    overwrite: bool = False,
+    single_file: bool = True,
+    slice_ordered: bool | None = None,
 ) -> int:
     """Write NDJSON; returns rows written. ``single_file=False`` is the
     scale path: parallel partitioned write, `output` becomes a dir.
+
+    ``slice_ordered``: the frame's partitions are already in global row
+    order (the slice-parallel reader's contract) so the single-file
+    sink may skip its sort. ``convert()`` threads it explicitly; when
+    None the reader's ``_catme_slice_ordered`` attribute is consulted
+    (lost by any intervening transformation, which safely lands on the
+    sorting path).
 
     Rows-written is counted from the OUTPUT files (cheap local line
     count), not via df.count() — counting the frame would re-execute
@@ -160,9 +151,10 @@ def write_ndjson(
     if not single_file:
         df.drop(*META_COLS).write.mode("overwrite").json(output)
         return _count_lines(*glob.glob(os.path.join(output, "part-*")))
-    cutoffs = getattr(df, "_catme_row_idx_cutoffs", None)
-    if cutoffs and "__catme_bucket" not in df.columns:
-        return _write_ndjson_bucketed(df, output, cutoffs)
+    if slice_ordered is None:
+        slice_ordered = bool(getattr(df, "_catme_slice_ordered", False))
+    if slice_ordered:
+        return _write_ndjson_partition_ordered(df, output)
     tmp = tempfile.mkdtemp(prefix="ndjson_", dir=os.path.dirname(os.path.abspath(output)))
     try:
         (_ordered_single(df).drop(*META_COLS).write.mode("overwrite").json(tmp))

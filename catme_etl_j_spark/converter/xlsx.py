@@ -133,6 +133,12 @@ _ROW_SUPER_NEEDLE = b"<row"
 _ROW_RFIRST_NEEDLES = (b'<row r="', b"<row r='")
 _XML_DECL_ENC_RE = re.compile(rb"encoding[ \t\r\n]*=[ \t\r\n]*[\"']([^\"']+)[\"']")
 
+# ~12 MiB of decompressed XML per slice task (~1 s of expat parse —
+# well above scheduling overhead, guide §2.2). ONE constant (ADVICE
+# r11): the slice floor, the adaptive slice-count divisor, and the
+# reader's trigger threshold all reference it.
+SLICE_TARGET_BYTES = 12 << 20
+
 _ROW_TAG = f"{_NS_MAIN}row"
 _C_TAG = f"{_NS_MAIN}c"
 _V_TAG = f"{_NS_MAIN}v"
@@ -559,7 +565,7 @@ class XlsxWorkbook:
         sheet_index: int | None = None,
         *,
         n_slices: int,
-        min_bytes: int = 12 << 20,
+        min_bytes: int = SLICE_TARGET_BYTES,
         spool_path: str | None = None,
     ) -> list[tuple[int, int, int, int]] | None:
         """Plan byte slices of ONE sheet's decompressed XML so that N
@@ -627,7 +633,7 @@ class XlsxWorkbook:
         # task (~1 s of expat parse — well above scheduling overhead,
         # guide §2.2), capped by the session's parallelism passed in
         # by the caller
-        n_slices = min(n_slices, max(2, int(info.file_size // (12 << 20))))
+        n_slices = min(n_slices, max(2, int(info.file_size // SLICE_TARGET_BYTES)))
         try:
             f = self._zf.open(path)
         except KeyError:
@@ -842,6 +848,81 @@ class XlsxWorkbook:
                 raise ConversionError(f"malformed sheet XML in {path}: {e}") from e
             yield from handler.out
 
+    def sheet_entry_size(
+        self, sheet_name: str | None = None, sheet_index: int | None = None
+    ) -> int | None:
+        """Decompressed size of the sheet's XML entry (central-directory
+        metadata — O(1)), or None if the entry is missing."""
+        try:
+            return self._zf.getinfo(self.resolve_sheet(sheet_name, sheet_index)).file_size
+        except KeyError:
+            return None
+
+    def spool_sheet(
+        self,
+        sheet_name: str | None = None,
+        sheet_index: int | None = None,
+        *,
+        spool_path: str,
+    ) -> dict | None:
+        """Stream ONE sheet's decompressed XML to ``spool_path`` — the
+        only inherently serial step of slice planning (one DEFLATE
+        stream cannot be inflated in parallel) — and return the cheap
+        stream facts the PARALLEL strict scan needs:
+        ``{"file_size", "head" (first 4 KiB), "first_row_off"}`` (the
+        first strict ``<row r=`` byte offset). Returns None — caller
+        falls back to the serial path — on a missing entry, a
+        decompressed-size mismatch, no row tag at all, or ANY OSError
+        from the spool write (e.g. ENOSPC: degrade to the serial
+        parse, never hard-fail a previously-working conversion —
+        ADVICE r11)."""
+        path = self.resolve_sheet(sheet_name, sheet_index)
+        try:
+            info = self._zf.getinfo(path)
+            f = self._zf.open(path)
+        except KeyError:
+            return None
+        head = b""
+        first_row_off: int | None = None
+        carry = b""
+        pos = 0
+        written = 0
+        try:
+            with _typed(self._name, f"sheet part {path}"), f, open(spool_path, "wb") as sp:
+                while True:
+                    raw = f.read(1 << 20)
+                    if not raw:
+                        break
+                    sp.write(raw)
+                    written += len(raw)
+                    if len(head) < 4096:
+                        head = (head + raw)[:4096]
+                    if first_row_off is None:
+                        buf = carry + raw
+                        best = -1
+                        for nd in _ROW_RFIRST_NEEDLES:
+                            p = buf.find(nd)
+                            if p >= 0 and (best < 0 or p < best):
+                                best = p
+                        if best >= 0:
+                            first_row_off = pos - len(carry) + best
+                        else:
+                            carry = buf[-16:]
+                    pos += len(raw)
+        except (ConversionError, OSError):
+            with contextlib.suppress(OSError):
+                os.remove(spool_path)
+            return None
+        if written != info.file_size or first_row_off is None:
+            with contextlib.suppress(OSError):
+                os.remove(spool_path)
+            return None
+        return {
+            "file_size": info.file_size,
+            "head": head,
+            "first_row_off": first_row_off,
+        }
+
     def close(self) -> None:
         self._zf.close()
 
@@ -903,6 +984,206 @@ def max_col_from_xml_file(path: str) -> int | None:
             return _max_col_scan(f)
     except OSError:
         return None
+
+
+# --- parallel strict slice scan (r12, VERDICT r11 #3) -----------------
+# plan_row_slices above is a SERIAL streaming pass: at 492 MB of sheet
+# XML it holds the driver ~3.5 s (plus another ~4 s when the dimension-
+# less width scan follows) while every executor idles. The three
+# functions below decompose the same strict scan into independent byte
+# ranges of the spooled XML so the reader can fan it out as ONE Spark
+# job: per-range needle counts sum, first/last positions min/max, and
+# each boundary ("first strict row start at/after target T") resolves
+# from the range owning T or the first later range with any row start.
+# Refusal semantics are the serial scanner's, decomposed: any '<!', any
+# '<?' besides the XML declaration, loose/strict row-count mismatch,
+# rows outside sheetData, a digit-less first row. The serial
+# plan_row_slices stays as the API for direct (non-Spark) callers and
+# as the behavioral reference the unit tests compare against.
+
+_SCAN_OVERLAP = 4096  # > max row-number digits and the width scan's tag carry
+
+
+def parse_decl_head(head: bytes) -> tuple[bool, int | None]:
+    """Replicates the serial scanner's first-chunk checks on the spool's
+    first bytes: (ok, byte offset of the XML declaration's '<?', or None
+    when there is no declaration). ok=False → refuse (UTF-16 BOM,
+    unterminated declaration, non-UTF-8 encoding)."""
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return False, None
+    stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not stripped.startswith(b"<?xml"):
+        return True, None
+    decl_q_pos = len(head) - len(stripped)
+    decl_end = head.find(b"?>")
+    if decl_end == -1:
+        return False, None
+    m = _XML_DECL_ENC_RE.search(head[:decl_end])
+    if m and m.group(1).lower() not in (b"utf-8", b"us-ascii"):
+        return False, None
+    return True, decl_q_pos
+
+
+def scan_slice_range(
+    spool_path: str,
+    lo: int,
+    hi: int,
+    targets: list[int],
+    decl_q_pos: int | None,
+    want_width: bool,
+) -> dict:
+    """Strict-scan ONE byte range [lo, hi) of a spooled sheet XML (the
+    per-task body of the parallel slice plan). Only occurrences that
+    START inside [lo, hi) count; the overlap read past ``hi`` lets
+    needles, row-number digits and cell tags that straddle the range
+    edge resolve here without being double-counted by the next range.
+    Returns a plain picklable dict for :func:`combine_slice_scans`."""
+    n = hi - lo
+    with open(spool_path, "rb") as f:
+        f.seek(lo)
+        buf = f.read(n + _SCAN_OVERLAP)
+    limit = min(n, len(buf))
+
+    def first_pos(needle: bytes, from_: int = 0) -> int | None:
+        p = buf.find(needle, from_)
+        return p if 0 <= p < limit else None
+
+    q0 = buf.find(b"<?")
+    if q0 >= 0 and decl_q_pos is not None and lo + q0 == decl_q_pos:
+        q0 = buf.find(b"<?", q0 + 1)
+    last_loose = buf.rfind(_ROW_SUPER_NEEDLE, 0, limit + len(_ROW_SUPER_NEEDLE) - 1)
+    out = {
+        "lo": lo,
+        "n_loose": buf.count(_ROW_SUPER_NEEDLE, 0, limit + len(_ROW_SUPER_NEEDLE) - 1),
+        "n_rfirst": sum(
+            buf.count(nd, 0, limit + len(nd) - 1) for nd in _ROW_RFIRST_NEEDLES
+        ),
+        "bang": first_pos(b"<!"),
+        "qm": q0 if 0 <= q0 < limit else None,
+        "sd": first_pos(b"</sheetData"),
+        "last_loose": lo + last_loose if last_loose >= 0 else None,
+        "first_rf": None,
+        "first_rf_rn": None,
+        "bad_first_digits": False,
+        "bounds": {},
+    }
+    # Walk strict row starts only as far as needed: the range's first
+    # one (digit-checked, as the serial scanner does for the sheet's
+    # first row) and one per in-range target.
+    tq = sorted(t - lo for t in targets if lo <= t < hi)
+    pos = 0
+    while True:
+        best, blen = -1, 0
+        for nd in _ROW_RFIRST_NEEDLES:
+            p = buf.find(nd, pos)
+            if p >= 0 and (best < 0 or p < best):
+                best, blen = p, len(nd)
+        if best < 0 or best >= limit:
+            break
+        q = best + blen
+        e = q
+        while e < len(buf) and buf[e : e + 1].isdigit():
+            e += 1
+        if e == q:
+            if out["first_rf"] is None:
+                # a digit-less first row start refuses the whole plan
+                # (the serial scanner's find_row_start contract)
+                out["bad_first_digits"] = True
+                out["first_rf"] = lo + best
+            pos = best + 1
+            continue
+        rn = int(buf[q:e])
+        if out["first_rf"] is None:
+            out["first_rf"], out["first_rf_rn"] = lo + best, rn
+        while tq and tq[0] <= best:
+            out["bounds"][lo + tq.pop(0)] = (lo + best, rn)
+        if not tq and out["first_rf"] is not None:
+            break
+        pos = best + 1
+    if want_width:
+        cell_open = re.compile(rb"<c[\s/>]")
+        cell_ref = re.compile(rb'<c\b[^>]*?\br="([A-Z]+)[0-9]+"')
+        n_open = sum(1 for m in cell_open.finditer(buf) if m.start() < limit)
+        n_ref = 0
+        max_col = -1
+        for m in cell_ref.finditer(buf):
+            if m.start() >= limit:
+                continue
+            n_ref += 1
+            c = _col_letters_to_index(m.group(1).decode("ascii"))
+            if c > max_col:
+                max_col = c
+        out["n_open"], out["n_ref"], out["max_col"] = n_open, n_ref, max_col
+    return out
+
+
+def combine_slice_scans(
+    results: list[dict],
+    *,
+    first_row_off: int,
+    targets: list[int],
+    want_width: bool,
+) -> tuple[list[tuple[int, int, int, int]] | None, int | None]:
+    """Driver-side combine of :func:`scan_slice_range` results into the
+    same ``(start, end, init_row_idx, first_row_idx)`` slice plan the
+    serial :meth:`XlsxWorkbook.plan_row_slices` produces (plus the
+    strict max-column width when requested). Returns (None, None) —
+    serial fallback — on any decomposed refusal condition."""
+    results = sorted(results, key=lambda r: r["lo"])
+    if any(r["bang"] is not None or r["qm"] is not None for r in results):
+        return None, None
+    n_loose = sum(r["n_loose"] for r in results)
+    n_rfirst = sum(r["n_rfirst"] for r in results)
+    sds = [r["sd"] + r["lo"] for r in results if r["sd"] is not None]
+    sd_close = min(sds) if sds else None
+    firsts = [r["first_rf"] for r in results if r["first_rf"] is not None]
+    frf = min(firsts) if firsts else None
+    last_loose = max(
+        (r["last_loose"] for r in results if r["last_loose"] is not None),
+        default=None,
+    )
+    if (
+        n_loose != n_rfirst
+        or n_loose == 0
+        or sd_close is None
+        or frf != first_row_off
+        or frf > sd_close
+        or any(r["bad_first_digits"] and r["first_rf"] == frf for r in results)
+        or (last_loose is not None and last_loose > sd_close)
+    ):
+        return None, None
+    bounds: list[tuple[int, int]] = []
+    for t in targets:
+        cand: tuple[int, int] | None = None
+        for r in results:
+            b = r["bounds"].get(t)
+            if b is not None:
+                cand = b
+                break
+            # a later range's first row start is the "first at/after t"
+            # when t's own range ran out of rows past t
+            if r["lo"] > t and r["first_rf"] is not None and r["first_rf_rn"] is not None:
+                cand = (r["first_rf"], r["first_rf_rn"])
+                break
+        if cand is not None:
+            bounds.append(cand)
+    starts: list[tuple[int, int]] = [(first_row_off, -1)]
+    for b_off, rn in bounds:
+        if b_off > starts[-1][0] and b_off < sd_close:
+            starts.append((b_off, rn))
+    out: list[tuple[int, int, int, int]] = []
+    for i, (off, rn) in enumerate(starts):
+        end = starts[i + 1][0] if i + 1 < len(starts) else sd_close
+        out.append((off, end, -1, rn - 1 if rn > 0 else -1))
+    slices = out if len(out) > 1 else None
+    width: int | None = None
+    if want_width and slices is not None:
+        n_open = sum(r.get("n_open", 0) for r in results)
+        n_ref = sum(r.get("n_ref", 0) for r in results)
+        mc = max((r.get("max_col", -1) for r in results), default=-1)
+        if n_open == n_ref and mc >= 0:
+            width = mc
+    return slices, width
 
 
 def list_sheets(source: str | bytes) -> list[str]:

@@ -164,11 +164,88 @@ def test_slice_parallel_parse_matches_serial(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(reader_mod, "_SLICE_MIN_BYTES", 1)
     sliced_df = read_xlsx(spark, p)
     assert sliced_df.rdd.getNumPartitions() > 1  # really took the slice path
-    assert sliced_df._catme_row_idx_cutoffs  # sink metadata attached
+    assert sliced_df._catme_slice_ordered  # sink metadata attached
     assert sliced_df.orderBy("_row_idx").collect() == serial_df
     out_sliced = str(tmp_path / "sliced.ndjson")
     convert(p, "NDJSON", out_sliced, overwrite=True, spark=spark)
     assert open(out_sliced, "rb").read() == open(out_serial, "rb").read()
+
+
+def test_parallel_slice_scan_matches_serial(tmp_path, monkeypatch):
+    """r12: the range-decomposed strict scan (spool_sheet +
+    scan_slice_range + combine_slice_scans — what the reader fans out
+    as one Spark job) must produce EXACTLY the serial plan_row_slices
+    plan, the same strict width, and the same refusals on the pinned
+    unprovable variants."""
+    import re as _re
+    import zipfile as _zip
+
+    from catme_etl_j_spark.converter import xlsx as xlsx_mod
+    from catme_etl_j_spark.converter.xlsx import (
+        XlsxWorkbook,
+        combine_slice_scans,
+        parse_decl_head,
+        scan_slice_range,
+    )
+
+    rows = [["a", "b", "c"]] + [[f"v{i}", i, i * 2] for i in range(4000)]
+    p = write_xlsx(str(tmp_path / "w.xlsx"), {"S": rows})
+    # shrink the slice floor so the small fixture actually multi-slices
+    monkeypatch.setattr(xlsx_mod, "SLICE_TARGET_BYTES", 1024)
+
+    def parallel_plan(path: str, n_slices: int, want_width: bool = True):
+        spool = str(tmp_path / "spool.xml")
+        with XlsxWorkbook(path) as wb:
+            meta = wb.spool_sheet(spool_path=spool)
+        if meta is None:
+            return None, None
+        ok, decl_q = parse_decl_head(meta["head"])
+        if not ok:
+            return None, None
+        fsize, frf = meta["file_size"], meta["first_row_off"]
+        n_sl = min(n_slices, max(2, fsize // xlsx_mod.SLICE_TARGET_BYTES))
+        span = fsize - frf
+        targets = [frf + (k * span) // n_sl for k in range(1, n_sl)]
+        ranges = [
+            ((j * fsize) // n_sl, ((j + 1) * fsize) // n_sl) for j in range(n_sl)
+        ]
+        res = [
+            scan_slice_range(spool, lo, hi, targets, decl_q, want_width)
+            for lo, hi in ranges
+        ]
+        return combine_slice_scans(
+            res, first_row_off=frf, targets=targets, want_width=want_width
+        )
+
+    for n_sl in (2, 4, 7):
+        with XlsxWorkbook(p) as wb:
+            serial = wb.plan_row_slices(None, None, n_slices=n_sl, min_bytes=1)
+            serial_width = wb.sheet_max_col()
+        slices, width = parallel_plan(p, n_sl)
+        assert slices == serial and len(slices) >= 2
+        assert width == serial_width
+
+    # refusal parity on the pinned unprovable variants
+    src = _zip.ZipFile(p)
+
+    def variant(name: str, mutate) -> str:
+        out = str(tmp_path / name)
+        with _zip.ZipFile(out, "w") as dst:
+            for info in src.infolist():
+                data = src.read(info.filename)
+                if info.filename.startswith("xl/worksheets/"):
+                    data = mutate(data)
+                dst.writestr(info.filename, data)
+        return out
+
+    cmt = variant(
+        "c.xlsx", lambda d: d.replace(b"<sheetData>", b"<sheetData><!-- x -->", 1)
+    )
+    assert parallel_plan(cmt, 4) == (None, None)
+    nor = variant(
+        "r.xlsx", lambda d: _re.sub(rb'<row r="7"[^>]*>', b"<row>", d, count=1)
+    )
+    assert parallel_plan(nor, 4) == (None, None)
 
 
 def test_slice_plan_refuses_unprovable_sheets(tmp_path):
