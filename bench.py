@@ -287,9 +287,17 @@ def _bench_converter_bigsheet(spark) -> float:
 
 
 def _run_session() -> dict[str, float]:
-    """One JVM session's worth of timings (the round-5 protocol)."""
+    """One JVM session's worth of timings (the round-5 protocol).
+
+    SPARK_GRAFT_BENCH_SUBSET (comma-separated names) restricts the run
+    to those HEADLINE/converter entries — the BENCH_SCALE child
+    protocol."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+    subset = set(subset_env.split(",")) if subset_env else None
+    headline = [n for n in HEADLINE if subset is None or n in subset]
 
     queries = entry_mod.queries()
     # Warm the JVM/session so the first timed query doesn't pay startup.
@@ -303,7 +311,7 @@ def _run_session() -> dict[str, float]:
     eager = EAGER_CONSTRUCTION
     timings: dict[str, float] = {}
     raw_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         samples: list[float] = []
 
         def run_once(timed: bool) -> None:
@@ -330,14 +338,119 @@ def _run_session() -> dict[str, float]:
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         raw_samples[name] = [round(s, 3) for s in samples]
 
-    timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
-    timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(spark, sf_dir)
-    if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1":
+    if subset is None or "convert_xlsx_ndjson" in subset:
+        timings["convert_xlsx_ndjson"] = _bench_converter(spark, sf_dir)
+    if subset is None or "convert_xlsx_parallel_8files" in subset:
+        timings["convert_xlsx_parallel_8files"] = _bench_converter_parallel(
+            spark, sf_dir
+        )
+    if os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1" or (
+        subset is not None and "convert_xlsx_bigsheet_1m2rows" in subset
+    ):
         timings["convert_xlsx_bigsheet_1m2rows"] = _bench_converter_bigsheet(spark)
     return timings, raw_samples
 
 
+# The core-scaling probe set (VERDICT r11 #1a): the heaviest genuinely
+# data-parallel HEADLINE paths plus the slice-parallel bigsheet
+# conversion, run by `BENCH_SCALE=1 python bench.py` at sf1.0
+# (`.scaledata/sf1.0`, built by tools/gen_scale.py) at 8 and then 32
+# cores in fresh JVM sessions. The default sf0.1 bench cannot show
+# core scaling — nearly every query there sits on fixed driver-side
+# floors (AQE replans, checkpoint materializations, Arrow plan init) —
+# so this probe is the receipt that the engine's heavy paths actually
+# parallelize. Results print as one JSON line (speedup_8to32 per
+# query) and append to BENCH_LOG.jsonl under BENCH_RECORD=1.
+SCALE_SET = [
+    "q01_pricing_summary",
+    "dedup_minhash_keep",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard_capped",
+    "dedup_substring_mass",
+    "ann_nn_within_label",
+    "corpus_e2e_funnel",
+    "sketch_kmv_jaccard",
+    "convert_xlsx_bigsheet_1m2rows",
+]
+
+
+def _run_scale_probe() -> None:
+    import math
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_SF_DIR", os.path.join(here, ".scaledata", "sf1.0")
+    )
+    per_cpus: dict[str, dict[str, float]] = {}
+    for cpus in ("8", "32"):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CHILD="1",
+            SPARK_GRAFT_CPUS=cpus,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_SUBSET=",".join(SCALE_SET),
+            SPARK_GRAFT_BENCH_BIG="0",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        raw: dict[str, list[float]] = {}
+        for line in r.stdout.splitlines():
+            if line.startswith("CHILD_TIMINGS "):
+                per_cpus[cpus] = json.loads(line[len("CHILD_TIMINGS "):])
+            elif line.startswith("CHILD_SAMPLES "):
+                raw = json.loads(line[len("CHILD_SAMPLES "):])
+        if cpus not in per_cpus:
+            sys.stderr.write(
+                f"# scale child cpus={cpus} produced no timings "
+                f"(rc={r.returncode}); stderr tail: {r.stderr[-500:]}\n"
+            )
+            sys.exit(1)
+        if os.environ.get("BENCH_RECORD") == "1":
+            write_bench_log(
+                tool=f"bench.py[scale,c{cpus}]", sf_dir=sf_dir,
+                timings=per_cpus[cpus], raw=raw, scale_cpus=cpus,
+            )
+        sys.stderr.write(f"# scale cpus={cpus}: {per_cpus[cpus]}\n")
+    qs: dict[str, dict] = {}
+    ratios: list[float] = []
+    for name, c8 in per_cpus["8"].items():
+        c32 = per_cpus["32"].get(name)
+        if not c32:
+            continue
+        sp = round(c8 / c32, 3)
+        qs[name] = {"c8": c8, "c32": c32, "speedup_8to32": sp}
+        ratios.append(sp)
+    geo = (
+        round(math.exp(sum(math.log(x) for x in ratios) / len(ratios)), 3)
+        if ratios
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "queries": qs,
+                "metric": "core_scaling_8_to_32",
+                "value": geo,
+                "unit": "x_speedup",
+                "sf_dir": sf_dir,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
+    if (
+        os.environ.get("BENCH_SCALE") == "1"
+        and os.environ.get("SPARK_GRAFT_BENCH_CHILD") != "1"
+    ):
+        _run_scale_probe()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
@@ -433,17 +546,24 @@ def main() -> None:
             f"vs {prev_shared:.3f}s prev\n"
         )
 
+    # VERDICT r11 #6: the driver caps its artifact tail, and BENCH_r10
+    # lost its head mid-queries-dict, disabling a whole round's perf
+    # comparison. Emit the per-query dict FIRST and compact (no spaces)
+    # so a head-truncated copy still yields nearly every per-query pair
+    # to the scraper in _load_previous_round (which accepts both the
+    # spaced r<=11 format and this one).
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "shared_set_n": len(shared),
                 "shared_set_subtotal": shared_subtotal,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
@@ -522,7 +642,7 @@ def _load_previous_round() -> dict[str, float]:
             return parsed["queries"]
         if isinstance(doc.get("tail"), str):
             tail = doc["tail"]
-            m = re.search(r'"queries": (\{.*?\}), "sf"', tail, re.S)
+            m = re.search(r'"queries":\s*(\{.*?\}),\s*"(sf|metric)"', tail, re.S)
             if m:
                 return json.loads(m.group(1))
             # the driver may truncate the HEAD of the line (BENCH_r10's
@@ -531,9 +651,10 @@ def _load_previous_round() -> dict[str, float]:
             # dropping the first pair if its key was cut off
             # a key whose head was cut off has no opening quote, so the
             # findall pattern skips it by construction — every match is
-            # a complete pair
-            seg = tail.split('}, "sf"')[0]
-            pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9.]+)', seg)
+            # a complete pair (\s* accepts both the spaced r<=11 format
+            # and the compact r12+ one)
+            seg = re.split(r'\},\s*"(sf|metric)"', tail)[0]
+            pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', seg)
             if pairs:
                 return {k: float(v) for k, v in pairs}
         return {}

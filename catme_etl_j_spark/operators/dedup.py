@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from catme_etl_j_spark.operators.text import NORM_DUCK, NORM_SPARK
-from catme_etl_j_spark.sources.tables import load_table
+from catme_etl_j_spark.sources.tables import load_table, spread_small_scan
 
 # --- portable MinHash constants (shared by Spark exprs and oracle SQL) ---
 NUM_PERM = 32
@@ -86,8 +86,13 @@ hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shing
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, s) exploded distinct word-3-gram shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+    """documents -> (doc_id, s) exploded distinct word-3-gram shingles.
+
+    The split + HOF shingle transform is interpreted, scan-stage CPU;
+    spread_small_scan keeps it off a 1-task scan when the corpus
+    arrives as fewer splits than cores (guide §2.5 — every consumer
+    reshuffles the gram stream by its own key right after)."""
+    docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("w", F.expr(_WORDS_SPARK))
         .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
@@ -301,7 +306,14 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence pin below) recorded in BENCH_LOG.jsonl and
     OPTIMIZATION_r12.md.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Guide §2.5 (input parallelism): the map-only pass inherits the
+    # scan's split count — one small parquet file would run the whole
+    # shingle+md5 compute serially however many cores exist (measured
+    # at sf1.0: dedup_minhash_lsh flat 8.8 s at 8 AND 32 cores before
+    # the spread, 1.7 s at 32 cores after).
+    docs = spread_small_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     schema = ", ".join(["doc_id bigint"] + [f"m{i} bigint" for i in range(NUM_PERM)])
     return docs.mapInPandas(_minhash_rows_pandas, schema)
 
@@ -1557,7 +1569,9 @@ def dedup_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     than N words contribute zero grams (guarded sequence).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    docs = load_table(spark, sf_dir, "documents")
+    # §2.5 spread: the gram md5 HOF below is interpreted scan-stage CPU
+    # and the gram stream is window-shuffled by gh right after
+    docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id", "source", F.expr("split(trim(text), ' +')").alias("w")
     ).withColumn("n_tokens", F.expr("size(w)").cast("long"))

@@ -142,10 +142,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 (guide §1.2): ONE token explode + ONE per-doc aggregate carry
     # dl and every query term's tf together — the old shape exploded
     # the corpus three times (dl, avgdl's re-expansion of dl, qtf) and
-    # joined dl back per doc. per_doc is cached for its two consumers
-    # (the 1-row global aggregate below and the parts stream);
-    # bench.py clears the cache before every timed run, so the bench
-    # still times the full compute.
+    # joined dl back per doc. per_doc has two consumers (the 1-row
+    # global aggregate below and the parts stream) but is NOT cached:
+    # the r12 A/B (VERDICT r11 #5, BENCH_LOG 2026-08-18) measured
+    # cached == uncached within noise on all three consumers
+    # (bm25 0.304 vs 0.307 s, rrf 0.345 vs 0.344, ndcg 0.443 vs 0.449
+    # medians) — AQE's runtime exchange reuse already dedupes the
+    # identical aggregate (the sketch_kmv_jaccard lesson), and the
+    # r11-ADVICE leak (one never-unpersisted ~|docs|-row frame per
+    # call in selfcheck/run_query sessions) disappears with it.
     per_doc = (
         docs.select(
             "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("term")
@@ -159,7 +164,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, t in enumerate(terms)
             ],
         )
-        .cache()
     )
     # avgdl + per-term df in one 1-row aggregate (df = docs with tf>0,
     # exactly the old qtf->qdf count)

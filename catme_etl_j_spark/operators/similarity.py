@@ -122,6 +122,16 @@ def _prescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, so the oracle twin (_EMB_NZ) agrees bit-for-bit
     on what is "zero"."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # NO §2.5 spread here, deliberately (r12 negative result): unlike
+    # _minhash_df — whose spread parallelizes a Python md5 stage with a
+    # narrow downstream — every _prescaled consumer reshuffles by its
+    # own key (cogroup (label,salt), (band,bucket) groups, join keys),
+    # so a round-robin repartition of the raw embedding arrays is a
+    # pure EXTRA payload shuffle. Measured same-session A/B at sf0.1:
+    # ann_nn_within_label 0.93 vs 0.58 s, dedup_embedding_cosine 1.85
+    # vs 1.58 s medians WITH vs WITHOUT the spread; at sf1.0 the
+    # spread moved neither (their walls are checkpoint/cogroup fixed
+    # costs, not scan compute).
     return (
         emb.select(
             "vec_id",

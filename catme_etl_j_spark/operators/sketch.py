@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from catme_etl_j_spark.functions.numeric import rdet as _rdet
 from catme_etl_j_spark.functions.numeric import rdet_sql
-from catme_etl_j_spark.sources.tables import load_table
+from catme_etl_j_spark.sources.tables import load_table, spread_small_scan
 
 HLL_P = 12  # bucket bits
 HLL_M = 1 << HLL_P  # 4096 buckets
@@ -1351,7 +1351,9 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    docs = load_table(spark, sf_dir, "documents")
+    # §2.5 spread: shingle generation is interpreted scan-stage CPU and
+    # the stream is immediately distinct-shuffled by (source, h)
+    docs = spread_small_scan(spark, load_table(spark, sf_dir, "documents"))
     sh = (
         docs.withColumn("ws", F.split(F.trim("text"), " +"))
         .withColumn(

@@ -29,6 +29,28 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guide §2.5 input-parallelism guard: when a scan arrives as fewer
+    splits than the session has cores (locally: one small parquet file;
+    in production: a handful of giant unsplittable files), everything
+    fused into the scan stage runs on those few tasks however many
+    cores exist. Round-robin repartition to the session parallelism in
+    that case; at real scale (many input files) the condition is false
+    and NO exchange is added.
+
+    Use ONLY in front of scan-stage compute that dominates the operator
+    (gram/shingle generation, md5 fingerprint maps, Arrow passes) whose
+    output is reshuffled or reduced afterwards — the winnow_pairs
+    precedent (measured 3.0 → 0.77 s). A payload-heavy frame whose
+    consumers reshuffle by key anyway gets strictly SLOWER from the
+    extra exchange (the r12 _prescaled negative result: ann_nn 0.58 →
+    0.93 s — see similarity.py)."""
+    n_par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        return df.repartition(n_par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
