@@ -1102,6 +1102,11 @@ def corpus_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # NO §2.5 spread here, deliberately (r12 negative result, the
+    # _prescaled twin): A/B'd spread-vs-not at sf0.1 (1.51 vs 1.36 s
+    # medians) and sf1.0 (flat ~5.2 s both core counts) — this
+    # pipeline's wall is the eager checkpoint + fp window + gram join,
+    # not the scan-fused scrub, so the spread only adds an exchange.
     docs = load_table(spark, sf_dir, "documents")
     scrubbed = F.regexp_replace(
         F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
