@@ -59,65 +59,61 @@ def _modules():
 # dedup, ANN, text, corpus, ranking, etl, graph, embed, events, asof/range,
 # multimodal, sketch, relational archetypes).  Everything else keeps its
 # module-iteration order after the priority block.
-# Round-11 rotation (VERDICT r10 #6 — continue WITNESS-STALENESS):
-# 2 slots are this round's newborns (birth-round invariant), 8 slots
-# re-witness queries whose implementations changed this round or whose
-# last driver-green predates an oracle/impl rewrite (graph
-# pagerank/s-core perf rework, the _km_assign refactor under
-# embed_kmeans_sse, the DoReMi baseline_ppm DECIMAL fix, the dec2dbl
-# NULL-passthrough's consumer window_bollinger_bands, and ADVICE r10's
-# three r10-rewritten-but-unwitnessed queries: dedup_ngram_jaccard,
-# ann_lsh_hyperplane_pairs, dedup_embedding_cosine), and the remaining
-# 40 are the registry's OLDEST-green members in last-green order (the
-# r3 setop/window/topk block, then the r4 block alphabetically) —
-# every one unwitnessed for 7+ rounds. Every family rotating out is
-# all-green-ever per tools/witness.py (0 never-green outside this
-# window), which the backlog rules require before a family loses its
-# slot.
+# Round-12 rotation (the r11 discipline continued): NO newborns this
+# round; the re-witness slots go to every query whose IMPLEMENTATION
+# changed in the r12 optimization pass — the Arrow minhash signature
+# pass + observed-metric CC loop (every minhash/CC consumer), the
+# §2.5 scan spreads (shingle/gram/KMV builders, substring mass), the
+# s-core probe fold, the BM25 cache removal (all three consumers),
+# and the parallel-slice-plan converter reader with the shuffle-free
+# ordered sink (both convert queries). The remaining slots keep the
+# r11 staleness picks not displaced. Every name rotating out is
+# driver-green in CORRECTNESS_r11 (the full current window passed
+# 50/50), which the backlog rules require before a family loses its
+# slot; tools/witness.py reports 0 never-green.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-11 newborns (birth-round invariant) ---
+    # --- r12-changed: minhash signature pass + CC loop consumers ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_keep",
+    "dedup_minhash_keep_best",
+    "dedup_minhash_precision",
+    "dedup_incremental_index",
+    "dedup_lsh_tuning",
+    "dedup_cross_source_matrix",
+    "dedup_cluster_sizes",
+    "dedup_report",
+    "dedup_embedding_cosine",
+    # --- r12-changed: §2.5 scan spreads (shingle/gram/KMV) ---
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_substring_mass",
+    "sketch_kmv_jaccard",
+    # --- r12-changed: s-core probe fold, BM25 cache removal,
+    # slice-plan converter rework ---
+    "graph_s_core_peeling",
+    "rank_bm25_search",
+    "rank_rrf_fusion",
+    "rank_ndcg_eval",
+    "convert_roundtrip_ndjson",
+    "convert_stream_ndjson",
+    # --- r11 newborns (second witness) + r11 staleness picks kept ---
     "dedup_semdedup_prune",
     "corpus_decontaminate_vs",
-    # --- changed this round / witness-stale rewrites (ADVICE r10) ---
     "graph_pagerank_users",
-    "graph_s_core_peeling",
     "embed_kmeans_sse",
     "corpus_doremi_mixture",
     "window_bollinger_bands",
-    "dedup_ngram_jaccard",
     "ann_lsh_hyperplane_pairs",
-    "dedup_embedding_cosine",
-    # --- changed in the r11 optimization pass (cogrouped LSH pair
-    # stage, fused BM25 corpus pass, kmv cache revert, slice-parallel
-    # converter reader + bucketed ordered NDJSON sink) ---
-    "rank_rrf_fusion",
-    "rank_ndcg_eval",
-    "sketch_kmv_jaccard",
-    "convert_roundtrip_ndjson",
-    "convert_stream_ndjson",
-    # --- witness-staleness picks: last driver-green r3 ---
-    "setop_except",
-    "setop_intersect_all",
-    "setop_union",
-    "topk_global",
-    "window_lag_gap",
-    "window_range_frame",
-    "window_ranks",
     "window_running_total",
-    # --- witness-staleness picks: last driver-green r4 ---
-    "agg_grouping_sets",
     "asof_purchase_view",
     "corpus_clean_pipeline",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
     "dedup_exact",
-    "dedup_minhash_keep",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "embed_quantize_int8",
-    "etl_incremental_agg",
-    "etl_merge_upsert",
     "etl_scd2_intervals",
     "events_funnel",
     "events_retention",
@@ -126,17 +122,16 @@ _PRIORITY: tuple[str, ...] = (
     "q03_shipping_priority",
     "q05_local_supplier",
     "range_join_price_bands",
-    "rank_bm25_search",
     "sketch_bloom_join_prune",
     "sketch_hll_distinct",
     "stream_session_window",
     "stream_sliding_window",
     "stream_stateful_totals",
 )
-# rotated out for the 5 r11-optimization re-witness slots (all
-# green-ever per tools/witness.py): pivot_order_status,
-# rank_tfidf_topterms, scalar_subquery_above_avg, setop_except_all,
-# sketch_countmin_topwords
+# rotated out for the r12 re-witness slots (every one driver-green in
+# CORRECTNESS_r11): setop_except, setop_intersect_all, setop_union,
+# topk_global, window_lag_gap, window_range_frame, window_ranks,
+# agg_grouping_sets, etl_incremental_agg, etl_merge_upsert
 
 
 def _reorder(d: dict) -> dict:
