@@ -172,6 +172,30 @@ EAGER_CONSTRUCTION = frozenset(
         # the codebook training is real construction-time work
         "ann_topk_ivf_kmeans",
         "ann_pq_topk",
+        # r12 (VERDICT r11 #7): the mechanical job-group probe
+        # (tests/test_operators.py::test_eager_construction_set_is_
+        # mechanically_exact) found 12 MORE queries whose construction
+        # schedules real Spark jobs — bounded first()/collect lookups
+        # (similarity.py's query-vector fetch) and localCheckpoint
+        # upstream-stage materializations (convention #15: even
+        # eager=False checkpoints materialize pending query stages at
+        # construction). Their pre-r12 bench numbers were
+        # execution-only and UNDER-reported; from r12 on they are
+        # timed end-to-end, so their r12 numbers are honestly HIGHER
+        # than r11's for measurement reasons, not code regressions
+        # (the r11 ivf/pq precedent, called out in OPTIMIZATION_r12.md).
+        "ann_lsh_rerank_topk",
+        "ann_matryoshka_recall",
+        "rank_rrf_fusion",
+        "rank_smart_lnc_ltc",
+        "events_survival_km",
+        "graph_lpa_communities",
+        "graph_connected_components",
+        "graph_bfs_backbone",
+        "graph_katz_centrality",
+        "stats_permutation_test",
+        "stats_kendall_tau",
+        "text_kneser_ney_bigram",
     }
 )
 

@@ -84,9 +84,13 @@ def test_minhash_lsh_shuffle_budget(spark, sf_dir):
     from catme_etl_j_spark.operators.dedup import dedup_minhash_lsh
 
     plan = formatted_plan(dedup_minhash_lsh(spark, sf_dir))
-    # signature aggregation + band self-join: the linear-cost LSH shape.
-    # A regression to >3 exchanges means someone broke signature reuse.
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    # band self-join on the map-only Arrow signature frame: the
+    # linear-cost LSH shape. At most 3 KEYED exchanges (a regression
+    # beyond that means someone broke signature reuse); the r12 §2.5
+    # scan spread is allowed as at most one extra ROUND-ROBIN exchange.
+    kinds = re.findall(r"\(\d+\) Exchange\nArguments: ([A-Za-z]+)", plan)
+    assert len([k for k in kinds if k != "RoundRobinPartitioning"]) <= 3, plan
+    assert len([k for k in kinds if k == "RoundRobinPartitioning"]) <= 1, plan
 
 
 def test_corpus_pipeline_single_shuffle(spark, sf_dir):
